@@ -1,13 +1,30 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.cdc.CdcQueries
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator registers a query here; everything with an
+  * `oracleSql` entry is hash-checked against DuckDB at sf0.01 by the
+  * driver. Queries without an oracle (approximate / not SQL-expressible:
+  * minhash LSH, simhash, ANN, the mapPartitions feature extractor) get the
+  * rows-only check plus scalatest coverage.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ Dedup.queries ++ Similarity.queries ++
+      TextOps.queries ++ Multimodal.queries ++ CdcQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      TextOps.oracles ++ Multimodal.oracles ++ CdcQueries.oracles
 }

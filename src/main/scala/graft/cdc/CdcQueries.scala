@@ -1,0 +1,116 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Decoders
+
+/** Driver-facing CDC queries with DuckDB oracles over the same fixture
+  * files (read_json on the Spark side with an explicit envelope schema;
+  * read_json_auto on the oracle side).
+  */
+object CdcQueries {
+
+  private val fixturesNote = CdcPipeline.eventsPath
+
+  def latestState(s: SparkSession, d: String): DataFrame =
+    CdcPipeline.latestState(s)
+
+  val latestStateSql: String =
+    s"""WITH e AS (
+       |  SELECT payload.source.db AS db, payload.source."table" AS tbl,
+       |         coalesce(payload.after.id, payload.before.id) AS id,
+       |         CASE WHEN payload.before IS NULL AND payload.after IS NOT NULL THEN 'I'
+       |              WHEN payload.before IS NOT NULL AND payload.after IS NOT NULL THEN 'U'
+       |              WHEN payload.before IS NOT NULL AND payload.after IS NULL THEN 'D'
+       |              ELSE 'X' END AS op,
+       |         payload.after.name AS name, payload.after.amount AS amount,
+       |         payload.source.file AS f, payload.source.pos AS p,
+       |         payload.source."row" AS r
+       |  FROM read_json_auto('${CdcPipeline.eventsPath}')),
+       |ranked AS (SELECT *, row_number() OVER (
+       |             PARTITION BY db, tbl, id ORDER BY f DESC, p DESC, r DESC) AS rn
+       |           FROM e)
+       |SELECT db, tbl, id, name, amount FROM ranked WHERE rn = 1 AND op <> 'D'
+       |ORDER BY db, tbl, id""".stripMargin
+
+  def opCounts(s: SparkSession, d: String): DataFrame =
+    CdcPipeline.opCounts(s)
+
+  val opCountsSql: String =
+    s"""SELECT payload.source."table" AS tbl,
+       |  CASE WHEN payload.before IS NULL AND payload.after IS NOT NULL THEN 'I'
+       |       WHEN payload.before IS NOT NULL AND payload.after IS NOT NULL THEN 'U'
+       |       WHEN payload.before IS NOT NULL AND payload.after IS NULL THEN 'D'
+       |       ELSE 'X' END AS op,
+       |  count(*) AS n
+       |FROM read_json_auto('${CdcPipeline.eventsPath}')
+       |GROUP BY tbl, op ORDER BY tbl, op""".stripMargin
+
+  def ddlDecisions(s: SparkSession, d: String): DataFrame =
+    CdcPipeline.ddlDecisions(s, tables = Seq("acct", "txn"),
+      reclaim = false, replaceAll = false)
+
+  val ddlDecisionsSql: String =
+    s"""SELECT ddl_id, payload.databaseName AS db, payload.ddl AS ddl,
+       |  CASE WHEN payload.databaseName IS NULL OR length(payload.databaseName) = 0
+       |         THEN 'skip_instance'
+       |       WHEN payload.source."table" NOT IN ('acct', 'txn') THEN 'skip_whitelist'
+       |       WHEN payload.ddl IS NULL OR length(payload.ddl) = 0 THEN 'error_empty'
+       |       WHEN payload.ddl LIKE '%CREATE DATABASE%' OR payload.ddl LIKE '%USE%'
+       |            OR payload.ddl LIKE '%DROP DATABASE%' OR payload.ddl LIKE '%DROP TABLE%'
+       |         THEN 'blocked'
+       |       ELSE 'apply' END AS decision
+       |FROM read_json_auto('${CdcPipeline.ddlPath}')
+       |ORDER BY ddl_id""".stripMargin
+
+  /** Golden decoder vectors end-to-end (C1–C6): inline rows through the
+    * Decoders library; the oracle is the hand-computed expected VALUES.
+    * Pins: negative two's-complement (main.go:231-240), bad base64 ⇒ 0
+    * (main.go:226-228), day-0 date, micro-time floor/no-pad (main.go:285),
+    * zoned +7h shift (main.go:296) and null on garbage.
+    */
+  def decodersGolden(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Seq(
+      ("pos", "MDk=", 100, 1587202401764L, 45296000000L, "2020-04-18T08:54:10Z", true),
+      ("neg", "z8c=", 0, 0L, 3661000000L, "2020-04-18T08:54:10Z", false),
+      ("bad", "!!!notb64", 19000, 86399999L, 0L, "not-a-date", true),
+      ("big", "CPuP2YX3", 1, 1000L, 59000000L, "1999-12-31T23:59:59Z", false))
+      .toDF("label", "dec_b64", "days", "millis", "micros", "iso", "flag")
+    rows.select(
+      col("label"),
+      Decoders.debeziumDecimal(col("dec_b64"), 2).as("dec_val"),
+      Decoders.debeziumDate(col("days")).as("dt"),
+      Decoders.debeziumTimestamp(col("millis")).as("ts"),
+      Decoders.debeziumMicroTime(col("micros")).as("micro_time"),
+      Decoders.debeziumZonedTimestamp(col("iso"), 7).as("zts"),
+      Decoders.boolToInt(col("flag")).as("flag_int"))
+      .orderBy("label")
+  }
+
+  val decodersGoldenSql: String =
+    """SELECT * FROM (VALUES
+      |  ('bad', CAST(0.00 AS DECIMAL(38,2)), DATE '2022-01-08',
+      |   TIMESTAMP '1970-01-01 23:59:59.999', '0:0:0', CAST(NULL AS TIMESTAMP), 1),
+      |  ('big', CAST(98765432109.99 AS DECIMAL(38,2)), DATE '1970-01-02',
+      |   TIMESTAMP '1970-01-01 00:00:01', '0:0:59', TIMESTAMP '2000-01-01 06:59:59', 0),
+      |  ('neg', CAST(-123.45 AS DECIMAL(38,2)), DATE '1970-01-01',
+      |   TIMESTAMP '1970-01-01 00:00:00', '1:1:1', TIMESTAMP '2020-04-18 15:54:10', 0),
+      |  ('pos', CAST(123.45 AS DECIMAL(38,2)), DATE '1970-04-11',
+      |   TIMESTAMP '2020-04-18 09:33:21.764', '12:34:56', TIMESTAMP '2020-04-18 15:54:10', 1)
+      |) AS t(label, dec_val, dt, ts, micro_time, zts, flag_int)
+      |ORDER BY label""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c01_cdc_latest_state" -> (latestState _),
+    "c02_cdc_op_counts" -> (opCounts _),
+    "c03_ddl_decisions" -> (ddlDecisions _),
+    "c04_decoders_golden" -> (decodersGolden _))
+
+  val oracles: Map[String, String] = Map(
+    "c01_cdc_latest_state" -> latestStateSql,
+    "c02_cdc_op_counts" -> opCountsSql,
+    "c03_ddl_decisions" -> ddlDecisionsSql,
+    "c04_decoders_golden" -> decodersGoldenSql)
+}

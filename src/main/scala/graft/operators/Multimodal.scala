@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Multimodal column plumbing: media as opaque `binary` columns + typed
+  * metadata, with the decode/feature steps as per-partition batch
+  * transforms.
+  *
+  * The actual image/audio codecs are NOT in this environment, so the decode
+  * kernel is a clearly-marked deterministic stub — but everything Spark
+  * cares about is real and tested: the schema contract, the binary column
+  * handling, the mapPartitions batch shape (the Scala analogue of
+  * `mapInPandas`: one iterator in, one iterator out, arrow-sized batches),
+  * and the partitioning. Swapping the stub for a real JNI/ffmpeg decoder
+  * changes zero plan structure.
+  *
+  * Scale notes: media blobs never enter a shuffle here — metadata extraction
+  * is a narrow map; downstream joins should carry (asset_id, features), not
+  * bytes. Feature extraction parallelism = input partitions.
+  */
+object Multimodal {
+
+  /** Canonical media-asset schema: opaque payload + typed metadata. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta_width", IntegerType, nullable = true),
+    StructField("meta_height", IntegerType, nullable = true),
+    StructField("meta_duration_ms", LongType, nullable = true)))
+
+  /** Documents → synthetic media assets (text bytes as the opaque payload).
+    * Stand-in for `spark.read.format("binaryFile")` at 100 TB.
+    */
+  def assets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("asset_id"),
+      lit("text/plain").as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit(null).cast(IntegerType).as("meta_width"),
+      lit(null).cast(IntegerType).as("meta_height"),
+      lit(null).cast(LongType).as("meta_duration_ms"))
+
+  /** STUB decode kernel — deterministic fake standing in for an image/audio
+    * decoder. Real implementation would decode `payload` (JPEG/PNG/WAV…)
+    * and emit true dimensions; this derives them from byte statistics so
+    * tests pin the plumbing. Marked prominently per the build contract.
+    */
+  def stubDecode(payload: Array[Byte]): (Int, Int, Long) = {
+    // ??? real codec goes here — deterministic fake below
+    if (payload == null) (0, 0, 0L)
+    else {
+      val n = payload.length
+      val sum = payload.foldLeft(0L)((a, b) => a + (b & 0xff))
+      (n % 1920, (n / 2) % 1080, sum % 100000L)
+    }
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+
+  /** Batch feature extraction: mapPartitions (iterator-in/iterator-out, the
+    * Scala analogue of mapInPandas) so a real decoder can amortize codec
+    * init per partition, not per row.
+    */
+  def extractFeatures(s: SparkSession, assets: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(featureSchema)
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      // per-partition: real impl would init the codec once here
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val (w, h, dur) = stubDecode(payload)
+        Row(id, if (payload == null) 0 else payload.length, w, h, dur)
+      }
+    }(enc)
+  }
+
+  /** Oracle-checkable metadata query: binary payload stats via built-ins
+    * only (octet_length / hex prefix), no stub involvement.
+    */
+  def mediaMeta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      octet_length(col("text")).as("n_bytes"),
+      hex(encode(substring(col("text"), 1, 4), "UTF-8")).as("magic_hex"))
+      .orderBy("doc_id")
+
+  val mediaMetaSql: String =
+    """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes,
+      |  hex(encode(substring(text, 1, 4))) AS magic_hex
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_media_meta" -> (mediaMeta _),
+    "m02_media_features" -> ((s: SparkSession, d: String) => {
+      extractFeatures(s, assets(s, d)).orderBy("asset_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "m01_media_meta" -> mediaMetaSql)
+}

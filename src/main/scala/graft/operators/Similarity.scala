@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the embeddings table (64-dim float vectors).
+  *
+  * Numeric determinism: dot products and norms are computed over
+  * floor-quantized integer components (x → floor(x·10^6)), so the sums are
+  * exact 64-bit integers and the resulting cosine is a single IEEE division
+  * — bit-identical between Spark and the DuckDB oracle regardless of
+  * summation order. (Float-precision cosine differs between engines at the
+  * last ulp, which breaks hash-comparison; established ANN practice
+  * quantizes anyway.) With |x| ≤ ~30, products ≤ ~1e15·64 stay far from
+  * int64 overflow.
+  *
+  * Scale design:
+  *   - brute-force top-k broadcasts the (small) QUERY side and streams the
+  *     candidate corpus once — no unbounded cross join, no global sort;
+  *     ranking is a per-query-partition window over k·|queries| rows;
+  *   - the LSH variant buckets by random-hyperplane sign bits so each query
+  *     probes only its bucket — the 100 TB path; recall is checked in tests
+  *     against the brute-force oracle.
+  */
+object Similarity {
+
+  private val QUANT = 1e6
+
+  /** floor-quantized integer components of a float vector column. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * QUANT).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, z) => acc + z)
+
+  /** Cosine from quantized components: one IEEE division, deterministic. */
+  def qcosine(a: Column, b: Column): Column =
+    qdot(a, b).cast("double") /
+      (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double")))
+
+  /** Brute-force cosine top-k: queries = vec_id < nQueries, corpus = rest.
+    * Query side is broadcast; corpus is scanned once.
+    */
+  def cosineTopK(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
+    val corpus = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id"), quantize(col("embedding")).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(q))
+      .withColumn("cosine", qcosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB oracle: identical quantization + integer dot + one division.
+    * (Positional list access is 1-based in DuckDB, matching zip_with order.)
+    */
+  val cosineTopKSql: String =
+    """WITH q AS (SELECT vec_id AS query_id,
+      |             [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id,
+      |        [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS cv
+      |      FROM embeddings WHERE vec_id >= 5),
+      |dots AS (SELECT query_id, vec_id,
+      |           CAST(list_sum([qv[i] * cv[i] FOR i IN range(1, 65)]) AS DOUBLE) /
+      |             (sqrt(CAST(list_sum([qv[i] * qv[i] FOR i IN range(1, 65)]) AS DOUBLE)) *
+      |              sqrt(CAST(list_sum([cv[i] * cv[i] FOR i IN range(1, 65)]) AS DOUBLE))) AS cosine
+      |         FROM c CROSS JOIN q),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cosine DESC, vec_id) AS rank
+      |           FROM dots)
+      |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  // --------------------------------------------------- LSH-bucketed ANN
+  val N_PLANES = 8
+
+  /** Deterministic pseudo-random hyperplanes (seeded), dim x N_PLANES. */
+  private lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(N_PLANES)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit bucket id from N_PLANES random hyperplanes. */
+  def lshBucket(vec: Column): Column = {
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      val planeCol = array(p.map(lit): _*)
+      when(aggregate(zip_with(vec, planeCol, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, z) => acc + z) > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k: queries probe only their own LSH bucket. At 100 TB the
+    * corpus is bucketed once (a write-side partition), and each query
+    * touches |corpus|/2^N_PLANES candidates instead of everything.
+    */
+  def annLshTopK(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"),
+        lshBucket(col("embedding")).as("bucket"))
+    val corpus = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id"), quantize(col("embedding")).as("cv"),
+        lshBucket(col("embedding")).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    corpus.join(broadcast(q), "bucket")
+      .withColumn("cosine", qcosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_cosine_topk" -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
+    "s02_ann_lsh" -> ((s: SparkSession, d: String) => annLshTopK(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "s01_cosine_topk" -> cosineTopKSql)
+}

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis queries over the documents table: token statistics,
+  * language ID, quality scoring, fingerprinting, and the reference's C8/C9
+  * cleaning chain (utils/clean.go:9-111) end-to-end.
+  *
+  * All per-row math is single IEEE operations over integer-derived inputs
+  * (no order-dependent float accumulation), so results hash-match the
+  * DuckDB oracle without rounding tricks. Everything is a narrow map +
+  * one small aggregation — embarrassingly parallel at any scale.
+  */
+object TextOps {
+
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "is", "in")
+
+  // --------------------------------------------------------- token stats
+  def tokenStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), size(split(col("text"), " ", -1)).as("n_tokens"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        max(col("n_tokens")).cast("long").as("max_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .withColumn("avg_tokens", col("total_tokens").cast("double") / col("n_docs"))
+      .orderBy("lang")
+
+  val tokenStatsSql: String =
+    """SELECT *, CAST(total_tokens AS DOUBLE)/n_docs AS avg_tokens FROM (
+      |  SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |    CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+      |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |  FROM documents GROUP BY lang)
+      |ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------- lang id
+  /** Predicted vs labeled language confusion counts. The SQL mirrors the
+    * marker-token heuristic exactly, including the (hits, lang)
+    * lexicographic tiebreak.
+    */
+  def langIdConfusion(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), langId(col("text")).as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
+  val langIdConfusionSql: String =
+    """WITH t AS (SELECT lang, string_split(trim(lower(text)), ' ') AS toks FROM documents),
+      |h AS (SELECT lang,
+      |  len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x))) AS he,
+      |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS hd,
+      |  len(list_filter(toks, x -> list_contains(['el','la','los','las','es'], x))) AS hs,
+      |  len(list_filter(toks, x -> list_contains(['le','la','les','et','est'], x))) AS hf,
+      |  len(list_filter(toks, x -> list_contains(['的','是','了','在','我'], x))) AS hz
+      |FROM t),
+      |p AS (SELECT lang, CASE
+      |  WHEN greatest(he, hd, hs, hf, hz) = 0 THEN 'und'
+      |  WHEN hz = greatest(he, hd, hs, hf, hz) THEN 'zh'
+      |  WHEN hf = greatest(he, hd, hs, hf, hz) THEN 'fr'
+      |  WHEN hs = greatest(he, hd, hs, hf, hz) THEN 'es'
+      |  WHEN he = greatest(he, hd, hs, hf, hz) THEN 'en'
+      |  ELSE 'de' END AS predicted FROM h)
+      |SELECT lang, predicted, count(*) AS n FROM p
+      |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+
+  // ------------------------------------------------------ quality scores
+  /** Per-doc quality scoring; SQL mirrors the exact expression tree so the
+    * doubles are bit-identical.
+    */
+  def qualityScores(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
+        punctRatio(col("text")).as("punct_ratio"),
+        stopwordRatio(col("text"), stopwords).as("stop_ratio"),
+        qualityScore(col("text"), stopwords).as("quality"))
+      .orderBy("doc_id")
+
+  val qualityScoresSql: String =
+    """WITH t AS (SELECT doc_id, text,
+       |  string_split(trim(text), ' ') AS toks,
+       |  string_split(trim(lower(text)), ' ') AS ltoks FROM documents),
+       |m AS (SELECT doc_id, text, toks,
+       |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish,
+       |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+       |    / greatest(length(text), 1) AS punct_ratio,
+       |  CAST(len(list_filter(ltoks, x -> list_contains(['the','a','and','of','to','is','in'], x))) AS DOUBLE)
+       |    / greatest(len(ltoks), 1) AS stop_ratio
+       |FROM t)
+       |SELECT doc_id, n_tokens, n_bpeish, punct_ratio, stop_ratio,
+       |  (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * (1.0 - punct_ratio))
+       |    * (1.0 - 0.5 * stop_ratio) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------- fingerprint
+  /** md5-based content fingerprint of the normalized text (lowercase,
+    * whitespace-collapsed) — the cross-engine-checkable counterpart of the
+    * xxhash64 `fingerprint` in TextFunctions.
+    */
+  def fingerprints(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        substring(md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))), 1, 16).as("fp"))
+      .orderBy("doc_id")
+
+  val fingerprintsSql: String =
+    """SELECT doc_id,
+      |  substring(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- cleantext
+  /** C8/C9 cleaning chain (ascii fold is identity on this corpus but the
+    * ops still run): gate, fold, collapse, truncate to 80 with ellipsis.
+    */
+  def cleanedDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        cleanText(col("text"), 80).as("cleaned"),
+        cleanString(substring(col("text"), 1, 40)).as("alnum40"))
+      .orderBy("doc_id")
+
+  val cleanedDocsSql: String =
+    """WITH f AS (SELECT doc_id, text,
+      |  CASE WHEN length(text) < 5 THEN ''
+      |       ELSE trim(regexp_replace(replace(replace(text, '&', ' and '), '…', '...'),
+      |                 '\s+', ' ', 'g')) END AS gated
+      |FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN length(gated) > 80 THEN substring(gated, 1, 77) || '...'
+      |       ELSE gated END AS cleaned,
+      |  regexp_replace(substring(text, 1, 40), '[^a-zA-Z0-9]+', '', 'g') AS alnum40
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_stats" -> (tokenStats _),
+    "t02_langid" -> (langIdConfusion _),
+    "t03_quality" -> (qualityScores _),
+    "t04_fingerprint" -> (fingerprints _),
+    "t05_cleantext" -> (cleanedDocs _))
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_stats" -> tokenStatsSql,
+    "t02_langid" -> langIdConfusionSql,
+    "t03_quality" -> qualityScoresSql,
+    "t04_fingerprint" -> fingerprintsSql,
+    "t05_cleantext" -> cleanedDocsSql)
+}
