@@ -83,39 +83,54 @@ object Similarity {
       |ORDER BY query_id, rank""".stripMargin
 
   // --------------------------------------------------- LSH-bucketed ANN
-  val N_PLANES = 8
+  /** Multi-table random-hyperplane LSH: L tables of P sign bits each.
+    * One table of many planes has near-zero recall on real data (verified:
+    * 8 planes x 1 table → recall 0 on the test corpus); multiple smaller
+    * tables give recall 1-(1-p^P)^L while each query still probes only
+    * |corpus|·L/2^P candidates instead of everything.
+    */
+  val N_TABLES = 8
+  val N_PLANES = 6
 
-  /** Deterministic pseudo-random hyperplanes (seeded), dim x N_PLANES. */
-  private lazy val planes: Array[Array[Double]] = {
+  /** Deterministic pseudo-random hyperplanes (seeded), table x plane x dim. */
+  private lazy val planes: Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(N_PLANES)(Array.fill(64)(rnd.nextGaussian()))
+    Array.fill(N_TABLES, N_PLANES)(Array.fill(64)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit bucket id from N_PLANES random hyperplanes. */
-  def lshBucket(vec: Column): Column = {
-    val bits = planes.zipWithIndex.map { case (p, j) =>
-      val planeCol = array(p.map(lit): _*)
-      when(aggregate(zip_with(vec, planeCol, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, z) => acc + z) > 0, lit(1L << j)).otherwise(lit(0L))
+  /** Array of per-table sign-bit bucket ids for a vector column. */
+  def lshBuckets(vec: Column): Column = {
+    val tables = planes.map { tablePlanes =>
+      val bits = tablePlanes.zipWithIndex.map { case (p, j) =>
+        val planeCol = array(p.map(lit): _*)
+        when(aggregate(zip_with(vec, planeCol, (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, z) => acc + z) > 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      bits.reduce((a, b) => a.bitwiseOR(b))
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    array(tables.toIndexedSeq: _*)
   }
 
-  /** ANN top-k: queries probe only their own LSH bucket. At 100 TB the
-    * corpus is bucketed once (a write-side partition), and each query
-    * touches |corpus|/2^N_PLANES candidates instead of everything.
+  /** ANN top-k: queries probe only same-bucket candidates in any of the L
+    * tables. At 100 TB the corpus bucket arrays are computed once at write
+    * time (a stored column / partition key); each probe is an equi-join on
+    * (table_idx, bucket) — no full-corpus scan per query, no cross join.
     */
   def annLshTopK(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 10): DataFrame = {
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"),
-        lshBucket(col("embedding")).as("bucket"))
+        posexplode(lshBuckets(col("embedding"))))
+      .withColumnRenamed("pos", "table_idx").withColumnRenamed("col", "bucket")
     val corpus = e.filter(col("vec_id") >= nQueries)
       .select(col("vec_id"), quantize(col("embedding")).as("cv"),
-        lshBucket(col("embedding")).as("bucket"))
+        posexplode(lshBuckets(col("embedding"))))
+      .withColumnRenamed("pos", "table_idx").withColumnRenamed("col", "bucket")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    corpus.join(broadcast(q), "bucket")
+    corpus.join(broadcast(q), Seq("table_idx", "bucket"))
+      .select("query_id", "vec_id", "qv", "cv")
+      .dropDuplicates("query_id", "vec_id")
       .withColumn("cosine", qcosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

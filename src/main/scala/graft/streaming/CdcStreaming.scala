@@ -1,0 +1,149 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.cdc.Envelope
+
+/** Structured-Streaming fidelity layer (SURVEY §2.5): the reference's
+  * consumer loop (main.go:63-169) as a micro-batched, idempotent pipeline.
+  *
+  *   ST1  at-least-once source + idempotent keyed upsert  ⇒ effective
+  *        exactly-once (strictly better than the reference's dup-skip F8,
+  *        main.go:138-141)
+  *   ST2  bounded retry: failed records carry a `loop` count (the
+  *        reference's Kafka header, main.go:174-203); when it reaches
+  *        `republishLimit` (default 3, config/config.go:21) they land in
+  *        the DLQ, else in the retry sink for redelivery
+  *   ST3  binlog (file,pos,row) ordering inside the upsert window
+  *   S4   error sink rows (data, error, table_name, db_name), mirroring
+  *        the reference's `data_err` table (main.go:143-147)
+  *
+  * The state sink here is read-merge-overwrite parquet — the local stand-in
+  * for a lakehouse MERGE/JDBC upsert in `foreachBatch`; swap `upsertBatch`'s
+  * tail for `MERGE INTO` at scale. Micro-batch boundaries provide the
+  * pause-the-world DDL barrier (ST4) — DDL rows would be applied on the
+  * driver between batches.
+  */
+object CdcStreaming {
+
+  final case class SinkPaths(state: String, errors: String, retry: String, dlq: String)
+
+  /** Parse + classify one micro-batch of raw (value, loop) records and
+    * split valid/invalid. Tombstones (empty value, F2 main.go:124-126) are
+    * dropped.
+    */
+  def parseBatch(batch: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = batch
+      .filter(length(col("value")) > 0)
+      .withColumn("env", from_json(col("value"), Envelope.dmlEnvelopeSchema))
+    val valid = parsed
+      .filter(col("env.payload.source.table").isNotNull)
+      .select(
+        col("env.payload.source.db").as("db"),
+        col("env.payload.source.table").as("tbl"),
+        when(col("env.payload.before").isNull && col("env.payload.after").isNotNull, "I")
+          .when(col("env.payload.before").isNotNull && col("env.payload.after").isNotNull, "U")
+          .when(col("env.payload.before").isNotNull && col("env.payload.after").isNull, "D")
+          .otherwise("X").as("op"),
+        element_at(coalesce(col("env.payload.after"), col("env.payload.before")), "id")
+          .cast("long").as("id"),
+        col("env.payload.after").as("after"),
+        col("env.payload.source.file").as("file"),
+        col("env.payload.source.pos").as("pos"),
+        col("env.payload.source.row").as("row"))
+      .filter(col("op") =!= "X" && col("id").isNotNull)
+    val invalid = parsed.filter(col("env.payload.source.table").isNull ||
+        col("env.payload").isNull)
+      .select(col("value"), col("loop"))
+    (valid, invalid)
+  }
+
+  /** Idempotent keyed upsert: union incoming changes with current state,
+    * keep the binlog-latest surviving row per (db, tbl, id). Re-applying
+    * the same batch is a no-op (exactly-once effect).
+    */
+  def upsertBatch(spark: SparkSession, valid: DataFrame, statePath: String): Unit = {
+    val incoming = valid.select(
+      col("db"), col("tbl"), col("id"),
+      element_at(col("after"), "name").as("name"),
+      element_at(col("after"), "amount").cast("long").as("amount"),
+      col("op"), col("file"), col("pos"), col("row"))
+    val current =
+      if (Files.exists(Paths.get(statePath)))
+        spark.read.parquet(statePath)
+      else incoming.limit(0)
+    val w = Window.partitionBy(col("db"), col("tbl"), col("id"))
+      .orderBy(col("file").desc, col("pos").desc, col("row").desc)
+    val merged = current.unionByName(incoming)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .cache()
+    merged.count() // materialize before overwriting the input path
+    merged.write.mode(SaveMode.Overwrite).parquet(statePath + ".tmp")
+    merged.unpersist()
+    // atomic-ish swap (local fs stand-in for a table-format commit)
+    val tmp = Paths.get(statePath + ".tmp")
+    val dst = Paths.get(statePath)
+    if (Files.exists(dst)) {
+      val old = Paths.get(statePath + ".old")
+      deleteRec(old)
+      Files.move(dst, old)
+      Files.move(tmp, dst)
+      deleteRec(old)
+    } else Files.move(tmp, dst)
+  }
+
+  /** Live rows of the materialized state (delete tombstones stay in the
+    * sink for ordering correctness — a late-arriving older update must not
+    * resurrect a deleted key — and are dropped on read; compaction would
+    * purge them at scale).
+    */
+  def currentState(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(statePath).filter(col("op") =!= "D")
+
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    }
+
+  /** Route invalid records: error-log row always (S4); then retry with
+    * loop+1 under the limit (ST2 republish), DLQ at the limit.
+    */
+  def routeFailures(spark: SparkSession, invalid: DataFrame, paths: SinkPaths,
+      republishLimit: Int): Unit = {
+    val errs = invalid.select(
+      col("value").as("data"), lit("unparseable envelope").as("error"),
+      lit(null).cast("string").as("table_name"), lit(null).cast("string").as("db_name"),
+      col("loop"))
+    errs.write.mode(SaveMode.Append).parquet(paths.errors)
+    val retry = invalid.filter(col("loop") + 1 < republishLimit)
+      .select(col("value"), (col("loop") + 1).as("loop"))
+    if (!retry.isEmpty) retry.write.mode(SaveMode.Append).parquet(paths.retry)
+    val dead = invalid.filter(col("loop") + 1 >= republishLimit)
+      .select(col("value"), (col("loop") + 1).as("loop"))
+    if (!dead.isEmpty) dead.write.mode(SaveMode.Append).parquet(paths.dlq)
+  }
+
+  /** Wire a streaming source of (value, loop) records into the
+    * parse/upsert/retry sinks via foreachBatch.
+    */
+  def start(spark: SparkSession, source: DataFrame, paths: SinkPaths,
+      republishLimit: Int = 3, checkpoint: String): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (valid, invalid) = parseBatch(batch.cache())
+        if (!valid.isEmpty) upsertBatch(spark, valid, paths.state)
+        if (!invalid.isEmpty) routeFailures(spark, invalid, paths, republishLimit)
+        batch.unpersist()
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,77 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** CDC pipeline semantics over the committed fixtures: op classification
+  * from nullness, binlog-order latest state, duplicate-redelivery collapse,
+  * DDL decision pipeline incl. the substring block-list quirks.
+  */
+class CdcPipelineSpec extends SparkSpec {
+
+  test("op classification: nullness, not the op field (main.go:365-377)") {
+    val counts = CdcPipeline.opCounts(spark).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // acct: 7 inserts+updates+snapshot, txn: 3 (see fixtures/cdc_events.jsonl)
+    assert(counts(("acct", "I")) == 6L)
+    assert(counts(("acct", "U")) == 4L) // incl. snapshot r-event (before==after) and the duplicate
+    assert(counts(("acct", "D")) == 1L)
+    assert(counts(("txn", "I")) == 2L)
+    assert(counts(("txn", "D")) == 1L)
+  }
+
+  test("latest state: binlog (file,pos,row) order wins over file order; deletes drop; re-insert survives") {
+    val state = CdcPipeline.latestState(spark).collect()
+      .map(r => (r.getString(1), r.getLong(2)) -> (Option(r.getString(3)), r.getLong(4))).toMap
+    // id=1: updated (duplicate redelivery collapsed)
+    assert(state(("acct", 1L)) == (Some("alice2"), 150L))
+    // id=2: deleted then re-inserted later in binlog => bob2
+    assert(state(("acct", 2L)) == (Some("bob2"), 250L))
+    // id=3: update at pos 30 beats insert at pos 20 despite file order
+    assert(state(("acct", 3L)) == (Some("carol2"), 350L))
+    // id=4: snapshot read
+    assert(state(("acct", 4L)) == (Some("dave"), 400L))
+    // txn id=1 deleted, id=2 alive
+    assert(!state.contains(("txn", 1L)))
+    assert(state(("txn", 2L))._2 == 22L)
+    assert(state.size == 7)
+  }
+
+  test("DDL decisions: block-list, whitelist, instance filter, empty guard") {
+    val d = CdcPipeline.ddlDecisions(spark, Seq("acct", "txn"),
+      reclaim = false, replaceAll = false).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(d(1L) == "apply")
+    assert(d(2L) == "blocked") // CREATE DATABASE
+    assert(d(3L) == "blocked") // DROP DATABASE
+    assert(d(4L) == "blocked") // DROP TABLE, no reclaim
+    assert(d(5L) == "skip_instance")
+    assert(d(6L) == "skip_whitelist")
+    assert(d(7L) == "error_empty")
+    assert(d(8L) == "apply")
+    assert(d(9L) == "blocked") // substring quirk: 'USE' inside comment text
+  }
+
+  test("DDL: reclaim allows DROP TABLE (config/config.go:15)") {
+    val d = CdcPipeline.ddlDecisions(spark, Seq("acct", "txn"),
+      reclaim = true, replaceAll = false).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(d(4L) == "apply")
+  }
+
+  test("DDL: replaceAll bypasses the whitelist (config/config.go:27)") {
+    val d = CdcPipeline.ddlDecisions(spark, Seq("acct"),
+      reclaim = false, replaceAll = true).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(d(6L) == "apply")
+  }
+
+  test("P7: db qualifier strip (main.go:87)") {
+    import spark.implicits._
+    val df = Seq(("ALTER TABLE `shop`.txn MODIFY amount BIGINT", "shop"))
+      .toDF("ddl", "db")
+      .select(CdcPipeline.stripDbQualifier(col("ddl"), col("db")))
+    assert(df.collect().head.getString(0) == "ALTER TABLE txn MODIFY amount BIGINT")
+  }
+}

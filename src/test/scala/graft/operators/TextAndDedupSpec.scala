@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("C8 cleanText: unicode fold, whitespace collapse, gate, truncate") {
+    val rows = Seq(
+      "curly “quotes” & em—dash… here",
+      "tiny",                     // < 5 chars => gated to ""
+      ("long " * 40).trim)        // > 80 chars => truncated with ellipsis
+      .toDF("t").select(TextFunctions.cleanText(col("t"), 80)).collect()
+      .map(_.getString(0))
+    assert(rows(0) == "curly \"quotes\" and em-dash... here")
+    assert(rows(1) == "")
+    assert(rows(2).length == 80 && rows(2).endsWith("..."))
+  }
+
+  test("C9 cleanString strips non-alphanumerics (clean.go:105-111)") {
+    val r = Seq("a-b_c 1!2@3#").toDF("t")
+      .select(TextFunctions.cleanString(col("t"))).collect().head.getString(0)
+    assert(r == "abc123")
+  }
+
+  test("tokenCount / bpeishTokenCount") {
+    val r = Seq("hello world, 42 ok!").toDF("t")
+      .select(TextFunctions.tokenCount(col("t")),
+        TextFunctions.bpeishTokenCount(col("t"))).collect().head
+    assert(r.getInt(0) == 4)
+    // hello | world | , | 42 | ok | !  => 6
+    assert(r.getInt(1) == 6)
+  }
+
+  test("langId picks marker-heavy language; und on no hits") {
+    val r = Seq("the cat and the dog is here",
+      "der hund und die katze ist da",
+      "xyzzy plugh").toDF("t")
+      .select(TextFunctions.langId(col("t"))).collect().map(_.getString(0))
+    assert(r.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("wordNgrams produces n-2 trigrams; short docs collapse to one") {
+    val r = Seq("a b c d", "a b").toDF("t")
+      .select(TextFunctions.wordNgrams(col("t"), 3)).collect()
+      .map(_.getSeq[String](0))
+    assert(r(0) == Seq("a b c", "b c d"))
+    assert(r(1) == Seq("a b"))
+  }
+}
+
+/** Near-dup detection on planted duplicates: a corpus of distinct docs plus
+  * pairs that differ by one token must be caught by MinHash LSH and SimHash,
+  * and not flood with false positives.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7)
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+    "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi")
+  private def doc(n: Int): String = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  private lazy val corpus = {
+    val base = (0 until 40).map(i => (i.toLong, doc(60)))
+    // planted near-dups: copy doc i with one token changed
+    val nd = Seq(100L -> (base(3)._2.replaceFirst("\\w+", "CHANGED")),
+      101L -> (base(7)._2 + " extra"))
+    // exact dup
+    val xd = Seq(200L -> base(5)._2)
+    (base ++ nd ++ xd).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("test"))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  private def withDocs[T](f: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    f(dir)
+  }
+
+  test("minhash LSH finds planted near-dups and the exact dup") {
+    withDocs { dir =>
+      val pairs = Dedup.minhashLshPairs(spark, dir, threshold = 0.5)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((3L, 100L)), s"missing planted near-dup (3,100): $pairs")
+      assert(pairs.contains((7L, 101L)), s"missing planted near-dup (7,101): $pairs")
+      assert(pairs.contains((5L, 200L)), s"missing exact dup (5,200): $pairs")
+      // no flood: well under all-pairs (43*42/2 = 903)
+      assert(pairs.size < 20, s"too many candidate pairs: ${pairs.size}")
+    }
+  }
+
+  test("minhash est_jaccard is 1.0 on the exact dup") {
+    withDocs { dir =>
+      val est = Dedup.minhashLshPairs(spark, dir, threshold = 0.5)
+        .filter(col("id_a") === 5 && col("id_b") === 200)
+        .select("est_jaccard").collect().head.getDouble(0)
+      assert(est == 1.0)
+    }
+  }
+
+  test("simhash: exact dup identical; near-dup within small hamming distance") {
+    withDocs { dir =>
+      val fp = Dedup.simhashFingerprints(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fp(5L) == fp(200L))
+      val ham = java.lang.Long.bitCount(fp(3L) ^ fp(100L))
+      assert(ham <= 16, s"near-dup hamming distance too large: $ham")
+      // distinct random docs should differ broadly on average
+      val hamFar = java.lang.Long.bitCount(fp(0L) ^ fp(1L))
+      assert(hamFar > 8)
+    }
+  }
+}
+
+/** ANN recall vs brute force on the real embeddings table. */
+class SimilaritySpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("ann lsh results are a subset of same-bucket candidates with decent recall@10") {
+    val brute = Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ann = Similarity.annLshTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // every ANN hit must be a true corpus vector; recall averaged over queries
+    val recalls = brute.keys.toSeq.sorted.map { q =>
+      val b = brute(q); val a = ann.getOrElse(q, Set.empty)
+      a.intersect(b).size.toDouble / b.size
+    }
+    val avg = recalls.sum / recalls.size
+    // random-hyperplane bucketing on 8 planes: recall well above chance
+    assert(avg >= 0.2, s"avg recall@10 too low: $avg ($recalls)")
+  }
+
+  test("brute-force cosine self-consistency: top1 of a cluster member shares its label often") {
+    val df = Similarity.cosineTopK(spark, sfDir, nQueries = 5, k = 1)
+    assert(df.count() == 5)
+    assert(df.filter(col("cosine") > -1.0 && col("cosine") < 1.0000001).count() == 5)
+  }
+}
