@@ -48,12 +48,35 @@ object TextOps {
     * marker-token heuristic exactly, including the (hits, lang)
     * lexicographic tiebreak.
     */
-  def langIdConfusion(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("lang"), langId(col("text")).as("predicted"))
+  def langIdConfusion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // Explode + broadcast marker join + one hash aggregate: fully
+    // codegen'd, vs the per-row higher-order-function langId (interpreted,
+    // measured 8s at sf0.1). Same semantics incl. the (hits, lang)
+    // lexicographic tiebreak.
+    val docs = Tables.documents(s, d)
+    val markers = broadcast(
+      langMarkers.flatMap { case (l, ts) => ts.map(t => (t, l)) }.toDF("tok", "mlang"))
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(tokens(lower(col("text")))).as("tok"))
+    val aggCols = langMarkers.map { case (l, _) =>
+      count(when(col("mlang") === l, 1)).as(s"h_$l")
+    }
+    val hits = toks.join(markers, "tok")
+      .groupBy(col("doc_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val hitCols = langMarkers.map { case (l, _) => coalesce(col(s"h_$l"), lit(0L)) }
+    val best = array_max(array(langMarkers.zip(hitCols).map { case ((l, _), h) =>
+      struct(h.as("hits"), lit(l).as("lang"))
+    }: _*))
+    docs.join(hits, Seq("doc_id"), "left")
+      .select(col("lang"),
+        when(best.getField("hits") > 0, best.getField("lang"))
+          .otherwise(lit("und")).as("predicted"))
       .groupBy("lang", "predicted")
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted")
+  }
 
   val langIdConfusionSql: String =
     """WITH t AS (SELECT lang, string_split(trim(lower(text)), ' ') AS toks FROM documents),
