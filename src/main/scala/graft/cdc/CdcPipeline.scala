@@ -55,7 +55,15 @@ object CdcPipeline {
       col("payload.after").as("after"),
       col("payload.source.file").as("file"),
       col("payload.source.pos").as("pos"),
-      col("payload.source.row").as("row"))
+      col("payload.source.row").as("row"),
+      passthroughQuery(col("payload.source.query")).as("query"))
+
+  /** P4: carry the captured original statement verbatim when its length
+    * exceeds 5 (main.go:357-359); null otherwise. The JDBC sink applies it
+    * directly instead of re-synthesizing.
+    */
+  def passthroughQuery(q: Column): Column =
+    when(length(q) > 5, q).otherwise(lit(null).cast("string"))
 
   /** ST3 + F8: latest surviving row per (db, tbl, id) in binlog order;
     * duplicates (same file/pos/row redelivered) collapse via rank ties →

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Udafs
+
+/** Remaining SURVEY §2.6 surface: pivot, approximate distinct sketches,
+  * custom UDAF, explode/UDTF-style top-k terms.
+  */
+object Extras {
+
+  /** Pivot on a known value set: per-user event-type counts as columns.
+    * (Fixed value list = single pass, no driver-side distinct collection —
+    * the scale-safe pivot form.)
+    */
+  def pivotEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("view", "click", "signup", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  val pivotEventsSql: String =
+    """SELECT user_id,
+      |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+      |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** HyperLogLog++ approximate distinct counts next to exact — the sketch
+    * surface. No oracle (engine-specific sketch); scalatest pins the
+    * relative error bound.
+    */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  /** Custom typed Aggregator (UDAF): quantity-weighted mean price per
+    * return flag, with exact decimal partials (oracle-matchable).
+    */
+  def weightedAvgPrice(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wm = udaf(Udafs.WeightedMean)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(wm(col("l_extendedprice"), col("l_quantity")).as("weighted_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val weightedAvgPriceSql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS weighted_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Explode (UDTF-style) term frequencies: top-20 tokens corpus-wide.
+    * One explode + one hash aggregate + TakeOrdered — linear at any scale.
+    */
+  def topTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ", -1)).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+
+  val topTokensSql: String =
+    """SELECT tok, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_pivot" -> (pivotEvents _),
+    "q26_approx_distinct" -> (approxDistinct _),
+    "q27_weighted_avg_udaf" -> (weightedAvgPrice _),
+    "t06_top_tokens" -> (topTokens _))
+
+  val oracles: Map[String, String] = Map(
+    "q25_pivot" -> pivotEventsSql,
+    "q27_weighted_avg_udaf" -> weightedAvgPriceSql,
+    "t06_top_tokens" -> topTokensSql)
+}

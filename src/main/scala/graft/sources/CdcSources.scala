@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink connectors (SURVEY §2.1), mirroring the reference's consumer
+  * construction (main.go:30-61) and republish path (main.go:174-203).
+  *
+  * The Kafka connector jar is not present in this environment, so
+  * `kafkaStream` constructs the exact reader (format/options) without
+  * calling `.load()` in tests; the pure pieces — topic list, offset-reset
+  * mapping, republish projection, upsert SQL — are unit-tested directly.
+  */
+object CdcSources {
+
+  /** Topic list: one `{server}.{db}.{table}` per replicated table, or the
+    * single `{server}` schema-change topic when scheme mode is active
+    * (main.go:50-58).
+    */
+  def topics(server: String, db: String, tables: Seq[String], activeScheme: Boolean): Seq[String] =
+    if (activeScheme) Seq(server)
+    else tables.map(t => s"$server.$db.$t")
+
+  /** `auto.offset.reset` → Structured-Streaming `startingOffsets`
+    * (config/config.go:25: earliest for backfill, latest default).
+    */
+  def startingOffsets(autoOffset: String): String =
+    autoOffset.toLowerCase match {
+      case "earliest" => "earliest"
+      case _ => "latest"
+    }
+
+  /** S1: the Kafka CDC source reader, fully configured. Call `.load()` on a
+    * cluster with the kafka connector on the classpath.
+    */
+  def kafkaStream(spark: SparkSession, brokers: String, server: String, db: String,
+      tables: Seq[String], activeScheme: Boolean = false,
+      autoOffset: String = "latest", maxOffsetsPerTrigger: Option[Long] = None) = {
+    val reader = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topics(server, db, tables, activeScheme).mkString(","))
+      .option("startingOffsets", startingOffsets(autoOffset))
+      .option("failOnDataLoss", "false")
+    maxOffsetsPerTrigger.fold(reader)(n => reader.option("maxOffsetsPerTrigger", n.toString))
+  }
+
+  /** S2: project failed records into the Kafka republish shape — original
+    * value back to its source topic with a `loop` retry-count header
+    * (main.go:174-203). Input needs (topic, value, loop); output matches
+    * the kafka sink contract: topic, value, headers array<struct<key,value>>.
+    */
+  def republishProjection(failed: DataFrame): DataFrame =
+    failed.select(
+      col("topic"),
+      col("value").cast("binary").as("value"),
+      array(struct(
+        lit("loop").as("key"),
+        (col("loop") + 1).cast("string").cast("binary").as("value"))).as("headers"))
+
+  /** S3: MySQL-dialect idempotent upsert statement for the foreachBatch
+    * JDBC sink — the engine-side replacement for the reference's per-event
+    * SQL synthesis (main.go:365-377) + duplicate-entry skip (F8,
+    * main.go:138-141): ON DUPLICATE KEY UPDATE absorbs redelivery.
+    */
+  def upsertSql(table: String, cols: Seq[String], pks: Seq[String]): String = {
+    require(cols.nonEmpty && pks.forall(cols.contains), s"bad upsert spec: $cols / $pks")
+    val colList = cols.map(c => s"`$c`").mkString(", ")
+    val placeholders = cols.map(_ => "?").mkString(", ")
+    val updates = cols.filterNot(pks.contains)
+      .map(c => s"`$c` = VALUES(`$c`)").mkString(", ")
+    s"INSERT INTO `$table` ($colList) VALUES ($placeholders) " +
+      s"ON DUPLICATE KEY UPDATE $updates"
+  }
+
+  /** S3: delete statement for op='D' rows. */
+  def deleteSql(table: String, pks: Seq[String]): String =
+    s"DELETE FROM `$table` WHERE " + pks.map(c => s"`$c` = ?").mkString(" AND ")
+}

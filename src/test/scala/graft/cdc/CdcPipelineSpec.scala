@@ -14,7 +14,7 @@ class CdcPipelineSpec extends SparkSpec {
     val counts = CdcPipeline.opCounts(spark).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     // acct: 7 inserts+updates+snapshot, txn: 3 (see fixtures/cdc_events.jsonl)
-    assert(counts(("acct", "I")) == 6L)
+    assert(counts(("acct", "I")) == 7L) // incl. the P4 passthrough insert
     assert(counts(("acct", "U")) == 4L) // incl. snapshot r-event (before==after) and the duplicate
     assert(counts(("acct", "D")) == 1L)
     assert(counts(("txn", "I")) == 2L)
@@ -35,7 +35,8 @@ class CdcPipelineSpec extends SparkSpec {
     // txn id=1 deleted, id=2 alive
     assert(!state.contains(("txn", 1L)))
     assert(state(("txn", 2L))._2 == 22L)
-    assert(state.size == 7)
+    assert(state(("acct", 9L)) == (Some("gina"), 900L))
+    assert(state.size == 8)
   }
 
   test("DDL decisions: block-list, whitelist, instance filter, empty guard") {
@@ -65,6 +66,14 @@ class CdcPipelineSpec extends SparkSpec {
       reclaim = false, replaceAll = true).collect()
       .map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(d(6L) == "apply")
+  }
+
+  test("P4: query passthrough only when length > 5 (main.go:357-359)") {
+    val q = CdcPipeline.changes(spark).filter(col("query").isNotNull)
+      .select("id", "query").collect()
+    assert(q.length == 1)
+    assert(q.head.getLong(0) == 9L)
+    assert(q.head.getString(1) == "INSERT INTO acct VALUES (9,'gina',900)")
   }
 
   test("P7: db qualifier strip (main.go:87)") {
