@@ -97,4 +97,16 @@ class DecodersSpec extends SparkSpec {
     val df = Seq(true, false).toDF("b").select(Decoders.boolToInt(col("b")))
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(1, 0))
   }
+
+  test("C1 compat rendering: %.2f truncation quirk (main.go:257)") {
+    val df = Seq("MDk=").toDF("b64")
+      .select(Decoders.debeziumDecimalCompat(col("b64"), 2))
+    assert(df.collect().head.getString(0) == "123.45")
+  }
+
+  test("C7 float normalization is a double cast") {
+    val df = Seq(("1.5", 2.0f)).toDF("s", "f")
+      .select(Decoders.floatNormalize(col("f")))
+    assert(df.collect().head.getDouble(0) == 2.0)
+  }
 }

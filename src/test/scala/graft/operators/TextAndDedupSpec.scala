@@ -43,6 +43,13 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.toSeq == Seq("en", "de", "und"))
   }
 
+  test("fingerprint: formatting-noise-insensitive, content-sensitive") {
+    val r = Seq("Hello  World", "hello world", "hello worlds").toDF("t")
+      .select(TextFunctions.fingerprint(col("t"))).collect().map(_.getLong(0))
+    assert(r(0) == r(1)) // case + whitespace folded
+    assert(r(1) != r(2)) // content change changes the fingerprint
+  }
+
   test("wordNgrams produces n-2 trigrams; short docs collapse to one") {
     val r = Seq("a b c d", "a b").toDF("t")
       .select(TextFunctions.wordNgrams(col("t"), 3)).collect()
