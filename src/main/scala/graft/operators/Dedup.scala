@@ -63,11 +63,20 @@ object Dedup {
     val sizes = docs.select(col("doc_id"), size(col("shingles")).as("n"))
     val posting = docs.select(col("doc_id"), col("lang"), col("band"),
       explode(col("shingles")).as("sh"))
-    val pairs = posting.as("a")
-      .join(posting.as("b"),
-        col("a.sh") === col("b.sh") && col("a.lang") === col("b.lang") &&
-          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // Pair generation as aggregation, not a self-join: one shuffle by
+    // shingle -> sorted posting list -> emit ordered combinations -> count
+    // by pair. Same pairs/counts as the join formulation (the oracle SQL
+    // keeps that shape), one shuffle of the posting data instead of two
+    // join sides. At production scale, cap posting-list length (drop
+    // stop-shingles): a shingle in k docs emits k(k-1)/2 pairs either way.
+    val groups = posting.groupBy(col("lang"), col("band"), col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairs = groups
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("common"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
