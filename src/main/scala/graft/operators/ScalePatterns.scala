@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout patterns for 100 TB operation, demonstrated and
+  * plan-asserted in ScalePatternsSpec:
+  *
+  *   - bucketed co-located joins: both fact tables bucketed by the join key
+  *     at write time ⇒ the join compiles WITHOUT a shuffle exchange on
+  *     either side (SortMergeJoin over pre-bucketed scans);
+  *   - salted joins: a hot key is spread over SALT partitions by appending
+  *     a salt to the build side and exploding the probe side — the standard
+  *     remedy when one key would otherwise pin a whole executor (AQE's
+  *     skew-join split handles moderate skew; salting handles the
+  *     pathological single-key case).
+  */
+object ScalePatterns {
+
+  /** Write both sides bucketed by the join key into the session warehouse.
+    * At 100 TB this is the table-format's clustering spec; locally it's
+    * saveAsTable with Spark buckets.
+    */
+  def writeBucketed(s: SparkSession, df: DataFrame, table: String,
+      bucketCol: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", s"${s.conf.get("spark.sql.warehouse.dir")}/$table")
+      .saveAsTable(table)
+
+  /** Join two pre-bucketed tables on their bucket key — shuffle-free when
+    * bucket counts match.
+    */
+  def bucketedJoin(s: SparkSession, left: String, right: String,
+      key: String): DataFrame =
+    s.table(left).join(s.table(right), key)
+
+  /** Salted equi-join: probe-side key k becomes (k, salt) for one random
+    * salt; build side replicates each row across all salts. Correct for
+    * inner/left joins on the probe side; build side must be the smaller
+    * relation (it grows by the salt factor).
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    // deterministic pseudo-salt (no Math.random: reproducible plans)
+    val salted = probe.withColumn("_salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts)))
+    val replicated = build.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1)).cast("array<bigint>")))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+}

@@ -150,9 +150,60 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // -------------------------------------------------------------- IVF ANN
+  val N_CELLS = 16
+  val N_PROBE = 3
+
+  /** IVF (inverted-file) ANN: centroids are a deterministic sample of the
+    * corpus (every floor(N/N_CELLS)-th vector by id — a stand-in for a
+    * k-means build step); vectors live in the cell of their nearest
+    * centroid, queries probe the N_PROBE nearest cells. At 100 TB the cell
+    * id is a write-time partition column, so a probe is a partition-pruned
+    * scan of N_PROBE/N_CELLS of the corpus.
+    */
+  def annIvfTopK(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val corpusRaw = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id"), quantize(col("embedding")).as("cv"))
+    // deterministic centroid sample (k-means build stand-in), broadcast
+    val centroids = broadcast(
+      corpusRaw.filter(col("vec_id") % 31 === 6)
+        .withColumn("cell", row_number().over(Window.orderBy(col("vec_id"))))
+        .filter(col("cell") <= N_CELLS)
+        .select(col("cell"), col("cv").as("centroid")))
+    val corpus = corpusRaw.crossJoin(centroids)
+      .withColumn("score", qdot(col("cv"), col("centroid")).cast("double") /
+        sqrt(qdot(col("centroid"), col("centroid")).cast("double")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("cv"), col("cell"))
+    val queriesDf = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
+      .crossJoin(centroids)
+      .withColumn("score", qdot(col("qv"), col("centroid")).cast("double") /
+        sqrt(qdot(col("centroid"), col("centroid")).cast("double")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("cell"))))
+      .filter(col("r") <= N_PROBE)
+      .select(col("query_id"), col("qv"), col("cell"))
+      .withColumn("qnorm", sqrt(qdot(col("qv"), col("qv")).cast("double")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    corpus.join(broadcast(queriesDf), "cell")
+      .withColumn("cosine", qdot(col("qv"), col("cv")).cast("double") /
+        (col("qnorm") * sqrt(qdot(col("cv"), col("cv")).cast("double"))))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
-    "s02_ann_lsh" -> ((s: SparkSession, d: String) => annLshTopK(s, d)))
+    "s02_ann_lsh" -> ((s: SparkSession, d: String) => annLshTopK(s, d)),
+    "s03_ann_ivf" -> ((s: SparkSession, d: String) => annIvfTopK(s, d)))
 
   val oracles: Map[String, String] = Map(
     "s01_cosine_topk" -> cosineTopKSql)

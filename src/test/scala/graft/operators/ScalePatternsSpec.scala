@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class ScalePatternsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def shuffleCount(plan: SparkPlan): Int = {
+    val resolved = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    resolved.collect { case _: ShuffleExchangeExec => 1 }.sum
+  }
+
+  test("bucketed join on matching buckets compiles without a shuffle") {
+    val d = "/root/testdata/sf0.001"
+    ScalePatterns.writeBucketed(spark,
+      Tables.orders(spark, d).select("o_orderkey", "o_totalprice"),
+      "b_orders", "o_orderkey", 4)
+    ScalePatterns.writeBucketed(spark,
+      Tables.lineitem(spark, d).select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      "b_lineitem", "o_orderkey", 4)
+    val joined = ScalePatterns.bucketedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+    joined.count() // force AQE to finalize the plan
+    assert(shuffleCount(joined.queryExecution.executedPlan) == 0,
+      joined.queryExecution.executedPlan.toString)
+
+    // control: the same join over plain parquet DOES shuffle
+    val plain = Tables.orders(spark, d)
+      .join(Tables.lineitem(spark, d).hint("merge"),
+        col("o_orderkey") === col("l_orderkey"))
+    plain.count()
+    assert(shuffleCount(plain.queryExecution.executedPlan) > 0)
+  }
+
+  test("salted join spreads a hot key and matches the plain join result") {
+    // skewed probe: 10k rows of one key + a tail
+    val probe = (Seq.fill(10000)(1L) ++ (2L to 100L)).toDF("k")
+      .withColumn("pv", col("k") * 10)
+    val build = (1L to 100L).toDF("k").withColumn("bv", col("k") + 1000)
+    val plain = probe.join(build, "k").agg(count(lit(1)), sum("bv")).collect().head
+    val salted = ScalePatterns.saltedJoin(probe, build, "k", salts = 8)
+      .agg(count(lit(1)), sum("bv")).collect().head
+    assert(plain == salted)
+  }
+}

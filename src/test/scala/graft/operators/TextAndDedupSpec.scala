@@ -145,6 +145,19 @@ class SimilaritySpec extends SparkSpec {
     assert(avg >= 0.2, s"avg recall@10 too low: $avg ($recalls)")
   }
 
+  test("ann ivf recall@10 above chance; probes only N_PROBE/N_CELLS of the corpus") {
+    val brute = Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.annIvfTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.keys.toSeq.sorted.map { q =>
+      val b = brute(q); val a = ivf.getOrElse(q, Set.empty)
+      a.intersect(b).size.toDouble / b.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.2, s"avg ivf recall@10 too low: $avg ($recalls)")
+  }
+
   test("brute-force cosine self-consistency: top1 of a cluster member shares its label often") {
     val df = Similarity.cosineTopK(spark, sfDir, nQueries = 5, k = 1)
     assert(df.count() == 5)
