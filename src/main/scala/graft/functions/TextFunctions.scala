@@ -18,26 +18,43 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** The reference's unicode→ASCII character map (utils/clean.go:26-95),
-    * expressed as `translate` (1:1 chars) + `regexp_replace` (1:many).
-    * Covers the smart quotes / dashes / ellipsis / currency families.
+  /** The reference's per-rune char map (utils/clean.go:26-81), faithful:
+    * deletions (curly single quotes, straight apostrophe, pipe, TM, misc
+    * symbols/emoji), 1:1 folds (dashes, double-quote family, nbsp,
+    * u-umlaut...), and the 1:many folds & -> "and" (no spaces,
+    * clean.go:30) and ellipsis -> "...".
     */
-  def asciiFold(c: Column): Column = {
-    val translated = translate(c,
-      "‘’‚‛“”„–—―−·• ",
-      "''''\"\"\"----** "  )
-    // 1:many folds (& → and, … → ...) need regexp_replace, not translate.
-    val amp = regexp_replace(translated, "&", " and ")
-    regexp_replace(amp, "…", "...")
+  def charMapFold(c: Column): Column = {
+    // 1:1 folds via translate (codegen'd single pass)
+    val one2one = translate(c,
+      "\u1ebd\u200b\u200e\u2010\u2013\u2014\u2022\u2038\u2044\u201a\u201b\u2035\u201c\u201d\u201e\u201f\u2033\u2034\u2036\u2037\u27a2\u00a0\u00fc",
+      "e\u0020\u0020---../,''\"\"\"\"\"\"\"\">\u0020u")
+    // deletions incl. astral emoji via one regex class
+    val deleted = regexp_replace(one2one,
+      "[\u2032'|\u2018\u2019\u2028\u2122\u2600\u263a\u26fa\ufe0f\u00a2\u00ae\u00bd\u00de\u00e2\u00e9" +
+        "\ud83d\udc4c\ud83d\udc4d\ud83d\ude42\ud83d\ude01\ud83d\ude90\ud83c\udf34\ud83c\udfdd\ud83c\udffd\ud83c\udfd6\ud83c\udfa3\ud83d\udd25\ud83d\ude0a]", "")
+    val amp = regexp_replace(deleted, "&", "and")
+    regexp_replace(amp, "\u2026", "...")
   }
 
-  /** C8 `CleanText(text, maxLen)`: min-length-5 gate (clean.go:10-12),
-    * ascii fold, whitespace collapse, truncate to maxLen-3 + "..."
-    * (clean.go:97-99).
+  /** C8 `CleanText(text, maxLen)`, faithful to utils/clean.go:9-102:
+    * min-length-5 gate (:10-12); newline sections joined with " " while the
+    * accumulated length is still under maxLen — the reference checks BEFORE
+    * appending, so the join can overshoot (:14-24); per-rune char map
+    * (:26-95); truncate to maxLen-3 + "..." (:97-99). Lengths here are
+    * characters (Go's len is bytes — identical on ASCII, divergence
+    * documented for multibyte).
     */
   def cleanText(c: Column, maxLen: Int): Column = {
-    val folded = regexp_replace(asciiFold(c), "\\s+", " ")
-    val gated = when(length(c) < 5, lit("")).otherwise(trim(folded))
+    val sections = split(c, "\n", -1)
+    val joined = when(size(sections) > 1,
+      aggregate(
+        slice(sections, lit(2), size(sections) - 1),
+        element_at(sections, 1),
+        (acc, s0) => when(length(acc) < maxLen, concat(acc, lit(" "), s0)).otherwise(acc)))
+      .otherwise(c)
+    val folded = charMapFold(joined)
+    val gated = when(length(c) < 5, lit("")).otherwise(folded)
     when(length(gated) > maxLen,
       concat(substring(gated, 1, maxLen - 3), lit("...")))
       .otherwise(gated)

@@ -158,8 +158,8 @@ object TextOps {
   val cleanedDocsSql: String =
     """WITH f AS (SELECT doc_id, text,
       |  CASE WHEN length(text) < 5 THEN ''
-      |       ELSE trim(regexp_replace(replace(replace(text, '&', ' and '), '…', '...'),
-      |                 '\s+', ' ', 'g')) END AS gated
+      |       ELSE replace(replace(replace(text, '&', 'and'), '''', ''), '|', '')
+      |  END AS gated
       |FROM documents)
       |SELECT doc_id,
       |  CASE WHEN length(gated) > 80 THEN substring(gated, 1, 77) || '...'

@@ -8,16 +8,29 @@ import graft.functions.TextFunctions
 class TextFunctionsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("C8 cleanText: unicode fold, whitespace collapse, gate, truncate") {
+  test("C8 cleanText: char map, gate, truncate (clean.go:9-102)") {
     val rows = Seq(
       "curly “quotes” & em—dash… here",
       "tiny",                     // < 5 chars => gated to ""
-      ("long " * 40).trim)        // > 80 chars => truncated with ellipsis
+      ("long " * 40).trim,        // > 80 chars => truncated with ellipsis
+      "it’s a ‘test’ with | pipe", // curly singles + pipe DELETED (not folded)
+      "uüber™ café") // ü->u, TM deleted, é deleted
       .toDF("t").select(TextFunctions.cleanText(col("t"), 80)).collect()
       .map(_.getString(0))
     assert(rows(0) == "curly \"quotes\" and em-dash... here")
     assert(rows(1) == "")
     assert(rows(2).length == 80 && rows(2).endsWith("..."))
+    assert(rows(3) == "its a test with  pipe")
+    assert(rows(4) == "uuber caf")
+  }
+
+  test("C8 newline-join quirk: appends whole sections while under maxLen (clean.go:14-24)") {
+    // maxLen 10: starts with "aaaa" (4 < 10), appends " bbbb" (9 < 10),
+    // appends " cccc" (overshoots to 14 — the reference checks BEFORE
+    // appending), then stops; 14 > 10 => truncate to 7 + "..."
+    val r = Seq("aaaa\nbbbb\ncccc\ndddd").toDF("t")
+      .select(TextFunctions.cleanText(col("t"), 10)).collect().head.getString(0)
+    assert(r == "aaaa bb...")
   }
 
   test("C9 cleanString strips non-alphanumerics (clean.go:105-111)") {
