@@ -102,15 +102,36 @@ object CdcQueries {
       |) AS t(label, dec_val, dt, ts, micro_time, zts, flag_int)
       |ORDER BY label""".stripMargin
 
+  /** P3 end-to-end: registry built from the events' own schema trees, then
+    * the typed latest state of the `pay` table (decimal/date/timestamp/bool
+    * columns decoded from string row images). Oracle = hand-computed golden.
+    */
+  def typedLatestState(s: SparkSession, d: String): DataFrame =
+    SchemaRegistry.typedLatestState(s,
+      "/root/repo/fixtures/cdc_typed_events.jsonl", "shop", "pay")
+
+  val typedLatestStateSql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), CAST(50000.00 AS DECIMAL(38,2)), DATE '2022-01-09',
+      |   TIMESTAMP '2020-04-18 09:33:22', 0),
+      |  (CAST(2 AS BIGINT), CAST(-999.99 AS DECIMAL(38,2)), DATE '1970-01-01',
+      |   TIMESTAMP '1970-01-01 00:00:00', 0),
+      |  (CAST(3 AS BIGINT), CAST(NULL AS DECIMAL(38,2)), CAST(NULL AS DATE),
+      |   CAST(NULL AS TIMESTAMP), CAST(NULL AS INT))
+      |) AS t(id, amount, paid_on, created_at, active)
+      |ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_cdc_latest_state" -> (latestState _),
     "c02_cdc_op_counts" -> (opCounts _),
     "c03_ddl_decisions" -> (ddlDecisions _),
-    "c04_decoders_golden" -> (decodersGolden _))
+    "c04_decoders_golden" -> (decodersGolden _),
+    "c05_typed_latest_state" -> (typedLatestState _))
 
   val oracles: Map[String, String] = Map(
     "c01_cdc_latest_state" -> latestStateSql,
     "c02_cdc_op_counts" -> opCountsSql,
     "c03_ddl_decisions" -> ddlDecisionsSql,
-    "c04_decoders_golden" -> decodersGoldenSql)
+    "c04_decoders_golden" -> decodersGoldenSql,
+    "c05_typed_latest_state" -> typedLatestStateSql)
 }

@@ -1,0 +1,134 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Decoders
+
+/** P3: schema-registry-driven typed decoding.
+  *
+  * The reference re-scans the per-event schema tree for every column of
+  * every message (data/model.go:56-73 — O(fields) per value). Here the
+  * schema tree is read ONCE per table into a registry (a bounded
+  * driver-side map, like a catalog), and decoding becomes a typed,
+  * codegen'd projection over the string row-image maps — zero per-row
+  * schema work on the hot path.
+  */
+object SchemaRegistry {
+
+  /** Connect/Debezium logical column type → decoder dispatch. */
+  sealed trait LogicalType
+  case object PlainString extends LogicalType
+  case object PlainLong extends LogicalType
+  case object PlainDouble extends LogicalType
+  case object BoolInt extends LogicalType
+  final case class ConnectDecimal(scale: Int) extends LogicalType
+  case object EpochDate extends LogicalType
+  final case class EpochMillis(shiftHours: Int = 0) extends LogicalType
+  case object MicroTime extends LogicalType
+  final case class ZonedTs(shiftHours: Int = 7) extends LogicalType
+
+  final case class ColumnSpec(name: String, logicalType: LogicalType)
+
+  /** Envelope `schema.fields` tree (data/model.go:35-53), one nesting level
+    * (envelope section → columns) as used by Debezium MySQL.
+    */
+  val schemaTreeType: StructType = {
+    val colField = StructType(Seq(
+      StructField("type", StringType),
+      StructField("optional", BooleanType),
+      StructField("name", StringType),
+      StructField("field", StringType),
+      StructField("parameters", MapType(StringType, StringType))))
+    StructType(Seq(StructField("schema", StructType(Seq(
+      StructField("type", StringType),
+      StructField("fields", ArrayType(StructType(Seq(
+        StructField("type", StringType),
+        StructField("optional", BooleanType),
+        StructField("name", StringType),
+        StructField("field", StringType),
+        StructField("fields", ArrayType(colField)),
+        StructField("parameters", MapType(StringType, StringType)))))))))))
+  }
+
+  /** Map one schema-tree field row to a LogicalType (main.go:205-346's
+    * dispatch, resolved once instead of per value).
+    */
+  def logicalTypeOf(physicalType: String, logicalName: String,
+      parameters: Map[String, String]): LogicalType =
+    Option(logicalName).getOrElse("") match {
+      case "org.apache.kafka.connect.data.Decimal" =>
+        ConnectDecimal(parameters.getOrElse("scale", "0").toInt)
+      case "io.debezium.time.Date" => EpochDate
+      case "io.debezium.time.Timestamp" => EpochMillis()
+      case "io.debezium.time.MicroTime" => MicroTime
+      case "io.debezium.time.ZonedTimestamp" => ZonedTs()
+      case _ => physicalType match {
+        case "boolean" => BoolInt
+        case "int8" | "int16" | "int32" | "int64" => PlainLong
+        case "float32" | "float64" => PlainDouble
+        case _ => PlainString
+      }
+    }
+
+  /** Build the registry from a CDC event file: ONE schema tree per table
+    * (first event wins; DDL replay would refresh the entry — ST4). The
+    * registry is tiny (tables × columns), safely driver-resident.
+    */
+  def fromEvents(spark: SparkSession, path: String): Map[(String, String), Seq[ColumnSpec]] = {
+    val raw = spark.read.schema(
+      StructType(schemaTreeType.fields :+
+        StructField("payload", Envelope.dmlPayloadSchema))).json(path)
+    val perTable = raw.select(
+        col("payload.source.db").as("db"),
+        col("payload.source.table").as("tbl"),
+        expr("filter(schema.fields, f -> f.field = 'after')[0].fields").as("cols"))
+      .filter(col("cols").isNotNull)
+      .groupBy("db", "tbl").agg(first(col("cols")).as("cols"))
+    perTable.collect().map { r =>
+      val key = (r.getString(0), r.getString(1))
+      val cols = r.getSeq[Row](2).map { f =>
+        val params = Option(f.getAs[Map[String, String]]("parameters")).getOrElse(Map.empty)
+        ColumnSpec(f.getAs[String]("field"),
+          logicalTypeOf(f.getAs[String]("type"), f.getAs[String]("name"), params))
+      }
+      key -> cols
+    }.toMap
+  }
+
+  /** Typed projection of a string row-image map per the column specs. */
+  def decodeImage(image: Column, spec: Seq[ColumnSpec]): Seq[Column] =
+    spec.map { cs =>
+      val raw = element_at(image, cs.name)
+      val decoded = cs.logicalType match {
+        case PlainString => raw
+        case PlainLong => raw.cast("long")
+        case PlainDouble => raw.cast("double")
+        case BoolInt => Decoders.boolToInt(raw.cast("boolean"))
+        case ConnectDecimal(scale) => Decoders.debeziumDecimal(raw, scale)
+        case EpochDate => Decoders.debeziumDate(raw)
+        case EpochMillis(shift) => Decoders.debeziumTimestamp(raw, shift)
+        case MicroTime => Decoders.debeziumMicroTime(raw)
+        case ZonedTs(shift) => Decoders.debeziumZonedTimestamp(raw, shift)
+      }
+      decoded.as(cs.name)
+    }
+
+  /** Typed latest state of one table: binlog-latest surviving rows decoded
+    * through the registry spec.
+    */
+  def typedLatestState(spark: SparkSession, path: String, db: String,
+      table: String): DataFrame = {
+    val spec = fromEvents(spark, path)((db, table))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("file").desc, col("pos").desc, col("row").desc)
+    CdcPipeline.changes(spark, path)
+      .filter(col("db") === db && col("tbl") === table)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(decodeImage(col("after"), spec): _*)
+      .orderBy("id")
+  }
+}

@@ -76,6 +76,18 @@ class CdcPipelineSpec extends SparkSpec {
     assert(q.head.getString(1) == "INSERT INTO acct VALUES (9,'gina',900)")
   }
 
+  test("P3: schema registry resolves logical types from the event schema tree") {
+    import SchemaRegistry._
+    val reg = SchemaRegistry.fromEvents(spark, "/root/repo/fixtures/cdc_typed_events.jsonl")
+    val spec = reg(("shop", "pay"))
+    assert(spec.map(c => c.name -> c.logicalType) == Seq(
+      "id" -> PlainLong,
+      "amount" -> ConnectDecimal(2),
+      "paid_on" -> EpochDate,
+      "created_at" -> EpochMillis(0),
+      "active" -> BoolInt))
+  }
+
   test("P7: db qualifier strip (main.go:87)") {
     import spark.implicits._
     val df = Seq(("ALTER TABLE `shop`.txn MODIFY amount BIGINT", "shop"))

@@ -40,8 +40,10 @@ def main(sfdir, outdir):
             eidx = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
             gidx = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
             cols_match = sorted(exp_cols) == sorted(got_cols)
-            e = sorted(tuple(canon(r[i]) for i in eidx) for r in exp_rows)
-            g = sorted(tuple(canon(r[i]) for i in gidx) for r in got_rows)
+            def sortkey(row):
+                return tuple((v is None, str(type(v)), str(v)) for v in row)
+            e = sorted((tuple(canon(r[i]) for i in eidx) for r in exp_rows), key=sortkey)
+            g = sorted((tuple(canon(r[i]) for i in gidx) for r in got_rows), key=sortkey)
             rows_match = len(e) == len(g)
             vals_match = e == g
             status = "OK" if cols_match and vals_match else "FAIL"
