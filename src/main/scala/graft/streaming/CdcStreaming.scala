@@ -131,6 +131,51 @@ object CdcStreaming {
     if (!dead.isEmpty) dead.write.mode(SaveMode.Append).parquet(paths.dlq)
   }
 
+  /** ST4 pause-the-world DDL branch: per micro-batch (the natural barrier —
+    * no DML of the same batch interleaves), classify schema events
+    * (F4-F7), and for each applied DDL: pause the connector (S5), record
+    * the qualifier-stripped statement to the applied sink (standing in for
+    * `db.Exec(ddl)`, main.go:87-88), then resume with retry
+    * (main.go:418-433). Decisions are also appended for audit.
+    */
+  def startDdlStream(spark: SparkSession, source: DataFrame,
+      client: graft.sources.ConnectClient, tables: Seq[String],
+      reclaim: Boolean, replaceAll: Boolean,
+      appliedPath: String, checkpoint: String,
+      resumeBackoffMillis: Long = 1000L): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions.{col, from_json, length => flen, when => fwhen, lit => flit}
+        val parsed = batch.filter(flen(col("value")) > 0)
+          .withColumn("env", from_json(col("value"), Envelope.ddlEnvelopeSchema))
+        val whitelist = if (replaceAll) flit(true)
+          else col("env.payload.source.table").isin(tables: _*)
+        val db = col("env.payload.databaseName")
+        val ddl = col("env.payload.ddl")
+        val decided = parsed.select(
+          db.as("db"),
+          ddl.as("ddl"),
+          fwhen(db.isNull || flen(db) === 0, "skip_instance")
+            .when(!whitelist, "skip_whitelist")
+            .when(ddl.isNull || flen(ddl) === 0, "error_empty")
+            .when(graft.cdc.CdcPipeline.isBlockedDdl(ddl, reclaim), "blocked")
+            .otherwise("apply").as("decision"),
+          graft.cdc.CdcPipeline.stripDbQualifier(ddl, db).as("stripped"))
+        val toApply = decided.filter(col("decision") === "apply")
+          .select("db", "stripped").collect() // DDL batches are tiny by nature
+        if (toApply.nonEmpty) {
+          require(client.pause(), "connector pause was not acknowledged (need 202)")
+          try {
+            spark.createDataFrame(
+              java.util.Arrays.asList(toApply: _*), decided.select("db", "stripped").schema)
+              .write.mode(SaveMode.Append).parquet(appliedPath)
+          } finally client.resumeWithRetry(resumeBackoffMillis)
+        }
+        ()
+      }
+      .start()
+
   /** Wire a streaming source of (value, loop) records into the
     * parse/upsert/retry sinks via foreachBatch.
     */
