@@ -78,14 +78,59 @@ object Extras {
       |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
       |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
 
+  /** Array scalar functions over the embedding vectors (no arithmetic
+    * reassociation — min/max/indexing are order-free and exact).
+    */
+  def arrayFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        array_min(col("embedding")).cast("double").as("dim_min"),
+        array_max(col("embedding")).cast("double").as("dim_max"),
+        element_at(col("embedding"), 1).cast("double").as("dim_first"))
+      .orderBy("vec_id")
+
+  val arrayFuncsSql: String =
+    """SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,
+      |  CAST(list_min(embedding) AS DOUBLE) AS dim_min,
+      |  CAST(list_max(embedding) AS DOUBLE) AS dim_max,
+      |  CAST(embedding[1] AS DOUBLE) AS dim_first
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** Math scalars — only IEEE-exact ops (sqrt/abs/floor/ceil/mod); libm
+    * functions (ln, pow, trig) differ across engines at the last ulp and
+    * would break hash comparison.
+    */
+  def mathFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        sqrt(col("value")).as("sqrt_v"),
+        abs(col("value") - 250.0).as("abs_dev"),
+        floor(col("value")).cast("long").as("floor_v"),
+        ceil(col("value")).cast("long").as("ceil_v"),
+        pmod(col("event_id"), lit(7)).as("mod7"))
+      .orderBy("event_id")
+
+  val mathFuncsSql: String =
+    """SELECT event_id, sqrt(value) AS sqrt_v, abs(value - 250.0) AS abs_dev,
+      |  CAST(floor(value) AS BIGINT) AS floor_v, CAST(ceil(value) AS BIGINT) AS ceil_v,
+      |  event_id % 7 AS mod7
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_pivot" -> (pivotEvents _),
     "q26_approx_distinct" -> (approxDistinct _),
     "q27_weighted_avg_udaf" -> (weightedAvgPrice _),
+    "q30_array_funcs" -> (arrayFuncs _),
+    "q31_math_funcs" -> (mathFuncs _),
     "t06_top_tokens" -> (topTokens _))
 
   val oracles: Map[String, String] = Map(
     "q25_pivot" -> pivotEventsSql,
     "q27_weighted_avg_udaf" -> weightedAvgPriceSql,
+    "q30_array_funcs" -> arrayFuncsSql,
+    "q31_math_funcs" -> mathFuncsSql,
     "t06_top_tokens" -> topTokensSql)
 }
