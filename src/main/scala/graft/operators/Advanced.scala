@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Deeper relational coverage: correlated subqueries (Catalyst
+  * decorrelation), RANGE window frames, ranking-function variety,
+  * interpolated percentiles.
+  */
+object Advanced {
+
+  private val dec2 = DecimalType(18, 2)
+  private val dec2w = DecimalType(38, 2)
+
+  /** Correlated scalar subquery (decorrelated by Catalyst into an
+    * aggregate + join): customers whose balance exceeds 1/20 of their own
+    * average order price. Exact decimal average for determinism.
+    */
+  def correlatedSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) / 20.0
+        |  FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val correlatedSubquerySql: String =
+    """SELECT c_custkey, c_acctbal FROM customer c
+      |WHERE c_acctbal > (
+      |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) / 20.0
+      |  FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** RANGE window frame: per user, sum of values within the last 100
+    * event_ids (value-range frame, not row-count frame).
+    */
+  def rangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rangeBetween(-100, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        sum(col("value").cast(dec2)).over(w).cast(dec2w).as("sum_last_100"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val rangeFrameSql: String =
+    """SELECT user_id, event_id,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+      |         OVER (PARTITION BY user_id ORDER BY event_id
+      |               RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS sum_last_100
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** Ranking-function variety: dense_rank, ntile, lead over one ordering. */
+  def rankingVariety(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        dense_rank().over(w).as("drank"),
+        ntile(4).over(w).as("quartile"),
+        lead(col("o_orderkey"), 1).over(w).as("next_okey"))
+      .orderBy("o_custkey", "drank", "o_orderkey")
+  }
+
+  val rankingVarietySql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(dense_rank() OVER w AS INT) AS drank,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  lead(o_orderkey, 1) OVER w AS next_okey
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, drank, o_orderkey""".stripMargin
+
+  /** Interpolated percentiles per event type (exact `percentile` — sorted
+    * order statistics + one interpolation, no accumulation order).
+    */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"))
+      .orderBy("event_type")
+
+  val percentilesSql: String =
+    """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.9) AS p90
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_correlated_subquery" -> (correlatedSubquery _),
+    "q33_range_frame" -> (rangeFrame _),
+    "q34_ranking_variety" -> (rankingVariety _),
+    "q35_percentiles" -> (percentiles _))
+
+  val oracles: Map[String, String] = Map(
+    "q32_correlated_subquery" -> correlatedSubquerySql,
+    "q33_range_frame" -> rangeFrameSql,
+    "q34_ranking_variety" -> rankingVarietySql,
+    "q35_percentiles" -> percentilesSql)
+}
