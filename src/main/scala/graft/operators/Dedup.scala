@@ -174,11 +174,26 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** Doc_id → simhash fingerprint (ordered, for tests and downstream joins). */
-  def simhashFingerprints(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), simhash(col("text")).as("simhash"))
+  /** Doc_id → simhash fingerprint via explode + one hash aggregate (the
+    * same codegen-friendly shape as minhashSignatures — the per-row
+    * higher-order `simhash` column stays available for single-row use but
+    * is interpreted and slower at scale). Fingerprints are identical.
+    */
+  def simhashFingerprints(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"c$b")
+    }
+    val fingerprint = (0 until 64).map { b =>
+      when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, x) => a.bitwiseOR(x))
+    toks.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fingerprint.as("simhash"))
       .orderBy("doc_id")
+  }
 
   /** All dedup queries keyed for SparkEntry (oracle-checked where SQL can
     * express them; minhash/simhash are verified by scalatest instead).

@@ -124,6 +124,17 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhash: aggregate formulation equals the per-row expression") {
+    withDocs { dir =>
+      val agg = Dedup.simhashFingerprints(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val perRow = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("s")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(agg == perRow)
+    }
+  }
+
   test("simhash: exact dup identical; near-dup within small hamming distance") {
     withDocs { dir =>
       val fp = Dedup.simhashFingerprints(spark, dir).collect()
