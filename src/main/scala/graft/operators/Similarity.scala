@@ -107,13 +107,19 @@ object Similarity {
     Array.fill(N_TABLES, N_PLANES)(Array.fill(64)(rnd.nextGaussian()))
   }
 
-  /** Array of per-table sign-bit bucket ids for a vector column. */
-  def lshBuckets(vec: Column): Column = {
+  /** Array of per-table sign-bit bucket ids for a QUANTIZED vector column.
+    * Hyperplanes are quantized with the same 1e6 floor as the vectors, so
+    * each sign test is one codegen'd integer dot (LongArrayDot) — the
+    * interpreted double-fold version cost ~48 lambda-evaluated dots per
+    * vector. Quantization can only flip signs of near-zero projections,
+    * which moves a borderline vector between equally-valid buckets (the
+    * structure is approximate by definition; recall is pinned by tests).
+    */
+  def lshBuckets(qvec: Column): Column = {
     val tables = planes.map { tablePlanes =>
       val bits = tablePlanes.zipWithIndex.map { case (p, j) =>
-        val planeCol = array(p.map(lit): _*)
-        when(aggregate(zip_with(vec, planeCol, (x, w) => x.cast("double") * w),
-          lit(0.0), (acc, z) => acc + z) > 0, lit(1L << j)).otherwise(lit(0L))
+        val planeCol = array(p.map(w => lit(math.floor(w * QUANT).toLong)): _*)
+        when(qdot(qvec, planeCol) > 0, lit(1L << j)).otherwise(lit(0L))
       }
       bits.reduce((a, b) => a.bitwiseOR(b))
     }
@@ -129,12 +135,12 @@ object Similarity {
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"),
-        posexplode(lshBuckets(col("embedding"))))
+        posexplode(lshBuckets(quantize(col("embedding")))))
       .withColumnRenamed("pos", "table_idx").withColumnRenamed("col", "bucket")
       .withColumn("qnorm", sqrt(qdot(col("qv"), col("qv")).cast("double")))
     val corpus = e.filter(col("vec_id") >= nQueries)
       .select(col("vec_id"), quantize(col("embedding")).as("cv"),
-        posexplode(lshBuckets(col("embedding"))))
+        posexplode(lshBuckets(quantize(col("embedding")))))
       .withColumnRenamed("pos", "table_idx").withColumnRenamed("col", "bucket")
       .withColumn("cnorm", sqrt(qdot(col("cv"), col("cv")).cast("double")))
     val w = Window.partitionBy(col("query_id"))
