@@ -34,13 +34,20 @@ case class LongArrayDot(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  /** Null ELEMENT in either array ⇒ null result (built-in arithmetic
+    * semantics); previously getLong on a null slot read undefined garbage.
+    */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var sum = 0L
     var i = 0
-    while (i < n) { sum += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      sum += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     sum
   }
 
@@ -53,6 +60,7 @@ case class LongArrayDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $sum = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $sum += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $sum;

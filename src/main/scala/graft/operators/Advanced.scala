@@ -45,15 +45,15 @@ object Advanced {
       .rangeBetween(-100, Window.currentRow)
     Tables.events(s, d)
       .select(col("user_id"), col("event_id"),
-        sum(col("value").cast(dec2)).over(w).cast(dec2w).as("sum_last_100"))
+        sum(col("value").cast(dec2)).over(w).cast(dec2w).cast("string").as("sum_last_100"))
       .orderBy("user_id", "event_id")
   }
 
   val rangeFrameSql: String =
     """SELECT user_id, event_id,
-      |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
       |         OVER (PARTITION BY user_id ORDER BY event_id
-      |               RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS sum_last_100
+      |               RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS VARCHAR) AS sum_last_100
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
   /** Ranking-function variety: dense_rank, ntile, lead over one ordering. */

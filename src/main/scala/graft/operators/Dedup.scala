@@ -87,13 +87,19 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Oracle mirrors the Spark tokenization exactly: trim + split on \s+
+    * (not single-space), and the <n-token whole-doc fallback shingle —
+    * multi-space or short documents otherwise diverge (ADVICE r2).
+    */
   val ngramJaccardPairsSql: String =
     """WITH t AS (SELECT doc_id, lang, CAST(floor(n_chars/100.0) AS INT) AS band,
-      |                  string_split(text, ' ') AS toks
+      |                  regexp_split_to_array(trim(text), '\s+') AS toks
       |           FROM documents),
       |g AS (SELECT doc_id, lang, band,
-      |             unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-      |                                   FOR i IN range(1, len(toks)-1)])) AS sh
+      |             unnest(list_distinct(
+      |               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |                    ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                          FOR i IN range(1, len(toks)-1)] END)) AS sh
       |      FROM t),
       |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common

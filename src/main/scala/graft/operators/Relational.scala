@@ -40,6 +40,17 @@ object Relational {
   private def dsum2(c: Column): Column = sum(c.cast(dec2)).cast(dec2w)
   private def dsum6(c: Column): Column = sum(c.cast(dec6)).cast(dec6w)
 
+  /** Hash-stable terminal form of an exact decimal: its plain string
+    * rendering (identical digits on Spark and DuckDB at matching scale).
+    * The driver's hash compare stringifies values per engine reader, which
+    * makes DECIMAL columns hash-unstable even when numerically equal
+    * (CORRECTNESS_r02: all 14 mismatches were terminal DECIMAL columns) —
+    * and a double cast would double-round once the unscaled value passes
+    * 2^53. Strings are exact at any magnitude.
+    */
+  private def dsum2s(c: Column): Column = dsum2(c).cast("string")
+  private def dsum6s(c: Column): Column = dsum6(c).cast("string")
+
   // ---------------------------------------------------------------- q01
   /** TPC-H Q1-style pricing summary: scan → filter → hash agg (partial+final
     * map-side combine is automatic) → tiny sort. Scales linearly; the only
@@ -50,25 +61,37 @@ object Relational {
     l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dsum2(col("l_quantity")).as("sum_qty"),
-        dsum2(col("l_extendedprice")).as("sum_base_price"),
-        dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-        dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        dsum2(col("l_quantity")).as("qty_dec"),
+        dsum2(col("l_extendedprice")).as("base_dec"),
+        dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_dec"),
+        dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("charge_dec"),
         count(lit(1)).as("count_order"))
-      .withColumn("avg_qty", col("sum_qty").cast("double") / col("count_order"))
-      .withColumn("avg_price", col("sum_base_price").cast("double") / col("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("qty_dec").cast("string").as("sum_qty"),
+        col("base_dec").cast("string").as("sum_base_price"),
+        col("disc_dec").cast("string").as("sum_disc_price"),
+        col("charge_dec").cast("string").as("sum_charge"),
+        col("count_order"),
+        (col("qty_dec").cast("double") / col("count_order")).as("avg_qty"),
+        (col("base_dec").cast("double") / col("count_order")).as("avg_price"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
   val q01Sql: String =
-    """SELECT * , CAST(sum_qty AS DOUBLE)/count_order AS avg_qty,
-      |          CAST(sum_base_price AS DOUBLE)/count_order AS avg_price
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(qty_dec AS VARCHAR) AS sum_qty,
+      |  CAST(base_dec AS VARCHAR) AS sum_base_price,
+      |  CAST(disc_dec AS VARCHAR) AS sum_disc_price,
+      |  CAST(charge_dec AS VARCHAR) AS sum_charge,
+      |  count_order,
+      |  CAST(qty_dec AS DOUBLE)/count_order AS avg_qty,
+      |  CAST(base_dec AS DOUBLE)/count_order AS avg_price
       |FROM (
       |  SELECT l_returnflag, l_linestatus,
-      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-      |    CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
-      |    CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty_dec,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS base_dec,
+      |    CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS disc_dec,
+      |    CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS charge_dec,
       |    count(*) AS count_order
       |  FROM lineitem
       |  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -114,12 +137,12 @@ object Relational {
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
-      .agg(count(lit(1)).as("n_customers"), dsum2(col("c_acctbal")).as("sum_acctbal"))
+      .agg(count(lit(1)).as("n_customers"), dsum2s(col("c_acctbal")).as("sum_acctbal"))
       .orderBy("r_name")
 
   val q04Sql: String =
     """SELECT r_name, count(*) AS n_customers,
-      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_acctbal
+      |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_acctbal
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |              JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
@@ -141,12 +164,12 @@ object Relational {
         && col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
         && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       .groupBy(col("n_name"))
-      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
+      .agg(dsum6s(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("n_name")
 
   val q05Sql: String =
     """SELECT n_name,
-      |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+      |  CAST(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue
       |FROM lineitem
       |  JOIN orders   ON l_orderkey = o_orderkey
       |  JOIN customer ON o_custkey = c_custkey
@@ -156,7 +179,7 @@ object Relational {
       |WHERE r_name = 'ASIA'
       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
-      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
 
   // ---------------------------------------------------------------- q06
   /** Left-semi join (EXISTS). The filtered orders side is aggregated to
@@ -226,7 +249,7 @@ object Relational {
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     Tables.events(s, d)
       .withColumn("running_value",
-        sum(col("value").cast(dec2)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast(dec2w))
+        sum(col("value").cast(dec2)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast(dec2w).cast("string"))
       .withColumn("prev_value", lag(col("value"), 1).over(w))
       .select("user_id", "event_id", "value", "running_value", "prev_value")
       .orderBy("user_id", "event_id")
@@ -234,9 +257,9 @@ object Relational {
 
   val q09Sql: String =
     """SELECT user_id, event_id, value,
-      |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
       |         OVER (PARTITION BY user_id ORDER BY event_id
-      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_value,
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS VARCHAR) AS running_value,
       |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
@@ -267,7 +290,7 @@ object Relational {
   def q11Rollup(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n_rows"), dsum2(col("l_quantity")).as("sum_qty"))
+      .agg(count(lit(1)).as("n_rows"), dsum2s(col("l_quantity")).as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -278,7 +301,7 @@ object Relational {
     """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
       |       coalesce(l_linestatus, 'ALL') AS linestatus,
       |       count(*) AS n_rows,
-      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
@@ -287,7 +310,7 @@ object Relational {
   def q12Cube(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("sum_price"))
+      .agg(count(lit(1)).as("n_orders"), dsum2s(col("o_totalprice")).as("sum_price"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
@@ -298,7 +321,7 @@ object Relational {
     """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
       |       coalesce(o_orderpriority, 'ALL') AS orderpriority,
       |       count(*) AS n_orders,
-      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY orderstatus, orderpriority""".stripMargin
 
@@ -328,23 +351,28 @@ object Relational {
   def q14Having(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("sum_price"))
+      .agg(count(lit(1)).as("n_orders"), dsum2s(col("o_totalprice")).as("sum_price"))
       .filter(col("n_orders") >= 15)
       .orderBy("o_custkey")
 
   val q14Sql: String =
     """SELECT o_custkey, count(*) AS n_orders,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price
       |FROM orders GROUP BY o_custkey HAVING count(*) >= 15
       |ORDER BY o_custkey""".stripMargin
 
   // ---------------------------------------------------------------- q15
   /** Scalar subquery: orders above 1.5× the global average price. The
     * 1-row aggregate is cross-broadcast, not collected on the driver.
+    * The average is derived from an exact decimal sum (one IEEE division),
+    * not avg() over raw doubles — a summation-order-dependent float
+    * accumulation could flip rows within 1 ulp of the threshold between
+    * engines.
     */
   def q15ScalarSubquery(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
-    val avgDf = o.agg(avg(col("o_totalprice")).as("av"))
+    val avgDf = o.agg(
+      (dsum2(col("o_totalprice")).cast("double") / count(lit(1))).as("av"))
     o.crossJoin(broadcast(avgDf))
       .filter(col("o_totalprice") > lit(1.5) * col("av"))
       .select("o_orderkey", "o_totalprice")
@@ -353,7 +381,9 @@ object Relational {
 
   val q15Sql: String =
     """SELECT o_orderkey, o_totalprice FROM orders
-      |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+      |WHERE o_totalprice > 1.5 * (
+      |  SELECT CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / count(*)
+      |  FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------- q16
@@ -365,14 +395,14 @@ object Relational {
         count(lit(1)).as("n_events"),
         count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
         count(when(col("event_type") === "error", 1)).as("n_errors"),
-        sum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0)).cast(dec2)).cast(dec2w).as("purchase_value"))
+        sum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0)).cast(dec2)).cast(dec2w).cast("string").as("purchase_value"))
       .orderBy("user_id")
 
   val q16Sql: String =
     """SELECT user_id, count(*) AS n_events,
       |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
       |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
-      |  CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS purchase_value
+      |  CAST(CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS purchase_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------- q17
@@ -404,14 +434,14 @@ object Relational {
     */
   def q18DateAgg(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
-      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("order_month"))
-      .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("sum_price"))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").cast("string").as("order_month"))
+      .agg(count(lit(1)).as("n_orders"), dsum2s(col("o_totalprice")).as("sum_price"))
       .orderBy("order_month")
 
   val q18Sql: String =
-    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+    """SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS order_month,
       |  count(*) AS n_orders,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price
       |FROM orders GROUP BY 1 ORDER BY order_month""".stripMargin
 
   // ---------------------------------------------------------------- q19
@@ -515,13 +545,13 @@ object Relational {
     Tables.events(s, d)
       .join(broadcast(bins), col("value") >= col("lo") && col("value") < col("hi"))
       .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), dsum2s(col("value")).as("sum_value"))
       .orderBy("bin")
   }
 
   val q24Sql: String =
     """SELECT bin, count(*) AS n,
-      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value
       |FROM events JOIN (VALUES (0.0, 100.0, 'b0'), (100.0, 200.0, 'b1'),
       |                         (200.0, 300.0, 'b2'), (300.0, 400.0, 'b3'),
       |                         (400.0, 1000.0, 'b4')) AS bins(lo, hi, bin)

@@ -27,13 +27,13 @@ object TimeWindows {
     Tables.events(s, d)
       .groupBy(window(eventTime, "1 hour"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_value"))
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).cast("string").as("sum_value"))
       .select(col("window.start").as("hour_start"), col("n_events"), col("sum_value"))
       .orderBy("hour_start")
 
   val hourlyWindowSql: String =
     """SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n_events,
-      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value
       |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin
 
   /** Session windows: per-user sessions closed by a 12-hour inactivity gap.

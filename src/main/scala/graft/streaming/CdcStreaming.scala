@@ -38,28 +38,35 @@ object CdcStreaming {
     * dropped.
     */
   def parseBatch(batch: DataFrame): (DataFrame, DataFrame) = {
-    val parsed = batch
+    // Classify every non-tombstone record ONCE, then split on a single
+    // predicate so valid/invalid are exact complements — a record that
+    // parses but classifies as op 'X' (both images null) or lacks an id
+    // must reach the error/retry/DLQ sinks, not vanish (the reference logs
+    // every failed record to data_err, main.go:143-147).
+    val classified = batch
       .filter(length(col("value")) > 0)
       .withColumn("env", from_json(col("value"), Envelope.dmlEnvelopeSchema))
-    val valid = parsed
-      .filter(col("env.payload.source.table").isNotNull)
+      .withColumn("op",
+        when(col("env.payload").isNull || col("env.payload.source.table").isNull, "X")
+          .when(col("env.payload.before").isNull && col("env.payload.after").isNotNull, "I")
+          .when(col("env.payload.before").isNotNull && col("env.payload.after").isNotNull, "U")
+          .when(col("env.payload.before").isNotNull && col("env.payload.after").isNull, "D")
+          .otherwise("X"))
+      .withColumn("id",
+        element_at(coalesce(col("env.payload.after"), col("env.payload.before")), "id")
+          .cast("long"))
+    val isValid = col("op") =!= "X" && col("id").isNotNull
+    val valid = classified
+      .filter(isValid)
       .select(
         col("env.payload.source.db").as("db"),
         col("env.payload.source.table").as("tbl"),
-        when(col("env.payload.before").isNull && col("env.payload.after").isNotNull, "I")
-          .when(col("env.payload.before").isNotNull && col("env.payload.after").isNotNull, "U")
-          .when(col("env.payload.before").isNotNull && col("env.payload.after").isNull, "D")
-          .otherwise("X").as("op"),
-        element_at(coalesce(col("env.payload.after"), col("env.payload.before")), "id")
-          .cast("long").as("id"),
+        col("op"), col("id"),
         col("env.payload.after").as("after"),
         col("env.payload.source.file").as("file"),
         col("env.payload.source.pos").as("pos"),
         col("env.payload.source.row").as("row"))
-      .filter(col("op") =!= "X" && col("id").isNotNull)
-    val invalid = parsed.filter(col("env.payload.source.table").isNull ||
-        col("env.payload").isNull)
-      .select(col("value"), col("loop"))
+    val invalid = classified.filter(!isValid).select(col("value"), col("loop"))
     (valid, invalid)
   }
 

@@ -1,26 +1,49 @@
 #!/usr/bin/env python3
 """Local pre-check of SparkEntry.queries vs DuckDB oracles.
 
-Mimics a strict driver compare: for each query output parquet under OUTDIR,
-run the oracle SQL in DuckDB (views registered over the same sf parquet
-tables), sort columns by name, sort rows, and compare values exactly.
+Mimics a strict driver compare:
+  - Spark side is read with pyarrow (NOT duckdb) so engine-reader type
+    differences surface exactly as they do for the driver;
+  - values are compared by canonical STRING form (the driver hashes
+    stringified values — Decimal('1.20') vs 1.2 must FAIL here);
+  - any terminal DECIMAL or DATE column is flagged as a contract violation
+    (CORRECTNESS_r02 proved those are hash-unstable across readers; the
+    authoring contract is: output only string/int/bigint/double/bool/
+    timestamp columns).
 
 Usage: check_correctness.py SFDIR OUTDIR
 """
-import json, sys, math
+import datetime
+import glob
+import json
+import math
+import sys
+
 import duckdb
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+BANNED_TYPES = ("decimal", "date32")
+
+
 def canon(v):
+    """Canonical string form of a value for cross-engine comparison."""
     if v is None:
-        return None
+        return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
-    return v
+        return repr(v)  # shortest round-trip: bit-exact doubles agree
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return f"{type(v).__name__}:{v}"
+
 
 def main(sfdir, outdir):
     con = duckdb.connect()
@@ -33,22 +56,24 @@ def main(sfdir, outdir):
             exp = con.sql(sql)
             exp_cols = exp.columns
             exp_rows = exp.fetchall()
-            got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
-            got_cols = got.columns
-            got_rows = got.fetchall()
-            # sort columns by name
+            files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+            tbl = pq.read_table(files)
+            got_cols = tbl.column_names
+            banned = [f"{f.name}:{f.type}" for f in tbl.schema
+                      if any(b in str(f.type) for b in BANNED_TYPES)]
+            got_rows = [tuple(r[c] for c in got_cols) for r in tbl.to_pylist()]
             eidx = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
             gidx = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
             cols_match = sorted(exp_cols) == sorted(got_cols)
-            def sortkey(row):
-                return tuple((v is None, str(type(v)), str(v)) for v in row)
-            e = sorted((tuple(canon(r[i]) for i in eidx) for r in exp_rows), key=sortkey)
-            g = sorted((tuple(canon(r[i]) for i in gidx) for r in got_rows), key=sortkey)
+            e = sorted(tuple(canon(r[i]) for i in eidx) for r in exp_rows)
+            g = sorted(tuple(canon(r[i]) for i in gidx) for r in got_rows)
             rows_match = len(e) == len(g)
             vals_match = e == g
-            status = "OK" if cols_match and vals_match else "FAIL"
+            status = "OK" if cols_match and vals_match and not banned else "FAIL"
             detail = ""
-            if not cols_match:
+            if banned:
+                detail = f"BANNED output types: {banned}"
+            elif not cols_match:
                 detail = f"cols exp={sorted(exp_cols)} got={sorted(got_cols)}"
             elif not rows_match:
                 detail = f"rowcount exp={len(e)} got={len(g)}"
@@ -60,12 +85,12 @@ def main(sfdir, outdir):
             results[name] = (status, len(g), detail)
         except Exception as ex:
             results[name] = ("ERROR", 0, str(ex)[:300])
-    # queries without oracle: row-count only
     ok = sum(1 for s, _, _ in results.values() if s == "OK")
     for name, (status, n, detail) in sorted(results.items()):
-        print(f"{status:5s} {name:24s} rows={n:<7d} {detail}")
+        print(f"{status:5s} {name:24s} rows={n:<7d} {detail[:220]}")
     print(f"== {ok}/{len(results)} oracle-checked queries match ==")
     return 0 if ok == len(results) else 1
+
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
