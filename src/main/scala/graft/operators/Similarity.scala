@@ -206,11 +206,80 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** s02 oracle, GENERATED from the same quantized hyperplane literals the
+    * Spark plan uses — the whole LSH computation is deterministic integer
+    * math plus single IEEE divisions, so DuckDB reproduces it bit-exactly
+    * and the driver can hash-check an "approximate" index structure.
+    */
+  lazy val annLshTopKSql: String = {
+    val planeRows = (for {
+      t <- 0 until N_TABLES
+      j <- 0 until N_PLANES
+    } yield {
+      val vals = planes(t)(j).map(w => math.floor(w * QUANT).toLong).mkString(", ")
+      s"($t, $j, [$vals])"
+    }).mkString(",\n  ")
+    s"""WITH planes(table_idx, plane_idx, pv) AS (VALUES
+       |  $planeRows),
+       |v AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qv FROM embeddings),
+       |b AS (SELECT vec_id, table_idx,
+       |        CAST(sum(CASE WHEN list_sum([qv[i]*pv[i] FOR i IN range(1,65)]) > 0
+       |                 THEN CAST(power(2, plane_idx) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       |      FROM v CROSS JOIN planes GROUP BY vec_id, table_idx),
+       |n AS (SELECT vec_id, sqrt(CAST(list_sum([qv[i]*qv[i] FOR i IN range(1,65)]) AS DOUBLE)) AS nrm FROM v),
+       |cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
+       |         FROM b qb JOIN b cb ON qb.table_idx = cb.table_idx AND qb.bucket = cb.bucket
+       |         WHERE qb.vec_id < 5 AND cb.vec_id >= 5),
+       |dots AS (SELECT query_id, cand.vec_id,
+       |          CAST(list_sum([q.qv[i]*c.qv[i] FOR i IN range(1,65)]) AS DOUBLE) / (qn.nrm * cn.nrm) AS cosine
+       |         FROM cand JOIN v q ON q.vec_id = cand.query_id JOIN v c ON c.vec_id = cand.vec_id
+       |         JOIN n qn ON qn.vec_id = cand.query_id JOIN n cn ON cn.vec_id = cand.vec_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank FROM dots)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** s03 oracle: the deterministic centroid build (every 31st id, first 16
+    * by row_number), cell assignment, N_PROBE probing, and final ranking —
+    * all mirrored in SQL. Tie-breaks mirror the Spark windows exactly
+    * ((score DESC, cell) and (cosine DESC, vec_id)).
+    */
+  val annIvfTopKSql: String =
+    """WITH v AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qv FROM embeddings),
+      |corpus AS (SELECT vec_id, qv AS cv FROM v WHERE vec_id >= 5),
+      |cents AS (SELECT cell, cv AS centroid FROM (
+      |  SELECT vec_id, cv, row_number() OVER (ORDER BY vec_id) AS cell
+      |  FROM corpus WHERE vec_id % 31 = 6) WHERE cell <= 16),
+      |cassign AS (SELECT vec_id, cv, cell FROM (
+      |  SELECT c.vec_id, c.cv, cents.cell,
+      |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |      CAST(list_sum([c.cv[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
+      |        sqrt(CAST(list_sum([cents.centroid[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) DESC, cents.cell) AS r
+      |  FROM corpus c CROSS JOIN cents) WHERE r = 1),
+      |qassign AS (SELECT query_id, qv, cell FROM (
+      |  SELECT q.vec_id AS query_id, q.qv, cents.cell,
+      |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      CAST(list_sum([q.qv[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
+      |        sqrt(CAST(list_sum([cents.centroid[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) DESC, cents.cell) AS r
+      |  FROM v q CROSS JOIN cents WHERE q.vec_id < 5) WHERE r <= 3),
+      |cand AS (SELECT DISTINCT qa.query_id, ca.vec_id
+      |         FROM qassign qa JOIN cassign ca ON qa.cell = ca.cell),
+      |dots AS (SELECT cand.query_id, cand.vec_id,
+      |          CAST(list_sum([q.qv[i]*c.qv[i] FOR i IN range(1,65)]) AS DOUBLE) /
+      |            (sqrt(CAST(list_sum([q.qv[i]*q.qv[i] FOR i IN range(1,65)]) AS DOUBLE)) *
+      |             sqrt(CAST(list_sum([c.qv[i]*c.qv[i] FOR i IN range(1,65)]) AS DOUBLE))) AS cosine
+      |         FROM cand JOIN v q ON q.vec_id = cand.query_id JOIN v c ON c.vec_id = cand.vec_id),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank FROM dots)
+      |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => annLshTopK(s, d)),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => annIvfTopK(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "s01_cosine_topk" -> cosineTopKSql)
+    "s01_cosine_topk" -> cosineTopKSql,
+    "s02_ann_lsh" -> annLshTopKSql,
+    "s03_ann_ivf" -> annIvfTopKSql)
 }
