@@ -20,7 +20,7 @@ import graft.functions.TextFunctions
   *     into BANDS buckets; candidates only within equal (band, bucket-key) —
   *     the standard sub-quadratic LSH shape. Signature computation is a
   *     single narrow pass (higher-order array functions, codegen'd, no UDF);
-  *   - SimHash: 64-bit fingerprint per doc in one narrow pass + one
+  *   - SimHash: 60-bit fingerprint per doc in one narrow pass + one
   *     hamming-ball self-join on the 4-banded fingerprint pieces.
   */
 object Dedup {
@@ -116,31 +116,45 @@ object Dedup {
   val BANDS = 8   // bands of SIG_N/BANDS rows each
   val ROWS_PER_BAND: Int = SIG_N / BANDS
 
+  /** Cross-engine deterministic hash family. Base hash = first 15 hex chars
+    * of md5 (60 bits, both engines lowercase-hex identical); family member
+    * i = (a_i·(H mod p) + b_i) mod p with p = 2^31−1 and fixed odd
+    * multipliers — all int64 arithmetic both engines can reproduce exactly,
+    * which is what lets the driver hash-check an LSH structure at all
+    * (xxhash64 exists only in Spark).
+    */
+  val HASH_P = 2147483647L
+  def baseHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def seedA(i: Int): Long = ((2L * i + 1L) * 2654435761L) % HASH_P
+  def seedB(i: Int): Long = (i.toLong * 40503L + 1L) % HASH_P
+
   /** MinHash signatures as a single codegen'd hash aggregate: explode
-    * shingles once, then SIG_N `min(xxhash64(sh, seed))` aggregates in one
-    * pass. (The "obvious" nested higher-order-function formulation — a
-    * transform over seeds of array_min over shingle hashes — is interpreted
-    * per element and measured 100x slower at sf0.1.)
+    * shingles once, hash once, then SIG_N min() aggregates over the affine
+    * family in one pass. (The "obvious" nested higher-order-function
+    * formulation — a transform over seeds of array_min over shingle hashes
+    * — is interpreted per element and measured 100x slower at sf0.1.)
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val posting = docs.select(col("doc_id"),
       explode(array_distinct(TextFunctions.wordNgrams(col("text"), 3))).as("sh"))
-    val aggs = (0 until SIG_N).map(i => min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
+      .withColumn("hm", baseHash(col("sh")) % HASH_P)
+    val aggs = (0 until SIG_N).map(i =>
+      min((lit(seedA(i)) * col("hm") + lit(seedB(i))) % HASH_P).as(s"m$i"))
     posting.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs: docs sharing any (band_idx, band_hash) bucket.
+  /** LSH candidate pairs: docs sharing any (band_idx, band_key) bucket.
     * `est_jaccard` is the fraction of agreeing minhashes (the standard
-    * unbiased estimator). Never compares docs across buckets; band keys are
-    * direct multi-argument xxhash64 over the band's minhashes (no string
-    * materialization).
+    * unbiased estimator). Never compares docs across buckets. Band keys are
+    * the comma-joined band minhashes (identical string form both engines).
     */
   def minhashLshPairs(s: SparkSession, d: String, threshold: Double = 0.1): DataFrame = {
     val sigs = minhashSignatures(Tables.documents(s, d))
     val sigArr = array((0 until SIG_N).map(i => col(s"m$i")): _*)
     val bandKeys = (0 until BANDS).map { b =>
       val cols = (b * ROWS_PER_BAND until (b + 1) * ROWS_PER_BAND).map(i => col(s"m$i"))
-      xxhash64((lit(b) +: cols): _*)
+      concat_ws(",", cols: _*)
     }
     val banded = sigs.select(col("doc_id"), sigArr.as("sig"),
         posexplode(array(bandKeys: _*)))
@@ -151,25 +165,66 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("id_a", "id_b")
+    // agreement count via element_at pairs (codegen'd) — not zip_with/filter
+    // HOFs (interpreted per element)
+    val matches = (0 until SIG_N).map(i =>
+      when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1)
+        .otherwise(0)).reduce(_ + _)
     cand
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / SIG_N)
+      .withColumn("est_jaccard", matches.cast("double") / SIG_N)
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
       .orderBy("id_a", "id_b")
   }
 
+  /** d04 oracle, generated from the same shingle/hash/band definitions. */
+  lazy val minhashLshPairsSql: String = {
+    val p = HASH_P
+    val sigCols = (0 until SIG_N).map(i =>
+      s"min((${seedA(i)}*hm + ${seedB(i)}) % $p) AS m$i").mkString(",\n  ")
+    val bandSelects = (0 until BANDS).map { b =>
+      val key = (b * ROWS_PER_BAND until (b + 1) * ROWS_PER_BAND)
+        .map(i => s"m$i").mkString(", ',', ")
+      s"SELECT doc_id, $b AS band_idx, concat($key) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val matchTerms = (0 until SIG_N).map(i =>
+      s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |        unnest(list_distinct(
+       |          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |               ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |                     FOR i IN range(1, len(toks)-1)] END)) AS sh
+       |      FROM t),
+       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) % $p AS hm FROM g),
+       |sig AS (SELECT doc_id,
+       |  $sigCols
+       |FROM h GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |est AS (SELECT id_a, id_b,
+       |          CAST($matchTerms AS DOUBLE)/$SIG_N AS est_jaccard
+       |        FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+       |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.1
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // --------------------------------------------------------------- SimHash
-  /** 64-bit SimHash fingerprint over whitespace tokens: per bit, sum +1/-1
-    * by the token-hash bit; the signs form the fingerprint. Single narrow
-    * pass: one fold over token hashes carrying a 64-long contribution
-    * vector, no shuffle, no UDF.
+  val SIMHASH_BITS = 60 // the md5-derived base hash carries 60 bits
+
+  /** SimHash fingerprint over whitespace tokens: per bit, sum +1/-1 by the
+    * token-hash bit; the signs form the fingerprint. Single narrow pass:
+    * one fold over token hashes carrying a contribution vector, no
+    * shuffle, no UDF. Uses the cross-engine md5-derived base hash so the
+    * fingerprints are oracle-checkable.
     */
   def simhash(text: Column): Column = {
-    val tokenHashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
-    val bitIdx = sequence(lit(0), lit(63))
-    val contrib = aggregate(tokenHashes, array_repeat(lit(0L), 64),
+    val tokenHashes = transform(TextFunctions.tokens(text), t => baseHash(t))
+    val bitIdx = sequence(lit(0), lit(SIMHASH_BITS - 1))
+    val contrib = aggregate(tokenHashes, array_repeat(lit(0L), SIMHASH_BITS),
       (acc, h) => zip_with(acc,
         transform(bitIdx, b =>
           when(call_function("shiftright", h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)),
@@ -188,17 +243,32 @@ object Dedup {
   def simhashFingerprints(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
+      .withColumn("h", baseHash(col("tok")))
+    val bitSums = (0 until SIMHASH_BITS).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"c$b")
     }
-    val fingerprint = (0 until 64).map { b =>
+    val fingerprint = (0 until SIMHASH_BITS).map { b =>
       when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce((a, x) => a.bitwiseOR(x))
     toks.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), fingerprint.as("simhash"))
       .orderBy("doc_id")
+  }
+
+  /** d05 oracle: the same 60 bit-sums and sign-combine in SQL. */
+  lazy val simhashFingerprintsSql: String = {
+    val sums = (0 until SIMHASH_BITS).map(b =>
+      s"sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS c$b").mkString(",\n  ")
+    val combine = (0 until SIMHASH_BITS).map(b =>
+      s"(CASE WHEN c$b > 0 THEN CAST(power(2, $b) AS BIGINT) ELSE 0 END)").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents),
+       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok),1,15)) AS BIGINT) AS hv FROM t),
+       |c AS (SELECT doc_id,
+       |  $sums
+       |FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($combine AS BIGINT) AS simhash
+       |FROM c ORDER BY doc_id""".stripMargin
   }
 
   /** All dedup queries keyed for SparkEntry (oracle-checked where SQL can
@@ -214,5 +284,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> dedupExactSurvivorsSql,
     "d02_dedup_stats" -> dedupExactStatsSql,
-    "d03_ngram_jaccard" -> ngramJaccardPairsSql)
+    "d03_ngram_jaccard" -> ngramJaccardPairsSql,
+    "d04_minhash_lsh" -> minhashLshPairsSql,
+    "d05_simhash" -> simhashFingerprintsSql)
 }
