@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Second tranche of SURVEY §2.6 surface: multiset set-ops (ALL variants),
+  * arg-min/max aggregates, ordered string aggregation, UDTF-style lateral
+  * position explode, regex extraction, and conditional scalar expressions.
+  *
+  * Same determinism contract as Relational: terminal columns are
+  * string/int/bigint/double only; arg aggregates key on the UNIQUE
+  * event_id (a double-valued key could tie and break cross-engine
+  * determinism); every query ends in a total ORDER BY.
+  */
+object Relational2 {
+
+  // ---------------------------------------------------------------- q36
+  /** EXCEPT ALL / INTERSECT ALL multiset semantics (Spark plans these as
+    * count-propagating aggregates + joins — linear, no pairwise blowup).
+    * Per-user multiset counts of view-events vs click-events.
+    */
+  def multisetOps(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val views = e.filter(col("event_type") === "view").select(col("user_id"))
+    val clicks = e.filter(col("event_type") === "click").select(col("user_id"))
+    val ex = views.exceptAll(clicks)
+      .groupBy("user_id").agg(count(lit(1)).as("n_except"))
+    val ix = views.intersectAll(clicks)
+      .groupBy("user_id").agg(count(lit(1)).as("n_intersect"))
+    ex.join(ix, Seq("user_id"), "full")
+      .na.fill(0L, Seq("n_except", "n_intersect"))
+      .orderBy("user_id")
+  }
+
+  val multisetOpsSql: String =
+    """WITH ex AS (
+      |  SELECT user_id, count(*) AS n_except FROM (
+      |    SELECT user_id FROM events WHERE event_type = 'view'
+      |    EXCEPT ALL
+      |    SELECT user_id FROM events WHERE event_type = 'click')
+      |  GROUP BY user_id),
+      |ix AS (
+      |  SELECT user_id, count(*) AS n_intersect FROM (
+      |    SELECT user_id FROM events WHERE event_type = 'view'
+      |    INTERSECT ALL
+      |    SELECT user_id FROM events WHERE event_type = 'click')
+      |  GROUP BY user_id)
+      |SELECT coalesce(ex.user_id, ix.user_id) AS user_id,
+      |       coalesce(n_except, 0) AS n_except,
+      |       coalesce(n_intersect, 0) AS n_intersect
+      |FROM ex FULL JOIN ix ON ex.user_id = ix.user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q37
+  /** min_by/max_by arg aggregates keyed on the unique event_id: the
+    * first/last event's value and user per type. Unique key ⇒ no
+    * tie-breaking divergence between engines.
+    */
+  def argMinMax(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("first_value"),
+        max_by(col("value"), col("event_id")).as("last_value"),
+        max_by(col("user_id"), col("event_id")).as("last_user"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  val argMinMaxSql: String =
+    """SELECT event_type,
+      |  arg_min(value, event_id) AS first_value,
+      |  arg_max(value, event_id) AS last_value,
+      |  arg_max(user_id, event_id) AS last_user,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  /** Ordered string aggregation (listagg): sorted doc_id list per source.
+    * collect_list order is nondeterministic under parallelism — array_sort
+    * before the join makes the result engine- and partitioning-independent.
+    */
+  def stringAgg(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        array_join(array_sort(collect_list(col("doc_id").cast("string"))), ",").as("doc_ids"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+
+  val stringAggSql: String =
+    """SELECT source,
+      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids,
+      |  count(*) AS n_docs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  /** UDTF-style lateral explode with position (posexplode / Generator):
+    * tokens with their 0-based position for a slice of documents.
+    */
+  def posExplodeTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(TextFunctions.tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      .orderBy("doc_id", "pos")
+
+  val posExplodeTokensSql: String =
+    """SELECT doc_id, CAST(u.pos AS INT) AS pos, u.tok FROM (
+      |  SELECT doc_id,
+      |    unnest([{'pos': i-1, 'tok': toks[i]} FOR i IN range(1, len(toks)+1)]) AS u
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents WHERE doc_id < 20))
+      |ORDER BY doc_id, pos""".stripMargin
+
+  // ---------------------------------------------------------------- q40
+  /** Regex extraction groups (regexp_extract is identical syntax in both
+    * engines): leading word and trailing uppercase word of part fields.
+    */
+  def regexExtract(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("type_tail"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"))
+      .orderBy("p_partkey")
+
+  val regexExtractSql: String =
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+      |  regexp_extract(p_type, '([A-Z]+)$', 1) AS type_tail,
+      |  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  /** Conditional scalar surface: nullif/coalesce/greatest/least/CASE. */
+  def conditionalScalars(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
+        greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+        least(col("c_acctbal"), lit(5000.0)).as("bal_cap"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high").as("band"))
+      .orderBy("c_custkey")
+
+  val conditionalScalarsSql: String =
+    """SELECT c_custkey,
+      |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+      |  greatest(c_acctbal, 0.0) AS bal_floor,
+      |  least(c_acctbal, 5000.0) AS bal_cap,
+      |  CASE WHEN c_acctbal < 0 THEN 'neg'
+      |       WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_multiset_ops" -> (multisetOps _),
+    "q37_arg_minmax" -> (argMinMax _),
+    "q38_string_agg" -> (stringAgg _),
+    "q39_posexplode" -> (posExplodeTokens _),
+    "q40_regex_extract" -> (regexExtract _),
+    "q41_conditional_scalars" -> (conditionalScalars _))
+
+  val oracles: Map[String, String] = Map(
+    "q36_multiset_ops" -> multisetOpsSql,
+    "q37_arg_minmax" -> argMinMaxSql,
+    "q38_string_agg" -> stringAggSql,
+    "q39_posexplode" -> posExplodeTokensSql,
+    "q40_regex_extract" -> regexExtractSql,
+    "q41_conditional_scalars" -> conditionalScalarsSql)
+}

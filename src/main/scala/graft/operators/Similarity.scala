@@ -206,19 +206,25 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** s02 oracle, GENERATED from the same quantized hyperplane literals the
-    * Spark plan uses — the whole LSH computation is deterministic integer
-    * math plus single IEEE divisions, so DuckDB reproduces it bit-exactly
-    * and the driver can hash-check an "approximate" index structure.
+  /** The quantized hyperplane literals as SQL VALUES rows (shared by the
+    * generated s02/d06 oracles).
     */
-  lazy val annLshTopKSql: String = {
-    val planeRows = (for {
+  private lazy val planeValuesSql: String =
+    (for {
       t <- 0 until N_TABLES
       j <- 0 until N_PLANES
     } yield {
       val vals = planes(t)(j).map(w => math.floor(w * QUANT).toLong).mkString(", ")
       s"($t, $j, [$vals])"
     }).mkString(",\n  ")
+
+  /** s02 oracle, GENERATED from the same quantized hyperplane literals the
+    * Spark plan uses — the whole LSH computation is deterministic integer
+    * math plus single IEEE divisions, so DuckDB reproduces it bit-exactly
+    * and the driver can hash-check an "approximate" index structure.
+    */
+  lazy val annLshTopKSql: String = {
+    val planeRows = planeValuesSql
     s"""WITH planes(table_idx, plane_idx, pv) AS (VALUES
        |  $planeRows),
        |v AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qv FROM embeddings),
@@ -273,13 +279,61 @@ object Similarity {
       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine FROM ranked WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // --------------------------------------------- embedding-cosine near-dup
+  /** d06: near-duplicate vector pairs — candidates only from shared LSH
+    * buckets (sub-quadratic; never an all-pairs cross join), confirmed by
+    * the exact quantized cosine ≥ threshold. At 100 TB the bucket arrays
+    * are a stored column and this is a bucket-equi-join, same as s02.
+    */
+  def embeddingNearDupPairs(s: SparkSession, d: String, threshold: Double = 0.8): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", sqrt(qdot(col("qv"), col("qv")).cast("double")))
+    val buckets = e.select(col("vec_id"), col("qv"), col("nrm"),
+        posexplode(lshBuckets(col("qv"))))
+      .withColumnRenamed("pos", "table_idx").withColumnRenamed("col", "bucket")
+    buckets.as("a").join(buckets.as("b"),
+        col("a.table_idx") === col("b.table_idx") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.qv").as("qa"), col("b.qv").as("qb"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", qdot(col("qa"), col("qb")).cast("double") / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** d06 oracle, generated from the same plane literals. */
+  lazy val embeddingNearDupPairsSql: String =
+    s"""WITH planes(table_idx, plane_idx, pv) AS (VALUES
+       |  $planeValuesSql),
+       |v AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qv FROM embeddings),
+       |b AS (SELECT vec_id, table_idx,
+       |        CAST(sum(CASE WHEN list_sum([qv[i]*pv[i] FOR i IN range(1,65)]) > 0
+       |                 THEN CAST(power(2, plane_idx) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       |      FROM v CROSS JOIN planes GROUP BY vec_id, table_idx),
+       |n AS (SELECT vec_id, sqrt(CAST(list_sum([qv[i]*qv[i] FOR i IN range(1,65)]) AS DOUBLE)) AS nrm FROM v),
+       |cand AS (SELECT DISTINCT ba.vec_id AS id_a, bb.vec_id AS id_b
+       |         FROM b ba JOIN b bb ON ba.table_idx = bb.table_idx AND ba.bucket = bb.bucket
+       |                            AND ba.vec_id < bb.vec_id),
+       |dots AS (SELECT id_a, id_b,
+       |          CAST(list_sum([x.qv[i]*y.qv[i] FOR i IN range(1,65)]) AS DOUBLE) / (nx.nrm * ny.nrm) AS cosine
+       |         FROM cand JOIN v x ON x.vec_id = id_a JOIN v y ON y.vec_id = id_b
+       |         JOIN n nx ON nx.vec_id = id_a JOIN n ny ON ny.vec_id = id_b)
+       |SELECT id_a, id_b, cosine FROM dots WHERE cosine >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => annLshTopK(s, d)),
-    "s03_ann_ivf" -> ((s: SparkSession, d: String) => annIvfTopK(s, d)))
+    "s03_ann_ivf" -> ((s: SparkSession, d: String) => annIvfTopK(s, d)),
+    "d06_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDupPairs(s, d)))
 
   val oracles: Map[String, String] = Map(
     "s01_cosine_topk" -> cosineTopKSql,
     "s02_ann_lsh" -> annLshTopKSql,
-    "s03_ann_ivf" -> annIvfTopKSql)
+    "s03_ann_ivf" -> annIvfTopKSql,
+    "d06_embedding_neardup" -> embeddingNearDupPairsSql)
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Semantic properties of the second relational tranche (the DuckDB oracle
+  * already pins exact values at sf0.01; these pin the algebraic meaning at
+  * sf0.001 so a wrong-but-matching oracle can't slip through).
+  */
+class Relational2Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q36 multiset counts satisfy except = views - min(views, clicks)") {
+    val e = Tables.events(spark, sf)
+    val perUser = e.groupBy("user_id").agg(
+      count(when(col("event_type") === "view", 1)).as("v"),
+      count(when(col("event_type") === "click", 1)).as("c"))
+    val expected = perUser
+      .withColumn("n_except", greatest(col("v") - col("c"), lit(0L)))
+      .withColumn("n_intersect", least(col("v"), col("c")))
+      .filter(col("n_except") > 0 || col("n_intersect") > 0)
+      .select("user_id", "n_except", "n_intersect")
+    val got = Relational2.multisetOps(spark, sf)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("q37 arg aggregates equal the window-rank formulation") {
+    val e = Tables.events(spark, sf)
+    val byMaxId = e.groupBy("event_type").agg(max("event_id").as("event_id"))
+      .join(e, Seq("event_type", "event_id"))
+      .select(col("event_type"), col("value").as("last_value"))
+    val got = Relational2.argMinMax(spark, sf).select("event_type", "last_value")
+    assert(got.exceptAll(byMaxId).isEmpty && byMaxId.exceptAll(got).isEmpty)
+  }
+
+  test("q38 string agg is sorted and complete per source") {
+    val rows = Relational2.stringAgg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ids = r.getAs[String]("doc_ids").split(",")
+      assert(ids.length == r.getAs[Long]("n_docs"))
+      assert(ids.sameElements(ids.sorted))
+    }
+  }
+
+  test("q39 posexplode positions are dense from 0 per doc") {
+    val rows = Relational2.posExplodeTokens(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    rows.values.foreach { rs =>
+      val pos: Seq[Int] = rs.map(_.getAs[Int]("pos")).toSeq.sorted
+      assert(pos == pos.indices.toList)
+    }
+  }
+
+  test("d06 near-dup pairs are ordered, above threshold, and bucket-born") {
+    val rows = Similarity.embeddingNearDupPairs(spark, sf, threshold = 0.5).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("cosine") >= 0.5)
+    }
+  }
+}
