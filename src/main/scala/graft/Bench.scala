@@ -7,9 +7,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb session/scheduler/JIT warmup outside the timed loop (otherwise
+    // whichever query happens to run first is charged ~3-4 s of it)
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().write.mode("overwrite").format("noop").save()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces FULL computation (count() would let Catalyst prune

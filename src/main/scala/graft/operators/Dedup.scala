@@ -56,13 +56,11 @@ object Dedup {
     * (common*10 >= |union|) so the oracle hash-matches bit-exactly.
     */
   def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
-        floor(col("n_chars") / 100).cast("int").as("band"),
-        array_distinct(TextFunctions.wordNgrams(col("text"), 3)).as("shingles"))
-    val sizes = docs.select(col("doc_id"), size(col("shingles")).as("n"))
-    val posting = docs.select(col("doc_id"), col("lang"), col("band"),
-      explode(col("shingles")).as("sh"))
+        floor(col("n_chars") / 100).cast("int").as("band"), col("text"))
+    val posting = shingleTable(base, carry = Seq("lang", "band"))
+    val sizes = posting.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n"))
     // Pair generation as aggregation, not a self-join: one shuffle by
     // shingle -> sorted posting list -> emit ordered combinations -> count
     // by pair. Same pairs/counts as the join formulation (the oracle SQL
@@ -129,15 +127,40 @@ object Dedup {
   def seedA(i: Int): Long = ((2L * i + 1L) * 2654435761L) % HASH_P
   def seedB(i: Int): Long = (i.toLong * 40503L + 1L) % HASH_P
 
-  /** MinHash signatures as a single codegen'd hash aggregate: explode
-    * shingles once, hash once, then SIG_N min() aggregates over the affine
-    * family in one pass. (The "obvious" nested higher-order-function
-    * formulation — a transform over seeds of array_min over shingle hashes
-    * — is interpreted per element and measured 100x slower at sf0.1.)
+  /** Distinct word-3-gram shingles per doc as a fully codegen'd pipeline:
+    * explode an index sequence over the token array and assemble each
+    * shingle with element_at — all codegen'd builtins, no window sort, no
+    * shuffle before the one distinct. Semantically identical to
+    * `array_distinct(TextFunctions.wordNgrams(text, 3))` + explode
+    * (including the <3-token whole-doc fallback), but the
+    * higher-order-function form is interpreted per element — measured
+    * 7.8 s vs ~2 s at sf0.1. The token array never crosses an exchange:
+    * the shingle projection happens in the same codegen stage as the
+    * Generate. `carry` columns (e.g. blocking keys) ride along.
+    */
+  def shingleTable(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val toked = docs.select(
+      (col("doc_id") +: carry.map(col)) :+
+        TextFunctions.tokens(col("text")).as("tk"): _*)
+    val sh = when(size(col("tk")) < 3, array_join(col("tk"), " "))
+      .otherwise(concat_ws(" ",
+        element_at(col("tk"), col("i") + 1),
+        element_at(col("tk"), col("i") + 2),
+        element_at(col("tk"), col("i") + 3)))
+    toked
+      .withColumn("i", explode(sequence(lit(0), greatest(size(col("tk")) - 3, lit(0)))))
+      .select((col("doc_id") +: carry.map(col)) :+ sh.as("sh"): _*)
+      .dropDuplicates("doc_id" +: "sh" +: Nil)
+  }
+
+  /** MinHash signatures as a single codegen'd hash aggregate: shingle once,
+    * hash once, then SIG_N min() aggregates over the affine family in one
+    * pass. (The "obvious" nested higher-order-function formulation — a
+    * transform over seeds of array_min over shingle hashes — is interpreted
+    * per element and measured 100x slower at sf0.1.)
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val posting = docs.select(col("doc_id"),
-      explode(array_distinct(TextFunctions.wordNgrams(col("text"), 3))).as("sh"))
+    val posting = shingleTable(docs)
       .withColumn("hm", baseHash(col("sh")) % HASH_P)
     val aggs = (0 until SIG_N).map(i =>
       min((lit(seedA(i)) * col("hm") + lit(seedB(i))) % HASH_P).as(s"m$i"))
@@ -151,26 +174,31 @@ object Dedup {
     */
   def minhashLshPairs(s: SparkSession, d: String, threshold: Double = 0.1): DataFrame = {
     val sigs = minhashSignatures(Tables.documents(s, d))
-    val sigArr = array((0 until SIG_N).map(i => col(s"m$i")): _*)
     val bandKeys = (0 until BANDS).map { b =>
       val cols = (b * ROWS_PER_BAND until (b + 1) * ROWS_PER_BAND).map(i => col(s"m$i"))
       concat_ws(",", cols: _*)
     }
-    val banded = sigs.select(col("doc_id"), sigArr.as("sig"),
+    // Thin (doc_id, band_idx, band_key) self-join, pair-distinct as a
+    // HashAggregate over two longs, THEN join the signatures back — same
+    // SortAggregate-over-arrays avoidance as d06.
+    val banded = sigs.select(col("doc_id"),
         posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
-    val cand = banded.as("a").join(banded.as("b"),
+    val pairs = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-    // agreement count via element_at pairs (codegen'd) — not zip_with/filter
-    // HOFs (interpreted per element)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sigTable = sigs.select(col("doc_id") +: (0 until SIG_N).map(i => col(s"m$i")): _*)
+    val renameA = sigTable.toDF("id_a" +: (0 until SIG_N).map(i => s"a$i"): _*)
+    val renameB = sigTable.toDF("id_b" +: (0 until SIG_N).map(i => s"b$i"): _*)
+    // agreement count via flat column pairs (codegen'd) — not zip_with/
+    // filter HOFs (interpreted per element)
     val matches = (0 until SIG_N).map(i =>
-      when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1)
-        .otherwise(0)).reduce(_ + _)
-    cand
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+    pairs
+      .join(renameA, "id_a")
+      .join(renameB, "id_b")
       .withColumn("est_jaccard", matches.cast("double") / SIG_N)
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")

@@ -31,9 +31,13 @@ object Similarity {
 
   private val QUANT = 1e6
 
-  /** floor-quantized integer components of a float vector column. */
+  /** floor-quantized integer components of a float vector column —
+    * codegen'd (graft.expressions.FloatArrayQuantize); the transform() HOF
+    * form is interpreted per element.
+    */
   def quantize(vec: Column): Column =
-    transform(vec, x => floor(x.cast("double") * QUANT).cast("long"))
+    ColumnShim.column(graft.expressions.FloatArrayQuantize(
+      ColumnShim.expression(vec), QUANT))
 
   /** Exact integer dot product of two quantized vectors — a codegen'd
     * Catalyst expression (graft.expressions.LongArrayDot); the interpreted
@@ -107,6 +111,20 @@ object Similarity {
     Array.fill(N_TABLES, N_PLANES)(Array.fill(64)(rnd.nextGaussian()))
   }
 
+  /** Near-dup detection wants much finer buckets than top-k ANN: with P
+    * planes a table has 2^P buckets, and candidate volume per bucket is
+    * quadratic in bucket size — at 20k vectors, 6 planes left ~300
+    * vectors/bucket (~25M candidate pairs, 6.7 s at sf0.1) while 12 planes
+    * leave ~5 (sub-second). Recall for true near-dups (cosine ≥ 0.95) is
+    * 1-(1-0.899^12)^8 ≈ 0.93.
+    */
+  val ND_TABLES = 8
+  val ND_PLANES = 12
+  private lazy val ndPlanes: Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(1337)
+    Array.fill(ND_TABLES, ND_PLANES)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
   /** Array of per-table sign-bit bucket ids for a QUANTIZED vector column.
     * Hyperplanes are quantized with the same 1e6 floor as the vectors, so
     * each sign test is one codegen'd integer dot (LongArrayDot) — the
@@ -115,15 +133,18 @@ object Similarity {
     * which moves a borderline vector between equally-valid buckets (the
     * structure is approximate by definition; recall is pinned by tests).
     */
-  def lshBuckets(qvec: Column): Column = {
-    val tables = planes.map { tablePlanes =>
-      val bits = tablePlanes.zipWithIndex.map { case (p, j) =>
-        val planeCol = array(p.map(w => lit(math.floor(w * QUANT).toLong)): _*)
-        when(qdot(qvec, planeCol) > 0, lit(1L << j)).otherwise(lit(0L))
-      }
-      bits.reduce((a, b) => a.bitwiseOR(b))
-    }
-    array(tables.toIndexedSeq: _*)
+  def lshBuckets(qvec: Column): Column = lshBucketsFor(planes, qvec)
+
+  /** One codegen'd expression for ALL tables' bucket ids — composing it
+    * from per-plane literal-array columns creates thousands of expression
+    * nodes and silently drops the projection out of codegen (see
+    * graft.expressions.LshBucketTables).
+    */
+  private def lshBucketsFor(ps: Array[Array[Array[Double]]], qvec: Column): Column = {
+    val quantPlanes: Array[Array[Long]] =
+      ps.flatMap(_.map(_.map(w => math.floor(w * QUANT).toLong)))
+    ColumnShim.column(graft.expressions.LshBucketTables(
+      ColumnShim.expression(qvec), quantPlanes, ps(0).length))
   }
 
   /** ANN top-k: queries probe only same-bucket candidates in any of the L
@@ -206,17 +227,19 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** The quantized hyperplane literals as SQL VALUES rows (shared by the
-    * generated s02/d06 oracles).
+  /** Quantized hyperplane literals as SQL VALUES rows (for the generated
+    * s02/d06 oracles).
     */
-  private lazy val planeValuesSql: String =
+  private def planeValuesSqlFor(ps: Array[Array[Array[Double]]]): String =
     (for {
-      t <- 0 until N_TABLES
-      j <- 0 until N_PLANES
+      t <- ps.indices
+      j <- ps(t).indices
     } yield {
-      val vals = planes(t)(j).map(w => math.floor(w * QUANT).toLong).mkString(", ")
+      val vals = ps(t)(j).map(w => math.floor(w * QUANT).toLong).mkString(", ")
       s"($t, $j, [$vals])"
     }).mkString(",\n  ")
+
+  private lazy val planeValuesSql: String = planeValuesSqlFor(planes)
 
   /** s02 oracle, GENERATED from the same quantized hyperplane literals the
     * Spark plan uses — the whole LSH computation is deterministic integer
@@ -289,16 +312,22 @@ object Similarity {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nrm", sqrt(qdot(col("qv"), col("qv")).cast("double")))
-    val buckets = e.select(col("vec_id"), col("qv"), col("nrm"),
-        posexplode(lshBuckets(col("qv"))))
+    // Self-join a THIN key table (3 longs/row) and distinct the id pair
+    // first: pair-distinct over two longs is a HashAggregate, while
+    // dropDuplicates with the vectors carried through forced a
+    // SortAggregate over 64-element arrays (measured 2x slower); the
+    // vectors join back once per surviving pair.
+    val buckets = e.select(col("vec_id"),
+        posexplode(lshBucketsFor(ndPlanes, col("qv"))))
       .withColumnRenamed("pos", "table_idx").withColumnRenamed("col", "bucket")
-    buckets.as("a").join(buckets.as("b"),
+    val pairs = buckets.as("a").join(buckets.as("b"),
         col("a.table_idx") === col("b.table_idx") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.qv").as("qa"), col("b.qv").as("qb"),
-        col("a.nrm").as("na"), col("b.nrm").as("nb"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    pairs
+      .join(e.select(col("vec_id").as("id_a"), col("qv").as("qa"), col("nrm").as("na")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("qv").as("qb"), col("nrm").as("nb")), "id_b")
       .withColumn("cosine", qdot(col("qa"), col("qb")).cast("double") / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
@@ -308,7 +337,7 @@ object Similarity {
   /** d06 oracle, generated from the same plane literals. */
   lazy val embeddingNearDupPairsSql: String =
     s"""WITH planes(table_idx, plane_idx, pv) AS (VALUES
-       |  $planeValuesSql),
+       |  ${planeValuesSqlFor(ndPlanes)}),
        |v AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qv FROM embeddings),
        |b AS (SELECT vec_id, table_idx,
        |        CAST(sum(CASE WHEN list_sum([qv[i]*pv[i] FOR i IN range(1,65)]) > 0
