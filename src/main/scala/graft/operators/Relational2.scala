@@ -158,7 +158,111 @@ object Relational2 {
       |       WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+  /** MapType surface: construct a map per row, then keys/values/access.
+    * Outputs are scalars (maps themselves are not hash-stable across the
+    * driver's readers).
+    */
+  def mapFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 200)
+      .withColumn("m", map(
+        lit("qty"), col("l_quantity"),
+        lit("price"), col("l_extendedprice")))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        array_join(map_keys(col("m")), ",").as("keys"),
+        element_at(col("m"), "qty").as("qty"),
+        element_at(col("m"), "price").as("price"),
+        size(col("m")).as("n_entries"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val mapFuncsSql: String =
+    """SELECT l_orderkey, l_linenumber, 'qty,price' AS keys,
+      |  l_quantity AS qty, l_extendedprice AS price, 2 AS n_entries
+      |FROM lineitem WHERE l_orderkey < 200
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q43
+  /** SQL-form IN subquery (Catalyst rewrites to a left-semi join; the DSL
+    * semi-join form is q06 — this exercises the SQL surface).
+    */
+  def inSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9500)
+        |  AND o_totalprice > 300000
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val inSubquerySql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9500)
+      |  AND o_totalprice > 300000
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q44
+  /** Window VALUE functions: first/last/nth over the default running frame
+    * (both engines: RANGE UNBOUNDED PRECEDING..CURRENT ROW) and the full
+    * frame for last_value. Raw doubles pass through — no accumulation.
+    */
+  def valueWindows(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        first(col("value")).over(w).as("first_v"),
+        last(col("value")).over(wFull).as("last_v"),
+        nth_value(col("value"), 2).over(w).as("second_v"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val valueWindowsSql: String =
+    """SELECT user_id, event_id,
+      |  first_value(value) OVER w AS first_v,
+      |  last_value(value) OVER (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
+      |  nth_value(value, 2) OVER w AS second_v
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q45
+  /** Date-part scalar surface (only parts whose semantics match across
+    * engines; dayofweek/weekofyear number differently). DATE outputs are
+    * rendered as strings per the terminal-type contract.
+    */
+  def dateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 2000)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("q"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp").cast("date")).as("days_since_95"),
+        date_add(col("o_orderdate").cast("date"), 30).cast("string").as("plus30"))
+      .orderBy("o_orderkey")
+
+  val dateFuncsSql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(month(o_orderdate) AS INT) AS m,
+      |  CAST(day(o_orderdate) AS INT) AS dom,
+      |  CAST(quarter(o_orderdate) AS INT) AS q,
+      |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95,
+      |  CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30
+      |FROM orders WHERE o_orderkey < 2000
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_map_funcs" -> (mapFuncs _),
+    "q43_in_subquery" -> (inSubquery _),
+    "q44_value_windows" -> (valueWindows _),
+    "q45_date_funcs" -> (dateFuncs _),
     "q36_multiset_ops" -> (multisetOps _),
     "q37_arg_minmax" -> (argMinMax _),
     "q38_string_agg" -> (stringAgg _),
@@ -167,6 +271,10 @@ object Relational2 {
     "q41_conditional_scalars" -> (conditionalScalars _))
 
   val oracles: Map[String, String] = Map(
+    "q42_map_funcs" -> mapFuncsSql,
+    "q43_in_subquery" -> inSubquerySql,
+    "q44_value_windows" -> valueWindowsSql,
+    "q45_date_funcs" -> dateFuncsSql,
     "q36_multiset_ops" -> multisetOpsSql,
     "q37_arg_minmax" -> argMinMaxSql,
     "q38_string_agg" -> stringAggSql,
