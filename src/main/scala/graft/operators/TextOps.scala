@@ -167,7 +167,49 @@ object TextOps {
       |  regexp_replace(substring(text, 1, 40), '[^a-zA-Z0-9]+', '', 'g') AS alnum40
       |FROM f ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- tf-idf
+  /** Top-5 distinguishing tokens per language by tf·(N/df). The idf factor
+    * is the exact rational N/df (one integer product, one IEEE division) —
+    * log-idf would pull in libm, which differs across engines in the last
+    * ulp and breaks hash comparison; the RANKING is the same monotone
+    * transform. One explode, three hash aggregations, one window — linear
+    * at any corpus size.
+    */
+  def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("lang"), col("doc_id"),
+      explode(tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(df, "tok").crossJoin(broadcast(total))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("tok"), col("score"))
+      .orderBy("lang", "rank")
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH toks AS (SELECT lang, doc_id,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT lang, tok, count(*) AS tf FROM toks GROUP BY lang, tok),
+      |df AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+      |total AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (SELECT lang, tok, CAST(tf * n_docs AS DOUBLE) / df AS score
+      |           FROM tf JOIN df USING (tok) CROSS JOIN total),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY lang
+      |             ORDER BY score DESC, tok) AS rank FROM scored)
+      |SELECT lang, CAST(rank AS INT) AS rank, tok, score FROM ranked
+      |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t07_tfidf" -> (tfidfTopTerms _),
     "t01_token_stats" -> (tokenStats _),
     "t02_langid" -> (langIdConfusion _),
     "t03_quality" -> (qualityScores _),
@@ -175,6 +217,7 @@ object TextOps {
     "t05_cleantext" -> (cleanedDocs _))
 
   val oracles: Map[String, String] = Map(
+    "t07_tfidf" -> tfidfTopTermsSql,
     "t01_token_stats" -> tokenStatsSql,
     "t02_langid" -> langIdConfusionSql,
     "t03_quality" -> qualityScoresSql,

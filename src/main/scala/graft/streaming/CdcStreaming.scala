@@ -183,6 +183,26 @@ object CdcStreaming {
       }
       .start()
 
+  /** Streaming variant of the S3 JDBC sink: every micro-batch's valid
+    * changes applied as op-specific DML (JdbcSink), invalid records routed
+    * to the error/retry/DLQ sinks. The reference's whole consumer loop
+    * (main.go:63-169) in one writeStream.
+    */
+  def startJdbc(spark: SparkSession, source: DataFrame, url: String,
+      table: String, paths: SinkPaths, republishLimit: Int = 3,
+      checkpoint: String): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (valid, invalid) = parseBatch(batch.cache())
+        val forTable = valid.filter(col("tbl") === table)
+        if (!forTable.isEmpty) JdbcSink.applyChanges(forTable, url, table)
+        if (!invalid.isEmpty) routeFailures(spark, invalid, paths, republishLimit)
+        batch.unpersist()
+        ()
+      }
+      .start()
+
   /** Wire a streaming source of (value, loop) records into the
     * parse/upsert/retry sinks via foreachBatch.
     */

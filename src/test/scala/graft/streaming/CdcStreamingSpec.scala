@@ -115,4 +115,39 @@ class CdcStreamingSpec extends SparkSpec {
     assert(errs.count() == 3) // one error-log row per delivery (S4)
     assert(errs.select("error").distinct().collect().head.getString(0) == "unparseable envelope")
   }
+
+  test("streaming JDBC sink: micro-batched DML against Derby, dup absorbed, delete wins") {
+    val url = "jdbc:derby:memory:graftstream;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      try conn.createStatement().execute("DROP TABLE acct")
+      catch { case _: java.sql.SQLException => () }
+      conn.createStatement().execute(
+        "CREATE TABLE acct (id BIGINT PRIMARY KEY, name VARCHAR(64), amount BIGINT)")
+    } finally conn.close()
+
+    val paths = tmpPaths()
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int)]
+    val q = CdcStreaming.startJdbc(spark, mem.toDF().toDF("value", "loop"),
+      url, "acct", paths, republishLimit = 3, checkpoint = ckpt)
+
+    mem.addData((ev(1, "alice", 100, "b1", 10), 0), (ev(2, "bob", 200, "b1", 20), 0))
+    q.processAllAvailable()
+    mem.addData(
+      (ev(1, "alice2", 150, "b1", 30, op = "U"), 0),
+      (ev(2, "bob", 200, "b1", 40, op = "D"), 0),
+      (ev(1, "alice", 100, "b1", 10), 0)) // duplicate insert redelivery (F8)
+    q.processAllAvailable()
+    q.stop()
+
+    val c2 = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c2.createStatement().executeQuery("SELECT id, name, amount FROM acct ORDER BY id")
+      val rows = scala.collection.mutable.ListBuffer[(Long, String, Long)]()
+      while (rs.next()) rows += ((rs.getLong(1), rs.getString(2), rs.getLong(3)))
+      assert(rows.toList == List((1L, "alice2", 150L)))
+    } finally c2.close()
+  }
 }
