@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.ColumnShim
+
+import graft.expressions.{FloatArrayQuantize, LongArrayDot, LshBucketTables}
+import graft.operators.Similarity
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * expressions as SQL functions, so a SQL-only user gets the same codegen
+  * paths the DataFrame API uses:
+  *
+  *   spark.sql("SELECT long_array_dot(a, b) FROM t")
+  *   spark.sql("SELECT float_array_quantize(v) FROM t")   -- 1e6 floor scale
+  *   spark.sql("SELECT lsh_buckets(float_array_quantize(v)) FROM t")
+  *
+  * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * at session build time, or `GraftExtensions.register(spark)` on a running
+  * session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (id, inf, b) =>
+      ext.injectFunction((id, inf,
+        (args: Seq[Expression]) => b(args)): (FunctionIdentifier, ExpressionInfo,
+          FunctionRegistry.FunctionBuilder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("long_array_dot"),
+      info("long_array_dot",
+        "long_array_dot(a, b) - exact int64 dot product of two array<bigint>"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "long_array_dot takes 2 arguments")
+        LongArrayDot(args(0), args(1))
+      }),
+    (FunctionIdentifier("float_array_quantize"),
+      info("float_array_quantize",
+        "float_array_quantize(v) - floor(x*1e6) int64 components of a float vector"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "float_array_quantize takes 1 argument")
+        FloatArrayQuantize(args(0), 1e6)
+      }),
+    (FunctionIdentifier("lsh_buckets"),
+      info("lsh_buckets",
+        "lsh_buckets(qv) - the engine's ANN hyperplane bucket ids for a quantized vector"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "lsh_buckets takes 1 argument")
+        LshBucketTables(args(0), Similarity.annPlanesQuantized, Similarity.N_PLANES)
+      }))
+
+  /** Register into an already-running session (tests, notebooks). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, inf, b) =>
+      ColumnShim.registerFunction(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], id, inf, b)
+    }
+}

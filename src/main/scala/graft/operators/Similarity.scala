@@ -111,6 +111,13 @@ object Similarity {
     Array.fill(N_TABLES, N_PLANES)(Array.fill(64)(rnd.nextGaussian()))
   }
 
+  /** The ANN planes pre-quantized, flat [table*N_PLANES + plane][dim] — the
+    * shape LshBucketTables consumes (also used by GraftExtensions' SQL
+    * function registration).
+    */
+  lazy val annPlanesQuantized: Array[Array[Long]] =
+    planes.flatMap(_.map(_.map(w => math.floor(w * QUANT).toLong)))
+
   /** Near-dup detection wants much finer buckets than top-k ANN: with P
     * planes a table has 2^P buckets, and candidate volume per bucket is
     * quadratic in bucket size — at 20k vectors, 6 planes left ~300
