@@ -138,7 +138,8 @@ object Dedup {
     * the shingle projection happens in the same codegen stage as the
     * Generate. `carry` columns (e.g. blocking keys) ride along.
     */
-  def shingleTable(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+  def shingleTable(docs: DataFrame, carry: Seq[String] = Nil,
+      distinct: Boolean = true): DataFrame = {
     val toked = docs.select(
       (col("doc_id") +: carry.map(col)) :+
         TextFunctions.tokens(col("text")).as("tk"): _*)
@@ -147,10 +148,12 @@ object Dedup {
         element_at(col("tk"), col("i") + 1),
         element_at(col("tk"), col("i") + 2),
         element_at(col("tk"), col("i") + 3)))
-    toked
+    val exploded = toked
       .withColumn("i", explode(sequence(lit(0), greatest(size(col("tk")) - 3, lit(0)))))
       .select((col("doc_id") +: carry.map(col)) :+ sh.as("sh"): _*)
-      .dropDuplicates("doc_id" +: "sh" +: Nil)
+    // consumers whose aggregate is idempotent under duplicates (minhash
+    // min) skip the distinct shuffle
+    if (distinct) exploded.dropDuplicates("doc_id" +: "sh" +: Nil) else exploded
   }
 
   /** MinHash signatures as a single codegen'd hash aggregate: shingle once,
@@ -160,7 +163,9 @@ object Dedup {
     * per element and measured 100x slower at sf0.1.)
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val posting = shingleTable(docs)
+    // distinct=false: min() over the hash family is idempotent under
+    // repeated shingles, so the distinct shuffle would be pure overhead
+    val posting = shingleTable(docs, distinct = false)
       .withColumn("hm", baseHash(col("sh")) % HASH_P)
     val aggs = (0 until SIG_N).map(i =>
       min((lit(seedA(i)) * col("hm") + lit(seedB(i))) % HASH_P).as(s"m$i"))

@@ -85,6 +85,53 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB resize kernel — deterministic fake for an image resampler: maps
+    * (w, h) to the target box preserving aspect via integer math. A real
+    * implementation would transform `payload`; the contract (pure function
+    * of payload+dims, applied per partition) is what the plan depends on.
+    */
+  def stubResize(w: Int, h: Int, maxSide: Int): (Int, Int) = {
+    // ??? real resampler goes here — deterministic aspect-fit below
+    if (w <= 0 || h <= 0) (0, 0)
+    else {
+      val side = math.max(w, h)
+      if (side <= maxSide) (w, h)
+      else (w * maxSide / side, h * maxSide / side)
+    }
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = true),
+    StructField("frame_bytes", IntegerType, nullable = false)))
+
+  /** Frame sampling: every `stride`-th fixed-size window of the payload as
+    * one "frame" (the byte-slicing shape of video frame extraction — a
+    * real decoder would emit decoded frames; the partitioning, batch
+    * iterator, and output schema are identical). mapPartitions so a codec
+    * would init once per partition; blobs never shuffle.
+    */
+  def sampleFrames(s: SparkSession, assets: DataFrame, frameSize: Int = 64,
+      stride: Int = 4): DataFrame = {
+    val enc = RowEncoder.encoderFor(frameSchema)
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        if (payload == null) Iterator.empty
+        else {
+          val nFrames = payload.length / frameSize
+          (0 until nFrames by stride).iterator.map { f =>
+            val frame = java.util.Arrays.copyOfRange(
+              payload, f * frameSize, (f + 1) * frameSize)
+            Row(id, f, frame, frame.length)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Oracle-checkable metadata query: binary payload stats via built-ins
     * only (octet_length / hex prefix), no stub involvement.
     */
@@ -100,12 +147,37 @@ object Multimodal {
       |  hex(encode(substring(text, 1, 4))) AS magic_hex
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** m03: frame index/size stats per asset — the mapPartitions sampler's
+    * output re-aggregated relationally. Frame byte content stays Spark-side
+    * (BLOB slicing is not DuckDB-expressible); counts and index sums are
+    * oracle-checkable because the slicing arithmetic is deterministic.
+    */
+  def frameStats(s: SparkSession, d: String): DataFrame =
+    sampleFrames(s, assets(s, d))
+      .groupBy("asset_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("frame_idx").cast("long")).as("idx_sum"),
+        max(col("frame_bytes")).as("frame_bytes"))
+      .orderBy("asset_id")
+
+  val frameStatsSql: String =
+    """WITH f AS (SELECT doc_id, strlen(text) // 64 AS nf FROM documents
+      |           WHERE strlen(text) >= 64),
+      |k AS (SELECT doc_id, nf, (nf - 1) // 4 AS m FROM f)
+      |SELECT doc_id AS asset_id,
+      |  CAST(m + 1 AS BIGINT) AS n_frames,
+      |  CAST(((m * (m + 1)) // 2) * 4 AS BIGINT) AS idx_sum,
+      |  64 AS frame_bytes
+      |FROM k ORDER BY asset_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta" -> (mediaMeta _),
     "m02_media_features" -> ((s: SparkSession, d: String) => {
       extractFeatures(s, assets(s, d)).orderBy("asset_id")
-    }))
+    }),
+    "m03_frame_stats" -> (frameStats _))
 
   val oracles: Map[String, String] = Map(
-    "m01_media_meta" -> mediaMetaSql)
+    "m01_media_meta" -> mediaMetaSql,
+    "m03_frame_stats" -> frameStatsSql)
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Multimodal plumbing: schema contracts, mapPartitions batch shape, and
+  * the deterministic stub kernels (decode / resize / frame-sample).
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("assets carry the canonical schema and real payload bytes") {
+    val a = Multimodal.assets(spark, sf)
+    assert(a.schema.fieldNames.toSeq ==
+      Multimodal.assetSchema.fieldNames.toSeq)
+    val r = a.orderBy("asset_id").select("asset_id", "payload").first()
+    assert(r.getAs[Array[Byte]]("payload").nonEmpty)
+  }
+
+  test("extractFeatures matches a driver-side application of the stub") {
+    val feats = Multimodal.extractFeatures(spark, Multimodal.assets(spark, sf))
+      .orderBy("asset_id").collect()
+    val raw = Multimodal.assets(spark, sf)
+      .orderBy("asset_id").select("asset_id", "payload").collect()
+    assert(feats.length == raw.length)
+    feats.zip(raw).foreach { case (f, r) =>
+      val payload = r.getAs[Array[Byte]]("payload")
+      val (w, h, dur) = Multimodal.stubDecode(payload)
+      assert(f.getInt(f.fieldIndex("n_bytes")) == payload.length)
+      assert(f.getInt(f.fieldIndex("width")) == w)
+      assert(f.getInt(f.fieldIndex("height")) == h)
+      assert(f.getLong(f.fieldIndex("duration_ms")) == dur)
+    }
+  }
+
+  test("sampleFrames emits exact payload slices at the sampling stride") {
+    val frames = Multimodal.sampleFrames(spark, Multimodal.assets(spark, sf))
+      .collect().groupBy(_.getLong(0))
+    val raw = Multimodal.assets(spark, sf)
+      .select("asset_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(frames.nonEmpty)
+    frames.foreach { case (id, fs) =>
+      val payload = raw(id)
+      fs.foreach { f =>
+        val idx = f.getInt(1)
+        assert(idx % 4 == 0)
+        val expected = java.util.Arrays.copyOfRange(payload, idx * 64, (idx + 1) * 64)
+        assert(java.util.Arrays.equals(f.getAs[Array[Byte]](2), expected))
+        assert(f.getInt(3) == 64)
+      }
+      // dense sampled index set: 0, 4, ..., 4*(k-1)
+      val idxs = fs.map(_.getInt(1)).sorted
+      assert(idxs.toSeq == idxs.indices.map(_ * 4))
+    }
+  }
+
+  test("stubResize preserves aspect and bounds the long side") {
+    assert(Multimodal.stubResize(1920, 1080, 256) == (256, 144))
+    assert(Multimodal.stubResize(100, 50, 256) == (100, 50))
+    assert(Multimodal.stubResize(0, 10, 256) == (0, 0))
+    val (w, h) = Multimodal.stubResize(4000, 3000, 512)
+    assert(math.max(w, h) == 512 && math.abs(w * 3000 - h * 4000) <= 4000)
+  }
+}
