@@ -304,6 +304,81 @@ object Dedup {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------- connected-component survivors
+  /** The dedup END-STEP the pair queries feed: near-dup pairs form a
+    * graph; each connected component keeps one survivor (min doc_id).
+    * Implemented as iterative min-label propagation — per iteration one
+    * join + one min-aggregate, converging in graph-diameter steps (near-dup
+    * components are tiny chains, so 2-4 iterations; the alternating-star
+    * variant bounds iterations to O(log n) for adversarial graphs at
+    * 100 TB). Driver only checks a convergence COUNT per iteration — no
+    * row data is collected.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // edges: (id_a, id_b); undirected closure via both directions
+    val fwd = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val bidir = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    var labels = bidir.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = labels.join(bidir, col("id") === col("src"))
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min(col("lbl")).as("lbl")).cache()
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") < col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    bidir.unpersist()
+    labels
+  }
+
+  /** d07: component id (= surviving doc_id) per document that appears in
+    * any d03 near-dup pair, plus whether the doc IS the survivor.
+    */
+  def neardupSurvivors(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccardPairs(s, d).select("id_a", "id_b")
+    connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("lbl").as("component"),
+        (col("id") === col("lbl")).cast("int").as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
+  /** d07 oracle: recursive transitive-closure min-label. */
+  val neardupSurvivorsSql: String =
+    """WITH RECURSIVE
+      |t AS (SELECT doc_id, lang, CAST(floor(n_chars/100.0) AS INT) AS band,
+      |             regexp_split_to_array(trim(text), '\s+') AS toks
+      |      FROM documents),
+      |g AS (SELECT doc_id, lang, band,
+      |             unnest(list_distinct(
+      |               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |                    ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                          FOR i IN range(1, len(toks)-1)] END)) AS sh
+      |      FROM t),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      |      FROM g a JOIN g b ON a.sh = b.sh AND a.lang = b.lang
+      |                       AND a.band = b.band AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b FROM p JOIN sz sa ON id_a = sa.doc_id
+      |                                   JOIN sz sb ON id_b = sb.doc_id
+      |          WHERE common * 10 >= sa.n + sb.n - common),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |cc AS (
+      |  SELECT src AS id, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst AS id, cc.lbl AS lbl FROM cc JOIN edges e ON cc.id = e.src
+      |)
+      |SELECT id AS doc_id, min(lbl) AS component,
+      |  CAST(CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS INT) AS is_survivor
+      |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin
+
   /** All dedup queries keyed for SparkEntry (oracle-checked where SQL can
     * express them; minhash/simhash are verified by scalatest instead).
     */
@@ -312,12 +387,14 @@ object Dedup {
     "d02_dedup_stats" -> (dedupExactStats _),
     "d03_ngram_jaccard" -> (ngramJaccardPairs _),
     "d04_minhash_lsh" -> ((s: SparkSession, d: String) => minhashLshPairs(s, d)),
-    "d05_simhash" -> (simhashFingerprints _))
+    "d05_simhash" -> (simhashFingerprints _),
+    "d07_neardup_survivors" -> (neardupSurvivors _))
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> dedupExactSurvivorsSql,
     "d02_dedup_stats" -> dedupExactStatsSql,
     "d03_ngram_jaccard" -> ngramJaccardPairsSql,
     "d04_minhash_lsh" -> minhashLshPairsSql,
-    "d05_simhash" -> simhashFingerprintsSql)
+    "d05_simhash" -> simhashFingerprintsSql,
+    "d07_neardup_survivors" -> neardupSurvivorsSql)
 }

@@ -258,7 +258,36 @@ object Relational2 {
       |FROM orders WHERE o_orderkey < 2000
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  /** Higher-order array functions (aggregate / filter / array_max /
+    * reverse) over QUANTIZED vectors — integer-exact so both engines
+    * agree; the HOF surface itself is the point (hot paths use the codegen
+    * expressions instead, see PLANS.md).
+    */
+  def arrayHof(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      .select(
+        col("vec_id"),
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("comp_sum"),
+        array_max(col("qv")).as("comp_max"),
+        size(filter(col("qv"), x => x > 0)).as("n_positive"),
+        element_at(reverse(col("qv")), 1).as("last_comp"))
+      .orderBy("vec_id")
+
+  val arrayHofSql: String =
+    """WITH v AS (SELECT vec_id,
+      |    [CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qv
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |  CAST(list_sum(qv) AS BIGINT) AS comp_sum,
+      |  list_max(qv) AS comp_max,
+      |  CAST(len(list_filter(qv, x -> x > 0)) AS INT) AS n_positive,
+      |  qv[len(qv)] AS last_comp
+      |FROM v ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_array_hof" -> (arrayHof _),
     "q42_map_funcs" -> (mapFuncs _),
     "q43_in_subquery" -> (inSubquery _),
     "q44_value_windows" -> (valueWindows _),
@@ -271,6 +300,7 @@ object Relational2 {
     "q41_conditional_scalars" -> (conditionalScalars _))
 
   val oracles: Map[String, String] = Map(
+    "q46_array_hof" -> arrayHofSql,
     "q42_map_funcs" -> mapFuncsSql,
     "q43_in_subquery" -> inSubquerySql,
     "q44_value_windows" -> valueWindowsSql,
