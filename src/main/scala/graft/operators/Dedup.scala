@@ -314,25 +314,74 @@ object Dedup {
     * 100 TB). Driver only checks a convergence COUNT per iteration — no
     * row data is collected.
     */
+  /** Strategy split, same idea as broadcast-vs-shuffle joins: a near-dup
+    * pair graph is usually a sliver of the corpus, so below `smallGraph`
+    * edges we collect the (bounded, two-longs-per-edge) edge list and run
+    * driver-side union-find in O(E·α) — per-iteration distributed
+    * scheduling would dominate by 10×. Above the threshold, the iterative
+    * label-propagation path runs fully distributed.
+    */
+  def connectedComponentsAuto(edges: DataFrame, smallGraph: Long = 1000000L): DataFrame = {
+    val cached = edges.select(col("id_a"), col("id_b")).cache()
+    val result =
+      if (cached.count() <= smallGraph) unionFindLocal(cached)
+      else connectedComponents(cached)
+    result
+  }
+
+  private def unionFindLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "lbl")
+  }
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    // edges: (id_a, id_b); undirected closure via both directions
-    val fwd = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // edges: (id_a, id_b); cache BEFORE mirroring — the union's two
+    // branches would otherwise each re-execute the (expensive) pair
+    // pipeline that produced the edges
+    val fwd = edges.select(col("id_a").as("src"), col("id_b").as("dst")).cache()
     val bidir = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
     var labels = bidir.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).cache()
+    // labels only ever decrease, so an unchanged label-sum ⇔ fixpoint —
+    // one cheap scalar action per iteration instead of a join
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("lbl"))).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val prop = labels.join(bidir, col("id") === col("src"))
         .select(col("dst").as("id"), col("lbl"))
+      // localCheckpoint (eager), NOT cache: each iteration's plan embeds
+      // the previous one — uncheckpointed, the logical plan doubles per
+      // iteration and a few dozen iterations OOM the driver on plan
+      // strings alone (found by the 40-node-chain spec)
       val next = labels.union(prop)
-        .groupBy("id").agg(min(col("lbl")).as("lbl")).cache()
-      converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") < col("old")).isEmpty
+        .groupBy("id").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels.unpersist()
       labels = next
       iter += 1
     }
+    fwd.unpersist()
     bidir.unpersist()
     labels
   }
@@ -342,7 +391,7 @@ object Dedup {
     */
   def neardupSurvivors(s: SparkSession, d: String): DataFrame = {
     val pairs = ngramJaccardPairs(s, d).select("id_a", "id_b")
-    connectedComponents(pairs)
+    connectedComponentsAuto(pairs)
       .select(col("id").as("doc_id"), col("lbl").as("component"),
         (col("id") === col("lbl")).cast("int").as("is_survivor"))
       .orderBy("doc_id")
