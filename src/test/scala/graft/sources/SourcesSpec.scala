@@ -65,11 +65,14 @@ class SourcesSpec extends SparkSpec {
 
   test("config defaults mirror the reference (config/config.go)") {
     val c = GraftConfig.fromEnv(Map.empty)
-    assert(c.republishLimit == 3)
-    assert(c.autoOffset == "latest")
-    assert(!c.reclaim && !c.replaceAllScheme && !c.activeScheme)
-    assert(c.timezoneShiftHours == 7)
-    val c2 = GraftConfig.fromEnv(Map("TABLES" -> "a, b ,c", "RECLAIM" -> "true"))
+    assert(c.republish && c.republishLimit == 3)       // :20-21
+    assert(c.autoOffset == "latest")                   // :25
+    assert(!c.reclaim && !c.activeScheme)              // :15, :26
+    assert(c.replaceAllScheme)                         // :27 default TRUE
+    assert(!c.withTimezone && c.timezoneShiftHours == 7) // :28-29
+    assert(c.dbPort == 3306 && c.dbSourceName == "master_etl")
+    assert(c.apiAddress == "http://localhost:8083")
+    val c2 = GraftConfig.fromEnv(Map("TABLE" -> "a, b ,c", "RECLAIM" -> "true"))
     assert(c2.tables == Seq("a", "b", "c") && c2.reclaim)
   }
 }
