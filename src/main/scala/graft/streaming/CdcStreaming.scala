@@ -120,22 +120,26 @@ object CdcStreaming {
         .forEach(f => Files.delete(f))
     }
 
-  /** Route invalid records: error-log row always (S4); then retry with
-    * loop+1 under the limit (ST2 republish), DLQ at the limit.
+  /** Route invalid records: error-log row always (S4); then, when the
+    * REPUBLISH gate is on (config/config.go:20, checked main.go:98,149),
+    * retry with loop+1 under the limit (ST2) and DLQ at the limit. With
+    * the gate off the reference only error-logs — no redelivery.
     */
   def routeFailures(spark: SparkSession, invalid: DataFrame, paths: SinkPaths,
-      republishLimit: Int): Unit = {
+      republishLimit: Int, republish: Boolean = true): Unit = {
     val errs = invalid.select(
       col("value").as("data"), lit("unparseable envelope").as("error"),
       lit(null).cast("string").as("table_name"), lit(null).cast("string").as("db_name"),
       col("loop"))
     errs.write.mode(SaveMode.Append).parquet(paths.errors)
-    val retry = invalid.filter(col("loop") + 1 < republishLimit)
-      .select(col("value"), (col("loop") + 1).as("loop"))
-    if (!retry.isEmpty) retry.write.mode(SaveMode.Append).parquet(paths.retry)
-    val dead = invalid.filter(col("loop") + 1 >= republishLimit)
-      .select(col("value"), (col("loop") + 1).as("loop"))
-    if (!dead.isEmpty) dead.write.mode(SaveMode.Append).parquet(paths.dlq)
+    if (republish) {
+      val retry = invalid.filter(col("loop") + 1 < republishLimit)
+        .select(col("value"), (col("loop") + 1).as("loop"))
+      if (!retry.isEmpty) retry.write.mode(SaveMode.Append).parquet(paths.retry)
+      val dead = invalid.filter(col("loop") + 1 >= republishLimit)
+        .select(col("value"), (col("loop") + 1).as("loop"))
+      if (!dead.isEmpty) dead.write.mode(SaveMode.Append).parquet(paths.dlq)
+    }
   }
 
   /** ST4 pause-the-world DDL branch: per micro-batch (the natural barrier —
