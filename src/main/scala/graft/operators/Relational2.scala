@@ -286,7 +286,84 @@ object Relational2 {
       |  qv[len(qv)] AS last_comp
       |FROM v ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** Explicit null-ordering semantics: ranks under DESC NULLS LAST and
+    * ASC NULLS FIRST over a lag-produced nullable column (explicit on both
+    * engines — defaults differ across SQL dialects).
+    */
+  def nullOrdering(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(s, d)
+      .filter(col("user_id") < 20)
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .withColumn("rn_desc", row_number().over(
+        Window.orderBy(col("prev").desc_nulls_last, col("event_id"))))
+      .withColumn("rn_asc", row_number().over(
+        Window.orderBy(col("prev").asc_nulls_first, col("event_id"))))
+      .select("event_id", "prev", "rn_desc", "rn_asc")
+      .orderBy("event_id")
+  }
+
+  val nullOrderingSql: String =
+    """WITH p AS (SELECT event_id,
+      |    lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+      |  FROM events WHERE user_id < 20)
+      |SELECT event_id, prev,
+      |  CAST(row_number() OVER (ORDER BY prev DESC NULLS LAST, event_id) AS INT) AS rn_desc,
+      |  CAST(row_number() OVER (ORDER BY prev ASC NULLS FIRST, event_id) AS INT) AS rn_asc
+      |FROM p ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q48
+  /** unionByName: position-independent union resolution. */
+  def unionByName(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val b = o.filter(col("o_totalprice") > 400000)
+      .select(col("o_totalprice"), col("o_orderkey")) // reversed order
+    a.unionByName(b)
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n"), max(col("o_totalprice")).as("price"))
+      .orderBy("o_orderkey")
+  }
+
+  val unionByNameSql: String =
+    """SELECT o_orderkey, count(*) AS n, max(o_totalprice) AS price FROM (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+      |  UNION ALL BY NAME
+      |  SELECT o_totalprice, o_orderkey FROM orders WHERE o_totalprice > 400000)
+      |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q49
+  /** grouping()/grouping_id() markers on ROLLUP — the proper subtotal
+    * discriminators (q11 uses the coalesce idiom; this is the functional
+    * surface).
+    */
+  def groupingMarkers(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("-")).as("status"),
+        coalesce(col("o_orderpriority"), lit("-")).as("prio"),
+        col("g_status"), col("g_prio"), col("n"))
+      .orderBy("g_status", "g_prio", "status", "prio")
+
+  val groupingMarkersSql: String =
+    """SELECT coalesce(o_orderstatus, '-') AS status,
+      |       coalesce(o_orderpriority, '-') AS prio,
+      |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+      |       count(*) AS n
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_prio, status, prio""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_null_ordering" -> (nullOrdering _),
+    "q48_union_by_name" -> (unionByName _),
+    "q49_grouping_markers" -> (groupingMarkers _),
     "q46_array_hof" -> (arrayHof _),
     "q42_map_funcs" -> (mapFuncs _),
     "q43_in_subquery" -> (inSubquery _),
@@ -300,6 +377,9 @@ object Relational2 {
     "q41_conditional_scalars" -> (conditionalScalars _))
 
   val oracles: Map[String, String] = Map(
+    "q47_null_ordering" -> nullOrderingSql,
+    "q48_union_by_name" -> unionByNameSql,
+    "q49_grouping_markers" -> groupingMarkersSql,
     "q46_array_hof" -> arrayHofSql,
     "q42_map_funcs" -> mapFuncsSql,
     "q43_in_subquery" -> inSubquerySql,
