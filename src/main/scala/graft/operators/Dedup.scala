@@ -18,10 +18,14 @@ import graft.functions.TextFunctions
   *     skew-join at scale;
   *   - MinHash LSH: fixed-width signatures (SIG_N hashes) per doc, banded
   *     into BANDS buckets; candidates only within equal (band, bucket-key) —
-  *     the standard sub-quadratic LSH shape. Signature computation is a
-  *     single narrow pass (higher-order array functions, codegen'd, no UDF);
-  *   - SimHash: 60-bit fingerprint per doc in one narrow pass + one
-  *     hamming-ball self-join on the 4-banded fingerprint pieces.
+  *     the standard sub-quadratic LSH shape. Signatures come from one
+  *     explode + one codegen'd hash aggregate (no UDF, no interpreted
+  *     higher-order functions);
+  *   - SimHash: 60-bit fingerprint per doc via the same explode +
+  *     bit-sum-aggregate shape;
+  *   - survivor selection: near-dup pairs → connected components →
+  *     min-id survivor per component (adaptive union-find / label
+  *     propagation).
   */
 object Dedup {
 
