@@ -208,7 +208,61 @@ object TextOps {
       |SELECT lang, CAST(rank AS INT) AS rank, tok, score FROM ranked
       |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
 
+  // ------------------------------------------------------------ winnowing
+  /** t08: winnowing fingerprints (the rolling-hash document fingerprint of
+    * Schleimer/Wilkerson/Aiken): hash every positional word-3-gram, slide a
+    * window of 4 hashes, keep each window's min — the distinct mins are the
+    * doc's fingerprint set, robust to local edits. Uses the cross-engine
+    * md5-derived hash family (graft.operators.Dedup.baseHash) so the whole
+    * structure is oracle-checkable. One explode + one window + one
+    * aggregate; linear, no shuffle of document bodies.
+    */
+  def winnowingFingerprints(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+    val grams = docs
+      .withColumn("i", explode(sequence(lit(0), size(col("tk")) - 3)))
+      .select(col("doc_id"), col("i"),
+        graft.operators.Dedup.baseHash(concat_ws(" ",
+          element_at(col("tk"), col("i") + 1),
+          element_at(col("tk"), col("i") + 2),
+          element_at(col("tk"), col("i") + 3))).as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i")).rowsBetween(0, 3)
+    val n = Window.partitionBy(col("doc_id"))
+    grams
+      .withColumn("n_grams", count(lit(1)).over(n))
+      .withColumn("wmin", min(col("h")).over(w))
+      // windows that extend past the end are excluded unless the doc has
+      // fewer grams than one window (then the single full-doc window stays)
+      .filter(col("i") <= col("n_grams") - 4 || (col("n_grams") < 4 && col("i") === 0))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("wmin")).as("n_fingerprints"),
+        min(col("wmin")).as("min_fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val winnowingFingerprintsSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |           FROM documents),
+      |d AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 3),
+      |g AS (SELECT doc_id, i - 1 AS i,
+      |        CAST(concat('0x', substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15)) AS BIGINT) AS h
+      |      FROM d, unnest(range(1, len(tk) - 1)) AS r(i)),
+      |wm AS (SELECT doc_id, i,
+      |         count(*) OVER (PARTITION BY doc_id) AS n_grams,
+      |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      |       FROM g)
+      |SELECT doc_id, count(DISTINCT wmin) AS n_fingerprints,
+      |       min(wmin) AS min_fingerprint
+      |FROM wm
+      |WHERE i <= n_grams - 4 OR (n_grams < 4 AND i = 0)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t08_winnowing" -> (winnowingFingerprints _),
     "t07_tfidf" -> (tfidfTopTerms _),
     "t01_token_stats" -> (tokenStats _),
     "t02_langid" -> (langIdConfusion _),
@@ -217,6 +271,7 @@ object TextOps {
     "t05_cleantext" -> (cleanedDocs _))
 
   val oracles: Map[String, String] = Map(
+    "t08_winnowing" -> winnowingFingerprintsSql,
     "t07_tfidf" -> tfidfTopTermsSql,
     "t01_token_stats" -> tokenStatsSql,
     "t02_langid" -> langIdConfusionSql,
