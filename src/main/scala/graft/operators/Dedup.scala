@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -14,8 +15,9 @@ import graft.functions.TextFunctions
   *   - n-gram Jaccard: candidate pairs are generated ONLY within
   *     (lang, length-band) blocks via a shingle-equality join — never an
   *     all-pairs product. The shingle join shuffles (shingle, doc_id) pairs;
-  *     posting lists for stop-shingles are the skew risk, handled by AQE
-  *     skew-join at scale;
+  *     stop-shingle posting lists (the quadratic skew risk) are capped at
+  *     MAX_POSTING_LEN — dropped before pair emission, mirrored in the
+  *     oracle, surfaced via stopShingles / the d08 histogram;
   *   - MinHash LSH: fixed-width signatures (SIG_N hashes) per doc, banded
   *     into BANDS buckets; candidates only within equal (band, bucket-key) —
   *     the standard sub-quadratic LSH shape. Signatures come from one
@@ -55,26 +57,70 @@ object Dedup {
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   // ------------------------------------------------------- n-gram Jaccard
+  /** Max docs a shingle may appear in before it is treated as a
+    * stop-shingle and dropped from pair generation. A shingle in k docs
+    * emits k(k-1)/2 pairs AND materializes a k-element aggregate row, so an
+    * uncapped stop-shingle ("terms of service") is the one quadratic
+    * blow-up in the pipeline at 100 TB. Dropping it costs almost no signal:
+    * a shingle shared by >500 documents identifies boilerplate, not
+    * near-duplication.
+    */
+  val MAX_POSTING_LEN = 500
+
   /** Near-duplicate pairs by word-3-gram Jaccard >= 0.1, blocked by
     * (lang, n_chars/100 band). The Jaccard test is pure integer arithmetic
     * (common*10 >= |union|) so the oracle hash-matches bit-exactly.
     */
-  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
+  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
+    ngramJaccardPairsOn(docBase(s, d), MAX_POSTING_LEN)
+
+  private def docBase(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         floor(col("n_chars") / 100).cast("int").as("band"), col("text"))
+
+  /** Per-shingle posting groups with the stop-shingle cap applied BEFORE
+    * collect_list: posting length is computed by a count window over the
+    * SAME keys the aggregate groups on, so the existing HashPartitioning
+    * satisfies the aggregate's required distribution and the cap costs one
+    * per-partition sort, not a second shuffle — and no aggregate row ever
+    * materializes more than `maxPostingLen` ids (the skew defense: an
+    * uncapped stop-shingle in 1M docs is an 8 MB aggregate row plus 5e11
+    * emitted pairs). The `plen > 1` side of the filter also drops singleton
+    * shingles before the list is built.
+    */
+  def shingleGroups(base: DataFrame, maxPostingLen: Int): DataFrame = {
+    val posting = shingleTable(base, carry = Seq("lang", "band"))
+    val wsh = Window.partitionBy("lang", "band", "sh")
+    posting.withColumn("plen", count(lit(1)).over(wsh))
+      .filter(col("plen") > 1 && col("plen") <= maxPostingLen)
+      .groupBy(col("lang"), col("band"), col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+  }
+
+  /** Dropped stop-shingles at a given cap — the observability side of the
+    * cap (what boilerplate was excluded, and how hot it was).
+    */
+  def stopShingles(base: DataFrame, maxPostingLen: Int): DataFrame =
+    shingleTable(base, carry = Seq("lang", "band"))
+      .groupBy(col("lang"), col("band"), col("sh"))
+      .agg(count(lit(1)).as("plen"))
+      .filter(col("plen") > maxPostingLen)
+
+  /** Jaccard semantics under the cap: doc shingle-set sizes (n_a, n_b) stay
+    * the TRUE distinct-shingle counts; dropping a stop-shingle removes it
+    * only from `common`, so the estimate is conservative (never inflates
+    * similarity). The oracle mirrors both choices exactly.
+    */
+  def ngramJaccardPairsOn(base: DataFrame, maxPostingLen: Int): DataFrame = {
     val posting = shingleTable(base, carry = Seq("lang", "band"))
     val sizes = posting.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n"))
     // Pair generation as aggregation, not a self-join: one shuffle by
-    // shingle -> sorted posting list -> emit ordered combinations -> count
-    // by pair. Same pairs/counts as the join formulation (the oracle SQL
-    // keeps that shape), one shuffle of the posting data instead of two
-    // join sides. At production scale, cap posting-list length (drop
-    // stop-shingles): a shingle in k docs emits k(k-1)/2 pairs either way.
-    val groups = posting.groupBy(col("lang"), col("band"), col("sh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val pairs = groups
+    // shingle -> sorted (capped) posting list -> emit ordered combinations
+    // -> count by pair. Same pairs/counts as the join formulation (the
+    // oracle SQL keeps that shape), one shuffle of the posting data instead
+    // of two join sides.
+    val pairs = shingleGroups(base, maxPostingLen)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
@@ -91,9 +137,46 @@ object Dedup {
 
   /** Oracle mirrors the Spark tokenization exactly: trim + split on \s+
     * (not single-space), and the <n-token whole-doc fallback shingle —
-    * multi-space or short documents otherwise diverge (ADVICE r2).
+    * multi-space or short documents otherwise diverge (ADVICE r2). The
+    * stop-shingle cap is mirrored in the `f` CTE (pairs only from shingles
+    * with plen <= MAX_POSTING_LEN; doc sizes stay uncapped).
     */
-  val ngramJaccardPairsSql: String =
+  lazy val ngramJaccardPairsSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, CAST(floor(n_chars/100.0) AS INT) AS band,
+      |                  regexp_split_to_array(trim(text), '\\s+') AS toks
+      |           FROM documents),
+      |g AS (SELECT doc_id, lang, band,
+      |             unnest(list_distinct(
+      |               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |                    ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                          FOR i IN range(1, len(toks)-1)] END)) AS sh
+      |      FROM t),
+      |f AS (SELECT lang, band, sh, count(*) AS plen FROM g GROUP BY 1, 2, 3),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      |          FROM g a JOIN g b ON a.sh = b.sh AND a.lang = b.lang
+      |                           AND a.band = b.band AND a.doc_id < b.doc_id
+      |          JOIN f ON f.lang = a.lang AND f.band = a.band AND f.sh = a.sh
+      |          WHERE f.plen <= $MAX_POSTING_LEN
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b, common, (sa.n + sb.n - common) AS union_size
+      |FROM pairs JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+      |WHERE common * 10 >= sa.n + sb.n - common
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** d08: shingle posting-length histogram — how hot shingles get, i.e. the
+    * distribution the stop-shingle cap defends against (and, at any given
+    * cap, how many shingles would be dropped: the plen > cap tail).
+    */
+  def shingleFreqHistogram(s: SparkSession, d: String): DataFrame =
+    shingleTable(docBase(s, d), carry = Seq("lang", "band"))
+      .groupBy(col("lang"), col("band"), col("sh"))
+      .agg(count(lit(1)).as("plen"))
+      .groupBy(col("plen"))
+      .agg(count(lit(1)).as("n_shingles"))
+      .orderBy("plen")
+
+  val shingleFreqHistogramSql: String =
     """WITH t AS (SELECT doc_id, lang, CAST(floor(n_chars/100.0) AS INT) AS band,
       |                  regexp_split_to_array(trim(text), '\s+') AS toks
       |           FROM documents),
@@ -103,15 +186,8 @@ object Dedup {
       |                    ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
       |                          FOR i IN range(1, len(toks)-1)] END)) AS sh
       |      FROM t),
-      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-      |          FROM g a JOIN g b ON a.sh = b.sh AND a.lang = b.lang
-      |                           AND a.band = b.band AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2)
-      |SELECT id_a, id_b, common, (sa.n + sb.n - common) AS union_size
-      |FROM pairs JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
-      |WHERE common * 10 >= sa.n + sb.n - common
-      |ORDER BY id_a, id_b""".stripMargin
+      |f AS (SELECT lang, band, sh, count(*) AS plen FROM g GROUP BY 1, 2, 3)
+      |SELECT plen, count(*) AS n_shingles FROM f GROUP BY plen ORDER BY plen""".stripMargin
 
   // ------------------------------------------------------------ MinHash LSH
   val SIG_N = 32  // minhashes per signature
@@ -327,10 +403,14 @@ object Dedup {
     */
   def connectedComponentsAuto(edges: DataFrame, smallGraph: Long = 1000000L): DataFrame = {
     val cached = edges.select(col("id_a"), col("id_b")).cache()
-    val result =
+    // Both strategies fully materialize their result before returning (the
+    // local path collects; the distributed path eagerly localCheckpoints),
+    // so the edge cache is dead after dispatch — unpersist it here rather
+    // than leaking one cached RDD per call in a long-lived session.
+    try {
       if (cached.count() <= smallGraph) unionFindLocal(cached)
       else connectedComponents(cached)
-    result
+    } finally cached.unpersist()
   }
 
   private def unionFindLocal(edges: DataFrame): DataFrame = {
@@ -401,11 +481,13 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** d07 oracle: recursive transitive-closure min-label. */
-  val neardupSurvivorsSql: String =
-    """WITH RECURSIVE
+  /** d07 oracle: recursive transitive-closure min-label (pairs under the
+    * same stop-shingle cap as d03).
+    */
+  lazy val neardupSurvivorsSql: String =
+    s"""WITH RECURSIVE
       |t AS (SELECT doc_id, lang, CAST(floor(n_chars/100.0) AS INT) AS band,
-      |             regexp_split_to_array(trim(text), '\s+') AS toks
+      |             regexp_split_to_array(trim(text), '\\s+') AS toks
       |      FROM documents),
       |g AS (SELECT doc_id, lang, band,
       |             unnest(list_distinct(
@@ -413,10 +495,13 @@ object Dedup {
       |                    ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
       |                          FOR i IN range(1, len(toks)-1)] END)) AS sh
       |      FROM t),
+      |f AS (SELECT lang, band, sh, count(*) AS plen FROM g GROUP BY 1, 2, 3),
       |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
       |      FROM g a JOIN g b ON a.sh = b.sh AND a.lang = b.lang
       |                       AND a.band = b.band AND a.doc_id < b.doc_id
+      |      JOIN f ON f.lang = a.lang AND f.band = a.band AND f.sh = a.sh
+      |      WHERE f.plen <= $MAX_POSTING_LEN
       |      GROUP BY 1, 2),
       |pairs AS (SELECT id_a, id_b FROM p JOIN sz sa ON id_a = sa.doc_id
       |                                   JOIN sz sb ON id_b = sb.doc_id
@@ -441,7 +526,8 @@ object Dedup {
     "d03_ngram_jaccard" -> (ngramJaccardPairs _),
     "d04_minhash_lsh" -> ((s: SparkSession, d: String) => minhashLshPairs(s, d)),
     "d05_simhash" -> (simhashFingerprints _),
-    "d07_neardup_survivors" -> (neardupSurvivors _))
+    "d07_neardup_survivors" -> (neardupSurvivors _),
+    "d08_shingle_freq_histogram" -> (shingleFreqHistogram _))
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> dedupExactSurvivorsSql,
@@ -449,5 +535,6 @@ object Dedup {
     "d03_ngram_jaccard" -> ngramJaccardPairsSql,
     "d04_minhash_lsh" -> minhashLshPairsSql,
     "d05_simhash" -> simhashFingerprintsSql,
-    "d07_neardup_survivors" -> neardupSurvivorsSql)
+    "d07_neardup_survivors" -> neardupSurvivorsSql,
+    "d08_shingle_freq_histogram" -> shingleFreqHistogramSql)
 }

@@ -170,6 +170,25 @@ object Multimodal {
       |  64 AS frame_bytes
       |FROM k ORDER BY asset_id""".stripMargin
 
+  /** m02 oracle: the stub decode kernel is pure byte arithmetic
+    * (n % 1920, (n/2) % 1080, byte-sum % 100000 over the UTF-8 payload), so
+    * DuckDB can reproduce it exactly — byte values come from pairs of hex
+    * digits of the encoded payload. This pins the whole mapPartitions
+    * plumbing (schema, null handling, per-row kernel application), not just
+    * row counts; a real codec would revert m02 to rows-only + scalatest.
+    */
+  val mediaFeaturesSql: String =
+    """WITH b AS (SELECT doc_id, encode(text) AS p FROM documents),
+      |h AS (SELECT doc_id, hex(p) AS hx, octet_length(p) AS n FROM b),
+      |s AS (SELECT doc_id, n,
+      |        coalesce(list_sum([CAST(concat('0x', substr(hx, 2*i-1, 2)) AS BIGINT)
+      |                           FOR i IN range(1, n+1)]), 0) AS bsum
+      |      FROM h)
+      |SELECT doc_id AS asset_id, CAST(n AS INT) AS n_bytes,
+      |  CAST(n % 1920 AS INT) AS width, CAST((n//2) % 1080 AS INT) AS height,
+      |  CAST(bsum % 100000 AS BIGINT) AS duration_ms
+      |FROM s ORDER BY asset_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta" -> (mediaMeta _),
     "m02_media_features" -> ((s: SparkSession, d: String) => {
@@ -179,5 +198,6 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "m01_media_meta" -> mediaMetaSql,
+    "m02_media_features" -> mediaFeaturesSql,
     "m03_frame_stats" -> frameStatsSql)
 }

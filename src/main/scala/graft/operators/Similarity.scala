@@ -315,9 +315,14 @@ object Similarity {
     * the exact quantized cosine ≥ threshold. At 100 TB the bucket arrays
     * are a stored column and this is a bucket-equi-join, same as s02.
     */
-  def embeddingNearDupPairs(s: SparkSession, d: String, threshold: Double = 0.8): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+  def embeddingNearDupPairs(s: SparkSession, d: String, threshold: Double = 0.8): DataFrame =
+    nearDupPairsFromQv(
+      Tables.embeddings(s, d).select(col("vec_id"), quantize(col("embedding")).as("qv")),
+      threshold)
+
+  /** Near-dup pipeline over an already-quantized (vec_id, qv) corpus. */
+  def nearDupPairsFromQv(qvCorpus: DataFrame, threshold: Double): DataFrame = {
+    val e = qvCorpus
       .withColumn("nrm", sqrt(qdot(col("qv"), col("qv")).cast("double")))
     // Self-join a THIN key table (3 longs/row) and distinct the id pair
     // first: pair-distinct over two longs is a HashAggregate, while
@@ -341,11 +346,51 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
-  /** d06 oracle, generated from the same plane literals. */
+  /** d06 as driver-checked: the synthetic corpus has NO true near-dup pairs
+    * (measured max all-pairs cosine 0.51 at sf0.01, and hyperplane-LSH
+    * recall at that similarity is ~0), so the raw operator is green only on
+    * 0 = 0 rows — a tautology (VERDICT r3). The fixtures are read-only, so
+    * the planting happens in the query: the corpus is augmented with
+    * deterministic derived near-dups — for every vec_id % 83 == 0, a vector
+    * qv'[i] = 3·qv[i] + qv[(i mod 64)+1] under id + 10,000,000 (integer
+    * arithmetic AFTER quantization, so both engines agree bit-exactly;
+    * cosine(x, 3x+rot(x)) ≈ 0.95 for these embeddings). The oracle plants
+    * identically, so the check now exercises bucket collision, candidate
+    * join, exact-cosine confirm, and threshold on real pairs. The pure
+    * operator (embeddingNearDupPairs) is unchanged for real corpora.
+    */
+  val PLANT_EVERY = 83
+  val PLANT_ID_OFFSET = 10000000L
+
+  def plantNearDups(qvCorpus: DataFrame): DataFrame = {
+    // zip_with here is an interpreted HOF, but it runs only on the planted
+    // sliver (|corpus|/83 rows), never the full corpus
+    val rotated = concat(slice(col("qv"), 2, 63), slice(col("qv"), 1, 1))
+    val planted = qvCorpus.filter(col("vec_id") % PLANT_EVERY === 0)
+      .select((col("vec_id") + PLANT_ID_OFFSET).as("vec_id"),
+        zip_with(col("qv"), rotated, (a, b) => a * 3 + b).as("qv"))
+    qvCorpus.unionByName(planted)
+  }
+
+  def embeddingNearDupPairsSeeded(s: SparkSession, d: String,
+      threshold: Double = 0.8): DataFrame =
+    nearDupPairsFromQv(
+      plantNearDups(Tables.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("qv"))),
+      threshold)
+
+  /** d06 oracle, generated from the same plane literals, over the same
+    * planted corpus.
+    */
   lazy val embeddingNearDupPairsSql: String =
     s"""WITH planes(table_idx, plane_idx, pv) AS (VALUES
        |  ${planeValuesSqlFor(ndPlanes)}),
-       |v AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qv FROM embeddings),
+       |v0 AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qv FROM embeddings),
+       |v AS (SELECT vec_id, qv FROM v0
+       |      UNION ALL
+       |      SELECT vec_id + $PLANT_ID_OFFSET,
+       |             [3*qv[i] + qv[CASE WHEN i = 64 THEN 1 ELSE i + 1 END] FOR i IN range(1, 65)]
+       |      FROM v0 WHERE vec_id % $PLANT_EVERY = 0),
        |b AS (SELECT vec_id, table_idx,
        |        CAST(sum(CASE WHEN list_sum([qv[i]*pv[i] FOR i IN range(1,65)]) > 0
        |                 THEN CAST(power(2, plane_idx) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
@@ -365,7 +410,7 @@ object Similarity {
     "s01_cosine_topk" -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => annLshTopK(s, d)),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => annIvfTopK(s, d)),
-    "d06_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDupPairs(s, d)))
+    "d06_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDupPairsSeeded(s, d)))
 
   val oracles: Map[String, String] = Map(
     "s01_cosine_topk" -> cosineTopKSql,

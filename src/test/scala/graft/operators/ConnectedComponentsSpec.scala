@@ -21,6 +21,15 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(uf == expected)
   }
 
+  test("small-graph path leaves no cached RDDs behind (cache is unpersisted)") {
+    // drain any persistent RDDs left by earlier suites sharing the session
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    Dedup.connectedComponentsAuto(edges).collect()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked: ${spark.sparkContext.getPersistentRDDs.keys.toList}")
+  }
+
   test("long chain converges within the iteration cap") {
     val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val lp = Dedup.connectedComponents(chain, maxIter = 50)
