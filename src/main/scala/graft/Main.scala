@@ -26,9 +26,8 @@ object Main {
     val base = args.headOption.getOrElse("/tmp/graft")
     val paths = CdcStreaming.SinkPaths(
       s"$base/state", s"$base/errors", s"$base/retry", s"$base/dlq")
-    val source = CdcSources.kafkaStream(spark, cfg.kafkaAddress, cfg.server,
+    val source = CdcSources.loadKafka(spark, cfg.kafkaAddress, cfg.server,
         cfg.db, cfg.tables, cfg.activeScheme, cfg.autoOffset)
-      .load()
       .select(col("value").cast("string").as("value"),
         // the reference's `loop` retry counter rides a Kafka header
         // (main.go:174-203); absent header ⇒ first delivery

@@ -44,6 +44,39 @@ object CdcSources {
     maxOffsetsPerTrigger.fold(reader)(n => reader.option("maxOffsetsPerTrigger", n.toString))
   }
 
+  /** S1: materialize the configured Kafka reader. The Structured-Streaming
+    * Kafka source lives in a separate artifact (spark-sql-kafka-0-10) that
+    * is NOT bundled with Spark; without it, `.load()` fails with an opaque
+    * DATA_SOURCE_NOT_FOUND — converted here into an actionable error naming
+    * the artifact and the submit flag. This is as far as a broker-less,
+    * jar-less environment can prove the path: reader construction and
+    * config parity are unit-tested, and THIS failure mode is pinned by
+    * SourcesSpec so a misconfigured cluster fails loudly, not cryptically.
+    */
+  def loadKafka(spark: SparkSession, brokers: String, server: String, db: String,
+      tables: Seq[String], activeScheme: Boolean = false,
+      autoOffset: String = "latest", maxOffsetsPerTrigger: Option[Long] = None): DataFrame =
+    try kafkaStream(spark, brokers, server, db, tables, activeScheme,
+      autoOffset, maxOffsetsPerTrigger).load()
+    catch {
+      case e: Throwable if isMissingKafkaConnector(e) =>
+        throw new IllegalStateException(
+          "kafka connector missing: the Structured Streaming Kafka source " +
+            "(org.apache.spark:spark-sql-kafka-0-10_2.13) is not on the " +
+            s"classpath; submit with --packages org.apache.spark:spark-sql-kafka-0-10_2.13:${spark.version} " +
+            "or bundle the jar", e)
+    }
+
+  private def isMissingKafkaConnector(e: Throwable): Boolean = {
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    chain.exists { c =>
+      val m = Option(c.getMessage).getOrElse("").toLowerCase
+      c.isInstanceOf[ClassNotFoundException] && m.contains("kafka") ||
+        m.contains("data_source_not_found") ||
+        (m.contains("data source") && m.contains("kafka"))
+    }
+  }
+
   /** S2: project failed records into the Kafka republish shape — original
     * value back to its source topic with a `loop` retry-count header
     * (main.go:174-203). Input needs (topic, value, loop); output matches

@@ -1,6 +1,8 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -70,9 +72,56 @@ object CdcStreaming {
     (valid, invalid)
   }
 
+  // ----------------------------------------------------- state commit log
+  /** The materialized state is a tiny commit log: `statePath/` holds
+    * immutable version directories (v00000001, v00000002, …) plus a
+    * one-line `_CURRENT` manifest naming the committed version. A commit
+    * writes a FRESH version dir, then publishes it with a single atomic
+    * rename of the manifest — so there is NO window in which a crash loses
+    * state (the r3 layout's read-merge-overwrite double-move could drop the
+    * `.old` copy if killed between its two Files.move calls). A crash
+    * before the manifest rename leaves an orphan version dir that the next
+    * successful commit garbage-collects; a crash during it is resolved by
+    * ATOMIC_MOVE (reader sees old or new manifest, never a torn one). This
+    * is the local-fs miniature of a lakehouse table-format commit —
+    * swap the whole block for `MERGE INTO` on Delta/Iceberg at scale.
+    */
+  private val Manifest = "_CURRENT"
+  private val VersionRe = "v(\\d{8})".r
+
+  private def committedVersion(root: Path): Option[String] = {
+    val m = root.resolve(Manifest)
+    if (Files.exists(m)) Some(Files.readString(m).trim) else None
+  }
+
+  private def listVersions(root: Path): Seq[String] =
+    if (!Files.isDirectory(root)) Nil
+    else {
+      val s = Files.list(root)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case v @ VersionRe(_) => v }.toSeq
+      finally s.close()
+    }
+
+  /** Publish `df` as the next committed version of `statePath`. */
+  private def commitVersion(df: DataFrame, root: Path): Unit = {
+    Files.createDirectories(root)
+    // next = max existing + 1 (not committed + 1): an orphan dir from a
+    // crashed commit must never be re-used for fresh data
+    val next = f"v${listVersions(root).map(_.drop(1).toInt).maxOption.getOrElse(0) + 1}%08d"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(root.resolve(next).toString)
+    val tmp = root.resolve(Manifest + ".tmp")
+    Files.writeString(tmp, next)
+    Files.move(tmp, root.resolve(Manifest),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    listVersions(root).filterNot(_ == next).foreach(v => deleteRec(root.resolve(v)))
+  }
+
   /** Idempotent keyed upsert: union incoming changes with current state,
     * keep the binlog-latest surviving row per (db, tbl, id). Re-applying
-    * the same batch is a no-op (exactly-once effect).
+    * the same batch is a no-op (exactly-once effect). The merge reads the
+    * committed version and writes a NEW one, so no cache/count
+    * pre-materialization is needed — the write never overwrites its input.
     */
   def upsertBatch(spark: SparkSession, valid: DataFrame, statePath: String): Unit = {
     val incoming = valid.select(
@@ -80,30 +129,18 @@ object CdcStreaming {
       element_at(col("after"), "name").as("name"),
       element_at(col("after"), "amount").cast("long").as("amount"),
       col("op"), col("file"), col("pos"), col("row"))
-    val current =
-      if (Files.exists(Paths.get(statePath)))
-        spark.read.parquet(statePath)
-      else incoming.limit(0)
+    val root = Paths.get(statePath)
+    val current = committedVersion(root) match {
+      case Some(v) => spark.read.parquet(root.resolve(v).toString)
+      case None    => incoming.limit(0)
+    }
     val w = Window.partitionBy(col("db"), col("tbl"), col("id"))
       .orderBy(col("file").desc, col("pos").desc, col("row").desc)
     val merged = current.unionByName(incoming)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
-      .cache()
-    merged.count() // materialize before overwriting the input path
-    merged.write.mode(SaveMode.Overwrite).parquet(statePath + ".tmp")
-    merged.unpersist()
-    // atomic-ish swap (local fs stand-in for a table-format commit)
-    val tmp = Paths.get(statePath + ".tmp")
-    val dst = Paths.get(statePath)
-    if (Files.exists(dst)) {
-      val old = Paths.get(statePath + ".old")
-      deleteRec(old)
-      Files.move(dst, old)
-      Files.move(tmp, dst)
-      deleteRec(old)
-    } else Files.move(tmp, dst)
+    commitVersion(merged, root)
   }
 
   /** Live rows of the materialized state (delete tombstones stay in the
@@ -111,8 +148,12 @@ object CdcStreaming {
     * resurrect a deleted key — and are dropped on read; compaction would
     * purge them at scale).
     */
-  def currentState(spark: SparkSession, statePath: String): DataFrame =
-    spark.read.parquet(statePath).filter(col("op") =!= "D")
+  def currentState(spark: SparkSession, statePath: String): DataFrame = {
+    val root = Paths.get(statePath)
+    val v = committedVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed state at $statePath"))
+    spark.read.parquet(root.resolve(v).toString).filter(col("op") =!= "D")
+  }
 
   private def deleteRec(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {

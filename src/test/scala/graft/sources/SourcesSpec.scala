@@ -24,6 +24,17 @@ class SourcesSpec extends SparkSpec {
     assert(CdcSources.startingOffsets("anything") == "latest")
   }
 
+  test("S1 missing kafka connector fails loudly with the artifact to add") {
+    // this image ships no spark-sql-kafka jar, which is exactly the
+    // misconfiguration a fresh cluster hits — pin the actionable error
+    val e = intercept[IllegalStateException] {
+      CdcSources.loadKafka(spark, "localhost:9092", "dbserver2", "batch", Seq("acct"))
+    }
+    assert(e.getMessage.contains("spark-sql-kafka-0-10"))
+    assert(e.getMessage.contains("--packages"))
+    assert(e.getCause != null)
+  }
+
   test("S2 republish projection: value round-trips, loop header increments (main.go:174-203)") {
     val failed = Seq(("t.shop.acct", "payload-bytes", 1)).toDF("topic", "value", "loop")
     val out = CdcSources.republishProjection(failed).collect().head
