@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Pins the scale-critical physical-plan shapes (the PLANS.md audit) as
+  * assertions, so a refactor can't silently regress them: pushed-down
+  * parquet predicates, bounded top-k, broadcast dimension joins, and
+  * hash (not sort) aggregation for the LSH pair-distinct. Shapes are
+  * asserted on the compiled plan string at sf0.001 — the same text
+  * `.explain` prints.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filters and column pruning reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(!p.contains("PushedFilters: []"), "no predicates pushed")
+    // the predicate columns must appear inside PushedFilters, not a
+    // post-scan Filter-only plan
+    assert(p.contains("GreaterThanOrEqual(l_discount") || p.contains("LessThan(l_quantity"),
+      "range predicates not pushed to the scan")
+  }
+
+  test("q03: top-k is TakeOrderedAndProject (bounded heaps, no global sort)") {
+    val p = plan("q03_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q04/q05: dimension joins broadcast; no sort-merge or nested-loop join") {
+    for (q <- Seq("q04_join_agg", "q05_revenue_by_nation")) {
+      val p = plan(q)
+      assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, s"$q:\n${p.take(2000)}")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), s"$q picked a non-broadcast join")
+    }
+  }
+
+  test("d04: LSH pair-distinct is a hash aggregate over thin keys, not a sort aggregate over arrays") {
+    val p = plan("d04_minhash_lsh")
+    assert(!p.contains("SortAggregate"), s"signature arrays reached an aggregate:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation degenerated to all-pairs")
+  }
+
+  test("d06: planted near-dup candidates come from a bucket equi-join, never all-pairs") {
+    val p = plan("d06_embedding_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in d06:\n${p.take(3000)}")
+  }
+}
