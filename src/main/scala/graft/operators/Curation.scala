@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** The end-to-end training-data curation pipeline — the composition a
+  * corpus engineer actually runs, wired from the individually-verified
+  * stages: quality gate → exact dedup (min-id per content hash) →
+  * near-dup survivor selection (capped n-gram Jaccard pairs → connected
+  * components → keep component min) → per-(source, lang) corpus stats.
+  *
+  * Scale shape: the quality gate is a narrow codegen'd filter at the scan;
+  * exact dedup shuffles (hash, id) pairs and semi-joins the ids back (one
+  * body-carrying shuffle total); the near-dup stage inherits d03/d07's
+  * capped sub-quadratic shape; the final stats are a partial-aggregated
+  * two-column rollup. Nothing here materializes bodies beyond the one
+  * dedup semi-join.
+  */
+object Curation {
+
+  /** Minimum whitespace-token count for a document to enter the corpus. */
+  val MIN_TOKENS = 5
+
+  def curate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val qualified = docs.filter(size(TextFunctions.tokens(col("text"))) >= MIN_TOKENS)
+    // exact dedup: keep the smallest doc_id per content hash; the hash
+    // aggregate shuffles (hash, id) only, then a semi-join restores rows
+    val keep = qualified
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val deduped = qualified.join(keep, Seq("doc_id"), "left_semi")
+    // near-dup survivor filter over the deduped set (capped, d03 shape)
+    val base = deduped.select(col("doc_id"), col("lang"),
+      floor(col("n_chars") / 100).cast("int").as("band"), col("text"))
+    val pairs = Dedup.ngramJaccardPairsOn(base, Dedup.MAX_POSTING_LEN)
+      .select("id_a", "id_b")
+    val losers = Dedup.connectedComponentsAuto(pairs)
+      .filter(col("id") =!= col("lbl"))
+      .select(col("id").as("doc_id"))
+    val surviving = deduped.join(losers, Seq("doc_id"), "left_anti")
+    surviving.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy("source", "lang")
+  }
+
+  /** Oracle: the same four stages composed in SQL — token gate, min-id per
+    * md5, capped-pair recursive-CTE components, anti-joined stats.
+    */
+  lazy val curateSql: String =
+    s"""WITH RECURSIVE
+      |q AS (SELECT * FROM documents
+      |      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= $MIN_TOKENS),
+      |keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+      |dd AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+      |t AS (SELECT doc_id, lang, CAST(floor(n_chars/100.0) AS INT) AS band,
+      |             regexp_split_to_array(trim(text), '\\s+') AS toks
+      |      FROM dd),
+      |g AS (SELECT doc_id, lang, band,
+      |             unnest(list_distinct(
+      |               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |                    ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                          FOR i IN range(1, len(toks)-1)] END)) AS sh
+      |      FROM t),
+      |f AS (SELECT lang, band, sh, count(*) AS plen FROM g GROUP BY 1, 2, 3),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      |      FROM g a JOIN g b ON a.sh = b.sh AND a.lang = b.lang
+      |                       AND a.band = b.band AND a.doc_id < b.doc_id
+      |      JOIN f ON f.lang = a.lang AND f.band = a.band AND f.sh = a.sh
+      |      WHERE f.plen <= ${Dedup.MAX_POSTING_LEN}
+      |      GROUP BY 1, 2),
+      |prs AS (SELECT id_a, id_b FROM p JOIN sz sa ON id_a = sa.doc_id
+      |                                 JOIN sz sb ON id_b = sb.doc_id
+      |        WHERE common * 10 >= sa.n + sb.n - common),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+      |          UNION SELECT id_b, id_a FROM prs),
+      |cc AS (
+      |  SELECT src AS id, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst AS id, cc.lbl AS lbl FROM cc JOIN edges e ON cc.id = e.src
+      |),
+      |losers AS (SELECT id FROM cc GROUP BY id HAVING id <> min(lbl)),
+      |surv AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT id FROM losers))
+      |SELECT source, lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM surv GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_curation_pipeline" -> (curate _))
+
+  val oracles: Map[String, String] = Map(
+    "p01_curation_pipeline" -> curateSql)
+}

@@ -50,4 +50,23 @@ object ScalePatterns {
       explode(sequence(lit(0), lit(salts - 1)).cast("array<bigint>")))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Bloom-pruned join: build a Bloom filter over the (selective) build
+    * side's keys, broadcast it, and drop probe rows that cannot match
+    * BEFORE they reach the join's exchange. On a 100 TB probe against a
+    * selective build side this cuts the shuffled volume to roughly the
+    * join selectivity (+ fpp); Catalyst's own runtime bloom
+    * (spark.sql.optimizer.runtime.bloomFilter.enabled) does the same
+    * injection automatically when stats justify it — this is the explicit
+    * form for when the planner can't see the selectivity (e.g. the build
+    * side is the output of an opaque computation). False positives are
+    * harmless: the join itself still decides membership exactly.
+    */
+  def bloomPrunedJoin(probe: DataFrame, build: DataFrame, key: String,
+      expectedBuildKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bf = build.stat.bloomFilter(key, expectedBuildKeys, fpp)
+    val bc = probe.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    probe.filter(mightContain(col(key))).join(build, key)
+  }
 }

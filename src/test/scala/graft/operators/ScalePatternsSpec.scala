@@ -49,4 +49,20 @@ class ScalePatternsSpec extends SparkSpec {
       .agg(count(lit(1)), sum("bv")).collect().head
     assert(plain == salted)
   }
+
+  test("bloom-pruned join matches the plain join and prunes non-matching probe rows") {
+    val probe = (1L to 10000L).toDF("k").withColumn("pv", col("k") * 10)
+    // selective build side: 1% of the probe keys
+    val build = (1L to 10000L by 100L).toDF("k").withColumn("bv", col("k") + 7)
+    val plain = probe.join(build, "k").select("k", "pv", "bv")
+      .collect().map(_.toSeq).toSet
+    val pruned = ScalePatterns.bloomPrunedJoin(probe, build, "k",
+      expectedBuildKeys = 200L)
+    assert(pruned.select("k", "pv", "bv").collect().map(_.toSeq).toSet == plain)
+    // the filter itself must remove the bulk of the probe before the join:
+    // 100 true keys + <= fpp*10000 false positives, far under the 10000 input
+    val bf = build.stat.bloomFilter("k", 200L, 0.01)
+    val surviving = probe.filter(udf((k: Long) => bf.mightContainLong(k)).apply(col("k"))).count()
+    assert(surviving >= 100 && surviving < 600, s"bloom pruned to $surviving rows")
+  }
 }
