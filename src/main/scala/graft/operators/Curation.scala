@@ -33,15 +33,23 @@ object Curation {
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val deduped = qualified.join(keep, Seq("doc_id"), "left_semi")
+    // The pair pipeline references the deduped set three times (posting
+    // groups + two size joins) and connectedComponentsAuto materializes it
+    // EAGERLY — cache across that phase, then unpersist so the lazy stats
+    // tail recomputes it exactly once: 2 scans of the documents table
+    // total instead of 4 (the cached CC results carry no lineage back to
+    // it — the small path collects, the large path localCheckpoints).
+    val deduped = qualified.join(keep, Seq("doc_id"), "left_semi").cache()
     // near-dup survivor filter over the deduped set (capped, d03 shape)
     val base = deduped.select(col("doc_id"), col("lang"),
       floor(col("n_chars") / 100).cast("int").as("band"), col("text"))
     val pairs = Dedup.ngramJaccardPairsOn(base, Dedup.MAX_POSTING_LEN)
       .select("id_a", "id_b")
-    val losers = Dedup.connectedComponentsAuto(pairs)
-      .filter(col("id") =!= col("lbl"))
-      .select(col("id").as("doc_id"))
+    val losers =
+      try Dedup.connectedComponentsAuto(pairs)
+        .filter(col("id") =!= col("lbl"))
+        .select(col("id").as("doc_id"))
+      finally deduped.unpersist()
     val surviving = deduped.join(losers, Seq("doc_id"), "left_anti")
     surviving.groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"),
