@@ -30,6 +30,17 @@ class ConnectedComponentsSpec extends SparkSpec {
       s"leaked: ${spark.sparkContext.getPersistentRDDs.keys.toList}")
   }
 
+  test("distributed path persists only the checkpointed result") {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    Dedup.connectedComponents(edges).collect()
+    // fwd/bidir/intermediate label checkpoints must be unpersisted; the
+    // final labels' localCheckpoint must stay (its lineage is truncated)
+    val persisted = spark.sparkContext.getPersistentRDDs
+    assert(persisted.size <= 1, s"leaked: ${persisted.keys.toList}")
+    persisted.values.foreach(_.unpersist(true))
+  }
+
   test("long chain converges within the iteration cap") {
     val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val lp = Dedup.connectedComponents(chain, maxIter = 50)

@@ -61,4 +61,20 @@ class Relational2Spec extends SparkSpec {
       assert(r.getAs[Double]("cosine") >= 0.5)
     }
   }
+
+  test("d06 seeded: planted near-dups are recalled through the LSH buckets") {
+    // every planted vector (3x + rot(x)) should pair with its source at
+    // cosine >= 0.8; LSH recall at that similarity is ~0.92/pair, so at
+    // least one of the planted pairs must surface even on the tiny SF —
+    // and every (original, original+OFFSET) pair that does surface must be
+    // a true plant
+    val rows = Similarity.embeddingNearDupPairsSeeded(spark, sf).collect()
+    val planted = rows.filter(r =>
+      r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + Similarity.PLANT_ID_OFFSET)
+    assert(planted.nonEmpty, "no planted pair recalled — seeding is broken")
+    planted.foreach { r =>
+      assert(r.getAs[Long]("id_a") % Similarity.PLANT_EVERY == 0)
+      assert(r.getAs[Double]("cosine") >= 0.8)
+    }
+  }
 }
