@@ -433,6 +433,21 @@ object Dedup {
     parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "lbl")
   }
 
+  /** Release everything a loop-iteration DataFrame holds: the CacheManager
+    * entry (cache()'d frames) AND the underlying checkpoint RDD —
+    * `DataFrame.unpersist()` alone is a NO-OP for localCheckpoint'ed
+    * frames because the CacheManager never saw them; the persisted RDD
+    * sits behind a LogicalRDD leaf (leak found by the
+    * ConnectedComponentsSpec hygiene test: one stranded RDD per
+    * iteration).
+    */
+  private def release(df: DataFrame): Unit = {
+    df.unpersist()
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
+  }
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // edges: (id_a, id_b); cache BEFORE mirroring — the union's two
     // branches would otherwise each re-execute the (expensive) pair
@@ -461,7 +476,7 @@ object Dedup {
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
-      labels.unpersist()
+      release(labels) // next is already materialized; the old epoch is dead
       labels = next
       iter += 1
     }

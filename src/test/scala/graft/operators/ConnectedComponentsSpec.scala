@@ -21,24 +21,31 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(uf == expected)
   }
 
+  // Other suites share this SparkContext and may cache concurrently, so
+  // cache-hygiene is asserted on the before/after DELTA with retries: a
+  // genuine leak adds a surviving RDD on EVERY attempt; a concurrent
+  // suite's transient cache does not.
+  private def leaksAtMost(expected: Int)(run: => Unit): Boolean =
+    (1 to 5).exists { _ =>
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      run
+      val persisted = spark.sparkContext.getPersistentRDDs
+      val delta = persisted.keySet -- before
+      // drain what this attempt added (e.g. the expected final checkpoint)
+      delta.foreach(id => persisted.get(id).foreach(_.unpersist(true)))
+      delta.size <= expected
+    }
+
   test("small-graph path leaves no cached RDDs behind (cache is unpersisted)") {
-    // drain any persistent RDDs left by earlier suites sharing the session
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-    Dedup.connectedComponentsAuto(edges).collect()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      s"leaked: ${spark.sparkContext.getPersistentRDDs.keys.toList}")
+    assert(leaksAtMost(0) { Dedup.connectedComponentsAuto(edges).collect() })
   }
 
   test("distributed path persists only the checkpointed result") {
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-    Dedup.connectedComponents(edges).collect()
-    // fwd/bidir/intermediate label checkpoints must be unpersisted; the
-    // final labels' localCheckpoint must stay (its lineage is truncated)
-    val persisted = spark.sparkContext.getPersistentRDDs
-    assert(persisted.size <= 1, s"leaked: ${persisted.keys.toList}")
-    persisted.values.foreach(_.unpersist(true))
+    // fwd/bidir/intermediate label checkpoints must be unpersisted; only
+    // the final labels' localCheckpoint may remain (lineage is truncated)
+    assert(leaksAtMost(1) { Dedup.connectedComponents(edges).collect() })
   }
 
   test("long chain converges within the iteration cap") {
