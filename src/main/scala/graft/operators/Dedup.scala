@@ -353,7 +353,11 @@ object Dedup {
     * higher-order `simhash` column stays available for single-row use but
     * is interpreted and slower at scale). Fingerprints are identical.
     */
-  def simhashFingerprints(s: SparkSession, d: String): DataFrame = {
+  def simhashFingerprints(s: SparkSession, d: String): DataFrame =
+    simhashTable(s, d).orderBy("doc_id")
+
+  /** Unordered (doc_id, simhash) — the join-input form (no global sort). */
+  def simhashTable(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
       .withColumn("h", baseHash(col("tok")))
@@ -366,7 +370,64 @@ object Dedup {
     toks.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), fingerprint.as("simhash"))
-      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------- SimHash banded near-dups
+  /** d09: near-duplicate pairs by SimHash Hamming distance — the classic
+    * web-dedup shape (Manku/Jarvelin-style banding): split the 60-bit
+    * fingerprint into SIMHASH_BANDS 15-bit bands; any pair within Hamming
+    * distance SIMHASH_MAX_HAMMING (< #bands) must agree exactly on at
+    * least one band (pigeonhole), so candidates come ONLY from per-band
+    * equality buckets — sub-quadratic, one thin self-join on (band, key),
+    * pair-distinct over four longs, then the exact popcount confirm.
+    */
+  val SIMHASH_BANDS = 4
+  val SIMHASH_BAND_BITS = 15
+  val SIMHASH_MAX_HAMMING = 3
+
+  def simhashNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val fp = simhashTable(s, d)
+    val banded = fp.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(SIMHASH_BANDS - 1))).as("b"))
+      .withColumn("key",
+        call_function("shiftright", col("simhash"),
+          (col("b") * lit(SIMHASH_BAND_BITS)).cast("int"))
+          .bitwiseAND(lit((1L << SIMHASH_BAND_BITS) - 1)))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+    pairs
+      .withColumn("hamming",
+        call_function("bit_count", col("sa").bitwiseXOR(col("sb"))).cast("int"))
+      .filter(col("hamming") <= SIMHASH_MAX_HAMMING)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** d09 oracle: same bands, same pigeonhole candidates, same popcount. */
+  lazy val simhashNearDupPairsSql: String = {
+    val sums = (0 until SIMHASH_BITS).map(b =>
+      s"sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS c$b").mkString(",\n  ")
+    val combine = (0 until SIMHASH_BITS).map(b =>
+      s"(CASE WHEN c$b > 0 THEN CAST(power(2, $b) AS BIGINT) ELSE 0 END)").mkString(" + ")
+    val mask = (1L << SIMHASH_BAND_BITS) - 1
+    s"""WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents),
+       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok),1,15)) AS BIGINT) AS hv FROM t),
+       |c AS (SELECT doc_id,
+       |  $sums
+       |FROM h GROUP BY doc_id),
+       |s AS (SELECT doc_id, CAST($combine AS BIGINT) AS sh FROM c),
+       |bands AS (SELECT doc_id, sh, b, (sh >> ($SIMHASH_BAND_BITS*b)) & $mask AS key
+       |          FROM s, range(0, $SIMHASH_BANDS) r(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sa, b.sh AS sb
+       |         FROM bands a JOIN bands b
+       |           ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= $SIMHASH_MAX_HAMMING
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** d05 oracle: the same 60 bit-sums and sign-combine in SQL. */
@@ -542,7 +603,8 @@ object Dedup {
     "d04_minhash_lsh" -> ((s: SparkSession, d: String) => minhashLshPairs(s, d)),
     "d05_simhash" -> (simhashFingerprints _),
     "d07_neardup_survivors" -> (neardupSurvivors _),
-    "d08_shingle_freq_histogram" -> (shingleFreqHistogram _))
+    "d08_shingle_freq_histogram" -> (shingleFreqHistogram _),
+    "d09_simhash_neardup" -> (simhashNearDupPairs _))
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> dedupExactSurvivorsSql,
@@ -551,5 +613,6 @@ object Dedup {
     "d04_minhash_lsh" -> minhashLshPairsSql,
     "d05_simhash" -> simhashFingerprintsSql,
     "d07_neardup_survivors" -> neardupSurvivorsSql,
-    "d08_shingle_freq_histogram" -> shingleFreqHistogramSql)
+    "d08_shingle_freq_histogram" -> shingleFreqHistogramSql,
+    "d09_simhash_neardup" -> simhashNearDupPairsSql)
 }
