@@ -54,4 +54,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"all-pairs join in d06:\n${p.take(3000)}")
   }
+
+  test("d09: simhash banded candidates come from a (band, key) equi-join, never all-pairs") {
+    val p = plan("d09_simhash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in d09:\n${p.take(3000)}")
+  }
 }
