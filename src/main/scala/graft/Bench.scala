@@ -1,9 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  /** Reps per query; the reported time is the per-query MEDIAN so one noisy
-    * co-tenant burst can't corrupt a round's headline metric (r3's driver
-    * run recorded 2x inflation on unchanged queries from sandbox load).
+  /** Passes over the whole suite; the reported time is the per-query MEDIAN
+    * ACROSS passes. Interleaving matters: with back-to-back reps of one
+    * query, a sustained co-tenant load burst inflates all of them and the
+    * median with them (r3/r4 driver recordings were 1.5-2x an idle re-run
+    * on exactly this failure mode). Suite-length interleaving separates a
+    * query's reps by minutes, so one burst can corrupt at most one rep —
+    * which the median then discards.
     */
   val REPS = 3
 
@@ -30,16 +34,18 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().write.mode("overwrite").format("noop").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to REPS).map { _ =>
+    val passes: Seq[Map[String, Double]] = (1 to REPS).map { _ =>
+      SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink forces FULL computation (count() would let Catalyst prune
         // sorts and projections, understating the real query cost)
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        (System.nanoTime() - t0) / 1e9
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> median(times)
+    }
+    val results = SparkEntry.queries.map { case (name, _) =>
+      name -> median(passes.map(_(name)))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -56,6 +56,36 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "lsh_buckets takes 1 argument")
         LshBucketTables(args(0), Similarity.annPlanesQuantized, Similarity.N_PLANES)
+      }),
+    // Catalyst keeps its bloom expressions in the INTERNAL registry (only
+    // InjectRuntimeFilter plants them); exposing both halves gives SQL
+    // users the explicit bloom-pruned-join surface
+    // (ScalePatterns.bloomPrunedJoin is the DataFrame face):
+    //   WHERE might_contain((SELECT bloom_filter_agg(xxhash64(k)) FROM b),
+    //                       xxhash64(k))
+    (FunctionIdentifier("bloom_filter_agg"),
+      info("bloom_filter_agg",
+        "bloom_filter_agg(hashedKey[, estItems[, numBits]]) - build a bloom filter sketch over xxhash64'd keys"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+            .toAggregateExpression()
+        case Seq(c, est) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, est)
+            .toAggregateExpression()
+        case Seq(c, est, bits) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, est, bits)
+            .toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "bloom_filter_agg takes 1-3 arguments")
+      }),
+    (FunctionIdentifier("might_contain"),
+      info("might_contain",
+        "might_contain(bloom, value) - probe a bloom_filter_agg sketch for an xxhash64'd key"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "might_contain takes 2 arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args(0), args(1))
       }))
 
   /** Register into an already-running session (tests, notebooks). */

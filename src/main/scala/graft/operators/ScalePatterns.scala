@@ -1,7 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnShim
+import org.apache.spark.sql.types.BinaryType
 
 /** Physical-layout patterns for 100 TB operation, demonstrated and
   * plan-asserted in ScalePatternsSpec:
@@ -64,9 +68,23 @@ object ScalePatterns {
     */
   def bloomPrunedJoin(probe: DataFrame, build: DataFrame, key: String,
       expectedBuildKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val bf = build.stat.bloomFilter(key, expectedBuildKeys, fpp)
-    val bc = probe.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
-    probe.filter(mightContain(col(key))).join(build, key)
+    // Catalyst's own bloom expressions, not a Scala UDF: the probe stays
+    // inside whole-stage codegen (BloomFilterMightContain#doGenCode) with
+    // no per-row boxing. Keys are xxhash64'd on BOTH sides — the same
+    // normalization InjectRuntimeFilter applies — so any key type works
+    // and the filter stores longs only. The build runs as a distributed
+    // aggregate (per-partition sketches OR-merged), landing ONE serialized
+    // filter on the driver; it ships to probe tasks as a literal, exactly
+    // like the planner's injected subquery result.
+    val hashed = ColumnShim.expression(xxhash64(col(key)))
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedBuildKeys, fpp)
+    val bfBytes = build.select(ColumnShim.column(
+        new BloomFilterAggregate(hashed, Literal(expectedBuildKeys),
+          Literal(numBits)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val pruned = probe.filter(ColumnShim.column(
+      BloomFilterMightContain(Literal(bfBytes, BinaryType), hashed)))
+    pruned.join(build, key)
   }
 }

@@ -51,18 +51,34 @@ class ScalePatternsSpec extends SparkSpec {
   }
 
   test("bloom-pruned join matches the plain join and prunes non-matching probe rows") {
-    val probe = (1L to 10000L).toDF("k").withColumn("pv", col("k") * 10)
+    // spark.range, not a LocalRelation: ConvertToLocalRelation would fold
+    // the probe filter at plan time and hide it from the plan assertions
+    val probe = spark.range(1, 10001).toDF("k").withColumn("pv", col("k") * 10)
     // selective build side: 1% of the probe keys
-    val build = (1L to 10000L by 100L).toDF("k").withColumn("bv", col("k") + 7)
+    val build = spark.range(1, 10001, 100).toDF("k").withColumn("bv", col("k") + 7)
     val plain = probe.join(build, "k").select("k", "pv", "bv")
       .collect().map(_.toSeq).toSet
     val pruned = ScalePatterns.bloomPrunedJoin(probe, build, "k",
       expectedBuildKeys = 200L)
     assert(pruned.select("k", "pv", "bv").collect().map(_.toSeq).toSet == plain)
-    // the filter itself must remove the bulk of the probe before the join:
-    // 100 true keys + <= fpp*10000 false positives, far under the 10000 input
-    val bf = build.stat.bloomFilter("k", 200L, 0.01)
-    val surviving = probe.filter(udf((k: Long) => bf.mightContainLong(k)).apply(col("k"))).count()
+    // the probe must be the native codegen'd expression, not a boxing UDF
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(!planStr.contains("ScalaUDF"), planStr)
+    assert(planStr.contains("might_contain"), planStr)
+  }
+
+  test("might_contain SQL surface composes with bloom_filter_agg and prunes the probe") {
+    graft.GraftExtensions.register(spark)
+    (1L to 10000L).toDF("k").createOrReplaceTempView("bf_probe")
+    (1L to 10000L by 100L).toDF("k").createOrReplaceTempView("bf_build")
+    val surviving = spark.sql(
+      """SELECT count(*) AS n FROM bf_probe
+        |WHERE might_contain(
+        |  (SELECT bloom_filter_agg(xxhash64(k)) FROM bf_build),
+        |  xxhash64(k))""".stripMargin).head().getLong(0)
+    // the filter must remove the bulk of the probe before any join:
+    // 100 true keys + a small false-positive tail, far under the 10000 input
     assert(surviving >= 100 && surviving < 600, s"bloom pruned to $surviving rows")
   }
+
 }
