@@ -448,19 +448,23 @@ object Dedup {
   // --------------------------------------- connected-component survivors
   /** The dedup END-STEP the pair queries feed: near-dup pairs form a
     * graph; each connected component keeps one survivor (min doc_id).
-    * Implemented as iterative min-label propagation — per iteration one
-    * join + one min-aggregate, converging in graph-diameter steps (near-dup
-    * components are tiny chains, so 2-4 iterations; the alternating-star
-    * variant bounds iterations to O(log n) for adversarial graphs at
-    * 100 TB). Driver only checks a convergence COUNT per iteration — no
-    * row data is collected.
+    * The distributed path runs alternating large-star/small-star rounds
+    * (the MapReduce-CC construction of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"), which converge in O(log n)
+    * rounds on ANY graph — plain min-label propagation needs
+    * graph-DIAMETER rounds, so an adversarial 1M-doc near-dup chain at
+    * 100 TB would schedule a million Spark jobs. Per round the driver
+    * collects only a 4-scalar edge fingerprint for the fixpoint test — no
+    * row data. If the loop still hasn't converged at maxIter it THROWS:
+    * silently returning non-components to a dedup pipeline would delete
+    * the wrong documents.
     */
   /** Strategy split, same idea as broadcast-vs-shuffle joins: a near-dup
     * pair graph is usually a sliver of the corpus, so below `smallGraph`
     * edges we collect the (bounded, two-longs-per-edge) edge list and run
-    * driver-side union-find in O(E·α) — per-iteration distributed
-    * scheduling would dominate by 10×. Above the threshold, the iterative
-    * label-propagation path runs fully distributed.
+    * driver-side union-find in O(E·α) — per-round distributed scheduling
+    * would dominate by 10×. Above the threshold, the alternating-star path
+    * runs fully distributed.
     */
   def connectedComponentsAuto(edges: DataFrame, smallGraph: Long = 1000000L): DataFrame = {
     val cached = edges.select(col("id_a"), col("id_b")).cache()
@@ -509,40 +513,85 @@ object Dedup {
     }.foreach(_.unpersist(false))
   }
 
+  /** One large-star round: every neighbor of u LARGER than u is rewired to
+    * the minimum of u's closed neighborhood. Two shuffles (min-aggregate +
+    * join back), edge count never grows beyond the bidirectional input.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = bidir.groupBy("u").agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    bidir.join(mins, "u").filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v")).distinct()
+  }
+
+  /** One small-star round: u and all of u's SMALLER neighbors are rewired
+    * to the minimum of that set (edges arrive large→small oriented).
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val mins = oriented.groupBy("u").agg(min(col("v")).as("m"))
+    val fromNbrs = oriented.join(mins, "u").select(col("v").as("n"), col("m"))
+    val fromSelf = mins.select(col("u").as("n"), col("m"))
+    fromNbrs.union(fromSelf).filter(col("n") =!= col("m"))
+      .select(col("n").as("u"), col("m").as("v")).distinct()
+  }
+
+  /** Edge-set fingerprint (count + xor of 64-bit edge hashes — xor, not
+    * sum, so ANSI mode can't overflow and order can't matter): equal
+    * fingerprints across a round ⇔ the round was a no-op ⇔ the graph is a
+    * union of min-rooted stars (the algorithm's fixpoint). One cheap
+    * collect per round.
+    */
+  private def edgeStats(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)),
+      coalesce(call_function("bit_xor", xxhash64(col("u"), col("v"))), lit(0L)))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    // edges: (id_a, id_b); cache BEFORE mirroring — the union's two
-    // branches would otherwise each re-execute the (expensive) pair
-    // pipeline that produced the edges
-    val fwd = edges.select(col("id_a").as("src"), col("id_b").as("dst")).cache()
-    val bidir = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
-    var labels = bidir.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).cache()
-    // labels only ever decrease, so an unchanged label-sum ⇔ fixpoint —
-    // one cheap scalar action per iteration instead of a join
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("lbl"))).collect()(0).getLong(0)
-    var prevSum = labelSum(labels)
+    // localCheckpoint (eager) BEFORE mirroring — downstream rounds
+    // reference the edges multiple times and would otherwise re-execute
+    // the (expensive) pair pipeline that produced them; checkpointing also
+    // keeps each round's logical plan flat (uncheckpointed, the plan
+    // doubles per round and a few dozen rounds OOM the driver on plan
+    // strings alone — found by the 40-node-chain spec)
+    val eRaw = edges.select(col("id_a").as("u"), col("id_b").as("v"))
+      .localCheckpoint(true)
+    // every node that appears in ANY input edge gets a label, including
+    // self-loop-only nodes the star rounds drop
+    val nodes = eRaw.select(col("u").as("id"))
+      .union(eRaw.select(col("v").as("id"))).distinct().localCheckpoint(true)
+    var e = eRaw.filter(col("u") =!= col("v"))
+    var stats = edgeStats(e)
     var iter = 0
-    var converged = false
+    var converged = stats._1 == 0L
     while (!converged && iter < maxIter) {
-      val prop = labels.join(bidir, col("id") === col("src"))
-        .select(col("dst").as("id"), col("lbl"))
-      // localCheckpoint (eager), NOT cache: each iteration's plan embeds
-      // the previous one — uncheckpointed, the logical plan doubles per
-      // iteration and a few dozen iterations OOM the driver on plan
-      // strings alone (found by the 40-node-chain spec)
-      val next = labels.union(prop)
-        .groupBy("id").agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
-      val s = labelSum(next)
-      converged = s == prevSum
-      prevSum = s
-      release(labels) // next is already materialized; the old epoch is dead
-      labels = next
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val ns = edgeStats(next)
+      converged = ns == stats
+      stats = ns
+      release(e) // next is already materialized; the old epoch is dead
+      e = next
       iter += 1
     }
-    fwd.unpersist()
-    bidir.unpersist()
+    if (!converged) {
+      release(e); release(nodes)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter alternating-star " +
+          s"rounds (${stats._1} edges remain in motion); refusing to return " +
+          "labels that are not connected components")
+    }
+    // fixpoint edges are (child, root) stars; roots and isolated nodes
+    // label themselves
+    val labels = nodes
+      .join(e.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
+      .localCheckpoint(true)
+    release(e)
+    release(nodes)
     labels
   }
 

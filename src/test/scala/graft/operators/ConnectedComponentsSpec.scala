@@ -54,4 +54,27 @@ class ConnectedComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(lp.forall(_._2 == 1L) && lp.length == 40)
   }
+
+  test("adversarial-diameter chain converges in O(log n) rounds at the DEFAULT cap") {
+    // a 200-node chain has diameter 199: plain min-label propagation would
+    // need 199 rounds; the alternating-star rounds must close it within
+    // the default maxIter=20 (~log n)
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val lp = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(lp.forall(_._2 == 1L) && lp.length == 200)
+  }
+
+  test("unconverged at maxIter fails loudly instead of returning wrong labels") {
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("self-loop-only nodes still receive their own label") {
+    val edges = Seq((5L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val lp = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(lp == Map(5L -> 5L, 7L -> 7L, 8L -> 7L))
+  }
 }
