@@ -75,13 +75,16 @@ object Curation {
       |                    ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
       |                          FOR i IN range(1, len(toks)-1)] END)) AS sh
       |      FROM t),
-      |f AS (SELECT lang, band, sh, count(*) AS plen FROM g GROUP BY 1, 2, 3),
+      |gx AS (SELECT doc_id, lang, band, band + k AS pband, sh
+      |       FROM g, range(0, 2) r(k)),
+      |f AS (SELECT lang, pband, sh, count(*) AS plen FROM gx GROUP BY 1, 2, 3),
       |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-      |      FROM g a JOIN g b ON a.sh = b.sh AND a.lang = b.lang
-      |                       AND a.band = b.band AND a.doc_id < b.doc_id
-      |      JOIN f ON f.lang = a.lang AND f.band = a.band AND f.sh = a.sh
+      |      FROM gx a JOIN gx b ON a.sh = b.sh AND a.lang = b.lang
+      |                       AND a.pband = b.pband AND a.doc_id < b.doc_id
+      |      JOIN f ON f.lang = a.lang AND f.pband = a.pband AND f.sh = a.sh
       |      WHERE f.plen <= ${Dedup.MAX_POSTING_LEN}
+      |        AND a.pband = greatest(a.band, b.band)
       |      GROUP BY 1, 2),
       |prs AS (SELECT id_a, id_b FROM p JOIN sz sa ON id_a = sa.doc_id
       |                                 JOIN sz sb ON id_b = sb.doc_id

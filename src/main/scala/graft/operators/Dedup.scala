@@ -68,7 +68,15 @@ object Dedup {
   val MAX_POSTING_LEN = 500
 
   /** Near-duplicate pairs by word-3-gram Jaccard >= 0.1, blocked by
-    * (lang, n_chars/100 band). The Jaccard test is pure integer arithmetic
+    * (lang, n_chars/100 band) with ADJACENT-band probing: each doc's
+    * postings are emitted into probe bands {band, band+1} (standard
+    * overlapping blocking), so two near-identical docs straddling a
+    * 100-char boundary (99 vs 101 chars) still meet — under strict
+    * blocking they'd land in different bands and never be compared. A
+    * pair is emitted ONLY in the probe band equal to the larger of the
+    * two docs' own bands, so same-band pairs (which co-occur in two probe
+    * bands) are counted exactly once. Costs 2x posting volume, no extra
+    * shuffles. The Jaccard test is pure integer arithmetic
     * (common*10 >= |union|) so the oracle hash-matches bit-exactly.
     */
   def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
@@ -91,11 +99,12 @@ object Dedup {
     */
   def shingleGroups(base: DataFrame, maxPostingLen: Int): DataFrame = {
     val posting = shingleTable(base, carry = Seq("lang", "band"))
-    val wsh = Window.partitionBy("lang", "band", "sh")
+      .withColumn("pband", explode(array(col("band"), col("band") + 1)))
+    val wsh = Window.partitionBy("lang", "pband", "sh")
     posting.withColumn("plen", count(lit(1)).over(wsh))
       .filter(col("plen") > 1 && col("plen") <= maxPostingLen)
-      .groupBy(col("lang"), col("band"), col("sh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .groupBy(col("lang"), col("pband"), col("sh"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("band")))).as("ids"))
   }
 
   /** Dropped stop-shingles at a given cap — the observability side of the
@@ -103,7 +112,8 @@ object Dedup {
     */
   def stopShingles(base: DataFrame, maxPostingLen: Int): DataFrame =
     shingleTable(base, carry = Seq("lang", "band"))
-      .groupBy(col("lang"), col("band"), col("sh"))
+      .withColumn("pband", explode(array(col("band"), col("band") + 1)))
+      .groupBy(col("lang"), col("pband"), col("sh"))
       .agg(count(lit(1)).as("plen"))
       .filter(col("plen") > maxPostingLen)
 
@@ -120,10 +130,16 @@ object Dedup {
     // -> count by pair. Same pairs/counts as the join formulation (the
     // oracle SQL keeps that shape), one shuffle of the posting data instead
     // of two join sides.
+    // Each pair may co-occur in two probe bands; emitting only where the
+    // probe band equals the larger of the two docs' own bands counts every
+    // (pair, shingle) exactly once.
     val pairs = shingleGroups(base, maxPostingLen)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
+      .select(col("pband"), explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+          y => struct(x.getField("doc_id").as("id_a"),
+            y.getField("doc_id").as("id_b"),
+            greatest(x.getField("band"), y.getField("band")).as("gband")))))).as("p"))
+      .filter(col("p.gband") === col("pband"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("common"))
     pairs
@@ -139,7 +155,9 @@ object Dedup {
     * (not single-space), and the <n-token whole-doc fallback shingle —
     * multi-space or short documents otherwise diverge (ADVICE r2). The
     * stop-shingle cap is mirrored in the `f` CTE (pairs only from shingles
-    * with plen <= MAX_POSTING_LEN; doc sizes stay uncapped).
+    * with plen <= MAX_POSTING_LEN; doc sizes stay uncapped), and the
+    * adjacent-band probe in the `gx` CTE (postings doubled into
+    * {band, band+1}, pairs emitted only at the larger doc band).
     */
   lazy val ngramJaccardPairsSql: String =
     s"""WITH t AS (SELECT doc_id, lang, CAST(floor(n_chars/100.0) AS INT) AS band,
@@ -151,13 +169,16 @@ object Dedup {
       |                    ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
       |                          FOR i IN range(1, len(toks)-1)] END)) AS sh
       |      FROM t),
-      |f AS (SELECT lang, band, sh, count(*) AS plen FROM g GROUP BY 1, 2, 3),
+      |gx AS (SELECT doc_id, lang, band, band + k AS pband, sh
+      |       FROM g, range(0, 2) r(k)),
+      |f AS (SELECT lang, pband, sh, count(*) AS plen FROM gx GROUP BY 1, 2, 3),
       |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-      |          FROM g a JOIN g b ON a.sh = b.sh AND a.lang = b.lang
-      |                           AND a.band = b.band AND a.doc_id < b.doc_id
-      |          JOIN f ON f.lang = a.lang AND f.band = a.band AND f.sh = a.sh
+      |          FROM gx a JOIN gx b ON a.sh = b.sh AND a.lang = b.lang
+      |                           AND a.pband = b.pband AND a.doc_id < b.doc_id
+      |          JOIN f ON f.lang = a.lang AND f.pband = a.pband AND f.sh = a.sh
       |          WHERE f.plen <= $MAX_POSTING_LEN
+      |            AND a.pband = greatest(a.band, b.band)
       |          GROUP BY 1, 2)
       |SELECT id_a, id_b, common, (sa.n + sb.n - common) AS union_size
       |FROM pairs JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
@@ -170,7 +191,8 @@ object Dedup {
     */
   def shingleFreqHistogram(s: SparkSession, d: String): DataFrame =
     shingleTable(docBase(s, d), carry = Seq("lang", "band"))
-      .groupBy(col("lang"), col("band"), col("sh"))
+      .withColumn("pband", explode(array(col("band"), col("band") + 1)))
+      .groupBy(col("lang"), col("pband"), col("sh"))
       .agg(count(lit(1)).as("plen"))
       .groupBy(col("plen"))
       .agg(count(lit(1)).as("n_shingles"))
@@ -186,7 +208,8 @@ object Dedup {
       |                    ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
       |                          FOR i IN range(1, len(toks)-1)] END)) AS sh
       |      FROM t),
-      |f AS (SELECT lang, band, sh, count(*) AS plen FROM g GROUP BY 1, 2, 3)
+      |f AS (SELECT lang, band + k AS pband, sh, count(*) AS plen
+      |      FROM g, range(0, 2) r(k) GROUP BY 1, 2, 3)
       |SELECT plen, count(*) AS n_shingles FROM f GROUP BY plen ORDER BY plen""".stripMargin
 
   // ------------------------------------------------------------ MinHash LSH
@@ -620,13 +643,16 @@ object Dedup {
       |                    ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
       |                          FOR i IN range(1, len(toks)-1)] END)) AS sh
       |      FROM t),
-      |f AS (SELECT lang, band, sh, count(*) AS plen FROM g GROUP BY 1, 2, 3),
+      |gx AS (SELECT doc_id, lang, band, band + k AS pband, sh
+      |       FROM g, range(0, 2) r(k)),
+      |f AS (SELECT lang, pband, sh, count(*) AS plen FROM gx GROUP BY 1, 2, 3),
       |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-      |      FROM g a JOIN g b ON a.sh = b.sh AND a.lang = b.lang
-      |                       AND a.band = b.band AND a.doc_id < b.doc_id
-      |      JOIN f ON f.lang = a.lang AND f.band = a.band AND f.sh = a.sh
+      |      FROM gx a JOIN gx b ON a.sh = b.sh AND a.lang = b.lang
+      |                       AND a.pband = b.pband AND a.doc_id < b.doc_id
+      |      JOIN f ON f.lang = a.lang AND f.pband = a.pband AND f.sh = a.sh
       |      WHERE f.plen <= $MAX_POSTING_LEN
+      |        AND a.pband = greatest(a.band, b.band)
       |      GROUP BY 1, 2),
       |pairs AS (SELECT id_a, id_b FROM p JOIN sz sa ON id_a = sa.doc_id
       |                                   JOIN sz sb ON id_b = sb.doc_id

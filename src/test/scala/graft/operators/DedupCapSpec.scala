@@ -36,11 +36,39 @@ class DedupCapSpec extends SparkSpec {
   }
 
   test("dropped stop-shingles are observable with their heat") {
+    // the cap operates on PROBE-band groups (band and band+1 copies), so
+    // the one stop-shingle shows up once per probe band it saturates
     val dropped = Dedup.stopShingles(base, maxPostingLen = 5).collect()
-    assert(dropped.length == 1)
-    assert(dropped.head.getAs[String]("sh") == "S1 S2 S3")
-    assert(dropped.head.getAs[Long]("plen") == 6L)
+    assert(dropped.length == 2)
+    assert(dropped.forall(_.getAs[String]("sh") == "S1 S2 S3"))
+    assert(dropped.forall(_.getAs[Long]("plen") == 6L))
+    assert(dropped.map(_.getAs[Int]("pband")).sorted.toSeq == Seq(0, 1))
     assert(Dedup.stopShingles(base, maxPostingLen = 6).isEmpty)
+  }
+
+  test("near-identical docs straddling a band boundary are still compared") {
+    // 99 vs 101 chars -> bands 0 and 1: strict blocking would never
+    // compare them; the adjacent-band probe must
+    val straddle = Seq(
+      (201L, "en", 0, "A B C D E F G H"),
+      (202L, "en", 1, "A B C D E F G I")).toDF("doc_id", "lang", "band", "text")
+    val pairs = Dedup.ngramJaccardPairsOn(straddle, Dedup.MAX_POSTING_LEN).collect()
+    assert(pairs.length == 1)
+    val r = pairs.head
+    assert(r.getLong(0) == 201L && r.getLong(1) == 202L)
+    assert(r.getLong(2) == 5L)      // common 3-grams of 6 per doc
+    assert(r.getLong(3) == 7L)      // union: 6 + 6 - 5
+  }
+
+  test("same-band pairs are counted exactly once despite the doubled postings") {
+    // both docs in band 0 co-occur in probe bands 0 AND 1; `common` must
+    // still equal the true shared-shingle count, not twice it
+    val sameBand = Seq(
+      (301L, "en", 0, "P Q R T U"),
+      (302L, "en", 0, "P Q R T V")).toDF("doc_id", "lang", "band", "text")
+    val r = Dedup.ngramJaccardPairsOn(sameBand, Dedup.MAX_POSTING_LEN).collect().head
+    assert(r.getLong(2) == 2L)      // common: "P Q R", "Q R T" — once each
+    assert(r.getLong(3) == 4L)
   }
 
   test("cap bounds the largest aggregate row") {
