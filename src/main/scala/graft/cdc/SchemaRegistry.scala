@@ -72,9 +72,15 @@ object SchemaRegistry {
       }
     }
 
-  /** Build the registry from a CDC event file: ONE schema tree per table
-    * (first event wins; DDL replay would refresh the entry — ST4). The
-    * registry is tiny (tables × columns), safely driver-resident.
+  /** Build the registry from a CDC event file: ONE schema tree per table —
+    * the LATEST in binlog (file, pos, row) order, which is how Debezium
+    * evolves schemas at runtime (main.go:87-88's re-read on DDL): after an
+    * ALTER adds a column, later events carry the widened tree, and
+    * decoding pre-ALTER row images through it yields null for the new
+    * column (map lookup miss), exactly the SQL semantics of ALTER ADD.
+    * First-event-wins would silently DROP every post-ALTER column. The
+    * registry is tiny (tables × columns), safely driver-resident, rebuilt
+    * per batch.
     */
   def fromEvents(spark: SparkSession, path: String): Map[(String, String), Seq[ColumnSpec]] = {
     val raw = spark.read.schema(
@@ -83,9 +89,11 @@ object SchemaRegistry {
     val perTable = raw.select(
         col("payload.source.db").as("db"),
         col("payload.source.table").as("tbl"),
+        struct(col("payload.source.file"), col("payload.source.pos"),
+          col("payload.source.row")).as("coord"),
         expr("filter(schema.fields, f -> f.field = 'after')[0].fields").as("cols"))
       .filter(col("cols").isNotNull)
-      .groupBy("db", "tbl").agg(first(col("cols")).as("cols"))
+      .groupBy("db", "tbl").agg(max_by(col("cols"), col("coord")).as("cols"))
     perTable.collect().map { r =>
       val key = (r.getString(0), r.getString(1))
       val cols = r.getSeq[Row](2).map { f =>

@@ -88,6 +88,50 @@ class CdcPipelineSpec extends SparkSpec {
       "active" -> BoolInt))
   }
 
+  test("P3: schema evolution — a column added mid-stream decodes old and new rows") {
+    // pre-ALTER events carry (id, name); the post-ALTER event carries
+    // (id, name, added_at). The registry's per-batch rebuild must pick the
+    // LATEST schema so old rows decode with null for the new column and
+    // new rows decode its typed value — one run, both generations.
+    def sectionJson(withNew: Boolean): String = {
+      val extra = if (withNew)
+        """,{"type":"int64","optional":true,"name":"io.debezium.time.Timestamp","field":"added_at"}"""
+      else ""
+      s"""{"type":"struct","fields":[
+         |{"type":"struct","optional":true,"field":"before","fields":[
+         |  {"type":"int64","optional":false,"field":"id"},
+         |  {"type":"string","optional":true,"field":"name"}$extra]},
+         |{"type":"struct","optional":true,"field":"after","fields":[
+         |  {"type":"int64","optional":false,"field":"id"},
+         |  {"type":"string","optional":true,"field":"name"}$extra]}]}""".stripMargin.replace("\n", "")
+    }
+    def event(pos: Long, withNew: Boolean, after: String): String =
+      s"""{"schema":${sectionJson(withNew)},"payload":{"before":null,"after":$after,
+         |"source":{"db":"shop","table":"pay2","file":"mysql-bin.000004","pos":$pos,"row":0},
+         |"op":"c","ts_ms":1}}""".stripMargin.replace("\n", "")
+    val lines = Seq(
+      event(10L, withNew = false, """{"id":1,"name":"a"}"""),
+      event(20L, withNew = false, """{"id":2,"name":"b"}"""),
+      event(30L, withNew = true,
+        """{"id":1,"name":"a2","added_at":1587202401764}"""))
+    val dir = java.nio.file.Files.createTempDirectory("evo")
+    val path = dir.resolve("events.jsonl")
+    java.nio.file.Files.write(path, lines.mkString("\n").getBytes("UTF-8"))
+
+    import SchemaRegistry._
+    val spec = SchemaRegistry.fromEvents(spark, path.toString)(("shop", "pay2"))
+    assert(spec.map(c => c.name -> c.logicalType) == Seq(
+      "id" -> PlainLong, "name" -> PlainString, "added_at" -> EpochMillis(0)))
+
+    val state = SchemaRegistry.typedLatestState(spark, path.toString, "shop", "pay2")
+      .select(col("id"), col("name"), unix_millis(col("added_at")).as("ms"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)))).toMap
+    // id=1: post-ALTER update wins, typed new column decoded
+    assert(state(1L) == ("a2", Some(1587202401764L)))
+    // id=2: pre-ALTER row decodes through the widened schema with a null
+    assert(state(2L) == ("b", None))
+  }
+
   test("P7: db qualifier strip (main.go:87)") {
     import spark.implicits._
     val df = Seq(("ALTER TABLE `shop`.txn MODIFY amount BIGINT", "shop"))
