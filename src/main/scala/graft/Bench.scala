@@ -34,6 +34,16 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().write.mode("overwrite").format("noop").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+    // one untimed pass over EVERY query: with interleaved reps, each
+    // query's codegen classes / parquet footers / JIT state have gone cold
+    // by the time its next rep comes around, so without this every timed
+    // rep measures first-run compile cost — back-to-back reps measured
+    // warm runs (the median discarded the one cold rep), and the numbers
+    // should stay comparable across rounds
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+    }
     val passes: Seq[Map[String, Double]] = (1 to REPS).map { _ =>
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()

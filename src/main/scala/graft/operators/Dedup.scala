@@ -104,7 +104,8 @@ object Dedup {
     posting.withColumn("plen", count(lit(1)).over(wsh))
       .filter(col("plen") > 1 && col("plen") <= maxPostingLen)
       .groupBy(col("lang"), col("pband"), col("sh"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("band")))).as("ids"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("band")))).as("ids"),
+        max(col("band")).as("maxb"))
   }
 
   /** Dropped stop-shingles at a given cap — the observability side of the
@@ -132,8 +133,12 @@ object Dedup {
     // of two join sides.
     // Each pair may co-occur in two probe bands; emitting only where the
     // probe band equals the larger of the two docs' own bands counts every
-    // (pair, shingle) exactly once.
+    // (pair, shingle) exactly once. Groups holding ONLY next-band copies
+    // (maxb < pband) can't emit a surviving pair at all — skip their
+    // C(n,2) explode entirely (roughly half the groups on typical
+    // single-band-dominated shingles).
     val pairs = shingleGroups(base, maxPostingLen)
+      .filter(col("maxb") === col("pband"))
       .select(col("pband"), explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           y => struct(x.getField("doc_id").as("id_a"),
