@@ -102,9 +102,78 @@ object Curation {
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM surv GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
+  // ------------------------------------------------------ decontamination
+  /** p02: benchmark decontamination — the eval-set leak check a training
+    * pipeline runs before any model sees the corpus: a train document
+    * sharing an [[CONTAM_NGRAM]]-token n-gram with a benchmark document
+    * is contaminated (8 is the customary n for benchmark-overlap checks).
+    * The benchmark set is the deterministic doc_id % [[BENCH_MOD]] == 0
+    * slice. The synthetic corpus has no organic 8-gram cross-document
+    * overlap, so contaminated train docs are PLANTED deterministically
+    * (benchmark text minus its first token, id offset by 1e6) — the d06
+    * pattern: the check exercises the real shingle join, aggregation and
+    * output on real collisions, and the oracle mirrors the planting
+    * (including the re-tokenization of the planted text) exactly.
+    *
+    * Scale shape: two distinct-shingle tables (codegen explode), one
+    * equi-join on the 8-gram string, count-distinct per train doc. Real
+    * eval sets are tiny, so the bench side is broadcastable; the plan
+    * pins no strategy (AQE decides).
+    */
+  val CONTAM_NGRAM = 8
+  val BENCH_MOD = 97
+  val PLANT_OFFSET = 1000000L
+
+  def decontamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") % BENCH_MOD === 0).select("doc_id", "text")
+    val tk = TextFunctions.tokens(col("text"))
+    val planted = bench.select(
+      (col("doc_id") + PLANT_OFFSET).as("doc_id"),
+      array_join(slice(tk, lit(2), greatest(size(tk) - 1, lit(0))), " ").as("text"))
+    val train = docs.filter(col("doc_id") % BENCH_MOD =!= 0)
+      .select("doc_id", "text").unionByName(planted)
+    val ta = Dedup.ngramShingleTable(train, CONTAM_NGRAM)
+      .withColumnRenamed("doc_id", "t_id")
+    val tb = Dedup.ngramShingleTable(bench, CONTAM_NGRAM)
+      .withColumnRenamed("doc_id", "b_id")
+    ta.join(tb, "sh")
+      .groupBy(col("t_id").as("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_hits"),
+        countDistinct(col("b_id")).as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
+  lazy val decontaminationSql: String =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      |           FROM documents),
+      |bench AS (SELECT doc_id, toks FROM t WHERE doc_id % $BENCH_MOD = 0),
+      |planted AS (SELECT doc_id + $PLANT_OFFSET AS doc_id,
+      |              regexp_split_to_array(
+      |                trim(array_to_string(toks[2:len(toks)], ' ')), '\\s+') AS toks
+      |            FROM bench),
+      |train AS (SELECT doc_id, toks FROM t WHERE doc_id % $BENCH_MOD <> 0
+      |          UNION ALL SELECT doc_id, toks FROM planted),
+      |gt AS (SELECT doc_id, unnest(list_distinct(
+      |         CASE WHEN len(toks) < $CONTAM_NGRAM THEN [array_to_string(toks, ' ')]
+      |              ELSE [array_to_string(toks[i:i+${CONTAM_NGRAM - 1}], ' ')
+      |                    FOR i IN range(1, len(toks)-${CONTAM_NGRAM - 2})] END)) AS sh
+      |       FROM train),
+      |gb AS (SELECT doc_id, unnest(list_distinct(
+      |         CASE WHEN len(toks) < $CONTAM_NGRAM THEN [array_to_string(toks, ' ')]
+      |              ELSE [array_to_string(toks[i:i+${CONTAM_NGRAM - 1}], ' ')
+      |                    FOR i IN range(1, len(toks)-${CONTAM_NGRAM - 2})] END)) AS sh
+      |       FROM bench)
+      |SELECT gt.doc_id, count(DISTINCT gt.sh) AS n_hits,
+      |  count(DISTINCT gb.doc_id) AS n_bench_docs
+      |FROM gt JOIN gb ON gt.sh = gb.sh
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p01_curation_pipeline" -> (curate _))
+    "p01_curation_pipeline" -> (curate _),
+    "p02_decontamination" -> (decontamination _))
 
   val oracles: Map[String, String] = Map(
-    "p01_curation_pipeline" -> curateSql)
+    "p01_curation_pipeline" -> curateSql,
+    "p02_decontamination" -> decontaminationSql)
 }

@@ -264,6 +264,22 @@ object Dedup {
     if (distinct) exploded.dropDuplicates("doc_id" +: "sh" +: Nil) else exploded
   }
 
+  /** Distinct word-n-gram shingles per doc — [[shingleTable]] generalized
+    * to any n (same fully-codegen explode + element_at shape, same
+    * <n-token whole-doc fallback), for consumers needing longer grams
+    * (benchmark decontamination uses 8).
+    */
+  def ngramShingleTable(docs: DataFrame, n: Int): DataFrame = {
+    val toked = docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+    val sh = when(size(col("tk")) < n, array_join(col("tk"), " "))
+      .otherwise(concat_ws(" ",
+        (0 until n).map(j => element_at(col("tk"), col("i") + j + 1)): _*))
+    toked
+      .withColumn("i", explode(sequence(lit(0), greatest(size(col("tk")) - n, lit(0)))))
+      .select(col("doc_id"), sh.as("sh"))
+      .dropDuplicates("doc_id", "sh")
+  }
+
   /** MinHash signatures as a single codegen'd hash aggregate: shingle once,
     * hash once, then SIG_N min() aggregates over the affine family in one
     * pass. (The "obvious" nested higher-order-function formulation — a

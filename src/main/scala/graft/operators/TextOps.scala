@@ -261,7 +261,41 @@ object TextOps {
       |WHERE i <= n_grams - 4 OR (n_grams < 4 AND i = 0)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------- repetition
+  /** t09: within-document repeated-3-gram stats (the Gopher/RefinedWeb
+    * repetition quality signal — heavily self-repeating documents are
+    * boilerplate or spam and get gated out of training corpora).
+    * `dup_permille` = floor(1000 * repeated/total): one IEEE multiply +
+    * divide + floor over exact integers, so the oracle hash-matches.
+    * Shape: the d03 codegen shingle explode WITHOUT the distinct (we
+    * want the duplicates) + one hash aggregate per doc — no HOFs, one
+    * shuffle, embarrassingly parallel.
+    */
+  def repetitionStats(s: SparkSession, d: String): DataFrame =
+    Dedup.shingleTable(Tables.documents(s, d), distinct = false)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("sh")).as("n_distinct"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        floor(lit(1000.0) * (col("n_grams") - col("n_distinct")) / col("n_grams"))
+          .cast("long").as("dup_permille"))
+      .orderBy("doc_id")
+
+  val repetitionStatsSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |           FROM documents),
+      |g AS (SELECT doc_id, unnest(
+      |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |             ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                   FOR i IN range(1, len(toks)-1)] END) AS sh
+      |      FROM t)
+      |SELECT doc_id, count(*) AS n_grams, count(DISTINCT sh) AS n_distinct,
+      |  CAST(floor(1000.0 * (count(*) - count(DISTINCT sh)) / count(*)) AS BIGINT)
+      |    AS dup_permille
+      |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t09_repetition" -> (repetitionStats _),
     "t08_winnowing" -> (winnowingFingerprints _),
     "t07_tfidf" -> (tfidfTopTerms _),
     "t01_token_stats" -> (tokenStats _),
@@ -271,6 +305,7 @@ object TextOps {
     "t05_cleantext" -> (cleanedDocs _))
 
   val oracles: Map[String, String] = Map(
+    "t09_repetition" -> repetitionStatsSql,
     "t08_winnowing" -> winnowingFingerprintsSql,
     "t07_tfidf" -> tfidfTopTermsSql,
     "t01_token_stats" -> tokenStatsSql,

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Behavior specs for the curation extras: benchmark decontamination
+  * (p02) and within-doc repetition scoring (t09).
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontamination flags planted near-copies of benchmark docs") {
+    val out = Curation.decontamination(spark, "/root/testdata/sf0.001").collect()
+    val planted = out.filter(_.getLong(0) >= Curation.PLANT_OFFSET)
+    assert(planted.nonEmpty, "planted contamination must produce hits")
+    // each planted doc traces back to a benchmark doc id and hit it
+    planted.foreach { r =>
+      val src = r.getLong(0) - Curation.PLANT_OFFSET
+      assert(src % Curation.BENCH_MOD == 0)
+      assert(r.getLong(1) > 0 && r.getLong(2) >= 1)
+    }
+    // flagged organic docs (the corpus's own planted near-dup pairs can
+    // straddle the benchmark split) must never be benchmark members
+    out.filter(_.getLong(0) < Curation.PLANT_OFFSET)
+      .foreach(r => assert(r.getLong(0) % Curation.BENCH_MOD != 0))
+  }
+
+  test("repetition stats: a self-repeating doc scores high, distinct text scores zero") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"), // one distinct 3-gram, 8 total
+      (2L, "eight unique tokens make six unrepeated shingles here")).toDF("doc_id", "text")
+    val rows = Dedup.shingleTable(docs, distinct = false)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("sh")).as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1L) == (8L, 1L)) // 10 tokens -> 8 shingles, all identical
+    assert(rows(2L) == (6L, 6L)) // 8 tokens -> 6 shingles, all distinct
+  }
+}
