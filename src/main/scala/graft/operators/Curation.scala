@@ -169,11 +169,49 @@ object Curation {
       |FROM gt JOIN gb ON gt.sh = gb.sh
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------ train/val split
+  /** p03: deterministic stratified train/val split. A training pipeline
+    * needs a holdout that is reproducible (no RNG), order-independent,
+    * and stable under corpus growth/dedup — so assignment is a pure
+    * function of the document's CONTENT hash: the cross-engine md5
+    * family mod 100 against [[VAL_PCT]]. Content (not doc_id) hashing
+    * also keeps exact duplicates on the same side of the split, so the
+    * holdout can't leak via an unnoticed dup. Output: per (source, lang,
+    * split) doc counts and char sums — the mixture table a sampler
+    * consumes.
+    *
+    * Scale shape: narrow projection + one partial-aggregated rollup; the
+    * split column costs one md5 per row at the scan.
+    */
+  val VAL_PCT = 10
+
+  def trainValSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), col("lang"),
+        when(Dedup.baseHash(col("text")) % 100 < VAL_PCT, "val")
+          .otherwise("train").as("split"),
+        col("n_chars"))
+      .groupBy("source", "lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy("source", "lang", "split")
+
+  lazy val trainValSplitSql: String =
+    s"""WITH s AS (SELECT source, lang,
+      |  CASE WHEN CAST(concat('0x', substr(md5(text),1,15)) AS BIGINT) % 100 < $VAL_PCT
+      |       THEN 'val' ELSE 'train' END AS split,
+      |  n_chars FROM documents)
+      |SELECT source, lang, split, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_curation_pipeline" -> (curate _),
-    "p02_decontamination" -> (decontamination _))
+    "p02_decontamination" -> (decontamination _),
+    "p03_train_val_split" -> (trainValSplit _))
 
   val oracles: Map[String, String] = Map(
     "p01_curation_pipeline" -> curateSql,
-    "p02_decontamination" -> decontaminationSql)
+    "p02_decontamination" -> decontaminationSql,
+    "p03_train_val_split" -> trainValSplitSql)
 }

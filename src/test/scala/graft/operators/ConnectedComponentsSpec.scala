@@ -72,6 +72,22 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("star rounds and union-find agree on seeded random graphs") {
+    // Erdős–Rényi-ish graphs across densities: sparse (forest-like, many
+    // components), near-threshold, and dense (one giant component)
+    val rnd = new scala.util.Random(4242)
+    for (edgeCount <- Seq(200, 1000, 3000)) {
+      val n = 800
+      val edges = Seq.fill(edgeCount)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("id_a", "id_b")
+      val lp = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+      val uf = Dedup.connectedComponentsAuto(edges).as[(Long, Long)].collect().toMap
+      assert(lp == uf, s"disagreement at edgeCount=$edgeCount")
+    }
+  }
+
   test("self-loop-only nodes still receive their own label") {
     val edges = Seq((5L, 5L), (7L, 8L)).toDF("id_a", "id_b")
     val lp = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap

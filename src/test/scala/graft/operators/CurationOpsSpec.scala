@@ -26,6 +26,25 @@ class CurationOpsSpec extends SparkSpec {
       .foreach(r => assert(r.getLong(0) % Curation.BENCH_MOD != 0))
   }
 
+  test("train/val split is content-keyed: duplicates co-locate, fraction is sane") {
+    val out = Curation.trainValSplit(spark, "/root/testdata/sf0.01")
+      .groupBy("split").agg(sum("n_docs").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = out.values.sum
+    assert(out.keySet.subsetOf(Set("train", "val")) && total > 0)
+    // 10% target with hash variance at 500 docs: accept 2-25%
+    val valFrac = out.getOrElse("val", 0L).toDouble / total
+    assert(valFrac > 0.02 && valFrac < 0.25, s"val fraction $valFrac")
+    // identical content must always land on the same side (no holdout leak
+    // through duplicates), regardless of doc_id
+    val dup = Seq((1L, "same text"), (999L, "same text"), (5L, "other words"))
+      .toDF("doc_id", "text")
+      .select(when(Dedup.baseHash(col("text")) % 100 < Curation.VAL_PCT, "val")
+        .otherwise("train").as("split"), col("text"))
+      .collect().map(r => r.getString(1) -> r.getString(0))
+    assert(dup.filter(_._1 == "same text").map(_._2).distinct.length == 1)
+  }
+
   test("repetition stats: a self-repeating doc scores high, distinct text scores zero") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam"), // one distinct 3-gram, 8 total
