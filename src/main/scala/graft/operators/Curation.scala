@@ -205,13 +205,57 @@ object Curation {
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // ------------------------------------------------- source downsampling
+  /** p04: deterministic per-source downsampling — the mixture-rebalance
+    * step that caps over-represented sources (a crawl dump 100x the size
+    * of a books corpus would otherwise dominate training): within each
+    * source, docs are ranked by (content-hash, doc_id) — a deterministic
+    * shuffle, not an RNG — and only the first [[SAMPLE_CAP]] survive.
+    * Hash-ranking makes the sample uniform-ish over content yet exactly
+    * reproducible, and adding new docs to a source only displaces the
+    * tail. Output: the per-(source, lang) mixture after the cap.
+    *
+    * Scale shape: one exchange on source for the rank window (row_number
+    * over a bounded-per-source partition), then a partial-aggregated
+    * rollup. At 100 TB the window partitions by the handful of sources —
+    * if one source is pathologically larger than an executor's spill
+    * budget, the standard remedy is pre-aggregation by (source, hash
+    * range); the cap semantics are unchanged.
+    */
+  val SAMPLE_CAP = 10
+
+  def sourceDownsample(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(Dedup.baseHash(col("text")).asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= SAMPLE_CAP)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy("source", "lang")
+  }
+
+  lazy val sourceDownsampleSql: String =
+    s"""WITH r AS (SELECT source, lang, n_chars,
+      |  row_number() OVER (PARTITION BY source
+      |    ORDER BY CAST(concat('0x', substr(md5(text),1,15)) AS BIGINT), doc_id) AS rk
+      |  FROM documents)
+      |SELECT source, lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM r WHERE rk <= $SAMPLE_CAP
+      |GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_curation_pipeline" -> (curate _),
     "p02_decontamination" -> (decontamination _),
-    "p03_train_val_split" -> (trainValSplit _))
+    "p03_train_val_split" -> (trainValSplit _),
+    "p04_source_downsample" -> (sourceDownsample _))
 
   val oracles: Map[String, String] = Map(
     "p01_curation_pipeline" -> curateSql,
     "p02_decontamination" -> decontaminationSql,
-    "p03_train_val_split" -> trainValSplitSql)
+    "p03_train_val_split" -> trainValSplitSql,
+    "p04_source_downsample" -> sourceDownsampleSql)
 }

@@ -45,6 +45,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(dup.filter(_._1 == "same text").map(_._2).distinct.length == 1)
   }
 
+  test("source downsample caps every source and is deterministic") {
+    val perSource = Curation.sourceDownsample(spark, "/root/testdata/sf0.01")
+      .groupBy("source").agg(sum("n_docs").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource.nonEmpty)
+    assert(perSource.values.forall(_ <= Curation.SAMPLE_CAP))
+    // at sf0.01 each source holds >100 docs, so the cap must bind
+    assert(perSource.values.exists(_ == Curation.SAMPLE_CAP))
+    // hash-ranked selection: two runs pick the identical sample
+    val a = Curation.sourceDownsample(spark, "/root/testdata/sf0.01").collect().toSeq
+    val b = Curation.sourceDownsample(spark, "/root/testdata/sf0.01").collect().toSeq
+    assert(a == b)
+  }
+
   test("repetition stats: a self-repeating doc scores high, distinct text scores zero") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam"), // one distinct 3-gram, 8 total
