@@ -294,7 +294,72 @@ object TextOps {
       |    AS dup_permille
       |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ pii
+  /** t10: PII detection + redaction (email / US-phone / IPv4) — the scrub
+    * pass every public training corpus runs (C4, RefinedWeb, Dolma all
+    * mask or drop PII spans). The synthetic corpus contains no digits, so
+    * — like d06 — the PII is PLANTED in-query, deterministically by
+    * doc_id residue, identically on both engines; the operator under test
+    * is the detect/redact chain itself, exercised on real hits.
+    *
+    * Patterns stay in the RE2 ∩ java.util.regex common dialect (character
+    * classes, bounded repetition — no backrefs, no lookaround) so both
+    * engines match identical spans. Redaction order: email → phone → IP
+    * (email must go first: its local part could otherwise be clipped by
+    * an earlier IP/phone rewrite; phone and IP cannot overlap). The
+    * redacted text is folded to an md5 fingerprint so the compare pins
+    * the exact output string without shipping bodies.
+    *
+    * Scale shape: pure narrow map + orderBy — no shuffle before the final
+    * sort, codegen'd regexp over each partition, embarrassingly parallel.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+  val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  def piiRedaction(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" reach user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit(" call 555-867-5309")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, lit(" host 10.0.0.42")).otherwise(lit("")))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(planted, emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"),
+        ipRe, "<IP>")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_count(planted, lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(planted, lit(phoneRe)).cast("long").as("n_phones"),
+        regexp_count(planted, lit(ipRe)).cast("long").as("n_ips"),
+        substring(md5(redacted), 1, 16).as("red_fp"))
+      .orderBy("doc_id")
+  }
+
+  val piiRedactionSql: String =
+    """WITH p AS (SELECT doc_id, text
+      |    || CASE WHEN doc_id % 7 = 0
+      |            THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |            ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END
+      |    || CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.0.42' ELSE '' END AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |  len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS n_phones,
+      |  len(regexp_extract_all(t, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS n_ips,
+      |  substring(md5(
+      |    regexp_replace(regexp_replace(regexp_replace(t,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+      |      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g')), 1, 16) AS red_fp
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_pii_redaction" -> (piiRedaction _),
     "t09_repetition" -> (repetitionStats _),
     "t08_winnowing" -> (winnowingFingerprints _),
     "t07_tfidf" -> (tfidfTopTerms _),
@@ -305,6 +370,7 @@ object TextOps {
     "t05_cleantext" -> (cleanedDocs _))
 
   val oracles: Map[String, String] = Map(
+    "t10_pii_redaction" -> piiRedactionSql,
     "t09_repetition" -> repetitionStatsSql,
     "t08_winnowing" -> winnowingFingerprintsSql,
     "t07_tfidf" -> tfidfTopTermsSql,

@@ -70,6 +70,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(0) == Seq("a b c", "b c d"))
     assert(r(1) == Seq("a b"))
   }
+
+  test("t10 pii: planted email/phone/IP are counted and redacted") {
+    val out = TextOps.piiRedaction(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // planting by residue: doc_id % 7 -> email, % 11 -> phone, % 13 -> IP
+    out.foreach { case (id, em, ph, ip) =>
+      assert(em == (if (id % 7 == 0) 1 else 0), s"doc $id emails")
+      assert(ph == (if (id % 11 == 0) 1 else 0), s"doc $id phones")
+      assert(ip == (if (id % 13 == 0) 1 else 0), s"doc $id ips")
+    }
+    // doc 0 has all three residues: every marker must be redacted
+    val red = Seq((0L, "x y z reach user0@example.com call 555-867-5309 host 10.0.0.42"))
+      .toDF("doc_id", "t")
+      .select(regexp_replace(regexp_replace(regexp_replace(col("t"),
+        TextOps.emailRe, "<EMAIL>"),
+        TextOps.phoneRe, "<PHONE>"),
+        TextOps.ipRe, "<IP>")).collect().head.getString(0)
+    assert(red == "x y z reach <EMAIL> call <PHONE> host <IP>")
+  }
 }
 
 /** Near-dup detection on planted duplicates: a corpus of distinct docs plus
