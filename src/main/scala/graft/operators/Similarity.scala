@@ -406,13 +406,119 @@ object Similarity {
        |SELECT id_a, id_b, cosine FROM dots WHERE cosine >= 0.8
        |ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------------------------- semantic dedup
+  /** s04: SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then within each
+    * cluster drop all but one of every near-identical set — the pass that
+    * removes *semantically* redundant training docs exact/minhash dedup
+    * can't see. Composition of machinery this file already oracle-checks:
+    * the s03 deterministic-centroid cell assignment (k-means build
+    * stand-in), the d06 planted near-dups (the natural corpus has no
+    * cosine ≥ 0.9 pairs), and the d06 banded-LSH candidate generation —
+    * here additionally constrained to same-cell, which is exactly
+    * SemDeDup's "only dedup within a cluster" semantics. Survivor rule is
+    * greedy keep-lowest-id (deterministic; SemDeDup keeps one arbitrary
+    * point per set). Output is the per-cell damage report: cluster size
+    * and how many members semantic dedup would drop.
+    *
+    * Scale shape: no all-pairs anywhere — candidates come from equality on
+    * (cell, table, bucket) over a thin exploded key table, pair-distinct
+    * is a hash aggregate over two longs, vectors join back only for
+    * surviving candidates. At 100 TB the cell count grows with the corpus
+    * (k-means k ~ sqrt(N)), keeping buckets small, and cell is a
+    * write-time partition column so the self-join is partition-local.
+    */
+  val SEM_THRESHOLD = 0.9
+
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val corpus = plantNearDups(Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv")))
+    val cents = broadcast(
+      corpus.filter(col("vec_id") % 31 === 6 && col("vec_id") < PLANT_ID_OFFSET)
+        .withColumn("cell", row_number().over(Window.orderBy(col("vec_id"))))
+        .filter(col("cell") <= N_CELLS)
+        .select(col("cell"), col("qv").as("centroid")))
+    val assign = corpus.crossJoin(cents)
+      .withColumn("score", qdot(col("qv"), col("centroid")).cast("double") /
+        sqrt(qdot(col("centroid"), col("centroid")).cast("double")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("qv"), col("cell"))
+    val e = assign.withColumn("nrm", sqrt(qdot(col("qv"), col("qv")).cast("double")))
+    val buckets = e.select(col("vec_id"), col("cell"),
+        posexplode(lshBucketsFor(ndPlanes, col("qv"))))
+      .withColumnRenamed("pos", "table_idx").withColumnRenamed("col", "bucket")
+    val pairs = buckets.as("a").join(buckets.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.table_idx") === col("b.table_idx") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val dropped = pairs
+      .join(e.select(col("vec_id").as("id_a"), col("qv").as("qa"), col("nrm").as("na")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("qv").as("qb"), col("nrm").as("nb")), "id_b")
+      .filter(qdot(col("qa"), col("qb")).cast("double") / (col("na") * col("nb"))
+        >= SEM_THRESHOLD)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("dropped", lit(1L))
+    assign.join(dropped, Seq("vec_id"), "left")
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"))
+      .orderBy("cell")
+  }
+
+  /** s04 oracle: the same planting, centroid build, cell assignment,
+    * banded candidates, cosine confirm, and keep-lowest-id drop rule,
+    * generated from the identical plane literals.
+    */
+  lazy val semanticDedupSql: String =
+    s"""WITH planes(table_idx, plane_idx, pv) AS (VALUES
+       |  ${planeValuesSqlFor(ndPlanes)}),
+       |v0 AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qv FROM embeddings),
+       |v AS (SELECT vec_id, qv FROM v0
+       |      UNION ALL
+       |      SELECT vec_id + $PLANT_ID_OFFSET,
+       |             [3*qv[i] + qv[CASE WHEN i = 64 THEN 1 ELSE i + 1 END] FOR i IN range(1, 65)]
+       |      FROM v0 WHERE vec_id % $PLANT_EVERY = 0),
+       |cents AS (SELECT cell, qv AS centroid FROM (
+       |  SELECT vec_id, qv, row_number() OVER (ORDER BY vec_id) AS cell
+       |  FROM v WHERE vec_id % 31 = 6 AND vec_id < $PLANT_ID_OFFSET) WHERE cell <= $N_CELLS),
+       |assign AS (SELECT vec_id, qv, cell FROM (
+       |  SELECT v.vec_id, v.qv, cents.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      CAST(list_sum([v.qv[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
+       |        sqrt(CAST(list_sum([cents.centroid[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) DESC, cents.cell) AS r
+       |  FROM v CROSS JOIN cents) WHERE r = 1),
+       |b AS (SELECT s.vec_id, s.cell, p.table_idx,
+       |        CAST(sum(CASE WHEN list_sum([s.qv[i]*p.pv[i] FOR i IN range(1,65)]) > 0
+       |                 THEN CAST(power(2, p.plane_idx) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       |      FROM assign s CROSS JOIN planes p GROUP BY s.vec_id, s.cell, p.table_idx),
+       |n AS (SELECT vec_id, sqrt(CAST(list_sum([qv[i]*qv[i] FOR i IN range(1,65)]) AS DOUBLE)) AS nrm FROM v),
+       |cand AS (SELECT DISTINCT ba.vec_id AS id_a, bb.vec_id AS id_b
+       |         FROM b ba JOIN b bb ON ba.cell = bb.cell AND ba.table_idx = bb.table_idx
+       |                            AND ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id),
+       |drp AS (SELECT DISTINCT id_b AS vec_id FROM cand
+       |         JOIN v x ON x.vec_id = id_a JOIN v y ON y.vec_id = id_b
+       |         JOIN n nx ON nx.vec_id = id_a JOIN n ny ON ny.vec_id = id_b
+       |         WHERE CAST(list_sum([x.qv[i]*y.qv[i] FOR i IN range(1,65)]) AS DOUBLE)
+       |                 / (nx.nrm * ny.nrm) >= $SEM_THRESHOLD)
+       |SELECT CAST(a.cell AS INT) AS cell, count(*) AS n_vectors,
+       |  CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |FROM assign a LEFT JOIN drp d USING (vec_id)
+       |GROUP BY a.cell ORDER BY cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s04_semantic_dedup" -> (semanticDedup _),
     "s01_cosine_topk" -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => annLshTopK(s, d)),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => annIvfTopK(s, d)),
     "d06_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDupPairsSeeded(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "s04_semantic_dedup" -> semanticDedupSql,
     "s01_cosine_topk" -> cosineTopKSql,
     "s02_ann_lsh" -> annLshTopKSql,
     "s03_ann_ivf" -> annIvfTopKSql,
