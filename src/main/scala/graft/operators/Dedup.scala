@@ -689,6 +689,63 @@ object Dedup {
       |  CAST(CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS INT) AS is_survivor
       |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ paragraph dedup
+  /** d10: paragraph-level exact dedup (the CCNet / RefinedWeb pass that
+    * removes boilerplate shared ACROSS documents — headers, footers, nav
+    * text — which document-level dedup can't see). The corpus has no
+    * newline structure, so "paragraphs" are deterministic [[PARA_TOKENS]]-
+    * token chunks; the operator is the global first-occurrence-wins dedup
+    * over them: an instance is a duplicate iff an identical paragraph
+    * exists at a lexicographically earlier (doc_id, chunk_no). Output is
+    * the per-document damage report a curation pipeline gates on:
+    * paragraph count, duplicated-paragraph count, and dup_permille
+    * (floor over exact integers, t09-style, so the oracle hash-matches).
+    *
+    * Scale shape: chunks are reduced to [[baseHash]] values immediately,
+    * so the exchange partitioning by paragraph identity carries
+    * (h, doc_id, chunk_no) longs — never paragraph bodies. One window
+    * over h (row_number by (doc_id, chunk_no)) marks non-first
+    * occurrences, one hash aggregate folds back to per-doc stats. Two
+    * shuffles total, both over thin rows; no driver round-trips.
+    */
+  val PARA_TOKENS = 8
+
+  def paragraphDedupStats(s: SparkSession, d: String): DataFrame = {
+    val toked = Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+    val paras = toked
+      .withColumn("chunk_no",
+        explode(sequence(lit(0), floor((size(col("tk")) - 1) / PARA_TOKENS).cast("int"))))
+      .select(col("doc_id"), col("chunk_no"),
+        baseHash(concat_ws(" ",
+          slice(col("tk"), col("chunk_no") * PARA_TOKENS + 1, lit(PARA_TOKENS)))).as("h"))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("chunk_no"))
+    paras
+      .withColumn("dup", (row_number().over(w) > 1).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"), sum(col("dup")).as("n_dup_paras"))
+      .select(col("doc_id"), col("n_paras"), col("n_dup_paras"),
+        floor(lit(1000.0) * col("n_dup_paras") / col("n_paras"))
+          .cast("long").as("dup_permille"))
+      .orderBy("doc_id")
+  }
+
+  val paragraphDedupStatsSql: String =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+      |           FROM documents),
+      |c AS (SELECT doc_id, i AS chunk_no,
+      |        CAST(concat('0x', substr(md5(array_to_string(
+      |          tk[(i*$PARA_TOKENS)+1 : (i+1)*$PARA_TOKENS], ' ')), 1, 15)) AS BIGINT) AS h
+      |      FROM t, unnest(range(0, CAST(ceil(len(tk)/$PARA_TOKENS.0) AS BIGINT))) AS r(i)),
+      |m AS (SELECT doc_id, h,
+      |        row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_no) AS rk
+      |      FROM c)
+      |SELECT doc_id, count(*) AS n_paras,
+      |  CAST(count(*) FILTER (rk > 1) AS BIGINT) AS n_dup_paras,
+      |  CAST(floor(1000.0 * count(*) FILTER (rk > 1) / count(*)) AS BIGINT)
+      |    AS dup_permille
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** All dedup queries keyed for SparkEntry (oracle-checked where SQL can
     * express them; minhash/simhash are verified by scalatest instead).
     */
@@ -700,9 +757,11 @@ object Dedup {
     "d05_simhash" -> (simhashFingerprints _),
     "d07_neardup_survivors" -> (neardupSurvivors _),
     "d08_shingle_freq_histogram" -> (shingleFreqHistogram _),
-    "d09_simhash_neardup" -> (simhashNearDupPairs _))
+    "d09_simhash_neardup" -> (simhashNearDupPairs _),
+    "d10_paragraph_dedup" -> (paragraphDedupStats _))
 
   val oracles: Map[String, String] = Map(
+    "d10_paragraph_dedup" -> paragraphDedupStatsSql,
     "d01_dedup_exact" -> dedupExactSurvivorsSql,
     "d02_dedup_stats" -> dedupExactStatsSql,
     "d03_ngram_jaccard" -> ngramJaccardPairsSql,

@@ -166,6 +166,24 @@ class DedupSpec extends SparkSpec {
       assert(hamFar > 8)
     }
   }
+
+  test("d10 paragraph dedup: shared chunks flagged, first occurrence survives") {
+    val stats = Dedup.paragraphDedupStats(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stats.length == 500)
+    // every doc chunks into ceil(n_tokens/8) paragraphs, none empty
+    assert(stats.forall { case (_, n, dup, _) => n > 0 && dup >= 0 && dup <= n })
+    // a duplicate instance is never charged to the FIRST occurrence: the
+    // minimum doc_id in the corpus owning any given paragraph keeps it,
+    // so total dups < total paras and doc 0's first chunk is never a dup
+    val total = stats.map(_._2).sum
+    val dups = stats.map(_._3).sum
+    assert(dups < total)
+    // permille arithmetic is the exact floor over integers
+    stats.foreach { case (_, n, dup, pm) =>
+      assert(pm == math.floor(1000.0 * dup / n).toLong)
+    }
+  }
 }
 
 /** ANN recall vs brute force on the real embeddings table. */
@@ -205,5 +223,19 @@ class SimilaritySpec extends SparkSpec {
     val df = Similarity.cosineTopK(spark, sfDir, nQueries = 5, k = 1)
     assert(df.count() == 5)
     assert(df.filter(col("cosine") > -1.0 && col("cosine") < 1.0000001).count() == 5)
+  }
+
+  test("s04 semantic dedup: planted near-dups are dropped, cells partition the corpus") {
+    val cells = Similarity.semanticDedup(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(cells.map(_._1).toSeq == (1 to Similarity.N_CELLS))
+    // cells partition corpus + planted copies exactly
+    val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val nPlanted = (0L until nVecs).count(_ % Similarity.PLANT_EVERY == 0)
+    assert(cells.map(_._2).sum == nVecs + nPlanted)
+    // at least one planted near-dup lands in its original's cell and is dropped
+    assert(cells.map(_._3).sum > 0, "semantic dedup dropped nothing")
+    // never drop more than the cluster holds
+    cells.foreach { case (_, n, drp) => assert(drp < n) }
   }
 }
