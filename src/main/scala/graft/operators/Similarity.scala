@@ -510,7 +510,89 @@ object Similarity {
        |FROM assign a LEFT JOIN drp d USING (vec_id)
        |GROUP BY a.cell ORDER BY cell""".stripMargin
 
+  // ------------------------------------------------------- k-means step
+  /** s05: one distributed Lloyd iteration — the k-means refinement that
+    * turns s03's deterministic-sample centroids into a real IVF build
+    * (repeat until movement < ε at corpus scale). Assignment reuses the
+    * s03 shape (broadcast centroids, per-vector best cell); the update
+    * step is the classic two-level aggregation: posexplode by dimension,
+    * partial-aggregated sum per (cell, dim) — the map-side combine
+    * reduces 64·N exploded rows to ≤ 64·k partials per task BEFORE the
+    * exchange — then per-cell array reassembly ordered by dim. The new
+    * centroid is floor(sum/n) per component (exact int sums, one IEEE
+    * division, floor — both engines bit-agree), and `shift` is the
+    * quantized cosine between old and new centroid, the convergence
+    * signal a driver loop would threshold.
+    *
+    * Scale shape: one broadcast join + one window exchange for
+    * assignment (inline-able as literals like the LSH planes once the
+    * build loop pins centroids), one thin (cell, dim, partial-sum)
+    * shuffle for the update. Nothing quadratic, no driver collect.
+    */
+  def kmeansStep(s: SparkSession, d: String): DataFrame = {
+    val corpus = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val cents = broadcast(
+      corpus.filter(col("vec_id") % 31 === 6)
+        .withColumn("cell", row_number().over(Window.orderBy(col("vec_id"))))
+        .filter(col("cell") <= N_CELLS)
+        .select(col("cell"), col("qv").as("centroid")))
+    val assign = corpus.crossJoin(cents)
+      .withColumn("score", qdot(col("qv"), col("centroid")).cast("double") /
+        sqrt(qdot(col("centroid"), col("centroid")).cast("double")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("qv"), col("cell"))
+    val sums = assign
+      .select(col("cell"), posexplode(col("qv")))
+      .withColumnRenamed("pos", "dim")
+      .groupBy("cell", "dim")
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .select(col("cell"), col("dim"),
+        floor(col("s").cast("double") / col("n")).cast("long").as("m"), col("n"))
+    val updated = sums.groupBy("cell")
+      .agg(max(col("n")).as("n_members"),
+        transform(sort_array(collect_list(struct(col("dim"), col("m")))),
+          x => x.getField("m")).as("centroid"))
+    updated.join(cents.withColumnRenamed("centroid", "old_c"), "cell")
+      .select(col("cell"), col("n_members"),
+        (qdot(col("centroid"), col("old_c")).cast("double") /
+          (sqrt(qdot(col("centroid"), col("centroid")).cast("double")) *
+           sqrt(qdot(col("old_c"), col("old_c")).cast("double")))).as("shift"),
+        col("centroid"))
+      .orderBy("cell")
+  }
+
+  /** s05 oracle: identical init, assignment, per-dimension mean, and
+    * old-vs-new cosine shift.
+    */
+  val kmeansStepSql: String =
+    s"""WITH v AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qv FROM embeddings),
+      |cents AS (SELECT cell, qv AS centroid FROM (
+      |  SELECT vec_id, qv, row_number() OVER (ORDER BY vec_id) AS cell
+      |  FROM v WHERE vec_id % 31 = 6) WHERE cell <= $N_CELLS),
+      |assign AS (SELECT vec_id, qv, cell FROM (
+      |  SELECT v.vec_id, v.qv, cents.cell,
+      |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |      CAST(list_sum([v.qv[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
+      |        sqrt(CAST(list_sum([cents.centroid[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) DESC, cents.cell) AS r
+      |  FROM v CROSS JOIN cents) WHERE r = 1),
+      |sums AS (SELECT cell, i AS dim,
+      |    CAST(floor(CAST(sum(qv[i]) AS DOUBLE) / count(*)) AS BIGINT) AS m,
+      |    count(*) AS n
+      |  FROM assign, unnest(range(1, 65)) r(i) GROUP BY cell, i),
+      |upd AS (SELECT cell, max(n) AS n_members, list(m ORDER BY dim) AS centroid
+      |        FROM sums GROUP BY cell)
+      |SELECT CAST(u.cell AS INT) AS cell, u.n_members,
+      |  CAST(list_sum([u.centroid[i]*c.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
+      |    (sqrt(CAST(list_sum([u.centroid[i]*u.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) *
+      |     sqrt(CAST(list_sum([c.centroid[i]*c.centroid[i] FOR i IN range(1,65)]) AS DOUBLE))) AS shift,
+      |  u.centroid
+      |FROM upd u JOIN cents c USING (cell) ORDER BY cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s05_kmeans_step" -> (kmeansStep _),
     "s04_semantic_dedup" -> (semanticDedup _),
     "s01_cosine_topk" -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => annLshTopK(s, d)),
@@ -518,6 +600,7 @@ object Similarity {
     "d06_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDupPairsSeeded(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "s05_kmeans_step" -> kmeansStepSql,
     "s04_semantic_dedup" -> semanticDedupSql,
     "s01_cosine_topk" -> cosineTopKSql,
     "s02_ann_lsh" -> annLshTopKSql,

@@ -60,4 +60,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"all-pairs join in d09:\n${p.take(3000)}")
   }
+
+  test("d10: paragraph identity shuffles hashes, not paragraph bodies") {
+    val p = plan("d10_paragraph_dedup")
+    // the window exchange partitions by the 60-bit hash column; the
+    // concat_ws that assembles paragraph text must stay BELOW it (inside
+    // the scan-side projection), so no exchange carries string bodies
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(h#")
+    assert(exchangeIdx >= 0, s"no hash-keyed exchange in d10:\n${p.take(3000)}")
+    assert(!p.substring(0, exchangeIdx).contains("concat_ws"),
+      "paragraph text assembled above the exchange — bodies would shuffle")
+    assert(!p.contains("SortAggregate"), "per-doc rollup fell out of hash aggregation")
+  }
+
+  test("s04: semantic-dedup candidates come from a (cell, bucket) equi-join, never all-pairs") {
+    val p = plan("s04_semantic_dedup")
+    // the only nested-loop member allowed is the broadcast 16-row
+    // centroid assignment (a crossJoin against a broadcast tiny side);
+    // candidate generation must be the bucket equi-join
+    assert(!p.contains("CartesianProduct"), s"cartesian in s04:\n${p.take(3000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      "BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+      "no equi-join found for candidate generation")
+  }
 }

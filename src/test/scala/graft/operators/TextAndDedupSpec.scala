@@ -238,4 +238,21 @@ class SimilaritySpec extends SparkSpec {
     // never drop more than the cluster holds
     cells.foreach { case (_, n, drp) => assert(drp < n) }
   }
+
+  test("s05 k-means step: cells partition the corpus, means move toward members") {
+    val out = Similarity.kmeansStep(spark, sfDir).collect()
+    assert(out.map(_.getInt(0)).toSeq == (1 to Similarity.N_CELLS))
+    val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(out.map(_.getLong(1)).sum == nVecs)
+    out.foreach { r =>
+      val shift = r.getDouble(2)
+      // a refined centroid stays correlated with its seed but must move
+      // (shift strictly below 1) unless the cell is a single point
+      assert(shift > 0.0 && shift <= 1.0, s"cell ${r.getInt(0)} shift $shift")
+      assert(r.getSeq[Long](3).length == 64)
+    }
+    // the step must actually refine something: average shift below 0.999
+    val avg = out.map(_.getDouble(2)).sum / out.length
+    assert(avg < 0.999, s"centroids did not move: avg shift $avg")
+  }
 }
