@@ -358,7 +358,51 @@ object TextOps {
       |      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g')), 1, 16) AS red_fp
       |FROM p ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------- typicality
+  /** t11: unigram-typicality quality score — the corpus-frequency stand-in
+    * for the LM-perplexity filter in CCNet/C4-style pipelines (docs whose
+    * tokens are globally rare are disproportionately OCR noise, gibberish,
+    * or wrong-language; docs of only ultra-common tokens are boilerplate).
+    * Score = floor(mean over tokens of floor(tf/N · 10^9)) — per-token
+    * surprise as a single IEEE divide+multiply+floor over exact integers
+    * (log-perplexity would pull in libm, which differs across engines in
+    * the last ulp; the RANKING is the same monotone family), so the oracle
+    * hash-matches.
+    *
+    * Scale shape: one explode + hash-aggregate builds the term-frequency
+    * table (map-side combined), the scored join shuffles (doc_id, tok)
+    * against (tok, tf) — at real scale the tf table for a filter like
+    * this is top-K vocabulary + default, i.e. broadcastable; the general
+    * shuffle-join form is kept because vocabulary is unbounded. The
+    * total-count side is a 1-row broadcast.
+    */
+  def typicality(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+    val tf = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val tot = toks.agg(count(lit(1)).as("n"))
+    toks.join(tf, "tok").crossJoin(broadcast(tot))
+      .withColumn("sc", floor(col("tf").cast("double") / col("n") * lit(1.0e9)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        floor(sum(col("sc")).cast("double") / count(lit(1))).cast("long").as("typicality"))
+      .orderBy("doc_id")
+  }
+
+  val typicalitySql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+      |tot AS (SELECT count(*) AS n FROM toks),
+      |sc AS (SELECT doc_id, floor(CAST(tf AS DOUBLE) / n * 1000000000.0) AS sc
+      |       FROM toks JOIN tf USING (tok) CROSS JOIN tot)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(floor(sum(sc) / count(*)) AS BIGINT) AS typicality
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_typicality" -> (typicality _),
     "t10_pii_redaction" -> (piiRedaction _),
     "t09_repetition" -> (repetitionStats _),
     "t08_winnowing" -> (winnowingFingerprints _),
@@ -370,6 +414,7 @@ object TextOps {
     "t05_cleantext" -> (cleanedDocs _))
 
   val oracles: Map[String, String] = Map(
+    "t11_typicality" -> typicalitySql,
     "t10_pii_redaction" -> piiRedactionSql,
     "t09_repetition" -> repetitionStatsSql,
     "t08_winnowing" -> winnowingFingerprintsSql,

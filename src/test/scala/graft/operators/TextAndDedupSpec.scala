@@ -71,6 +71,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(1) == Seq("a b"))
   }
 
+  test("t11 typicality: common-token docs outscore rare-token docs") {
+    val out = TextOps.typicality(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 500)
+    // every doc tokenizes to >0 tokens; scores are positive (every token
+    // occurs at least once, so tf/N >= 1/N > 0)
+    assert(out.forall { case (_, n, t) => n > 0 && t > 0 })
+    // the corpus vocabulary is ~30 very common words, so scores must be
+    // well above the 1-occurrence floor (1e9/N) for typical docs
+    val n_total = out.map(_._2).sum
+    val floor1 = 1.0e9 / n_total
+    assert(out.count(_._3 > 100 * floor1) > 400, "scores look degenerate")
+  }
+
   test("t10 pii: planted email/phone/IP are counted and redacted") {
     val out = TextOps.piiRedaction(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
