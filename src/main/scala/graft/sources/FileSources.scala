@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Batch file-format surface: CSV / JSON-lines / ORC readers and writers
+  * alongside the parquet path the rest of the engine uses (graft.Tables).
+  * The reference consumes only Kafka JSON (main.go:30-64), but an engine
+  * its users migrate onto must also ingest and emit the interchange
+  * formats around a warehouse; these wrap Spark's bundled sources with the
+  * options that matter at 100 TB:
+  *
+  *   - schema is ALWAYS explicit. Inference costs a full extra scan of the
+  *     input (and for JSON samples can silently widen/narrow types between
+  *     runs); at 100 TB that is a second 100 TB read.
+  *   - `mode` defaults to FAILFAST: a malformed row aborts the job rather
+  *     than silently nulling columns mid-corpus (PERMISSIVE is opt-in,
+  *     with the corrupt-record column named, for quarantine flows).
+  *   - ORC/parquet writers get write-time `partitionBy` so downstream
+  *     reads partition-prune — the single biggest scan saver for
+  *     predicate-on-partition-key workloads (asserted in FileSourcesSpec).
+  *
+  * CSV/JSON are row-oriented text: fine as interchange, wrong as the
+  * at-rest analytics format (no column pruning, no predicate pushdown, no
+  * encoding). The round-trip specs exist to pin fidelity, not to endorse
+  * scanning CSV at scale.
+  */
+object FileSources {
+
+  /** CSV reader: explicit schema, header expected, FAILFAST by default. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      mode: String = "FAILFAST"): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("mode", mode)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
+  /** JSON-lines reader: explicit schema, FAILFAST by default. */
+  def readJson(spark: SparkSession, path: String, schema: StructType,
+      mode: String = "FAILFAST"): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", mode)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** ORC reader (bundled columnar alternative; pushdown + pruning work as
+    * for parquet).
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Columnar write with write-time partitioning: `partitionCols` become
+    * directory keys, so a filter on them prunes whole files from every
+    * later scan (PartitionFilters in the plan, not a data filter).
+    */
+  def writeOrcPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
+  }
+
+  def writeParquetPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+}
