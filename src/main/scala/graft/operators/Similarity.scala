@@ -532,11 +532,20 @@ object Similarity {
   def kmeansStep(s: SparkSession, d: String): DataFrame = {
     val corpus = Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
-    val cents = broadcast(
+    val cents =
       corpus.filter(col("vec_id") % 31 === 6)
         .withColumn("cell", row_number().over(Window.orderBy(col("vec_id"))))
         .filter(col("cell") <= N_CELLS)
-        .select(col("cell"), col("qv").as("centroid")))
+        .select(col("cell"), col("qv").as("centroid"))
+    kmeansStepFrom(corpus, cents)
+  }
+
+  /** One Lloyd step from an arbitrary (cell, centroid) frame — the
+    * iterate-able form: feed the returned (cell, centroid) back in until
+    * `shift` approaches 1 (KMeansConvergenceSpec chains two steps).
+    */
+  def kmeansStepFrom(corpus: DataFrame, centsIn: DataFrame): DataFrame = {
+    val cents = broadcast(centsIn)
     val assign = corpus.crossJoin(cents)
       .withColumn("score", qdot(col("qv"), col("centroid")).cast("double") /
         sqrt(qdot(col("centroid"), col("centroid")).cast("double")))

@@ -269,4 +269,23 @@ class SimilaritySpec extends SparkSpec {
     val avg = out.map(_.getDouble(2)).sum / out.length
     assert(avg < 0.999, s"centroids did not move: avg shift $avg")
   }
+
+  test("s05 iterated: a second Lloyd step moves centroids less than the first") {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+    val seed = corpus.filter(col("vec_id") % 31 === 6)
+      .withColumn("cell", row_number().over(Window.orderBy(col("vec_id"))))
+      .filter(col("cell") <= Similarity.N_CELLS)
+      .select(col("cell"), col("qv").as("centroid"))
+    val step1 = Similarity.kmeansStepFrom(corpus, seed).cache()
+    val shift1 = step1.agg(avg(col("shift"))).collect().head.getDouble(0)
+    val step2 = Similarity.kmeansStepFrom(corpus,
+      step1.select(col("cell"), col("centroid")))
+    val shift2 = step2.agg(avg(col("shift"))).collect().head.getDouble(0)
+    step1.unpersist()
+    // Lloyd converges: consecutive centroid sets grow more similar
+    assert(shift2 > shift1, s"no convergence: step1 $shift1, step2 $shift2")
+    assert(shift2 > 0.9, s"second step still moving far: $shift2")
+  }
 }
