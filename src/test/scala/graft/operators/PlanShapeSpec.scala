@@ -73,6 +73,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), "per-doc rollup fell out of hash aggregation")
   }
 
+  test("t11: tf scoring is equi-joined and hash-aggregated; only the 1-row total broadcasts") {
+    val p = plan("t11_typicality")
+    assert(!p.contains("CartesianProduct"), s"cartesian in t11:\n${p.take(3000)}")
+    assert(!p.contains("SortAggregate"), "tf build fell out of hash aggregation")
+    // the only nested-loop member is the broadcast single-row total
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      "unexpected nested-loop joins beyond the 1-row total")
+  }
+
   test("s04: semantic-dedup candidates come from a (cell, bucket) equi-join, never all-pairs") {
     val p = plan("s04_semantic_dedup")
     // the only nested-loop member allowed is the broadcast 16-row
