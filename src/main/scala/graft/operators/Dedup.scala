@@ -746,6 +746,57 @@ object Dedup {
       |    AS dup_permille
       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- cross-source dup matrix
+  /** d11: cross-source duplication matrix — which sources carry copies of
+    * each other's content (mirror sites, scraped re-posts, dataset
+    * overlap between crawl dumps). For every pair of sources, counts the
+    * distinct content hashes present in both. The curation decision this
+    * feeds: a source whose corpus is mostly another source's content gets
+    * downweighted or dropped wholesale, BEFORE doc-level dedup spends
+    * compute on it.
+    *
+    * The synthetic corpus has no cross-source copies, so — the d06/t10
+    * pattern — mirrored copies are planted in-query (every doc_id %
+    * [[MIRROR_EVERY]] == 0 re-appears under `source_mirror`), identically
+    * in the oracle; the operator under test is the matrix itself.
+    *
+    * Scale shape: documents reduce to distinct (source, 60-bit hash)
+    * rows immediately — bodies never shuffle; the matrix is a self-join
+    * on hash equality, where group size = number of sources sharing one
+    * text (small in practice; a corpus-wide viral-content cap like d03's
+    * MAX_POSTING_LEN drops degenerate hashes first if needed), then one
+    * hash aggregate per source pair.
+    */
+  val MIRROR_EVERY = 29
+  val MIRROR_ID_OFFSET = 5000000L
+
+  def crossSourceDupMatrix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val planted = docs.filter(col("doc_id") % MIRROR_EVERY === 0)
+      .select((col("doc_id") + MIRROR_ID_OFFSET).as("doc_id"),
+        concat(col("source"), lit("_mirror")).as("source"), col("text"))
+    val hs = docs.unionByName(planted)
+      .select(col("source"), baseHash(col("text")).as("h"))
+      .distinct()
+    hs.as("a").join(hs.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val crossSourceDupMatrixSql: String =
+    s"""WITH p AS (SELECT doc_id, source, text FROM documents
+      |           UNION ALL
+      |           SELECT doc_id + $MIRROR_ID_OFFSET, source || '_mirror', text
+      |           FROM documents WHERE doc_id % $MIRROR_EVERY = 0),
+      |hs AS (SELECT DISTINCT source,
+      |         CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+      |       FROM p)
+      |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** All dedup queries keyed for SparkEntry (oracle-checked where SQL can
     * express them; minhash/simhash are verified by scalatest instead).
     */
@@ -758,9 +809,11 @@ object Dedup {
     "d07_neardup_survivors" -> (neardupSurvivors _),
     "d08_shingle_freq_histogram" -> (shingleFreqHistogram _),
     "d09_simhash_neardup" -> (simhashNearDupPairs _),
-    "d10_paragraph_dedup" -> (paragraphDedupStats _))
+    "d10_paragraph_dedup" -> (paragraphDedupStats _),
+    "d11_cross_source_dups" -> (crossSourceDupMatrix _))
 
   val oracles: Map[String, String] = Map(
+    "d11_cross_source_dups" -> crossSourceDupMatrixSql,
     "d10_paragraph_dedup" -> paragraphDedupStatsSql,
     "d01_dedup_exact" -> dedupExactSurvivorsSql,
     "d02_dedup_stats" -> dedupExactStatsSql,

@@ -181,6 +181,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d11 cross-source matrix: every planted mirror pair detected, nothing else") {
+    val out = Dedup.crossSourceDupMatrix(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // planted mirrors are the ONLY cross-source copies: each pair is
+    // (srcK, srcK_mirror) and counts exactly the planted hashes
+    out.foreach { case (a, b, n) =>
+      assert(b == a + "_mirror", s"unexpected pair ($a, $b)")
+      assert(n >= 1)
+    }
+    val totalShared = out.map(_._3).sum
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(totalShared == (0L until docs).count(_ % Dedup.MIRROR_EVERY == 0))
+  }
+
   test("d10 paragraph dedup: shared chunks flagged, first occurrence survives") {
     val stats = Dedup.paragraphDedupStats(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
