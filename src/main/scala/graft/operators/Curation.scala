@@ -122,7 +122,9 @@ object Curation {
     */
   val CONTAM_NGRAM = 8
   val BENCH_MOD = 97
-  val PLANT_OFFSET = 1000000L
+  // far above any organic doc_id at any corpus size (a 1e12-doc corpus is
+  // beyond the 100 TB design point), so planted ids can never collide
+  val PLANT_OFFSET = 1000000000000L
 
   def decontamination(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)

@@ -768,14 +768,13 @@ object Dedup {
     * hash aggregate per source pair.
     */
   val MIRROR_EVERY = 29
-  val MIRROR_ID_OFFSET = 5000000L
 
   def crossSourceDupMatrix(s: SparkSession, d: String): DataFrame = {
+    // doc identity is irrelevant here — the matrix is over (source, hash)
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
     val planted = docs.filter(col("doc_id") % MIRROR_EVERY === 0)
-      .select((col("doc_id") + MIRROR_ID_OFFSET).as("doc_id"),
-        concat(col("source"), lit("_mirror")).as("source"), col("text"))
-    val hs = docs.unionByName(planted)
+      .select(concat(col("source"), lit("_mirror")).as("source"), col("text"))
+    val hs = docs.select(col("source"), col("text")).unionByName(planted)
       .select(col("source"), baseHash(col("text")).as("h"))
       .distinct()
     hs.as("a").join(hs.as("b"),
@@ -786,9 +785,9 @@ object Dedup {
   }
 
   val crossSourceDupMatrixSql: String =
-    s"""WITH p AS (SELECT doc_id, source, text FROM documents
+    s"""WITH p AS (SELECT source, text FROM documents
       |           UNION ALL
-      |           SELECT doc_id + $MIRROR_ID_OFFSET, source || '_mirror', text
+      |           SELECT source || '_mirror', text
       |           FROM documents WHERE doc_id % $MIRROR_EVERY = 0),
       |hs AS (SELECT DISTINCT source,
       |         CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h

@@ -416,10 +416,15 @@ object Similarity {
     * stand-in), the d06 planted near-dups (the natural corpus has no
     * cosine ≥ 0.9 pairs), and the d06 banded-LSH candidate generation —
     * here additionally constrained to same-cell, which is exactly
-    * SemDeDup's "only dedup within a cluster" semantics. Survivor rule is
-    * greedy keep-lowest-id (deterministic; SemDeDup keeps one arbitrary
-    * point per set). Output is the per-cell damage report: cluster size
-    * and how many members semantic dedup would drop.
+    * SemDeDup's "only dedup within a cluster" semantics. Drop rule: a
+    * vector is dropped iff SOME confirmed-similar neighbor has a lower
+    * id — the pair-local rule, deterministic and one aggregate. (On a
+    * similarity chain a<b<c where only adjacent pairs are similar, this
+    * drops both b and c, while a sequential greedy pass would re-admit c
+    * once b is gone — pair-local is the standard one-shot batch
+    * approximation, slightly more aggressive than greedy; SemDeDup itself
+    * keeps one arbitrary point per ε-cluster.) Output is the per-cell
+    * damage report: cluster size and how many members are dropped.
     *
     * Scale shape: no all-pairs anywhere — candidates come from equality on
     * (cell, table, bucket) over a thin exploded key table, pair-distinct
@@ -430,21 +435,36 @@ object Similarity {
     */
   val SEM_THRESHOLD = 0.9
 
-  def semanticDedup(s: SparkSession, d: String): DataFrame = {
-    val corpus = plantNearDups(Tables.embeddings(s, d)
-      .select(col("vec_id"), quantize(col("embedding")).as("qv")))
-    val cents = broadcast(
-      corpus.filter(col("vec_id") % 31 === 6 && col("vec_id") < PLANT_ID_OFFSET)
-        .withColumn("cell", row_number().over(Window.orderBy(col("vec_id"))))
-        .filter(col("cell") <= N_CELLS)
-        .select(col("cell"), col("qv").as("centroid")))
-    val assign = corpus.crossJoin(cents)
+  /** Deterministic seed centroids from a (vec_id, qv) corpus: every 31st
+    * original id (planted copies excluded), first [[N_CELLS]] by id — the
+    * k-means-build stand-in shared by s03/s04/s05.
+    */
+  def seedCentroids(corpus: DataFrame): DataFrame =
+    corpus.filter(col("vec_id") % 31 === 6 && col("vec_id") < PLANT_ID_OFFSET)
+      .withColumn("cell", row_number().over(Window.orderBy(col("vec_id"))))
+      .filter(col("cell") <= N_CELLS)
+      .select(col("cell"), col("qv").as("centroid"))
+
+  /** Assign every corpus vector to its best cell by quantized cosine
+    * against broadcast centroids (tie-break (score DESC, cell), mirrored
+    * in every oracle that consumes it). One broadcast join + one window
+    * exchange; shared by s04/s05.
+    */
+  def assignToCells(corpus: DataFrame, centsIn: DataFrame): DataFrame = {
+    val cents = broadcast(centsIn)
+    corpus.crossJoin(cents)
       .withColumn("score", qdot(col("qv"), col("centroid")).cast("double") /
         sqrt(qdot(col("centroid"), col("centroid")).cast("double")))
       .withColumn("r", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
       .filter(col("r") === 1)
       .select(col("vec_id"), col("qv"), col("cell"))
+  }
+
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val corpus = plantNearDups(Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv")))
+    val assign = assignToCells(corpus, seedCentroids(corpus))
     val e = assign.withColumn("nrm", sqrt(qdot(col("qv"), col("qv")).cast("double")))
     val buckets = e.select(col("vec_id"), col("cell"),
         posexplode(lshBucketsFor(ndPlanes, col("qv"))))
@@ -532,27 +552,19 @@ object Similarity {
   def kmeansStep(s: SparkSession, d: String): DataFrame = {
     val corpus = Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
-    val cents =
-      corpus.filter(col("vec_id") % 31 === 6)
-        .withColumn("cell", row_number().over(Window.orderBy(col("vec_id"))))
-        .filter(col("cell") <= N_CELLS)
-        .select(col("cell"), col("qv").as("centroid"))
-    kmeansStepFrom(corpus, cents)
+    kmeansStepFrom(corpus, seedCentroids(corpus))
   }
 
   /** One Lloyd step from an arbitrary (cell, centroid) frame — the
     * iterate-able form: feed the returned (cell, centroid) back in until
-    * `shift` approaches 1 (KMeansConvergenceSpec chains two steps).
+    * `shift` approaches 1 (the "s05 iterated" spec chains two steps). A
+    * cell that captures zero vectors KEEPS its old centroid with
+    * n_members = 0 and shift = 1.0 — never silently shrinking k across
+    * iterations (standard empty-cluster handling; a production build
+    * loop would re-seed such cells from far points).
     */
   def kmeansStepFrom(corpus: DataFrame, centsIn: DataFrame): DataFrame = {
-    val cents = broadcast(centsIn)
-    val assign = corpus.crossJoin(cents)
-      .withColumn("score", qdot(col("qv"), col("centroid")).cast("double") /
-        sqrt(qdot(col("centroid"), col("centroid")).cast("double")))
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("qv"), col("cell"))
+    val assign = assignToCells(corpus, centsIn)
     val sums = assign
       .select(col("cell"), posexplode(col("qv")))
       .withColumnRenamed("pos", "dim")
@@ -564,12 +576,16 @@ object Similarity {
       .agg(max(col("n")).as("n_members"),
         transform(sort_array(collect_list(struct(col("dim"), col("m")))),
           x => x.getField("m")).as("centroid"))
-    updated.join(cents.withColumnRenamed("centroid", "old_c"), "cell")
-      .select(col("cell"), col("n_members"),
-        (qdot(col("centroid"), col("old_c")).cast("double") /
-          (sqrt(qdot(col("centroid"), col("centroid")).cast("double")) *
-           sqrt(qdot(col("old_c"), col("old_c")).cast("double")))).as("shift"),
-        col("centroid"))
+    centsIn.withColumnRenamed("centroid", "old_c")
+      .join(updated, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(
+          qdot(col("centroid"), col("old_c")).cast("double") /
+            (sqrt(qdot(col("centroid"), col("centroid")).cast("double")) *
+             sqrt(qdot(col("old_c"), col("old_c")).cast("double"))),
+          lit(1.0)).as("shift"),
+        coalesce(col("centroid"), col("old_c")).as("centroid"))
       .orderBy("cell")
   }
 
@@ -593,12 +609,15 @@ object Similarity {
       |  FROM assign, unnest(range(1, 65)) r(i) GROUP BY cell, i),
       |upd AS (SELECT cell, max(n) AS n_members, list(m ORDER BY dim) AS centroid
       |        FROM sums GROUP BY cell)
-      |SELECT CAST(u.cell AS INT) AS cell, u.n_members,
-      |  CAST(list_sum([u.centroid[i]*c.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
-      |    (sqrt(CAST(list_sum([u.centroid[i]*u.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) *
-      |     sqrt(CAST(list_sum([c.centroid[i]*c.centroid[i] FOR i IN range(1,65)]) AS DOUBLE))) AS shift,
-      |  u.centroid
-      |FROM upd u JOIN cents c USING (cell) ORDER BY cell""".stripMargin
+      |SELECT CAST(c.cell AS INT) AS cell,
+      |  CAST(COALESCE(u.n_members, 0) AS BIGINT) AS n_members,
+      |  COALESCE(
+      |    CAST(list_sum([u.centroid[i]*c.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
+      |      (sqrt(CAST(list_sum([u.centroid[i]*u.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) *
+      |       sqrt(CAST(list_sum([c.centroid[i]*c.centroid[i] FOR i IN range(1,65)]) AS DOUBLE))),
+      |    1.0) AS shift,
+      |  COALESCE(u.centroid, c.centroid) AS centroid
+      |FROM cents c LEFT JOIN upd u USING (cell) ORDER BY cell""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s05_kmeans_step" -> (kmeansStep _),

@@ -380,7 +380,9 @@ object TextOps {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
     val tf = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
-    val tot = toks.agg(count(lit(1)).as("n"))
+    // total token count from the (small) vocabulary table, not a third
+    // scan+explode of the corpus
+    val tot = tf.agg(sum(col("tf")).as("n"))
     toks.join(tf, "tok").crossJoin(broadcast(tot))
       .withColumn("sc", floor(col("tf").cast("double") / col("n") * lit(1.0e9)))
       .groupBy("doc_id")

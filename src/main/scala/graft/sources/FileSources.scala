@@ -27,21 +27,40 @@ import org.apache.spark.sql.types.StructType
   */
 object FileSources {
 
-  /** CSV reader: explicit schema, header expected, FAILFAST by default. */
+  /** In PERMISSIVE mode Spark only materializes the corrupt-record column
+    * when the schema contains it — without this, a malformed row decodes
+    * to indistinguishable all-nulls and the raw line is unrecoverable.
+    */
+  private def withCorrupt(schema: StructType, mode: String): StructType =
+    if (mode.equalsIgnoreCase("PERMISSIVE") &&
+        !schema.fieldNames.contains("_corrupt_record"))
+      schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    else schema
+
+  /** CSV reader: explicit schema, header expected, FAILFAST by default.
+    * `multiLine` stays false by default — that is the splittable fast
+    * path; fields containing embedded newlines (which [[writeCsv]] quotes
+    * correctly) REQUIRE `multiLine = true`, at the cost of one-task-per-
+    * file parsing. PERMISSIVE mode gets `_corrupt_record` appended so
+    * quarantine flows can capture the offending line.
+    */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
-      mode: String = "FAILFAST"): DataFrame =
+      mode: String = "FAILFAST", multiLine: Boolean = false): DataFrame =
     spark.read
-      .schema(schema)
+      .schema(withCorrupt(schema, mode))
       .option("header", "true")
       .option("mode", mode)
+      .option("multiLine", multiLine.toString)
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(path)
 
-  /** JSON-lines reader: explicit schema, FAILFAST by default. */
+  /** JSON-lines reader: explicit schema, FAILFAST by default; PERMISSIVE
+    * gets `_corrupt_record` appended (see [[readCsv]]).
+    */
   def readJson(spark: SparkSession, path: String, schema: StructType,
       mode: String = "FAILFAST"): DataFrame =
     spark.read
-      .schema(schema)
+      .schema(withCorrupt(schema, mode))
       .option("mode", mode)
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)

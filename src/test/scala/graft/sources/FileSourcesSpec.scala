@@ -69,8 +69,22 @@ class FileSourcesSpec extends SparkSpec {
     }
     assert(ex.getMessage != null)
     // PERMISSIVE mode quarantines instead: the bad row decodes to null
-    val perm = FileSources.readCsv(spark, dir, schema, mode = "PERMISSIVE").collect()
-    assert(perm.length == 2)
-    assert(perm.count(_.isNullAt(0)) == 1)
+    // AND the raw line is captured in _corrupt_record for replay
+    val perm = FileSources.readCsv(spark, dir, schema, mode = "PERMISSIVE")
+    assert(perm.schema.fieldNames.contains("_corrupt_record"))
+    val rows = perm.collect()
+    assert(rows.length == 2)
+    val bad = rows.filter(_.isNullAt(0))
+    assert(bad.length == 1)
+    assert(bad.head.getString(2).startsWith("not_a_long"))
+  }
+
+  test("csv with embedded newlines round-trips under multiLine") {
+    import spark.implicits._
+    val dir = tmp("ml")
+    val df = Seq((1L, "first line\nsecond line"), (2L, "plain")).toDF("id", "text")
+    FileSources.writeCsv(df, dir)
+    val back = FileSources.readCsv(spark, dir, df.schema, multiLine = true)
+    assert(asSet(back) == asSet(df))
   }
 }
