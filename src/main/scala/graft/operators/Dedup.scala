@@ -247,38 +247,26 @@ object Dedup {
     * Generate. `carry` columns (e.g. blocking keys) ride along.
     */
   def shingleTable(docs: DataFrame, carry: Seq[String] = Nil,
-      distinct: Boolean = true): DataFrame = {
+      distinct: Boolean = true, n: Int = 3): DataFrame = {
     val toked = docs.select(
       (col("doc_id") +: carry.map(col)) :+
         TextFunctions.tokens(col("text")).as("tk"): _*)
-    val sh = when(size(col("tk")) < 3, array_join(col("tk"), " "))
+    val sh = when(size(col("tk")) < n, array_join(col("tk"), " "))
       .otherwise(concat_ws(" ",
-        element_at(col("tk"), col("i") + 1),
-        element_at(col("tk"), col("i") + 2),
-        element_at(col("tk"), col("i") + 3)))
+        (0 until n).map(j => element_at(col("tk"), col("i") + j + 1)): _*))
     val exploded = toked
-      .withColumn("i", explode(sequence(lit(0), greatest(size(col("tk")) - 3, lit(0)))))
+      .withColumn("i", explode(sequence(lit(0), greatest(size(col("tk")) - n, lit(0)))))
       .select((col("doc_id") +: carry.map(col)) :+ sh.as("sh"): _*)
     // consumers whose aggregate is idempotent under duplicates (minhash
     // min) skip the distinct shuffle
     if (distinct) exploded.dropDuplicates("doc_id" +: "sh" +: Nil) else exploded
   }
 
-  /** Distinct word-n-gram shingles per doc — [[shingleTable]] generalized
-    * to any n (same fully-codegen explode + element_at shape, same
-    * <n-token whole-doc fallback), for consumers needing longer grams
-    * (benchmark decontamination uses 8).
+  /** Distinct word-n-gram shingles per doc for consumers needing longer
+    * grams (benchmark decontamination uses 8) — [[shingleTable]] at n.
     */
-  def ngramShingleTable(docs: DataFrame, n: Int): DataFrame = {
-    val toked = docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
-    val sh = when(size(col("tk")) < n, array_join(col("tk"), " "))
-      .otherwise(concat_ws(" ",
-        (0 until n).map(j => element_at(col("tk"), col("i") + j + 1)): _*))
-    toked
-      .withColumn("i", explode(sequence(lit(0), greatest(size(col("tk")) - n, lit(0)))))
-      .select(col("doc_id"), sh.as("sh"))
-      .dropDuplicates("doc_id", "sh")
-  }
+  def ngramShingleTable(docs: DataFrame, n: Int): DataFrame =
+    shingleTable(docs, n = n)
 
   /** MinHash signatures as a single codegen'd hash aggregate: shingle once,
     * hash once, then SIG_N min() aggregates over the affine family in one
