@@ -24,7 +24,10 @@ object Curation {
   /** Minimum whitespace-token count for a document to enter the corpus. */
   val MIN_TOKENS = 5
 
-  def curate(s: SparkSession, d: String): DataFrame = {
+  /** The curation funnel's stage frames: (raw, qualified, keep, surviving).
+    * Shared by the p01 stats query and the p05 funnel report.
+    */
+  private def stageFrames(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)
     val qualified = docs.filter(size(TextFunctions.tokens(col("text"))) >= MIN_TOKENS)
     // exact dedup: keep the smallest doc_id per content hash; the hash
@@ -50,17 +53,42 @@ object Curation {
         .filter(col("id") =!= col("lbl"))
         .select(col("id").as("doc_id"))
       finally deduped.unpersist()
-    val surviving = deduped.join(losers, Seq("doc_id"), "left_anti")
+    (docs, qualified, keep, deduped.join(losers, Seq("doc_id"), "left_anti"))
+  }
+
+  def curate(s: SparkSession, d: String): DataFrame = {
+    val (_, _, _, surviving) = stageFrames(s, d)
     surviving.groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("sum_chars"))
       .orderBy("source", "lang")
   }
 
-  /** Oracle: the same four stages composed in SQL — token gate, min-id per
-    * md5, capped-pair recursive-CTE components, anti-joined stats.
+  // ------------------------------------------------------ funnel report
+  /** p05: the curation funnel — per-stage document counts (raw → quality
+    * gate → exact dedup → near-dup survivors), the observability face of
+    * p01: the number a corpus engineer watches per ingest batch to catch
+    * a mis-tuned gate (stage 1 collapses) or a dedup regression (stage
+    * 2/3 stops dropping). Four scalar aggregates over the p01 stage
+    * frames, unioned — the pair pipeline dominates, exactly as in p01.
     */
-  lazy val curateSql: String =
+  def curationFunnel(s: SparkSession, d: String): DataFrame = {
+    val (docs, qualified, keep, surviving) = stageFrames(s, d)
+    def cnt(df: DataFrame, no: Int, name: String) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(no).as("stage_no"), lit(name).as("stage"), col("n_docs"))
+    cnt(docs, 0, "raw")
+      .unionByName(cnt(qualified, 1, "quality_gated"))
+      .unionByName(cnt(keep, 2, "exact_deduped"))
+      .unionByName(cnt(surviving, 3, "neardup_survivors"))
+      .orderBy("stage_no")
+  }
+
+  /** Oracle: the same four stages composed in SQL — token gate, min-id per
+    * md5, capped-pair recursive-CTE components, anti-joined stats. The CTE
+    * chain is shared verbatim with the p05 funnel oracle.
+    */
+  private lazy val curationCtes: String =
     s"""WITH RECURSIVE
       |q AS (SELECT * FROM documents
       |      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= $MIN_TOKENS),
@@ -97,10 +125,23 @@ object Curation {
       |  SELECT e.dst AS id, cc.lbl AS lbl FROM cc JOIN edges e ON cc.id = e.src
       |),
       |losers AS (SELECT id FROM cc GROUP BY id HAVING id <> min(lbl)),
-      |surv AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT id FROM losers))
+      |surv AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT id FROM losers))""".stripMargin
+
+  lazy val curateSql: String =
+    s"""$curationCtes
       |SELECT source, lang, count(*) AS n_docs,
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM surv GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
+  lazy val curationFunnelSql: String =
+    s"""$curationCtes
+      |SELECT * FROM (
+      |  SELECT 0 AS stage_no, 'raw' AS stage,
+      |         (SELECT count(*) FROM documents) AS n_docs
+      |  UNION ALL SELECT 1, 'quality_gated', (SELECT count(*) FROM q)
+      |  UNION ALL SELECT 2, 'exact_deduped', (SELECT count(*) FROM keep)
+      |  UNION ALL SELECT 3, 'neardup_survivors', (SELECT count(*) FROM surv))
+      |ORDER BY stage_no""".stripMargin
 
   // ------------------------------------------------------ decontamination
   /** p02: benchmark decontamination — the eval-set leak check a training
@@ -253,11 +294,13 @@ object Curation {
     "p01_curation_pipeline" -> (curate _),
     "p02_decontamination" -> (decontamination _),
     "p03_train_val_split" -> (trainValSplit _),
-    "p04_source_downsample" -> (sourceDownsample _))
+    "p04_source_downsample" -> (sourceDownsample _),
+    "p05_curation_funnel" -> (curationFunnel _))
 
   val oracles: Map[String, String] = Map(
     "p01_curation_pipeline" -> curateSql,
     "p02_decontamination" -> decontaminationSql,
     "p03_train_val_split" -> trainValSplitSql,
-    "p04_source_downsample" -> sourceDownsampleSql)
+    "p04_source_downsample" -> sourceDownsampleSql,
+    "p05_curation_funnel" -> curationFunnelSql)
 }

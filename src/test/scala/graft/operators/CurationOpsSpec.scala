@@ -45,6 +45,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(dup.filter(_._1 == "same text").map(_._2).distinct.length == 1)
   }
 
+  test("curation funnel: stages are ordered, monotone non-increasing, consistent with p01") {
+    val f = Curation.curationFunnel(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(f.map(_._2).toSeq ==
+      Seq("raw", "quality_gated", "exact_deduped", "neardup_survivors"))
+    val counts = f.map(_._3)
+    assert(counts.head ==
+      spark.read.parquet("/root/testdata/sf0.01/documents.parquet").count())
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"funnel not monotone: ${counts.toSeq}")
+    // survivors must equal p01's total
+    val p01Total = Curation.curate(spark, "/root/testdata/sf0.01")
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).collect().head.getLong(0)
+    assert(counts.last == p01Total)
+  }
+
   test("source downsample caps every source and is deterministic") {
     val perSource = Curation.sourceDownsample(spark, "/root/testdata/sf0.01")
       .groupBy("source").agg(sum("n_docs").as("n")).collect()
