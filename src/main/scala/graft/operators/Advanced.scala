@@ -93,13 +93,38 @@ object Advanced {
       |  quantile_cont(value, 0.9) AS p90
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q50: LATERAL join — the per-row correlated derived table (top-2
+    * customers by balance for every nation), the SQL surface behind
+    * "for each row, run this parameterized subquery". Catalyst
+    * decorrelates the LIMIT-2 lateral into a ranked window join, the same
+    * physical shape as q08's window top-n — no per-row re-execution.
+    */
+  def lateralTopN(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT n.n_name, l.c_name, l.c_acctbal FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) l
+        |ORDER BY n.n_name, l.c_acctbal DESC, l.c_name""".stripMargin)
+  }
+
+  val lateralTopNSql: String =
+    """SELECT n.n_name, l.c_name, l.c_acctbal FROM nation n,
+      |LATERAL (SELECT c_name, c_acctbal FROM customer c
+      |         WHERE c.c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_name LIMIT 2) l
+      |ORDER BY n.n_name, l.c_acctbal DESC, l.c_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_lateral_topn" -> (lateralTopN _),
     "q32_correlated_subquery" -> (correlatedSubquery _),
     "q33_range_frame" -> (rangeFrame _),
     "q34_ranking_variety" -> (rankingVariety _),
     "q35_percentiles" -> (percentiles _))
 
   val oracles: Map[String, String] = Map(
+    "q50_lateral_topn" -> lateralTopNSql,
     "q32_correlated_subquery" -> correlatedSubquerySql,
     "q33_range_frame" -> rangeFrameSql,
     "q34_ranking_variety" -> rankingVarietySql,

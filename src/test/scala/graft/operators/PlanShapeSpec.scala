@@ -73,6 +73,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), "per-doc rollup fell out of hash aggregation")
   }
 
+  test("q50: lateral top-n decorrelates to a ranked join, not per-row re-execution") {
+    val df = SparkEntry.queries("q50_lateral_topn")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in q50:\n${p.take(2000)}")
+    // ≤ 2 rows per nation, deterministic cut
+    val byNation = df.collect().groupBy(_.getString(0))
+    assert(byNation.nonEmpty && byNation.values.forall(_.length <= 2))
+  }
+
   test("t11: tf scoring is equi-joined and hash-aggregated; only the 1-row total broadcasts") {
     val p = plan("t11_typicality")
     assert(!p.contains("CartesianProduct"), s"cartesian in t11:\n${p.take(3000)}")
