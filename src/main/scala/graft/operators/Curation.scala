@@ -290,7 +290,52 @@ object Curation {
       |FROM r WHERE rk <= $SAMPLE_CAP
       |GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
+  // --------------------------------------------------- sequence packing
+  /** p06: training-sequence packing — the concat-and-chunk index map a
+    * dataloader needs: documents are concatenated in (source, doc_id)
+    * order and cut into fixed [[SEQ_TOKENS]]-token training sequences;
+    * for every document, which sequences does it land in? (The
+    * Megatron/GPT pretraining data layout; start_seq == end_seq means
+    * the doc sits inside one sequence, spans > 1 mean it straddles
+    * cuts.) Packing is PER SOURCE — each source is an independent
+    * sequence stream — which is both what mixture-weighted loaders do
+    * and what makes the cumulative sum scale: the window partitions by
+    * source instead of running one global single-partition scan.
+    *
+    * All arithmetic is exact int64 (`div`, not float division), so the
+    * oracle hash-matches at any corpus size.
+    */
+  val SEQ_TOKENS = 512
+
+  def sequencePacking(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"offset div $SEQ_TOKENS").as("start_seq"),
+        expr(s"(offset + n_tokens - 1) div $SEQ_TOKENS").as("end_seq"))
+      .orderBy("doc_id")
+  }
+
+  lazy val sequencePackingSql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+      |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (SELECT doc_id, source, n_tokens,
+      |  COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens,
+      |  off // $SEQ_TOKENS AS start_seq,
+      |  (off + n_tokens - 1) // $SEQ_TOKENS AS end_seq
+      |FROM o ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p06_sequence_packing" -> (sequencePacking _),
     "p01_curation_pipeline" -> (curate _),
     "p02_decontamination" -> (decontamination _),
     "p03_train_val_split" -> (trainValSplit _),
@@ -298,6 +343,7 @@ object Curation {
     "p05_curation_funnel" -> (curationFunnel _))
 
   val oracles: Map[String, String] = Map(
+    "p06_sequence_packing" -> sequencePackingSql,
     "p01_curation_pipeline" -> curateSql,
     "p02_decontamination" -> decontaminationSql,
     "p03_train_val_split" -> trainValSplitSql,

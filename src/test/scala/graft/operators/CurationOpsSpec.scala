@@ -61,6 +61,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(counts.last == p01Total)
   }
 
+  test("sequence packing: per-source offsets are contiguous and spans are consistent") {
+    val rows = Curation.sequencePacking(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 500)
+    rows.foreach { case (_, _, n, s0, s1) =>
+      assert(n > 0 && s1 >= s0)
+      // a doc of n tokens can straddle at most ceil(n/SEQ)+1 sequences
+      assert(s1 - s0 <= n / Curation.SEQ_TOKENS + 1)
+    }
+    // within a source, consecutive docs are contiguous: next doc's start
+    // sequence never skips past the previous doc's end sequence + 1
+    rows.groupBy(_._2).values.foreach { docs =>
+      val sorted = docs.sortBy(_._1)
+      sorted.zip(sorted.tail).foreach { case ((_, _, _, _, e1), (_, _, _, s2, _)) =>
+        assert(s2 == e1 || s2 == e1 + 1, s"gap between seqs $e1 -> $s2")
+      }
+    }
+  }
+
   test("source downsample caps every source and is deterministic") {
     val perSource = Curation.sourceDownsample(spark, "/root/testdata/sf0.01")
       .groupBy("source").agg(sum("n_docs").as("n")).collect()
