@@ -32,6 +32,32 @@ object Extras {
       |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q51: UNPIVOT (melt) — q25's inverse: a wide per-lang aggregate melted
+    * into tidy (lang, metric, value) rows, the shape monitoring/reporting
+    * sinks want. Spark's native `unpivot` plans an Expand (one projection
+    * per metric, no join, no shuffle beyond the source aggregate).
+    */
+  def unpivotStats(s: SparkSession, d: String): DataFrame =
+    graft.Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        max(col("n_chars")).cast("long").as("max_chars"))
+      .unpivot(Array(col("lang")),
+        Array(col("n_docs"), col("total_chars"), col("max_chars")),
+        "metric", "value")
+      .orderBy("lang", "metric")
+
+  val unpivotStatsSql: String =
+    """WITH w AS (SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |    CAST(max(n_chars) AS BIGINT) AS max_chars
+      |  FROM documents GROUP BY lang)
+      |SELECT lang, metric, value FROM (
+      |  UNPIVOT w ON n_docs, total_chars, max_chars
+      |  INTO NAME metric VALUE value)
+      |ORDER BY lang, metric""".stripMargin
+
   /** HyperLogLog++ approximate distinct counts next to exact — the sketch
     * surface. No oracle (engine-specific sketch); scalatest pins the
     * relative error bound.
@@ -121,6 +147,7 @@ object Extras {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_pivot" -> (pivotEvents _),
+    "q51_unpivot" -> (unpivotStats _),
     "q26_approx_distinct" -> (approxDistinct _),
     "q27_weighted_avg_udaf" -> (weightedAvgPrice _),
     "q30_array_funcs" -> (arrayFuncs _),
@@ -129,6 +156,7 @@ object Extras {
 
   val oracles: Map[String, String] = Map(
     "q25_pivot" -> pivotEventsSql,
+    "q51_unpivot" -> unpivotStatsSql,
     "q27_weighted_avg_udaf" -> weightedAvgPriceSql,
     "q30_array_funcs" -> arrayFuncsSql,
     "q31_math_funcs" -> mathFuncsSql,
