@@ -552,7 +552,17 @@ object Similarity {
   def kmeansStep(s: SparkSession, d: String): DataFrame = {
     val corpus = Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    // The driver's comparator cannot sort ArrayType cells, so the CHECKED
+    // projection folds the 64-long centroid to a 16-hex-char md5
+    // fingerprint (the t10 redaction trick) — bit-equal across engines
+    // because both render int64s identically. kmeansStepFrom keeps the raw
+    // array form for the iterate-able library surface.
     kmeansStepFrom(corpus, seedCentroids(corpus))
+      .select(col("cell"), col("n_members"), col("shift"),
+        substring(md5(array_join(
+          transform(col("centroid"), _.cast("string")), ",")), 1, 16)
+          .as("centroid_fp"))
+      .orderBy("cell")
   }
 
   /** One Lloyd step from an arbitrary (cell, centroid) frame — the
@@ -616,7 +626,8 @@ object Similarity {
       |      (sqrt(CAST(list_sum([u.centroid[i]*u.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) *
       |       sqrt(CAST(list_sum([c.centroid[i]*c.centroid[i] FOR i IN range(1,65)]) AS DOUBLE))),
       |    1.0) AS shift,
-      |  COALESCE(u.centroid, c.centroid) AS centroid
+      |  substr(md5(array_to_string(COALESCE(u.centroid, c.centroid), ',')), 1, 16)
+      |    AS centroid_fp
       |FROM cents c LEFT JOIN upd u USING (cell) ORDER BY cell""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

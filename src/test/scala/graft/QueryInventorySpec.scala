@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.types.{ArrayType, MapType}
+
+/** Driver-comparator contract over the whole registered-query inventory:
+  * the correctness harness lexsorts result columns with pandas, which
+  * cannot factorize ArrayType/MapType cells (numpy arrays are unhashable —
+  * this is exactly how s05 shipped red in round 5 despite a green local
+  * check). Any query that needs an array internally must fold it to a
+  * scalar fingerprint in the CHECKED projection, so a violation fails here
+  * in `sbt test` instead of in a driver run.
+  */
+class QueryInventorySpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("no registered query projects a top-level ArrayType/MapType column") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        q(spark, sfDir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] => s"$name.${f.name}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"driver comparator cannot sort these columns: ${offenders.mkString(", ")}")
+  }
+
+  test("every oracle key has a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: ${orphans.mkString(", ")}")
+  }
+}
