@@ -258,21 +258,33 @@ object Curation {
     * reproducible, and adding new docs to a source only displaces the
     * tail. Output: the per-(source, lang) mixture after the cap.
     *
-    * Scale shape: one exchange on source for the rank window (row_number
-    * over a bounded-per-source partition), then a partial-aggregated
-    * rollup. At 100 TB the window partitions by the handful of sources —
-    * if one source is pathologically larger than an executor's spill
-    * budget, the standard remedy is pre-aggregation by (source, hash
-    * range); the cap semantics are unchanged.
+    * Scale shape: TWO-LEVEL ranking, because `source` has ~20 distinct
+    * values — a single `row_number` window partitioned by bare source
+    * would sort 1/20th of a 100 TB corpus on ONE task. Level 1 ranks
+    * within (source, pmod(hash, [[DOWNSAMPLE_BUCKETS]])) buckets — each
+    * partition is 1/(20·B) of the corpus — and keeps at most SAMPLE_CAP
+    * rows per bucket; any row in a source's global top-CAP is necessarily
+    * in its own bucket's top-CAP (the ordering key is identical), so
+    * level 2 re-ranks only the ≤ B·CAP survivors per source and keeps the
+    * SAME winners the single window would have picked. The oracle keeps
+    * the one-window formulation — results are hash-identical by
+    * construction. PlanShapeSpec pins the bucketed level-1 window.
     */
   val SAMPLE_CAP = 10
+  val DOWNSAMPLE_BUCKETS = 64
 
   def sourceDownsample(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"))
-      .orderBy(Dedup.baseHash(col("text")).asc, col("doc_id").asc)
+    val W = org.apache.spark.sql.expressions.Window
+    val wBucket = W.partitionBy(col("source"),
+        pmod(col("h"), lit(DOWNSAMPLE_BUCKETS)))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    val wSource = W.partitionBy(col("source"))
+      .orderBy(col("h").asc, col("doc_id").asc)
     Tables.documents(s, d)
-      .withColumn("rk", row_number().over(w))
+      .withColumn("h", Dedup.baseHash(col("text")))
+      .withColumn("rk1", row_number().over(wBucket))
+      .filter(col("rk1") <= SAMPLE_CAP)
+      .withColumn("rk", row_number().over(wSource))
       .filter(col("rk") <= SAMPLE_CAP)
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"),
@@ -298,23 +310,52 @@ object Curation {
     * Megatron/GPT pretraining data layout; start_seq == end_seq means
     * the doc sits inside one sequence, spans > 1 mean it straddles
     * cuts.) Packing is PER SOURCE — each source is an independent
-    * sequence stream — which is both what mixture-weighted loaders do
-    * and what makes the cumulative sum scale: the window partitions by
-    * source instead of running one global single-partition scan.
+    * sequence stream.
+    *
+    * Scale shape: a per-source cumulative sum is order-dependent, and
+    * `source` has ~20 values — a window partitioned by bare source would
+    * scan petabytes on one task. This is the classic DISTRIBUTED PREFIX
+    * SUM instead: (1) range-partition by (source, doc_id) into
+    * [[PACK_SLICES]] order-preserving slices; (2) aggregate one token
+    * total per (source, slice) — a tiny frame — and turn it into
+    * per-slice base offsets with a window over that tiny frame; (3)
+    * broadcast the bases back and compute the running sum LOCALLY within
+    * each (source, slice). Every task touches one bounded slice; no
+    * single-task-per-source scan anywhere. Slice ids come from
+    * spark_partition_id() over the range exchange, which is
+    * order-preserving across slices, so base + local prefix equals the
+    * global per-source prefix exactly. PlanShapeSpec pins the two-phase
+    * plan.
     *
     * All arithmetic is exact int64 (`div`, not float division), so the
-    * oracle hash-matches at any corpus size.
+    * oracle hash-matches at any corpus size — the oracle keeps the
+    * one-window formulation, which is value-identical by construction.
     */
   val SEQ_TOKENS = 512
+  val PACK_SLICES = 32
 
   def sequencePacking(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    Tables.documents(s, d)
+    val W = org.apache.spark.sql.expressions.Window
+    val sliced = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .repartitionByRange(PACK_SLICES, col("source"), col("doc_id"))
+      .withColumn("slice", spark_partition_id())
+    // per-(source, slice) totals → cumulative base offset per slice; the
+    // frame is ≤ sources·PACK_SLICES rows, so the bare-source window here
+    // sorts a handful of rows, not the corpus
+    val wBase = W.partitionBy(col("source")).orderBy(col("slice"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val bases = sliced.groupBy("source", "slice")
+      .agg(sum(col("n_tokens")).as("slice_tokens"))
+      .withColumn("base", coalesce(sum(col("slice_tokens")).over(wBase), lit(0L)))
+      .select("source", "slice", "base")
+    val wLocal = W.partitionBy(col("source"), col("slice")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    sliced
+      .join(broadcast(bases), Seq("source", "slice"))
+      .withColumn("offset",
+        col("base") + coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         expr(s"offset div $SEQ_TOKENS").as("start_seq"),
         expr(s"(offset + n_tokens - 1) div $SEQ_TOKENS").as("end_seq"))

@@ -94,6 +94,39 @@ class CurationOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("p04 two-level rank picks exactly the single-window winners") {
+    val d = "/root/testdata/sf0.001"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(Dedup.baseHash(col("text")).asc, col("doc_id").asc)
+    val ref = spark.read.parquet(s"$d/documents.parquet")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Curation.SAMPLE_CAP)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy("source", "lang")
+      .collect().toSeq
+    assert(Curation.sourceDownsample(spark, d).collect().toSeq == ref)
+  }
+
+  test("p06 distributed prefix-sum equals the single-window running sum") {
+    val d = "/root/testdata/sf0.001"
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val ref = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"offset div ${Curation.SEQ_TOKENS}").as("start_seq"),
+        expr(s"(offset + n_tokens - 1) div ${Curation.SEQ_TOKENS}").as("end_seq"))
+      .orderBy("doc_id")
+      .collect().toSeq
+    assert(Curation.sequencePacking(spark, d).collect().toSeq == ref)
+  }
+
   test("repetition stats: a self-repeating doc scores high, distinct text scores zero") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam"), // one distinct 3-gram, 8 total

@@ -91,6 +91,32 @@ class PlanShapeSpec extends SparkSpec {
       "unexpected nested-loop joins beyond the 1-row total")
   }
 
+  test("p04: ranking is two-level — a hash-bucketed window feeds the bare-source window") {
+    val p = plan("p04_source_downsample")
+    // level 1 partitions by (source, pmod(hash, B)): bounded partitions at
+    // any corpus size; the only bare-source window ranks ≤ B·CAP survivors
+    assert(p.contains("pmod("), s"no hash-bucketed level-1 window:\n${p.take(3000)}")
+    val windows = p.linesIterator.filter(_.contains("Window [row_number()")).toSeq
+    assert(windows.length == 2, s"expected 2 rank windows, got ${windows.length}:\n$p")
+    // Spark's InferWindowGroupLimit must keep both rank filters partial —
+    // the map-side top-k is what bounds every exchange input
+    assert("WindowGroupLimit .*Partial".r.findAllIn(p).length == 2,
+      s"map-side rank limits missing:\n${p.take(3000)}")
+  }
+
+  test("p06: running sum is a two-phase distributed prefix-sum, not one window per source") {
+    val p = plan("p06_sequence_packing")
+    // phase 1: order-preserving range exchange + slice ids
+    assert(p.contains("rangepartitioning(source"),
+      s"no range partitioning on (source, doc_id):\n${p.take(3000)}")
+    assert(p.contains("SPARK_PARTITION_ID"), "no slice-id derivation")
+    // phase 2: the corpus-side window partitions by (source, slice) —
+    // bounded — and the per-slice bases arrive via broadcast
+    assert(p.linesIterator.exists(l => l.contains("Window") && l.contains("slice#")),
+      s"no (source, slice) window:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), "slice bases not broadcast")
+  }
+
   test("s04: semantic-dedup candidates come from a (cell, bucket) equi-join, never all-pairs") {
     val p = plan("s04_semantic_dedup")
     // the only nested-loop member allowed is the broadcast 16-row
