@@ -570,17 +570,23 @@ object Dedup {
       .select(col("n").as("u"), col("m").as("v")).distinct()
   }
 
-  /** Edge-set fingerprint (count + xor of 64-bit edge hashes — xor, not
-    * sum, so ANSI mode can't overflow and order can't matter): equal
-    * fingerprints across a round ⇔ the round was a no-op ⇔ the graph is a
-    * union of min-rooted stars (the algorithm's fixpoint). One cheap
-    * collect per round.
+  /** Edge-set fingerprint (count + xor of TWO independently-seeded 64-bit
+    * edge hashes — xor, not sum, so ANSI mode can't overflow and order
+    * can't matter): equal fingerprints across a round ⇔ the round was a
+    * no-op ⇔ the graph is a union of min-rooted stars (the algorithm's
+    * fixpoint). A single-hash xor has a 2^-64 collision chance per
+    * comparison — a collision would silently hand non-component labels to
+    * a pipeline that DELETES documents, so a second hash family (extra
+    * literal seed column) squares the odds away. One cheap collect per
+    * round.
     */
-  private def edgeStats(e: DataFrame): (Long, Long) = {
+  private def edgeStats(e: DataFrame): (Long, Long, Long) = {
     val r = e.agg(count(lit(1)),
-      coalesce(call_function("bit_xor", xxhash64(col("u"), col("v"))), lit(0L)))
+      coalesce(call_function("bit_xor", xxhash64(col("u"), col("v"))), lit(0L)),
+      coalesce(call_function("bit_xor",
+        xxhash64(lit(0x9E3779B9L), col("u"), col("v"))), lit(0L)))
       .collect()(0)
-    (r.getLong(0), r.getLong(1))
+    (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
@@ -751,20 +757,36 @@ object Dedup {
     * Scale shape: documents reduce to distinct (source, 60-bit hash)
     * rows immediately — bodies never shuffle; the matrix is a self-join
     * on hash equality, where group size = number of sources sharing one
-    * text (small in practice; a corpus-wide viral-content cap like d03's
-    * MAX_POSTING_LEN drops degenerate hashes first if needed), then one
-    * hash aggregate per source pair.
+    * text. A hash present in more than [[MAX_HASH_SOURCES]] sources is a
+    * VIRAL text (per-page boilerplate mirrored everywhere) and is dropped
+    * before the join — the d03 stop-shingle defense: an uncapped viral
+    * hash in k sources emits k(k-1)/2 pairs, the one quadratic blow-up
+    * here, and contributes no curation signal (it says "boilerplate", not
+    * "source B mirrors source A"). The cap is a count window over the
+    * join key itself, so it reuses the join's hash partitioning; the
+    * oracle mirrors it, and DedupCapSpec plants an over-cap hash.
     */
   val MIRROR_EVERY = 29
+  val MAX_HASH_SOURCES = 50
 
   def crossSourceDupMatrix(s: SparkSession, d: String): DataFrame = {
     // doc identity is irrelevant here — the matrix is over (source, hash)
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
     val planted = docs.filter(col("doc_id") % MIRROR_EVERY === 0)
       .select(concat(col("source"), lit("_mirror")).as("source"), col("text"))
-    val hs = docs.select(col("source"), col("text")).unionByName(planted)
-      .select(col("source"), baseHash(col("text")).as("h"))
+    crossSourceDupMatrixOn(
+      docs.select(col("source"), col("text")).unionByName(planted))
+  }
+
+  /** The matrix over an arbitrary (source, text) frame — the testable
+    * core: DedupCapSpec feeds it a planted viral text.
+    */
+  def crossSourceDupMatrixOn(docs: DataFrame): DataFrame = {
+    val hs = docs.select(col("source"), baseHash(col("text")).as("h"))
       .distinct()
+      .withColumn("n_sources", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("n_sources") <= MAX_HASH_SOURCES)
+      .select("source", "h")
     hs.as("a").join(hs.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
@@ -777,9 +799,11 @@ object Dedup {
       |           UNION ALL
       |           SELECT source || '_mirror', text
       |           FROM documents WHERE doc_id % $MIRROR_EVERY = 0),
-      |hs AS (SELECT DISTINCT source,
-      |         CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
-      |       FROM p)
+      |hs0 AS (SELECT DISTINCT source,
+      |          CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+      |        FROM p),
+      |hs AS (SELECT source, h FROM hs0
+      |       QUALIFY count(*) OVER (PARTITION BY h) <= $MAX_HASH_SOURCES)
       |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
       |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

@@ -77,6 +77,26 @@ class DedupCapSpec extends SparkSpec {
     assert(maxIds <= 3)
   }
 
+  test("d11 viral-hash cap drops a text present in too many sources") {
+    // one viral text in MAX_HASH_SOURCES+1 sources would alone emit
+    // C(51,2) pairs; the cap must drop it while the genuine two-source
+    // mirror survives
+    val viral = (0 to Dedup.MAX_HASH_SOURCES)
+      .map(i => (f"src$i%02d", "the viral boilerplate"))
+    val mirror = Seq(("alpha", "real shared doc"), ("beta", "real shared doc"))
+    val out = Dedup.crossSourceDupMatrixOn(
+      (viral ++ mirror).toDF("source", "text")).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "alpha" && out.head.getString(1) == "beta"
+      && out.head.getLong(2) == 1L)
+    // exactly at the cap the group is kept
+    val atCap = (1 to Dedup.MAX_HASH_SOURCES)
+      .map(i => (f"src$i%02d", "the viral boilerplate"))
+    val kept = Dedup.crossSourceDupMatrixOn(atCap.toDF("source", "text"))
+      .agg(sum(col("n_shared"))).collect().head.getLong(0)
+    assert(kept == Dedup.MAX_HASH_SOURCES.toLong * (Dedup.MAX_HASH_SOURCES - 1) / 2)
+  }
+
   test("capped pair aggregation adds no extra shuffle over the posting table") {
     // the plen window and the posting-group aggregate hash-partition on the
     // same (lang, band, sh) keys, so they share ONE exchange; the only
