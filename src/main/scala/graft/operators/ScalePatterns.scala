@@ -77,10 +77,20 @@ object ScalePatterns {
     // filter on the driver; it ships to probe tasks as a literal, exactly
     // like the planner's injected subquery result.
     val hashed = ColumnShim.expression(xxhash64(col(key)))
-    val numBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(expectedBuildKeys, fpp)
+    // BloomFilterAggregate enforces the session's runtime-bloom caps
+    // (maxNumItems default 4M, maxNumBits default 64M); a 100 TB build
+    // side passed in naively would throw AnalysisException. Clamp instead:
+    // an over-cap build side degrades to a higher-fpp filter (fewer probe
+    // rows pruned) — the join itself still decides membership exactly.
+    def cap(key: String, default: Long): Long =
+      build.sparkSession.conf.getOption(key).map(_.toLong).getOrElse(default)
+    val items = math.min(expectedBuildKeys,
+      cap("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L))
+    val numBits = math.min(
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp),
+      cap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L))
     val bfBytes = build.select(ColumnShim.column(
-        new BloomFilterAggregate(hashed, Literal(expectedBuildKeys),
+        new BloomFilterAggregate(hashed, Literal(items),
           Literal(numBits)).toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
     val pruned = probe.filter(ColumnShim.column(

@@ -67,6 +67,19 @@ class ScalePatternsSpec extends SparkSpec {
     assert(planStr.contains("might_contain"), planStr)
   }
 
+  test("bloom-pruned join clamps an over-cap build estimate instead of throwing") {
+    // 100 TB-scale expectedBuildKeys exceeds the session's runtime-bloom
+    // maxNumItems/maxNumBits caps; the filter must degrade (higher fpp),
+    // never AnalysisException, and the join stays exact
+    val probe = spark.range(1, 1001).toDF("k").withColumn("pv", col("k") * 10)
+    val build = spark.range(1, 1001, 100).toDF("k").withColumn("bv", col("k") + 7)
+    val plain = probe.join(build, "k").select("k", "pv", "bv")
+      .collect().map(_.toSeq).toSet
+    val pruned = ScalePatterns.bloomPrunedJoin(probe, build, "k",
+      expectedBuildKeys = 50000000000L)
+    assert(pruned.select("k", "pv", "bv").collect().map(_.toSeq).toSet == plain)
+  }
+
   test("might_contain SQL surface composes with bloom_filter_agg and prunes the probe") {
     graft.GraftExtensions.register(spark)
     (1L to 10000L).toDF("k").createOrReplaceTempView("bf_probe")
