@@ -97,12 +97,13 @@ object Curation {
       |t AS (SELECT doc_id, lang, CAST(floor(n_chars/100.0) AS INT) AS band,
       |             regexp_split_to_array(trim(text), '\\s+') AS toks
       |      FROM dd),
-      |g AS (SELECT doc_id, lang, band,
-      |             unnest(list_distinct(
-      |               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-      |                    ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-      |                          FOR i IN range(1, len(toks)-1)] END)) AS sh
-      |      FROM t),
+      |g AS (SELECT DISTINCT doc_id, lang, band,
+      |        CAST(concat('0x', substr(md5(sh0), 1, 15)) AS BIGINT) AS sh
+      |      FROM (SELECT doc_id, lang, band,
+      |              unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |                          ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                                FOR i IN range(1, len(toks)-1)] END) AS sh0
+      |            FROM t)),
       |gx AS (SELECT doc_id, lang, band, band + k AS pband, sh
       |       FROM g, range(0, 2) r(k)),
       |f AS (SELECT lang, pband, sh, count(*) AS plen FROM gx GROUP BY 1, 2, 3),

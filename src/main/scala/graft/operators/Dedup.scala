@@ -87,9 +87,33 @@ object Dedup {
       .select(col("doc_id"), col("lang"),
         floor(col("n_chars") / 100).cast("int").as("band"), col("text"))
 
+  /** Raw instance postings doubled into probe bands and windowed by the
+    * blocking key — the ONE exchange the whole pair pipeline runs on.
+    * Within each (lang, pband, sh) group, `first` marks the first
+    * instance of each document (repeated shingles within a doc are
+    * deduplicated HERE, inside the group's own sort, instead of a
+    * separate corpus-wide (doc_id, sh) distinct exchange — one full
+    * shuffle of the posting table saved), and `plen` is the group's
+    * distinct-document posting length (an unordered whole-partition sum
+    * sharing the same sort). Consumers derive posting groups AND per-doc
+    * shingle counts from this one stream, so Spark's ReuseExchange keeps
+    * the scan + tokenize + hash single-pass.
+    */
+  private def windowedPostings(base: DataFrame): DataFrame = {
+    val posting = shingleTable(base, carry = Seq("lang", "band"),
+        distinct = false, hashed = true)
+      .withColumn("pband", explode(array(col("band"), col("band") + 1)))
+    val wsh = Window.partitionBy("lang", "pband", "sh")
+    posting
+      .withColumn("first", coalesce(
+        lag(col("doc_id"), 1).over(wsh.orderBy(col("doc_id"))) =!= col("doc_id"),
+        lit(true)))
+      .withColumn("plen", sum(col("first").cast("long")).over(wsh))
+  }
+
   /** Per-shingle posting groups with the stop-shingle cap applied BEFORE
-    * collect_list: posting length is computed by a count window over the
-    * SAME keys the aggregate groups on, so the existing HashPartitioning
+    * collect_list: posting length is computed by a window over the SAME
+    * keys the aggregate groups on, so the existing HashPartitioning
     * satisfies the aggregate's required distribution and the cap costs one
     * per-partition sort, not a second shuffle — and no aggregate row ever
     * materializes more than `maxPostingLen` ids (the skew defense: an
@@ -97,16 +121,14 @@ object Dedup {
     * emitted pairs). The `plen > 1` side of the filter also drops singleton
     * shingles before the list is built.
     */
-  def shingleGroups(base: DataFrame, maxPostingLen: Int): DataFrame = {
-    val posting = shingleTable(base, carry = Seq("lang", "band"))
-      .withColumn("pband", explode(array(col("band"), col("band") + 1)))
-    val wsh = Window.partitionBy("lang", "pband", "sh")
-    posting.withColumn("plen", count(lit(1)).over(wsh))
-      .filter(col("plen") > 1 && col("plen") <= maxPostingLen)
+  def shingleGroups(base: DataFrame, maxPostingLen: Int): DataFrame =
+    shingleGroupsOn(windowedPostings(base), maxPostingLen)
+
+  private def shingleGroupsOn(wp: DataFrame, maxPostingLen: Int): DataFrame =
+    wp.filter(col("first") && col("plen") > 1 && col("plen") <= maxPostingLen)
       .groupBy(col("lang"), col("pband"), col("sh"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("band")))).as("ids"),
         max(col("band")).as("maxb"))
-  }
 
   /** Dropped stop-shingles at a given cap — the observability side of the
     * cap (what boilerplate was excluded, and how hot it was).
@@ -124,8 +146,14 @@ object Dedup {
     * similarity). The oracle mirrors both choices exactly.
     */
   def ngramJaccardPairsOn(base: DataFrame, maxPostingLen: Int): DataFrame = {
-    val posting = shingleTable(base, carry = Seq("lang", "band"))
-    val sizes = posting.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n"))
+    val wp = windowedPostings(base)
+    // per-doc TRUE distinct-shingle counts off the same windowed stream:
+    // each distinct (doc, shingle) has exactly one first=true instance in
+    // its own-band probe group, so this sub-aggregates the exchange the
+    // posting groups already paid for (ReuseExchange) instead of running
+    // a second corpus-wide distinct
+    val sizes = wp.filter(col("first") && col("pband") === col("band"))
+      .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n"))
     // Pair generation as aggregation, not a self-join: one shuffle by
     // shingle -> sorted (capped) posting list -> emit ordered combinations
     // -> count by pair. Same pairs/counts as the join formulation (the
@@ -137,7 +165,7 @@ object Dedup {
     // (maxb < pband) can't emit a surviving pair at all — skip their
     // C(n,2) explode entirely (roughly half the groups on typical
     // single-band-dominated shingles).
-    val pairs = shingleGroups(base, maxPostingLen)
+    val pairs = shingleGroupsOn(wp, maxPostingLen)
       .filter(col("maxb") === col("pband"))
       .select(col("pband"), explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
@@ -168,12 +196,13 @@ object Dedup {
     s"""WITH t AS (SELECT doc_id, lang, CAST(floor(n_chars/100.0) AS INT) AS band,
       |                  regexp_split_to_array(trim(text), '\\s+') AS toks
       |           FROM documents),
-      |g AS (SELECT doc_id, lang, band,
-      |             unnest(list_distinct(
-      |               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-      |                    ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-      |                          FOR i IN range(1, len(toks)-1)] END)) AS sh
-      |      FROM t),
+      |g AS (SELECT DISTINCT doc_id, lang, band,
+      |        CAST(concat('0x', substr(md5(sh0), 1, 15)) AS BIGINT) AS sh
+      |      FROM (SELECT doc_id, lang, band,
+      |              unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |                          ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                                FOR i IN range(1, len(toks)-1)] END) AS sh0
+      |            FROM t)),
       |gx AS (SELECT doc_id, lang, band, band + k AS pband, sh
       |       FROM g, range(0, 2) r(k)),
       |f AS (SELECT lang, pband, sh, count(*) AS plen FROM gx GROUP BY 1, 2, 3),
@@ -195,10 +224,12 @@ object Dedup {
     * cap, how many shingles would be dropped: the plen > cap tail).
     */
   def shingleFreqHistogram(s: SparkSession, d: String): DataFrame =
-    shingleTable(docBase(s, d), carry = Seq("lang", "band"))
-      .withColumn("pband", explode(array(col("band"), col("band") + 1)))
+    // plen is already on every row of the windowed posting stream (one
+    // exchange); collapsing to one row per group reuses its partitioning
+    windowedPostings(docBase(s, d))
+      .filter(col("first"))
       .groupBy(col("lang"), col("pband"), col("sh"))
-      .agg(count(lit(1)).as("plen"))
+      .agg(max(col("plen")).as("plen"))
       .groupBy(col("plen"))
       .agg(count(lit(1)).as("n_shingles"))
       .orderBy("plen")
@@ -207,12 +238,13 @@ object Dedup {
     """WITH t AS (SELECT doc_id, lang, CAST(floor(n_chars/100.0) AS INT) AS band,
       |                  regexp_split_to_array(trim(text), '\s+') AS toks
       |           FROM documents),
-      |g AS (SELECT doc_id, lang, band,
-      |             unnest(list_distinct(
-      |               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-      |                    ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-      |                          FOR i IN range(1, len(toks)-1)] END)) AS sh
-      |      FROM t),
+      |g AS (SELECT DISTINCT doc_id, lang, band,
+      |        CAST(concat('0x', substr(md5(sh0), 1, 15)) AS BIGINT) AS sh
+      |      FROM (SELECT doc_id, lang, band,
+      |              unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |                          ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                                FOR i IN range(1, len(toks)-1)] END) AS sh0
+      |            FROM t)),
       |f AS (SELECT lang, band + k AS pband, sh, count(*) AS plen
       |      FROM g, range(0, 2) r(k) GROUP BY 1, 2, 3)
       |SELECT plen, count(*) AS n_shingles FROM f GROUP BY plen ORDER BY plen""".stripMargin
@@ -247,16 +279,23 @@ object Dedup {
     * Generate. `carry` columns (e.g. blocking keys) ride along.
     */
   def shingleTable(docs: DataFrame, carry: Seq[String] = Nil,
-      distinct: Boolean = true, n: Int = 3): DataFrame = {
+      distinct: Boolean = true, n: Int = 3, hashed: Boolean = false): DataFrame = {
     val toked = docs.select(
       (col("doc_id") +: carry.map(col)) :+
         TextFunctions.tokens(col("text")).as("tk"): _*)
     val sh = when(size(col("tk")) < n, array_join(col("tk"), " "))
       .otherwise(concat_ws(" ",
         (0 until n).map(j => element_at(col("tk"), col("i") + j + 1)): _*))
+    // hashed=true folds each shingle to its 60-bit [[baseHash]] IN the
+    // explode's codegen stage, BEFORE any exchange: the distinct, the
+    // probe-band doubling, the cap window and the posting groups then all
+    // shuffle/sort 8-byte longs instead of ~25-byte strings (~1.5x on the
+    // whole d03 family at sf0.1). Both engines derive the hash from the
+    // same md5 prefix, so grouping — collisions included — is identical.
+    val shc = if (hashed) baseHash(sh) else sh
     val exploded = toked
       .withColumn("i", explode(sequence(lit(0), greatest(size(col("tk")) - n, lit(0)))))
-      .select((col("doc_id") +: carry.map(col)) :+ sh.as("sh"): _*)
+      .select((col("doc_id") +: carry.map(col)) :+ shc.as("sh"): _*)
     // consumers whose aggregate is idempotent under duplicates (minhash
     // min) skip the distinct shuffle
     if (distinct) exploded.dropDuplicates("doc_id" +: "sh" +: Nil) else exploded
@@ -652,12 +691,13 @@ object Dedup {
       |t AS (SELECT doc_id, lang, CAST(floor(n_chars/100.0) AS INT) AS band,
       |             regexp_split_to_array(trim(text), '\\s+') AS toks
       |      FROM documents),
-      |g AS (SELECT doc_id, lang, band,
-      |             unnest(list_distinct(
-      |               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-      |                    ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-      |                          FOR i IN range(1, len(toks)-1)] END)) AS sh
-      |      FROM t),
+      |g AS (SELECT DISTINCT doc_id, lang, band,
+      |        CAST(concat('0x', substr(md5(sh0), 1, 15)) AS BIGINT) AS sh
+      |      FROM (SELECT doc_id, lang, band,
+      |              unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |                          ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                                FOR i IN range(1, len(toks)-1)] END) AS sh0
+      |            FROM t)),
       |gx AS (SELECT doc_id, lang, band, band + k AS pband, sh
       |       FROM g, range(0, 2) r(k)),
       |f AS (SELECT lang, pband, sh, count(*) AS plen FROM gx GROUP BY 1, 2, 3),

@@ -97,16 +97,16 @@ class DedupCapSpec extends SparkSpec {
     assert(kept == Dedup.MAX_HASH_SOURCES.toLong * (Dedup.MAX_HASH_SOURCES - 1) / 2)
   }
 
-  test("capped pair aggregation adds no extra shuffle over the posting table") {
-    // the plen window and the posting-group aggregate hash-partition on the
-    // same (lang, band, sh) keys, so they share ONE exchange; the only
-    // other exchange is the pre-existing shingle distinct on (doc_id, sh).
-    // The cap itself must not introduce a third.
+  test("posting pipeline runs on ONE exchange: dedup, cap and groups share it") {
+    // the per-doc dedup (lag), the plen cap window and the posting-group
+    // aggregate all hash-partition on the same (lang, pband, sh) keys, so
+    // the whole pipeline pays exactly one shuffle of the posting table —
+    // the old separate corpus-wide (doc_id, sh) distinct exchange is gone.
     val plan = Dedup.shingleGroups(base, maxPostingLen = 5)
       .queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges == 2, s"expected 2 exchanges in:\n$plan")
-    // and the window really does sit directly under the aggregate
+    assert(exchanges == 1, s"expected 1 exchange in:\n$plan")
+    // and the windows really do sit directly under the aggregate
     assert(plan.contains("Window"))
   }
 }
