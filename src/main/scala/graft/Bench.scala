@@ -22,6 +22,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // local-iteration escape hatch: SPARK_GRAFT_ONLY=d03_ngram_jaccard,...
+    // benches a subset (the driver never sets it — full suite by default)
+    val queries = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(o => SparkEntry.queries.view.filterKeys(o.split(",").toSet).toMap)
+      .getOrElse(SparkEntry.queries)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,12 +45,12 @@ object Bench {
     // rep measures first-run compile cost — back-to-back reps measured
     // warm runs (the median discarded the one cold rep), and the numbers
     // should stay comparable across rounds
-    SparkEntry.queries.foreach { case (name, fn) =>
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
     }
     val passes: Seq[Map[String, Double]] = (1 to REPS).map { _ =>
-      SparkEntry.queries.map { case (name, fn) =>
+      queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink forces FULL computation (count() would let Catalyst prune
         // sorts and projections, understating the real query cost)
@@ -54,7 +59,7 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
-    val results = SparkEntry.queries.map { case (name, _) =>
+    val results = queries.map { case (name, _) =>
       name -> median(passes.map(_(name)))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
