@@ -132,6 +132,83 @@ class CdcPipelineSpec extends SparkSpec {
     assert(state(2L) == ("b", None))
   }
 
+  test("P3: schema evolution — a column DROPPED mid-stream decodes both generations") {
+    // pre-ALTER events carry (id, name, legacy); the post-ALTER event
+    // carries only (id, name). The latest tree must WIN (legacy gone from
+    // the spec), and pre-ALTER row images decode through it by simply not
+    // looking legacy up — the map-based image makes ALTER DROP a no-op
+    // for old rows (the reference replays arbitrary ALTERs, main.go:87-88)
+    def sectionJson(withLegacy: Boolean): String = {
+      val legacy = if (withLegacy)
+        """,{"type":"string","optional":true,"field":"legacy"}""" else ""
+      s"""{"type":"struct","fields":[
+         |{"type":"struct","optional":true,"field":"before","fields":[
+         |  {"type":"int64","optional":false,"field":"id"},
+         |  {"type":"string","optional":true,"field":"name"}$legacy]},
+         |{"type":"struct","optional":true,"field":"after","fields":[
+         |  {"type":"int64","optional":false,"field":"id"},
+         |  {"type":"string","optional":true,"field":"name"}$legacy]}]}""".stripMargin.replace("\n", "")
+    }
+    def event(pos: Long, withLegacy: Boolean, after: String): String =
+      s"""{"schema":${sectionJson(withLegacy)},"payload":{"before":null,"after":$after,
+         |"source":{"db":"shop","table":"pay3","file":"mysql-bin.000004","pos":$pos,"row":0},
+         |"op":"c","ts_ms":1}}""".stripMargin.replace("\n", "")
+    val lines = Seq(
+      event(10L, withLegacy = true, """{"id":1,"name":"a","legacy":"x"}"""),
+      event(20L, withLegacy = true, """{"id":2,"name":"b","legacy":"y"}"""),
+      event(30L, withLegacy = false, """{"id":1,"name":"a2"}"""))
+    val dir = java.nio.file.Files.createTempDirectory("evodrop")
+    val path = dir.resolve("events.jsonl")
+    java.nio.file.Files.write(path, lines.mkString("\n").getBytes("UTF-8"))
+
+    import SchemaRegistry._
+    val spec = SchemaRegistry.fromEvents(spark, path.toString)(("shop", "pay3"))
+    assert(spec.map(c => c.name -> c.logicalType) ==
+      Seq("id" -> PlainLong, "name" -> PlainString))
+
+    val state = SchemaRegistry.typedLatestState(spark, path.toString, "shop", "pay3")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state == Map(1L -> "a2", 2L -> "b"))
+    // the dropped column is gone from the output schema entirely
+    assert(SchemaRegistry.typedLatestState(spark, path.toString, "shop", "pay3")
+      .schema.fieldNames.toSeq == Seq("id", "name"))
+  }
+
+  test("P3: schema evolution — int32 widened to int64 mid-stream decodes both generations") {
+    // ALTER ... MODIFY amount BIGINT: pre-ALTER trees say int32, the
+    // post-ALTER tree says int64. Latest-tree decoding reads BOTH
+    // generations as long — including a post-ALTER value above 2^31
+    def sectionJson(t: String): String =
+      s"""{"type":"struct","fields":[
+         |{"type":"struct","optional":true,"field":"before","fields":[
+         |  {"type":"int64","optional":false,"field":"id"},
+         |  {"type":"$t","optional":true,"field":"amount"}]},
+         |{"type":"struct","optional":true,"field":"after","fields":[
+         |  {"type":"int64","optional":false,"field":"id"},
+         |  {"type":"$t","optional":true,"field":"amount"}]}]}""".stripMargin.replace("\n", "")
+    def event(pos: Long, t: String, after: String): String =
+      s"""{"schema":${sectionJson(t)},"payload":{"before":null,"after":$after,
+         |"source":{"db":"shop","table":"pay4","file":"mysql-bin.000004","pos":$pos,"row":0},
+         |"op":"c","ts_ms":1}}""".stripMargin.replace("\n", "")
+    val lines = Seq(
+      event(10L, "int32", """{"id":1,"amount":100}"""),
+      event(20L, "int32", """{"id":2,"amount":200}"""),
+      event(30L, "int64", """{"id":1,"amount":3000000000}"""))
+    val dir = java.nio.file.Files.createTempDirectory("evowiden")
+    val path = dir.resolve("events.jsonl")
+    java.nio.file.Files.write(path, lines.mkString("\n").getBytes("UTF-8"))
+
+    import SchemaRegistry._
+    val spec = SchemaRegistry.fromEvents(spark, path.toString)(("shop", "pay4"))
+    assert(spec.map(c => c.name -> c.logicalType) ==
+      Seq("id" -> PlainLong, "amount" -> PlainLong))
+
+    val state = SchemaRegistry.typedLatestState(spark, path.toString, "shop", "pay4")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // id=1: post-ALTER 64-bit value; id=2: pre-ALTER 32-bit row, widened
+    assert(state == Map(1L -> 3000000000L, 2L -> 200L))
+  }
+
   test("P7: db qualifier strip (main.go:87)") {
     import spark.implicits._
     val df = Seq(("ALTER TABLE `shop`.txn MODIFY amount BIGINT", "shop"))
