@@ -848,6 +848,107 @@ object Dedup {
       |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------- containment dedup
+  /** d12: asymmetric containment pairs — the "quote inclusion" dedup a
+    * symmetric near-dup pass misses: a document wholly CONTAINED in a
+    * longer one (quoted article + commentary, boilerplate-wrapped
+    * mirror) has LOW Jaccard — the union is dominated by the container —
+    * but containment |A∩B|/|A| near 1. Emitted when the smaller doc's
+    * shingles are ≥ [[CONTAIN_PERMILLE]]‰ covered (exact integer test,
+    * oracle hash-matches).
+    *
+    * Scale shape: the same capped inverted index as d03, but WITHOUT
+    * length-band blocking — containment pairs have arbitrarily different
+    * lengths by definition, so the blocking keys are (lang, shingle
+    * hash) alone and the posting cap is the sole (and sufficient)
+    * quadratic defense. Same one-exchange windowed-posting pipeline:
+    * in-group lag dedup, whole-partition plen, groups + per-doc sizes
+    * off one shuffle.
+    *
+    * The synthetic corpus has no organic quote pairs, so — the d06/d11
+    * pattern — quoting documents are planted in-query (every doc_id %
+    * [[QUOTE_EVERY]] == 0 reappears with commentary appended, id
+    * offset), identically in the oracle.
+    */
+  val QUOTE_EVERY = 37
+  val QUOTE_ID_OFFSET = 2000000000000L
+  val CONTAIN_PERMILLE = 900
+  private val QUOTE_SUFFIX = " quoted above with review commentary appended for context"
+
+  def containmentPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val planted = docs.filter(col("doc_id") % QUOTE_EVERY === 0)
+      .select((col("doc_id") + QUOTE_ID_OFFSET).as("doc_id"), col("lang"),
+        concat(col("text"), lit(QUOTE_SUFFIX)).as("text"))
+    containmentPairsOn(docs.unionByName(planted), MAX_POSTING_LEN)
+  }
+
+  /** Containment pairs over an arbitrary (doc_id, lang, text) frame. */
+  def containmentPairsOn(base: DataFrame, maxPostingLen: Int): DataFrame = {
+    val posting = shingleTable(base, carry = Seq("lang"),
+        distinct = false, hashed = true)
+    val wsh = Window.partitionBy("lang", "sh")
+    val wp = posting
+      .withColumn("first", coalesce(
+        lag(col("doc_id"), 1).over(wsh.orderBy(col("doc_id"))) =!= col("doc_id"),
+        lit(true)))
+      .withColumn("plen", sum(col("first").cast("long")).over(wsh))
+    val sizes = wp.filter(col("first"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = wp.filter(col("first") && col("plen") > 1 && col("plen") <= maxPostingLen)
+      .groupBy(col("lang"), col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .filter(col("common") * 1000 >= lit(CONTAIN_PERMILLE) * least(col("n_a"), col("n_b")))
+      .select(
+        when(col("n_a") <= col("n_b"), col("id_a")).otherwise(col("id_b")).as("contained_id"),
+        when(col("n_a") <= col("n_b"), col("id_b")).otherwise(col("id_a")).as("container_id"),
+        col("common"),
+        least(col("n_a"), col("n_b")).as("n_contained"),
+        expr("common * 1000 div least(n_a, n_b)").as("cont_permille"))
+      .orderBy("contained_id", "container_id")
+  }
+
+  lazy val containmentPairsSql: String =
+    s"""WITH d0 AS (SELECT doc_id, lang, text FROM documents
+      |            UNION ALL
+      |            SELECT doc_id + $QUOTE_ID_OFFSET, lang,
+      |                   text || '$QUOTE_SUFFIX'
+      |            FROM documents WHERE doc_id % $QUOTE_EVERY = 0),
+      |t AS (SELECT doc_id, lang,
+      |             regexp_split_to_array(trim(text), '\\s+') AS toks
+      |      FROM d0),
+      |g AS (SELECT DISTINCT doc_id, lang,
+      |        CAST(concat('0x', substr(md5(sh0), 1, 15)) AS BIGINT) AS sh
+      |      FROM (SELECT doc_id, lang,
+      |              unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |                          ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                                FOR i IN range(1, len(toks)-1)] END) AS sh0
+      |            FROM t)),
+      |f AS (SELECT lang, sh, count(*) AS plen FROM g GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      |      FROM g a JOIN g b ON a.sh = b.sh AND a.lang = b.lang
+      |                       AND a.doc_id < b.doc_id
+      |      JOIN f ON f.lang = a.lang AND f.sh = a.sh
+      |      WHERE f.plen <= $MAX_POSTING_LEN
+      |      GROUP BY 1, 2)
+      |SELECT CASE WHEN sa.n <= sb.n THEN id_a ELSE id_b END AS contained_id,
+      |       CASE WHEN sa.n <= sb.n THEN id_b ELSE id_a END AS container_id,
+      |       common,
+      |       least(sa.n, sb.n) AS n_contained,
+      |       common * 1000 // least(sa.n, sb.n) AS cont_permille
+      |FROM p JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+      |WHERE common * 1000 >= $CONTAIN_PERMILLE * least(sa.n, sb.n)
+      |ORDER BY contained_id, container_id""".stripMargin
+
   /** All dedup queries keyed for SparkEntry (oracle-checked where SQL can
     * express them; minhash/simhash are verified by scalatest instead).
     */
@@ -861,9 +962,11 @@ object Dedup {
     "d08_shingle_freq_histogram" -> (shingleFreqHistogram _),
     "d09_simhash_neardup" -> (simhashNearDupPairs _),
     "d10_paragraph_dedup" -> (paragraphDedupStats _),
-    "d11_cross_source_dups" -> (crossSourceDupMatrix _))
+    "d11_cross_source_dups" -> (crossSourceDupMatrix _),
+    "d12_containment" -> (containmentPairs _))
 
   val oracles: Map[String, String] = Map(
+    "d12_containment" -> containmentPairsSql,
     "d11_cross_source_dups" -> crossSourceDupMatrixSql,
     "d10_paragraph_dedup" -> paragraphDedupStatsSql,
     "d01_dedup_exact" -> dedupExactSurvivorsSql,

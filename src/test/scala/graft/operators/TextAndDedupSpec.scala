@@ -196,6 +196,30 @@ class DedupSpec extends SparkSpec {
     assert(totalShared == (0L until docs).count(_ % Dedup.MIRROR_EVERY == 0))
   }
 
+  test("d12 containment: a quoted doc is flagged inside its container, low-overlap pairs are not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "A B C D E F G H"),                       // contained
+      (2L, "en", "A B C D E F G H X Y Z W"),               // container (quotes 1)
+      (3L, "en", "A B C P Q R S T U V")                    // shares a prefix only
+    ).toDF("doc_id", "lang", "text")
+    val out = Dedup.containmentPairsOn(docs, Dedup.MAX_POSTING_LEN)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 1 (6 trigrams) fully inside doc 2; doc 3 shares only "A B C"
+    assert(out.toSeq == Seq((1L, 2L, 6L, 6L, 1000L)))
+
+    // the registered query's planted quoters are all detected as containers
+    val planted = Dedup.containmentPairs(spark, "/root/testdata/sf0.001")
+      .filter(col("container_id") >= Dedup.QUOTE_ID_OFFSET)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val docsN = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    val expected = (0L until docsN).count(_ % Dedup.QUOTE_EVERY == 0)
+    assert(planted.count { case (c, q, _) => q == c + Dedup.QUOTE_ID_OFFSET } == expected)
+    // a quoted original is ~fully covered
+    planted.filter { case (c, q, _) => q == c + Dedup.QUOTE_ID_OFFSET }
+      .foreach { case (_, _, permille) => assert(permille >= 990L) }
+  }
+
   test("d10 paragraph dedup: shared chunks flagged, first occurrence survives") {
     val stats = Dedup.paragraphDedupStats(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
