@@ -116,7 +116,46 @@ object Advanced {
       |         ORDER BY c_acctbal DESC, c_name LIMIT 2) l
       |ORDER BY n.n_name, l.c_acctbal DESC, l.c_name""".stripMargin
 
+  /** q52: RECURSIVE CTE (Spark 4's WITH RECURSIVE) — the calendar-spine
+    * gap-filling report: a recursively generated month spine LEFT-joined
+    * to monthly order aggregates, so months with ZERO orders still appear
+    * (what a plain GROUP BY can never produce). The spine is pure int64
+    * yyyymm arithmetic — no date/interval type crosses the engine
+    * boundary, so the oracle hash-matches. Recursion is driver-bounded
+    * (84 rows) and the join side aggregates partial before the broadcast
+    * join, the same shape both engines pick.
+    */
+  def recursiveCte(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """WITH RECURSIVE months(ym) AS (
+        |  SELECT 199201
+        |  UNION ALL
+        |  SELECT CASE WHEN ym % 100 = 12 THEN ym + 89 ELSE ym + 1 END
+        |  FROM months WHERE ym < 199812
+        |)
+        |SELECT m.ym, count(o.o_orderkey) AS n_orders,
+        |  CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS sum_price
+        |FROM months m LEFT JOIN orders o
+        |  ON year(o.o_orderdate) * 100 + month(o.o_orderdate) = m.ym
+        |GROUP BY m.ym ORDER BY m.ym""".stripMargin)
+  }
+
+  val recursiveCteSql: String =
+    """WITH RECURSIVE months(ym) AS (
+      |  SELECT 199201
+      |  UNION ALL
+      |  SELECT CASE WHEN ym % 100 = 12 THEN ym + 89 ELSE ym + 1 END
+      |  FROM months WHERE ym < 199812
+      |)
+      |SELECT m.ym, count(o.o_orderkey) AS n_orders,
+      |  CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price
+      |FROM months m LEFT JOIN orders o
+      |  ON year(o.o_orderdate) * 100 + month(o.o_orderdate) = m.ym
+      |GROUP BY m.ym ORDER BY m.ym""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_recursive_cte" -> (recursiveCte _),
     "q50_lateral_topn" -> (lateralTopN _),
     "q32_correlated_subquery" -> (correlatedSubquery _),
     "q33_range_frame" -> (rangeFrame _),
@@ -124,6 +163,7 @@ object Advanced {
     "q35_percentiles" -> (percentiles _))
 
   val oracles: Map[String, String] = Map(
+    "q52_recursive_cte" -> recursiveCteSql,
     "q50_lateral_topn" -> lateralTopNSql,
     "q32_correlated_subquery" -> correlatedSubquerySql,
     "q33_range_frame" -> rangeFrameSql,
