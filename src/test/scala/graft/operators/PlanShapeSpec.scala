@@ -91,6 +91,18 @@ class PlanShapeSpec extends SparkSpec {
       "unexpected nested-loop joins beyond the 1-row total")
   }
 
+  test("d12: containment candidates come from the capped posting index, never all-pairs") {
+    val p = plan("d12_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in d12:\n${p.take(3000)}")
+    // postings shuffle 60-bit hashes, not shingle strings: the concat_ws
+    // that assembles a shingle must stay below every exchange
+    val firstExchange = p.indexOf("Exchange hashpartitioning")
+    assert(firstExchange >= 0)
+    assert(!p.substring(0, firstExchange).contains("concat_ws"),
+      "shingle strings assembled above an exchange")
+  }
+
   test("p04: ranking is two-level — a hash-bucketed window feeds the bare-source window") {
     val p = plan("p04_source_downsample")
     // level 1 partitions by (source, pmod(hash, B)): bounded partitions at
