@@ -376,7 +376,102 @@ object Curation {
       |  (off + n_tokens - 1) // $SEQ_TOKENS AS end_seq
       |FROM o ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- mixture sampling
+  /** p07: token-budget mixture sampling — the data-mixing step that turns
+    * a curated corpus plus a mixture spec ("web 40%, books 25%, code
+    * 20%, …") into the actual training set: each source gets a token
+    * target = its weight's share of [[MIX_BUDGET_TOKENS]]; an
+    * over-represented source is downsampled to its target by a
+    * deterministic content-hash threshold (no RNG — reproducible, stable
+    * under corpus growth, and exact dups land on the same side, the p03
+    * property); an under-represented source is kept whole and reports
+    * the `n_epochs` repeat factor a dataloader would cycle it
+    * (Hoffmann-style epoching, reported not materialized). The mixture
+    * weights here are a deterministic function of the source name
+    * (permille 10 + 15·(idx mod 6)) standing in for the config table a
+    * real run would broadcast.
+    *
+    * The acceptance test is exact integer compare against a quantized
+    * threshold: keep iff pmod(hash, 2^20) < floor(2^20 · target / total)
+    * — the two IEEE ops (multiply, divide) are computed identically by
+    * both engines, and the comparison never overflows int64 at any
+    * corpus size (unlike cross-multiplying hash·total_tokens, which
+    * would overflow at ~10^13 tokens/source).
+    *
+    * Scale shape: per-source totals are one partial-aggregated rollup
+    * (20 rows); the plan frame (weights, targets, thresholds) is tiny
+    * and broadcast back onto the narrow per-doc projection; the final
+    * per-source report is a second partial rollup. Bodies never shuffle;
+    * the only corpus-wide exchanges carry (source, n_tokens, hash).
+    */
+  val MIX_BUDGET_TOKENS = 30000L
+  val MIX_THRESH_SCALE = 1L << 20
+
+  def mixtureSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
+        Dedup.baseHash(col("text")).as("h"))
+    // weight permille from the source name — stand-in for the mixture
+    // config a production run would supply (and broadcast) as a table
+    val weight = (substring(col("source"), 4, 10).cast("long") % 6) * 15 + 10
+    val totals = docs.groupBy("source")
+      .agg(sum(col("n_tokens")).as("t_tokens"))
+      .withColumn("w", weight)
+    val wSum = totals.agg(sum(col("w")).as("w_sum"))
+    val plan = totals.crossJoin(broadcast(wSum))
+      .withColumn("target_tokens",
+        expr(s"($MIX_BUDGET_TOKENS * w) div w_sum"))
+      .withColumn("thresh", least(lit(MIX_THRESH_SCALE),
+        floor(lit(MIX_THRESH_SCALE.toDouble) * col("target_tokens") /
+          greatest(col("t_tokens"), lit(1L))).cast("long")))
+      .withColumn("n_epochs",
+        when(col("target_tokens") > col("t_tokens"),
+          expr("(target_tokens + t_tokens - 1) div t_tokens"))
+          .otherwise(lit(1L)))
+    docs.join(broadcast(plan), Seq("source"))
+      .withColumn("keep",
+        (pmod(col("h"), lit(MIX_THRESH_SCALE)) < col("thresh")).cast("long"))
+      .groupBy("source")
+      .agg(max(col("w")).as("weight"),
+        max(col("t_tokens")).as("t_tokens"),
+        max(col("target_tokens")).as("target_tokens"),
+        max(col("n_epochs")).as("n_epochs"),
+        sum(col("keep")).as("n_docs_kept"),
+        sum(col("keep") * col("n_tokens")).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  lazy val mixtureSampleSql: String =
+    s"""WITH docs AS (SELECT source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+      |    CAST(concat('0x', substr(md5(text),1,15)) AS BIGINT) AS h
+      |  FROM documents),
+      |tot AS (SELECT source, sum(n_tokens) AS t_tokens,
+      |    (CAST(substr(source, 4) AS BIGINT) % 6) * 15 + 10 AS w
+      |  FROM docs GROUP BY source),
+      |ws AS (SELECT sum(w) AS w_sum FROM tot),
+      |pl AS (SELECT source, t_tokens, w,
+      |    ($MIX_BUDGET_TOKENS * w) // w_sum AS target_tokens
+      |  FROM tot CROSS JOIN ws),
+      |pl2 AS (SELECT *,
+      |    least($MIX_THRESH_SCALE, CAST(floor(
+      |      ${MIX_THRESH_SCALE}.0 * target_tokens / greatest(t_tokens, 1)) AS BIGINT))
+      |      AS thresh,
+      |    CASE WHEN target_tokens > t_tokens
+      |         THEN (target_tokens + t_tokens - 1) // t_tokens ELSE 1 END AS n_epochs
+      |  FROM pl)
+      |SELECT d.source, max(w) AS weight, max(t_tokens) AS t_tokens,
+      |  max(target_tokens) AS target_tokens, max(n_epochs) AS n_epochs,
+      |  CAST(sum(CASE WHEN d.h % $MIX_THRESH_SCALE < thresh THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_docs_kept,
+      |  CAST(sum(CASE WHEN d.h % $MIX_THRESH_SCALE < thresh THEN d.n_tokens
+      |           ELSE 0 END) AS BIGINT) AS kept_tokens
+      |FROM docs d JOIN pl2 USING (source)
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p07_mixture_sample" -> (mixtureSample _),
     "p06_sequence_packing" -> (sequencePacking _),
     "p01_curation_pipeline" -> (curate _),
     "p02_decontamination" -> (decontamination _),
@@ -385,6 +480,7 @@ object Curation {
     "p05_curation_funnel" -> (curationFunnel _))
 
   val oracles: Map[String, String] = Map(
+    "p07_mixture_sample" -> mixtureSampleSql,
     "p06_sequence_packing" -> sequencePackingSql,
     "p01_curation_pipeline" -> curateSql,
     "p02_decontamination" -> decontaminationSql,

@@ -744,15 +744,23 @@ object Dedup {
     */
   val PARA_TOKENS = 8
 
-  def paragraphDedupStats(s: SparkSession, d: String): DataFrame = {
-    val toked = Tables.documents(s, d)
+  /** (doc_id, chunk_no, h): documents cut into [[PARA_TOKENS]]-token
+    * chunks, each folded to its 60-bit [[baseHash]] IN the explode's
+    * codegen stage — so anything downstream exchanges (h, doc_id,
+    * chunk_no) longs, never chunk bodies. Shared by d10 (first-
+    * occurrence dedup) and t12 (frequency-threshold boilerplate).
+    */
+  def paraChunkTable(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
-    val paras = toked
       .withColumn("chunk_no",
         explode(sequence(lit(0), floor((size(col("tk")) - 1) / PARA_TOKENS).cast("int"))))
       .select(col("doc_id"), col("chunk_no"),
         baseHash(concat_ws(" ",
           slice(col("tk"), col("chunk_no") * PARA_TOKENS + 1, lit(PARA_TOKENS)))).as("h"))
+
+  def paragraphDedupStats(s: SparkSession, d: String): DataFrame = {
+    val paras = paraChunkTable(Tables.documents(s, d))
     val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("chunk_no"))
     paras
       .withColumn("dup", (row_number().over(w) > 1).cast("long"))

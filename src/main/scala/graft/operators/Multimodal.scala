@@ -189,7 +189,162 @@ object Multimodal {
       |  CAST(bsum % 100000 AS BIGINT) AS duration_ms
       |FROM s ORDER BY asset_id""".stripMargin
 
+  // ------------------------------------------------ perceptual-hash dedup
+  /** Average-hash ("aHash") perceptual fingerprint over the raw payload:
+    * the payload is cut into [[PHASH_BITS]] byte blocks and bit j is set
+    * iff block j's mean byte value is >= the payload's global mean —
+    * the block-vs-global-luminance comparison of image aHash, applied to
+    * bytes (a real pipeline would hash decoded 8×8 grayscale; same
+    * contract: pure function of payload, Hamming-comparable). Exact
+    * integer compare (blockSum·n >= totalSum·blockLen), no floats, so
+    * the DuckDB oracle reproduces it from hex pairs exactly. 60 bits
+    * keeps the fingerprint positive in an int64 on both engines (the
+    * baseHash convention).
+    */
+  val PHASH_BITS = 60
+
+  def perceptualHash(payload: Array[Byte]): Long = {
+    // ??? real decoded-image aHash goes here — byte-block aHash below
+    if (payload == null || payload.length == 0) 0L
+    else {
+      val n = payload.length
+      val sums = new Array[Long](PHASH_BITS)
+      val cnts = new Array[Long](PHASH_BITS)
+      var tot = 0L
+      var i = 0
+      while (i < n) {
+        val v = (payload(i) & 0xff).toLong
+        val j = (i.toLong * PHASH_BITS / n).toInt
+        sums(j) += v; cnts(j) += 1; tot += v
+        i += 1
+      }
+      var h = 0L
+      var j = 0
+      while (j < PHASH_BITS) {
+        if (cnts(j) > 0 && sums(j) * n >= tot * cnts(j)) h |= 1L << j
+        j += 1
+      }
+      h
+    }
+  }
+
+  val phashSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("phash", LongType, nullable = false)))
+
+  /** (asset_id, phash) via the mapPartitions batch kernel — blobs are
+    * consumed where they sit and only 2 longs per asset ever move.
+    */
+  def perceptualHashes(assets: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(phashSchema)
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        Row(r.getLong(0), perceptualHash(r.getAs[Array[Byte]](1)))
+      }
+    }(enc)
+  }
+
+  /** m04: near-duplicate media by perceptual-hash Hamming distance — the
+    * image-dedup face of the d09 shape (re-encoded/re-hosted copies of
+    * one image differ in a few bytes, not in identity): banded pigeonhole
+    * candidates (any pair within Hamming [[PHASH_MAX_HAMMING]] < #bands
+    * agrees exactly on ≥ 1 of the [[PHASH_BANDS]] 15-bit bands), thin
+    * self-join on (band, key), pair-distinct, exact popcount confirm.
+    *
+    * The synthetic corpus has no byte-level near-identical payloads, so —
+    * the d06/d11 pattern — perturbed copies are PLANTED in-query (every
+    * asset_id % [[PHASH_PLANT_EVERY]] == 0 reappears at id +
+    * [[PHASH_PLANT_OFFSET]] with its first byte overwritten), identically
+    * in the oracle; a one-byte change moves the global mean by < 1/4000
+    * of a gray level, so only blocks sitting exactly on the mean can
+    * flip — planted pairs land within the Hamming gate and exercise the
+    * full band/join/confirm chain on real collisions.
+    *
+    * Scale shape: blobs never shuffle (the kernel folds each payload to
+    * one long in place); the band table is (asset_id, band, key) longs;
+    * candidates only from equal-(band, key) buckets — sub-quadratic
+    * exactly as d09; the confirm re-joins two longs per candidate.
+    */
+  val PHASH_BANDS = 4
+  val PHASH_BAND_BITS = 15
+  val PHASH_MAX_HAMMING = 3
+  val PHASH_PLANT_EVERY = 41
+  val PHASH_PLANT_OFFSET = 1000000000000L
+
+  /** Base + planted perturbed copies (first byte overwritten with 'X'). */
+  def assetsWithPlants(s: SparkSession, d: String): DataFrame = {
+    val base = assets(s, d)
+    val planted = Tables.documents(s, d)
+      .filter(col("doc_id") % PHASH_PLANT_EVERY === 0)
+      .select(
+        (col("doc_id") + PHASH_PLANT_OFFSET).as("asset_id"),
+        lit("text/plain").as("media_type"),
+        encode(concat(lit("X"), expr("substring(text, 2)")), "UTF-8").as("payload"),
+        lit(null).cast(IntegerType).as("meta_width"),
+        lit(null).cast(IntegerType).as("meta_height"),
+        lit(null).cast(LongType).as("meta_duration_ms"))
+    base.unionByName(planted)
+  }
+
+  def phashNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val fp = perceptualHashes(
+      assetsWithPlants(s, d).filter(octet_length(col("payload")) > 0))
+    val banded = fp.select(col("asset_id"), col("phash"),
+        explode(sequence(lit(0), lit(PHASH_BANDS - 1))).as("b"))
+      .withColumn("key",
+        call_function("shiftright", col("phash"),
+          (col("b") * lit(PHASH_BAND_BITS)).cast("int"))
+          .bitwiseAND(lit((1L << PHASH_BAND_BITS) - 1)))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
+        col("a.phash").as("pa"), col("b.phash").as("pb"))
+      .distinct()
+    pairs
+      .withColumn("hamming",
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
+      .filter(col("hamming") <= PHASH_MAX_HAMMING)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** m04 oracle: per-byte block sums from hex pairs (the m02 technique),
+    * the same exact-integer bit rule, the same bands and popcount.
+    */
+  lazy val phashNearDupPairsSql: String =
+    s"""WITH b AS (
+      |  SELECT doc_id AS asset_id, encode(text) AS p FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + $PHASH_PLANT_OFFSET, encode('X' || substring(text, 2))
+      |  FROM documents WHERE doc_id % $PHASH_PLANT_EVERY = 0),
+      |h AS (SELECT asset_id, hex(p) AS hx, octet_length(p) AS n FROM b
+      |      WHERE octet_length(p) > 0),
+      |by AS (SELECT asset_id, n, i,
+      |         CAST(concat('0x', substr(hx, 2*i-1, 2)) AS BIGINT) AS v,
+      |         ((i-1)*$PHASH_BITS)//n AS blk
+      |       FROM h, unnest(range(1, n+1)) r(i)),
+      |bs AS (SELECT asset_id, n, blk, sum(v) AS sv, count(*) AS cv
+      |       FROM by GROUP BY 1, 2, 3),
+      |tt AS (SELECT asset_id, sum(v) AS tot FROM by GROUP BY 1),
+      |ph AS (SELECT bs.asset_id,
+      |         sum(CASE WHEN sv*n >= tot*cv THEN (CAST(1 AS BIGINT) << blk)
+      |             ELSE 0 END) AS phash
+      |       FROM bs JOIN tt USING (asset_id) GROUP BY 1),
+      |bands AS (SELECT asset_id, phash, k AS band,
+      |            (phash >> (k*$PHASH_BAND_BITS)) & ${(1L << PHASH_BAND_BITS) - 1} AS bk
+      |          FROM ph, range(0, $PHASH_BANDS) r(k)),
+      |cand AS (SELECT DISTINCT a.asset_id AS id_a, b2.asset_id AS id_b,
+      |           a.phash AS pa, b2.phash AS pb
+      |         FROM bands a JOIN bands b2
+      |           ON a.band = b2.band AND a.bk = b2.bk
+      |          AND a.asset_id < b2.asset_id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(pa, pb)) <= $PHASH_MAX_HAMMING
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m04_phash_neardup" -> (phashNearDupPairs _),
     "m01_media_meta" -> (mediaMeta _),
     "m02_media_features" -> ((s: SparkSession, d: String) => {
       extractFeatures(s, assets(s, d)).orderBy("asset_id")
@@ -197,6 +352,7 @@ object Multimodal {
     "m03_frame_stats" -> (frameStats _))
 
   val oracles: Map[String, String] = Map(
+    "m04_phash_neardup" -> phashNearDupPairsSql,
     "m01_media_meta" -> mediaMetaSql,
     "m02_media_features" -> mediaFeaturesSql,
     "m03_frame_stats" -> frameStatsSql)

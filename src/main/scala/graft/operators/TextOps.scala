@@ -403,7 +403,58 @@ object TextOps {
       |  CAST(floor(sum(sc) / count(*)) AS BIGINT) AS typicality
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------- boilerplate
+  /** t12: frequency-threshold boilerplate removal — the C4 rule ("lines
+    * occurring 3+ times in the corpus are removed") generalized to the
+    * corpus's 8-token chunks. DIFFERENT from d10 paragraph dedup: d10
+    * keeps the first occurrence of a duplicated paragraph; boilerplate
+    * removal drops EVERY instance of any chunk whose corpus-wide count
+    * reaches [[BOILER_MIN]] — a nav header repeated on 10k pages
+    * shouldn't survive once, it shouldn't survive at all. Output is the
+    * per-document damage report (chunk count, boilerplate instances,
+    * permille) a curation gate thresholds on. The sf0.01 corpus carries
+    * 17 organically repeated chunks at count ≥ 3, so the check exercises
+    * real removals — no planting needed.
+    *
+    * Scale shape: chunks fold to 60-bit hashes in the explode's codegen
+    * stage (shared [[Dedup.paraChunkTable]]); the corpus-wide count is a
+    * count window over PARTITION BY h — the same exchange the d10
+    * identity window uses, carrying (h, doc_id, chunk_no) longs only —
+    * then one hash aggregate back to per-doc stats. Two thin shuffles,
+    * no bodies, no driver round-trips; the permille is floor over exact
+    * integers (t09-style) so the oracle hash-matches.
+    */
+  val BOILER_MIN = 3
+
+  def boilerplateRemoval(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    Dedup.paraChunkTable(Tables.documents(s, d))
+      .withColumn("boiler",
+        (count(lit(1)).over(w) >= BOILER_MIN).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"), sum(col("boiler")).as("n_boiler_paras"))
+      .select(col("doc_id"), col("n_paras"), col("n_boiler_paras"),
+        floor(lit(1000.0) * col("n_boiler_paras") / col("n_paras"))
+          .cast("long").as("boiler_permille"))
+      .orderBy("doc_id")
+  }
+
+  val boilerplateRemovalSql: String =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+      |           FROM documents),
+      |c AS (SELECT doc_id, i AS chunk_no,
+      |        CAST(concat('0x', substr(md5(array_to_string(
+      |          tk[(i*${Dedup.PARA_TOKENS})+1 : (i+1)*${Dedup.PARA_TOKENS}], ' ')), 1, 15)) AS BIGINT) AS h
+      |      FROM t, unnest(range(0, CAST(ceil(len(tk)/${Dedup.PARA_TOKENS}.0) AS BIGINT))) AS r(i)),
+      |m AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS cnt FROM c)
+      |SELECT doc_id, count(*) AS n_paras,
+      |  CAST(count(*) FILTER (cnt >= $BOILER_MIN) AS BIGINT) AS n_boiler_paras,
+      |  CAST(floor(1000.0 * count(*) FILTER (cnt >= $BOILER_MIN) / count(*)) AS BIGINT)
+      |    AS boiler_permille
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_boilerplate" -> (boilerplateRemoval _),
     "t11_typicality" -> (typicality _),
     "t10_pii_redaction" -> (piiRedaction _),
     "t09_repetition" -> (repetitionStats _),
@@ -416,6 +467,7 @@ object TextOps {
     "t05_cleantext" -> (cleanedDocs _))
 
   val oracles: Map[String, String] = Map(
+    "t12_boilerplate" -> boilerplateRemovalSql,
     "t11_typicality" -> typicalitySql,
     "t10_pii_redaction" -> piiRedactionSql,
     "t09_repetition" -> repetitionStatsSql,

@@ -127,6 +127,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(Curation.sequencePacking(spark, d).collect().toSeq == ref)
   }
 
+  test("p07 mixture sample: epoch math exact, capped sources subsample, full sources keep all") {
+    val rows = Curation.mixtureSample(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.length == 20)
+    rows.foreach { case (src, w, t, target, epochs, kept, keptTok) =>
+      // n_epochs is exactly ceil(target/total) for under-represented
+      // sources and 1 otherwise
+      val expEpochs = if (target > t) (target + t - 1) / t else 1L
+      assert(epochs == expEpochs, s"$src epochs $epochs != $expEpochs")
+      assert(keptTok <= t)
+      // an under-represented source (needs epoching) is never subsampled
+      if (epochs > 1) assert(keptTok == t, s"$src epoched yet subsampled")
+      // an over-represented source is actually cut down
+      if (target * 2 <= t) assert(keptTok < t, s"$src uncut at rate<=0.5")
+    }
+    // both regimes must actually occur in the fixture
+    assert(rows.exists(_._5 > 1) && rows.exists(r => r._7 < r._3))
+    // deterministic: a second run is bit-identical
+    val again = Curation.mixtureSample(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(again.toSeq == rows.toSeq)
+  }
+
   test("repetition stats: a self-repeating doc scores high, distinct text scores zero") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam"), // one distinct 3-gram, 8 total

@@ -57,6 +57,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("m04: every planted perturbed copy is recovered by the banded phash join") {
+    val d = "/root/testdata/sf0.01"
+    val pairs = Multimodal.phashNearDupPairs(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val plantedIds = spark.read.parquet(s"$d/documents.parquet")
+      .filter(col("doc_id") % Multimodal.PHASH_PLANT_EVERY === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(plantedIds.nonEmpty)
+    // each planted (original, copy) pair must be found, within the gate
+    plantedIds.foreach { id =>
+      val hit = pairs.find(p =>
+        p._1 == id && p._2 == id + Multimodal.PHASH_PLANT_OFFSET)
+      assert(hit.isDefined, s"planted pair for $id missed")
+      assert(hit.get._3 <= Multimodal.PHASH_MAX_HAMMING)
+    }
+    // and nothing beyond the Hamming gate leaks through
+    pairs.foreach(p => assert(p._3 <= Multimodal.PHASH_MAX_HAMMING))
+  }
+
+  test("perceptualHash: identical payloads collide, a one-byte edit stays near") {
+    val bytes = Array.tabulate(600)(i => ((i * 37 + 11) % 251).toByte)
+    val same = Multimodal.perceptualHash(bytes.clone())
+    assert(same == Multimodal.perceptualHash(bytes))
+    val edited = bytes.clone(); edited(0) = 'X'.toByte
+    val ham = java.lang.Long.bitCount(same ^ Multimodal.perceptualHash(edited))
+    assert(ham <= Multimodal.PHASH_MAX_HAMMING, s"one-byte edit moved $ham bits")
+    assert(Multimodal.perceptualHash(Array.emptyByteArray) == 0L)
+    assert(Multimodal.perceptualHash(null) == 0L)
+  }
+
   test("stubResize preserves aspect and bounds the long side") {
     assert(Multimodal.stubResize(1920, 1080, 256) == (256, 144))
     assert(Multimodal.stubResize(100, 50, 256) == (100, 50))

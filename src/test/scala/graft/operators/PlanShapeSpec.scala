@@ -129,6 +129,51 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "slice bases not broadcast")
   }
 
+  test("t12: boilerplate flagging shuffles chunk hashes, never chunk bodies") {
+    val p = plan("t12_boilerplate")
+    // the chunk text is folded to its 60-bit hash inside the explode's
+    // codegen stage — the exchange feeding the count window and the
+    // per-doc aggregate must carry longs only (the d10 contract; plan
+    // text prints root→leaves, so "above the first Exchange" = the
+    // post-shuffle operators)
+    val firstExchange = p.indexOf("Exchange hashpartitioning")
+    assert(firstExchange >= 0)
+    assert(!p.substring(0, firstExchange).contains("concat_ws"),
+      "chunk strings crossed an exchange")
+  }
+
+  test("p07: the mixture plan broadcasts; no corpus-wide window or cartesian blow-up") {
+    val p = plan("p07_mixture_sample")
+    // the per-source plan frame (20 rows) joins back via broadcast; the
+    // corpus side never sorts or windows globally
+    assert(p.contains("BroadcastHashJoin"), s"plan frame not broadcast:\n${p.take(3000)}")
+    assert(!p.contains("Window ["), "unexpected corpus window in p07")
+    assert(!p.contains("CartesianProduct"), "cartesian in p07")
+  }
+
+  test("m04: phash candidates come from a (band, key) equi-join; blobs never shuffle") {
+    val df = SparkEntry.queries("m04_phash_neardup")(spark, sf)
+    val exec = df.queryExecution.executedPlan
+    val p = exec.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in m04:\n${p.take(3000)}")
+    // every exchange sits above the kernel's (asset_id, phash) fold —
+    // walk the tree: no shuffle's output schema may carry a binary column
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types.BinaryType
+    val root = exec match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val exchanges = root.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.dataType == BinaryType),
+        s"payload bytes crossed an exchange: ${e.output.mkString(", ")}")
+    }
+  }
+
   test("s04: semantic-dedup candidates come from a (cell, bucket) equi-join, never all-pairs") {
     val p = plan("s04_semantic_dedup")
     // the only nested-loop member allowed is the broadcast 16-row

@@ -237,6 +237,25 @@ class DedupSpec extends SparkSpec {
       assert(pm == math.floor(1000.0 * dup / n).toLong)
     }
   }
+
+  test("t12 boilerplate removes ALL instances of a viral chunk, unlike d10's keep-first") {
+    val d = "/root/testdata/sf0.01"
+    // expected flags recomputed independently from the shared chunk table
+    val chunks = Dedup.paraChunkTable(spark.read.parquet(s"$d/documents.parquet"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val viral = chunks.groupBy(_._2).filter(_._2.length >= TextOps.BOILER_MIN).keySet
+    val expBoiler = chunks.filter(c => viral(c._2))
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val out = TextOps.boilerplateRemoval(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(viral.nonEmpty, "fixture must carry organic boilerplate")
+    out.foreach { case (id, n) => assert(n == expBoiler.getOrElse(id, 0L)) }
+    // EVERY instance of a viral chunk is counted: total flags equal the
+    // full group sizes (d10 would spare one per group)
+    val totalFlagged = out.values.sum
+    val groupTotal = chunks.count(c => viral(c._2)).toLong
+    assert(totalFlagged == groupTotal && totalFlagged > viral.size)
+  }
 }
 
 /** ANN recall vs brute force on the real embeddings table. */
