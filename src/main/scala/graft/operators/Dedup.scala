@@ -957,6 +957,94 @@ object Dedup {
       |WHERE common * 1000 >= $CONTAIN_PERMILLE * least(sa.n, sb.n)
       |ORDER BY contained_id, container_id""".stripMargin
 
+  // ------------------------------------------- exact-substring dedup
+  /** d13: exact-substring duplication coverage — the ExactSubstr pass of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"): any [[SUBSTR_TOKENS]]-token window that also occurs in
+    * ANOTHER document marks its span as duplicated, and a document's
+    * score is how many of its tokens sit under at least one such span —
+    * the signal that catches partial template reuse and long quoted
+    * passages that whole-doc and paragraph dedup both miss (their
+    * chunking is aligned; rolling windows are not). Production runs use
+    * ~50-token windows over a suffix array; the rolling-gram-hash
+    * formulation is the distributed equivalent, and the fixture window
+    * is 8 so the corpus's organic repeats exercise the span merge.
+    *
+    * No pair emission anywhere — this is a MARKING operator: a gram is
+    * either cross-document-shared or not (count of distinct docs >= 2),
+    * so viral grams cost one counter, not k² pairs — the blow-up d03/d12
+    * need a posting cap for simply cannot occur. Span union per doc is
+    * the classic sorted-interval merge expressed as one `lead()` window:
+    * covered = Σ min(window, next_pos − pos), last span pays full
+    * window.
+    *
+    * Scale shape: grams fold to 60-bit hashes in the explode's codegen
+    * stage (thin (h, doc_id, pos) rows in every exchange); the cross-doc
+    * flag is a hash aggregate keyed by gram hash; the flagged-position
+    * join shuffles the same thin rows; the interval-merge window
+    * partitions by doc_id — unbounded cardinality, bounded per-doc work.
+    * All arithmetic exact int64; the oracle hash-matches at any scale.
+    */
+  val SUBSTR_TOKENS = 8
+
+  def substringDupStats(s: SparkSession, d: String): DataFrame =
+    substringDupStatsOn(Tables.documents(s, d))
+
+  /** Substring-duplication coverage over an arbitrary (doc_id, text) frame. */
+  def substringDupStatsOn(docs: DataFrame): DataFrame = {
+    val k = SUBSTR_TOKENS
+    val base = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+    val grams = base.filter(col("n_tokens") >= k)
+      .withColumn("pos", explode(sequence(lit(0L), col("n_tokens") - k)))
+      .select(col("doc_id"), col("pos"),
+        baseHash(concat_ws(" ", slice(col("tk"), (col("pos") + 1).cast("int"), lit(k)))).as("h"))
+    val shared = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val covered = grams.join(shared, "h")
+      .withColumn("nxt", lead(col("pos"), 1).over(w))
+      .withColumn("cov",
+        when(col("nxt").isNull, lit(k.toLong))
+          .otherwise(least(lit(k.toLong), col("nxt") - col("pos"))))
+      .groupBy("doc_id").agg(sum(col("cov")).as("dup_tokens"))
+    base.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        floor(lit(1000.0) * coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"))
+          .cast("long").as("dup_permille"))
+      .orderBy("doc_id")
+  }
+
+  lazy val substringDupStatsSql: String = {
+    val k = SUBSTR_TOKENS
+    s"""WITH b AS (SELECT doc_id,
+      |    regexp_split_to_array(trim(text), '\\s+') AS toks,
+      |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |        CAST(concat('0x', substr(md5(
+      |          array_to_string(toks[i:i+${k - 1}], ' ')), 1, 15)) AS BIGINT) AS h
+      |      FROM b, unnest(range(1, n_tokens - $k + 2)) r(i)
+      |      WHERE n_tokens >= $k),
+      |sh AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY h)
+      |       WHERE nd >= 2),
+      |f AS (SELECT doc_id, pos,
+      |        lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      |      FROM g JOIN sh USING (h)),
+      |c AS (SELECT doc_id,
+      |        sum(CASE WHEN nxt IS NULL THEN $k
+      |                 ELSE least($k, nxt - pos) END) AS dup_tokens
+      |      FROM f GROUP BY doc_id)
+      |SELECT b.doc_id, n_tokens,
+      |  CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      |  CAST(floor(1000.0 * COALESCE(dup_tokens, 0) / n_tokens) AS BIGINT)
+      |    AS dup_permille
+      |FROM b LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   /** All dedup queries keyed for SparkEntry (oracle-checked where SQL can
     * express them; minhash/simhash are verified by scalatest instead).
     */
@@ -971,9 +1059,11 @@ object Dedup {
     "d09_simhash_neardup" -> (simhashNearDupPairs _),
     "d10_paragraph_dedup" -> (paragraphDedupStats _),
     "d11_cross_source_dups" -> (crossSourceDupMatrix _),
-    "d12_containment" -> (containmentPairs _))
+    "d12_containment" -> (containmentPairs _),
+    "d13_substring_dedup" -> (substringDupStats _))
 
   val oracles: Map[String, String] = Map(
+    "d13_substring_dedup" -> substringDupStatsSql,
     "d12_containment" -> containmentPairsSql,
     "d11_cross_source_dups" -> crossSourceDupMatrixSql,
     "d10_paragraph_dedup" -> paragraphDedupStatsSql,

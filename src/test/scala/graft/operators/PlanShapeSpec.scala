@@ -142,6 +142,20 @@ class PlanShapeSpec extends SparkSpec {
       "chunk strings crossed an exchange")
   }
 
+  test("d13: substring marking shuffles gram hashes only; no pair join anywhere") {
+    val p = plan("d13_substring_dedup")
+    // gram text folds to its hash inside the explode's codegen stage —
+    // nothing above any exchange re-assembles token strings
+    val firstExchange = p.indexOf("Exchange hashpartitioning")
+    assert(firstExchange >= 0)
+    assert(!p.substring(0, firstExchange).contains("concat_ws"),
+      "gram strings crossed an exchange")
+    // a MARKING operator: the only self-referential joins are the
+    // equi-joins on gram hash / doc_id — never a pair-emitting product
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair blow-up in d13:\n${p.take(3000)}")
+  }
+
   test("p07: the mixture plan broadcasts; no corpus-wide window or cartesian blow-up") {
     val p = plan("p07_mixture_sample")
     // the per-source plan frame (20 rows) joins back via broadcast; the

@@ -238,6 +238,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d13 substring coverage: full copies score 1000, one shared window scores exactly k, unique text 0") {
+    val w = (1 to 20).map(i => s"w$i").mkString(" ")           // 20 tokens
+    val sharedRun = (5 to 12).map(i => s"w$i").mkString(" ")   // one 8-token window of A
+    val docs = Seq(
+      (1L, w),                                    // full copy pair with 2
+      (2L, w),
+      (3L, s"x1 x2 x3 $sharedRun y1"),            // 12 tokens, 8 shared
+      (4L, (1 to 15).map(i => s"z$i").mkString(" "))) // unique
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDupStatsOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // identical docs: every token covered, permille exactly 1000
+    assert(out(1L) == ((20L, 20L, 1000L)) && out(2L) == ((20L, 20L, 1000L)))
+    // doc 3 shares exactly one rolling window with doc 1/2 (positions 3..10)
+    assert(out(3L)._2 == Dedup.SUBSTR_TOKENS.toLong)
+    // ...and that window also marks 8 of doc 1's tokens — but doc 1 is
+    // already fully covered by its full copy, so no double counting
+    assert(out(4L) == ((15L, 0L, 0L)))
+  }
+
   test("t12 boilerplate removes ALL instances of a viral chunk, unlike d10's keep-first") {
     val d = "/root/testdata/sf0.01"
     // expected flags recomputed independently from the shared chunk table
