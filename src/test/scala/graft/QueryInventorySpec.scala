@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.types.{ArrayType, MapType}
+import org.apache.spark.sql.types.{ArrayType, DateType, DecimalType, MapType}
 
 /** Driver-comparator contract over the whole registered-query inventory:
   * the correctness harness lexsorts result columns with pandas, which
@@ -23,6 +23,22 @@ class QueryInventorySpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"driver comparator cannot sort these columns: ${offenders.mkString(", ")}")
+  }
+
+  test("no registered query projects a terminal DECIMAL or DATE column") {
+    // the round-2 lesson: DECIMAL and DATE stringify differently across
+    // the driver's two readers even when numerically equal (14 hash
+    // mismatches, all terminal DECIMAL/DATE) — exact decimal results
+    // must be rendered as plain strings at the query boundary
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        q(spark, sfDir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[DecimalType] ||
+            f.dataType == DateType => s"$name.${f.name}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"hash-unstable terminal types: ${offenders.mkString(", ")}")
   }
 
   test("every oracle key has a registered query") {
