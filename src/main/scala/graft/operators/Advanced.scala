@@ -154,7 +154,50 @@ object Advanced {
       |  ON year(o.o_orderdate) * 100 + month(o.o_orderdate) = m.ym
       |GROUP BY m.ym ORDER BY m.ym""".stripMargin
 
+  /** q53: IGNORE NULLS window navigation — the sensor/telemetry gap-fill
+    * idiom (carry the last observed reading forward across missing
+    * samples; also report the previous non-null reading). The events
+    * table has no organic nulls, so readings are gapped deterministically
+    * (event_id % 3 == 0 ⇒ NULL), identically in the oracle — the operator
+    * under test is null-skipping navigation itself: `last_value IGNORE
+    * NULLS` over a running frame and `lag IGNORE NULLS`, which plain
+    * lag/last cannot express without a second self-join pass.
+    *
+    * Values pass through untouched (no cross-row float arithmetic), so
+    * doubles hash-match bit-for-bit. Scale shape: ONE window exchange on
+    * user_id (both functions share the frame family); per-user state is
+    * one carried value — unbounded key cardinality, bounded per-key work.
+    */
+  def ignoreNullsWindows(s: SparkSession, d: String): DataFrame = {
+    val gapped = when(col("event_id") % 3 === 0, lit(null).cast("double"))
+      .otherwise(col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(s, d)
+      .withColumn("reading", gapped)
+      .select(col("event_id"), col("user_id"),
+        col("reading").isNull.cast("int").as("is_gap"),
+        last(col("reading"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("filled"),
+        lag(col("reading"), 1, null, ignoreNulls = true).over(w).as("prev_reading"))
+      .orderBy("event_id")
+  }
+
+  val ignoreNullsWindowsSql: String =
+    """WITH g AS (SELECT event_id, user_id,
+      |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS reading
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  CAST(reading IS NULL AS INT) AS is_gap,
+      |  last_value(reading IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS filled,
+      |  lag(reading IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id)
+      |    AS prev_reading
+      |FROM g ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_ignore_nulls_windows" -> (ignoreNullsWindows _),
     "q52_recursive_cte" -> (recursiveCte _),
     "q50_lateral_topn" -> (lateralTopN _),
     "q32_correlated_subquery" -> (correlatedSubquery _),
@@ -163,6 +206,7 @@ object Advanced {
     "q35_percentiles" -> (percentiles _))
 
   val oracles: Map[String, String] = Map(
+    "q53_ignore_nulls_windows" -> ignoreNullsWindowsSql,
     "q52_recursive_cte" -> recursiveCteSql,
     "q50_lateral_topn" -> lateralTopNSql,
     "q32_correlated_subquery" -> correlatedSubquerySql,

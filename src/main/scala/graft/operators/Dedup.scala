@@ -1000,11 +1000,19 @@ object Dedup {
       .withColumn("pos", explode(sequence(lit(0L), col("n_tokens") - k)))
       .select(col("doc_id"), col("pos"),
         baseHash(concat_ws(" ", slice(col("tk"), (col("pos") + 1).cast("int"), lit(k)))).as("h"))
-    val shared = grams.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select("h")
+    // cross-doc test as two count windows on nested keys: a gram is
+    // shared iff its corpus-wide instance count exceeds its own-doc
+    // count. hashpartitioning(h) satisfies the (h, doc_id) clustering
+    // too (the d03 cap trick), so BOTH windows and the filter ride ONE
+    // exchange — no gram-table aggregate, no join, single corpus scan.
+    val wH = Window.partitionBy(col("h"))
+    val wHD = Window.partitionBy(col("h"), col("doc_id"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val covered = grams.join(shared, "h")
+    val covered = grams
+      .withColumn("shared",
+        count(lit(1)).over(wH) > count(lit(1)).over(wHD))
+      .filter(col("shared"))
+      .select(col("doc_id"), col("pos"))
       .withColumn("nxt", lead(col("pos"), 1).over(w))
       .withColumn("cov",
         when(col("nxt").isNull, lit(k.toLong))
