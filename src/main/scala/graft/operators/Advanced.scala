@@ -196,7 +196,48 @@ object Advanced {
       |    AS prev_reading
       |FROM g ORDER BY event_id""".stripMargin
 
+  /** q54: VARIANT semi-structured ingestion — Spark 4's binary-encoded
+    * VariantType (`parse_json` → `variant_get`), the modern lakehouse
+    * path for schema-on-read JSON columns (q19 covers the legacy
+    * string-path `get_json_object`). The variant is an INTERNAL column
+    * only — typed scalars are extracted before the aggregate (a terminal
+    * VARIANT would violate the driver-comparator contract exactly as an
+    * array would), and `try_variant_get` with a wrong type documents the
+    * null-on-missing-path contract. The oracle reads the same JSON with
+    * DuckDB's json_extract — the values agree because extraction is
+    * exact integer. (`try_variant_get` probes an ABSENT path — an int
+    * happily casts to several types, so a type-mismatch probe would be
+    * engine-specific; path absence is not.)
+    *
+    * Scale shape: parse + extract are narrow codegen'd per-row work at
+    * the scan; the rollup is one partial-aggregated exchange. VARIANT's
+    * value at 100 TB is pushdown-friendly binary encoding vs re-parsing
+    * JSON text per access — here each row is parsed once either way.
+    */
+  def variantJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("v", parse_json(col("props")))
+      .select(
+        expr("variant_get(v, '$.k', 'int')").as("k_val"),
+        expr("try_variant_get(v, '$.absent', 'int')").isNull
+          .cast("int").as("k_not_ts"))
+      .groupBy(pmod(col("k_val"), lit(10)).as("k_mod"))
+      .agg(count(lit(1)).as("n"),
+        min(col("k_val")).as("k_min"),
+        max(col("k_val")).as("k_max"),
+        sum(col("k_not_ts")).as("n_type_miss"))
+      .orderBy("k_mod")
+
+  val variantJsonSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+      |  count(*) AS n,
+      |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+      |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max,
+      |  CAST(count(*) AS BIGINT) AS n_type_miss
+      |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_variant" -> (variantJson _),
     "q53_ignore_nulls_windows" -> (ignoreNullsWindows _),
     "q52_recursive_cte" -> (recursiveCte _),
     "q50_lateral_topn" -> (lateralTopN _),
@@ -206,6 +247,7 @@ object Advanced {
     "q35_percentiles" -> (percentiles _))
 
   val oracles: Map[String, String] = Map(
+    "q54_variant" -> variantJsonSql,
     "q53_ignore_nulls_windows" -> ignoreNullsWindowsSql,
     "q52_recursive_cte" -> recursiveCteSql,
     "q50_lateral_topn" -> lateralTopNSql,
