@@ -630,7 +630,77 @@ object Similarity {
       |    AS centroid_fp
       |FROM cents c LEFT JOIN upd u USING (cell) ORDER BY cell""".stripMargin
 
+  // -------------------------------------------------- iterated k-means
+  /** s06: TWO chained Lloyd steps — the convergence loop itself verified
+    * cross-engine, not just one refinement (s05). Step 1's centroids
+    * feed step 2 exactly as a production IVF build loop would feed them
+    * back until `shift` crosses a threshold; the checked output is step
+    * 2's (cell, n_members, shift, centroid_fp), which hash-matches only
+    * if BOTH the step-1 means and the step-2 re-assignment agree bit-wise
+    * with the oracle's chained CTEs — integer means, one IEEE division
+    * per score, floor quantization all the way down.
+    *
+    * The 16-row step-1 centroid frame is localCheckpoint'ed (eager):
+    * kmeansStepFrom references its input twice (assignment + old-vs-new
+    * shift), and an unbroken lineage would re-execute all of step 1 per
+    * reference — the same per-round hygiene the CC loop applies. A real
+    * build loop does exactly this between every iteration.
+    */
+  def kmeansTwoStep(s: SparkSession, d: String): DataFrame = {
+    val corpus = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val step1 = kmeansStepFrom(corpus, seedCentroids(corpus))
+      .select(col("cell"), col("centroid")).localCheckpoint(true)
+    kmeansStepFrom(corpus, step1)
+      .select(col("cell"), col("n_members"), col("shift"),
+        substring(md5(array_join(
+          transform(col("centroid"), _.cast("string")), ",")), 1, 16)
+          .as("centroid_fp"))
+      .orderBy("cell")
+  }
+
+  /** s06 oracle: the s05 chain twice — step-1 means become step-2
+    * centroids (empty cells keep their seed, the kmeansStepFrom
+    * contract), and the reported shift compares step 2 against step 1.
+    */
+  lazy val kmeansTwoStepSql: String = {
+    def assign(v: String, c: String): String =
+      s"""SELECT vec_id, qv, cell FROM (
+        |  SELECT $v.vec_id, $v.qv, $c.cell,
+        |    row_number() OVER (PARTITION BY $v.vec_id ORDER BY
+        |      CAST(list_sum([$v.qv[i]*$c.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
+        |        sqrt(CAST(list_sum([$c.centroid[i]*$c.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) DESC, $c.cell) AS r
+        |  FROM $v CROSS JOIN $c) WHERE r = 1""".stripMargin
+    def update(a: String): String =
+      s"""SELECT cell, max(n) AS n_members, list(m ORDER BY dim) AS centroid FROM (
+        |  SELECT cell, i AS dim,
+        |    CAST(floor(CAST(sum(qv[i]) AS DOUBLE) / count(*)) AS BIGINT) AS m,
+        |    count(*) AS n
+        |  FROM $a, unnest(range(1, 65)) r(i) GROUP BY cell, i) GROUP BY cell""".stripMargin
+    s"""WITH v AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qv FROM embeddings),
+      |c0 AS (SELECT cell, qv AS centroid FROM (
+      |  SELECT vec_id, qv, row_number() OVER (ORDER BY vec_id) AS cell
+      |  FROM v WHERE vec_id % 31 = 6) WHERE cell <= $N_CELLS),
+      |a1 AS (${assign("v", "c0")}),
+      |u1 AS (${update("a1")}),
+      |c1 AS (SELECT c0.cell, COALESCE(u1.centroid, c0.centroid) AS centroid
+      |       FROM c0 LEFT JOIN u1 USING (cell)),
+      |a2 AS (${assign("v", "c1")}),
+      |u2 AS (${update("a2")})
+      |SELECT CAST(c1.cell AS INT) AS cell,
+      |  CAST(COALESCE(u2.n_members, 0) AS BIGINT) AS n_members,
+      |  COALESCE(
+      |    CAST(list_sum([u2.centroid[i]*c1.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
+      |      (sqrt(CAST(list_sum([u2.centroid[i]*u2.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) *
+      |       sqrt(CAST(list_sum([c1.centroid[i]*c1.centroid[i] FOR i IN range(1,65)]) AS DOUBLE))),
+      |    1.0) AS shift,
+      |  substr(md5(array_to_string(COALESCE(u2.centroid, c1.centroid), ',')), 1, 16)
+      |    AS centroid_fp
+      |FROM c1 LEFT JOIN u2 USING (cell) ORDER BY cell""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s06_kmeans_2step" -> (kmeansTwoStep _),
     "s05_kmeans_step" -> (kmeansStep _),
     "s04_semantic_dedup" -> (semanticDedup _),
     "s01_cosine_topk" -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
@@ -639,6 +709,7 @@ object Similarity {
     "d06_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDupPairsSeeded(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "s06_kmeans_2step" -> kmeansTwoStepSql,
     "s05_kmeans_step" -> kmeansStepSql,
     "s04_semantic_dedup" -> semanticDedupSql,
     "s01_cosine_topk" -> cosineTopKSql,
