@@ -41,6 +41,23 @@ class QueryInventorySpec extends SparkSpec {
       s"hash-unstable terminal types: ${offenders.mkString(", ")}")
   }
 
+  test("every registered query ends in a global sort (the hash-compare total-order contract)") {
+    // cross-engine hash comparison is only meaningful over a totally
+    // ordered result; every query (and its oracle) must end in ORDER BY.
+    // The analyzed plan's root region must contain a global Sort.
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Sort, WithCTE}
+    def topSorted(p: LogicalPlan): Boolean = p match {
+      case s: Sort if s.global => true
+      case w: WithCTE => topSorted(w.plan) // CTE defs are side children
+      case _ if p.children.length == 1 => topSorted(p.children.head)
+      case _ => false
+    }
+    val unsorted = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, q) if !topSorted(q(spark, sfDir).queryExecution.analyzed) => name
+    }
+    assert(unsorted.isEmpty, s"queries without a terminal sort: ${unsorted.mkString(", ")}")
+  }
+
   test("every oracle key has a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: ${orphans.mkString(", ")}")
