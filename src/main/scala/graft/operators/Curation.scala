@@ -470,7 +470,77 @@ object Curation {
       |FROM docs d JOIN pl2 USING (source)
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // --------------------------------------------- quality-quantile gate
+  /** p08: per-source quality-quantile gating — the adaptive version of a
+    * fixed quality threshold: "drop each source's worst quartile". A
+    * global cutoff over-prunes clean sources and under-prunes noisy ones;
+    * per-source quantiles track each source's own distribution (the
+    * CCNet bucketing idea applied as a gate).
+    *
+    * The quantile is computed EXACTLY but scale-correctly: quality lives
+    * in [0, 1], so scores quantize to [[QGATE_BINS]] integer bins and the
+    * Q1 threshold is the first bin whose cumulative count reaches 25% —
+    * a histogram CDF walk. Unlike `percentile()` (which buffers every
+    * value per group — q35 keeps that surface for the small events
+    * table), the histogram is a partial-aggregated hash rollup of ≤
+    * (sources × bins) rows, the CDF window sorts ≤ bins rows per source,
+    * and the gate is a broadcast join back — nothing buffers the corpus
+    * anywhere, at any scale. All threshold math is exact integers
+    * (cum·4 ≥ total), and the per-row quality double is the t03 formula
+    * already proven bit-identical cross-engine.
+    */
+  val QGATE_BINS = 1000
+
+  def qualityGate(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .select(col("source"),
+        floor(lit(QGATE_BINS.toDouble) *
+          TextFunctions.qualityScore(col("text"), TextOps.stopwords))
+          .cast("long").as("qbin"))
+    val hist = scored.groupBy("source", "qbin").agg(count(lit(1)).as("c"))
+    val wCdf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("qbin"))
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val thr = hist
+      .withColumn("cum", sum(col("c")).over(wCdf))
+      .withColumn("tot", sum(col("c")).over(wTot))
+      .filter(col("cum") * 4 >= col("tot"))
+      .groupBy("source").agg(min(col("qbin")).as("q1_bin"))
+    scored.join(broadcast(thr), Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("qbin") >= col("q1_bin")).cast("long")).as("n_kept"),
+        max(col("q1_bin")).as("q1_bin"))
+      .orderBy("source")
+  }
+
+  lazy val qualityGateSql: String =
+    s"""WITH t AS (SELECT source, text,
+      |    string_split(trim(lower(text)), ' ') AS ltoks FROM documents),
+      |q AS (SELECT source, CAST(floor($QGATE_BINS.0 *
+      |    (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+      |     * (1.0 - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |         / greatest(length(text), 1))
+      |     * (1.0 - 0.5 * CAST(len(list_filter(ltoks,
+      |           x -> list_contains(['the','a','and','of','to','is','in'], x))) AS DOUBLE)
+      |         / greatest(len(ltoks), 1)))) AS BIGINT) AS qbin
+      |  FROM t),
+      |h AS (SELECT source, qbin, count(*) AS c FROM q GROUP BY 1, 2),
+      |cdf AS (SELECT source, qbin, c,
+      |    sum(c) OVER (PARTITION BY source ORDER BY qbin) AS cum,
+      |    sum(c) OVER (PARTITION BY source) AS tot
+      |  FROM h),
+      |thr AS (SELECT source, min(qbin) AS q1_bin FROM cdf
+      |        WHERE cum * 4 >= tot GROUP BY source)
+      |SELECT q.source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN q.qbin >= thr.q1_bin THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  max(thr.q1_bin) AS q1_bin
+      |FROM q JOIN thr USING (source)
+      |GROUP BY q.source ORDER BY q.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p08_quality_gate" -> (qualityGate _),
     "p07_mixture_sample" -> (mixtureSample _),
     "p06_sequence_packing" -> (sequencePacking _),
     "p01_curation_pipeline" -> (curate _),
@@ -480,6 +550,7 @@ object Curation {
     "p05_curation_funnel" -> (curationFunnel _))
 
   val oracles: Map[String, String] = Map(
+    "p08_quality_gate" -> qualityGateSql,
     "p07_mixture_sample" -> mixtureSampleSql,
     "p06_sequence_packing" -> sequencePackingSql,
     "p01_curation_pipeline" -> curateSql,

@@ -152,6 +152,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(again.toSeq == rows.toSeq)
   }
 
+  test("p08 quality gate: each source keeps >= 75% by its OWN threshold; thresholds differ") {
+    val rows = Curation.qualityGate(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 20)
+    rows.foreach { case (src, n, kept, q1) =>
+      // >= 75% survive (the threshold bin is kept whole), but the gate
+      // must actually cut something
+      assert(kept * 4 >= n * 3, s"$src kept $kept of $n")
+      assert(kept < n, s"$src gate cut nothing")
+      assert(q1 >= 0 && q1 <= Curation.QGATE_BINS)
+    }
+    // adaptive: per-source thresholds are not one global cutoff
+    assert(rows.map(_._4).distinct.length > 5, "thresholds collapsed to a global cutoff")
+  }
+
   test("repetition stats: a self-repeating doc scores high, distinct text scores zero") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam"), // one distinct 3-gram, 8 total

@@ -188,6 +188,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("p08: the quantile comes from a histogram CDF, not a value-buffering percentile") {
+    val p = plan("p08_quality_gate")
+    // no Percentile aggregate (it buffers every value per group); the
+    // thresholds ride a hash-aggregated histogram + bounded window, and
+    // the gate join is a broadcast of the tiny threshold frame
+    assert(!p.contains("percentile"), s"value-buffering percentile in p08:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), "thresholds not broadcast")
+  }
+
   test("s04: semantic-dedup candidates come from a (cell, bucket) equi-join, never all-pairs") {
     val p = plan("s04_semantic_dedup")
     // the only nested-loop member allowed is the broadcast 16-row
