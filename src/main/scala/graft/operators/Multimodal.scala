@@ -343,7 +343,80 @@ object Multimodal {
       |FROM cand WHERE bit_count(xor(pa, pb)) <= $PHASH_MAX_HAMMING
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------- frame-level dedup
+  /** m05: cross-asset frame dedup — the video-dedup face of d13's marking
+    * shape: a frame (fixed-size payload window from the m03 sampler)
+    * that also occurs in ANOTHER asset marks re-used footage (re-uploads,
+    * clipped copies, intro/outro templates); per-asset output is the
+    * shared-frame damage report. The synthetic corpus has no cross-asset
+    * byte-identical frames (documents are unique), so exact copies are
+    * PLANTED (every asset_id % [[FRAME_PLANT_EVERY]] == 0 reappears
+    * whole), identically in the oracle — a full copy shares ALL its
+    * frames, exercising flag + rollup on real collisions.
+    *
+    * Frames fold to their 60-bit [[Dedup.baseHash]] IN the same stage
+    * that slices them (the binary never crosses an exchange), and the
+    * cross-asset test is d13's nested count windows — shared iff count
+    * over (fh) > count over (fh, asset_id) — so the whole decision rides
+    * ONE exchange of (fh, asset_id, frame_idx) longs. The oracle
+    * reproduces frame hashes as md5 over char-substrings: the corpus is
+    * pure ASCII (verified), so char slices == byte slices; a binary
+    * corpus would keep the Spark side unchanged and move the oracle to
+    * rows-only.
+    */
+  val FRAME_PLANT_EVERY = 43
+
+  def frameDedupStats(s: SparkSession, d: String): DataFrame = {
+    val base = assets(s, d)
+    val planted = Tables.documents(s, d)
+      .filter(col("doc_id") % FRAME_PLANT_EVERY === 0)
+      .select(
+        (col("doc_id") + PHASH_PLANT_OFFSET).as("asset_id"),
+        lit("text/plain").as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit(null).cast(IntegerType).as("meta_width"),
+        lit(null).cast(IntegerType).as("meta_height"),
+        lit(null).cast(LongType).as("meta_duration_ms"))
+    val frames = sampleFrames(s, base.unionByName(planted))
+      .select(col("asset_id"), col("frame_idx"),
+        Dedup.baseHash(col("frame")).as("fh"))
+    val wF = org.apache.spark.sql.expressions.Window.partitionBy(col("fh"))
+    val wFA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fh"), col("asset_id"))
+    frames
+      .withColumn("shared",
+        (count(lit(1)).over(wF) > count(lit(1)).over(wFA)).cast("long"))
+      .groupBy("asset_id")
+      .agg(count(lit(1)).as("n_frames"), sum(col("shared")).as("n_shared"))
+      .select(col("asset_id"), col("n_frames"), col("n_shared"),
+        floor(lit(1000.0) * col("n_shared") / col("n_frames"))
+          .cast("long").as("shared_permille"))
+      .orderBy("asset_id")
+  }
+
+  lazy val frameDedupStatsSql: String =
+    s"""WITH b AS (
+      |  SELECT doc_id AS asset_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + $PHASH_PLANT_OFFSET, text FROM documents
+      |  WHERE doc_id % $FRAME_PLANT_EVERY = 0),
+      |f AS (SELECT asset_id, i AS frame_idx,
+      |        CAST(concat('0x', substr(md5(substr(text, i*64 + 1, 64)), 1, 15))
+      |          AS BIGINT) AS fh
+      |      FROM b, unnest(range(0, strlen(text)//64, 4)) r(i)
+      |      WHERE strlen(text) >= 64),
+      |m AS (SELECT asset_id,
+      |        count(*) OVER (PARTITION BY fh) AS cf,
+      |        count(*) OVER (PARTITION BY fh, asset_id) AS cfa
+      |      FROM f)
+      |SELECT asset_id, count(*) AS n_frames,
+      |  CAST(count(*) FILTER (cf > cfa) AS BIGINT) AS n_shared,
+      |  CAST(floor(1000.0 * count(*) FILTER (cf > cfa) / count(*)) AS BIGINT)
+      |    AS shared_permille
+      |FROM m GROUP BY asset_id ORDER BY asset_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m05_frame_dedup" -> (frameDedupStats _),
     "m04_phash_neardup" -> (phashNearDupPairs _),
     "m01_media_meta" -> (mediaMeta _),
     "m02_media_features" -> ((s: SparkSession, d: String) => {
@@ -352,6 +425,7 @@ object Multimodal {
     "m03_frame_stats" -> (frameStats _))
 
   val oracles: Map[String, String] = Map(
+    "m05_frame_dedup" -> frameDedupStatsSql,
     "m04_phash_neardup" -> phashNearDupPairsSql,
     "m01_media_meta" -> mediaMetaSql,
     "m02_media_features" -> mediaFeaturesSql,

@@ -87,6 +87,25 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.perceptualHash(null) == 0L)
   }
 
+  test("m05: a planted full copy shares every frame with its original, both fully marked") {
+    val d = "/root/testdata/sf0.01"
+    val out = Multimodal.frameDedupStats(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val planted = spark.read.parquet(s"$d/documents.parquet")
+      .filter(col("doc_id") % Multimodal.FRAME_PLANT_EVERY === 0
+        && octet_length(col("text")) >= 64)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      val orig = out(id)
+      val copy = out(id + Multimodal.PHASH_PLANT_OFFSET)
+      // identical payloads -> identical frame counts, all frames shared
+      assert(orig._1 == copy._1)
+      assert(orig == ((orig._1, orig._1, 1000L)), s"original $id: $orig")
+      assert(copy == ((copy._1, copy._1, 1000L)), s"copy of $id: $copy")
+    }
+  }
+
   test("stubResize preserves aspect and bounds the long side") {
     assert(Multimodal.stubResize(1920, 1080, 256) == (256, 144))
     assert(Multimodal.stubResize(100, 50, 256) == (100, 50))
