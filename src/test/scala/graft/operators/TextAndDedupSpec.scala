@@ -238,6 +238,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cross-operator consistency: d04 MinHash estimates track d03 exact Jaccard") {
+    val d = "/root/testdata/sf0.01"
+    val exact = Dedup.ngramJaccardPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getLong(2).toDouble / r.getLong(3)).toMap
+    val est = Dedup.minhashLshPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val both = exact.keySet intersect est.keySet
+    assert(both.nonEmpty, "no pair found by both d03 and d04")
+    // 32-hash MinHash: sd(est) = sqrt(J(1-J)/32) <= 0.09; 0.35 is ~4 sigma
+    both.foreach { k =>
+      assert(math.abs(exact(k) - est(k)) <= 0.35,
+        s"pair $k: exact ${exact(k)} vs minhash ${est(k)}")
+    }
+  }
+
   test("d13 substring coverage: full copies score 1000, one shared window scores exactly k, unique text 0") {
     val w = (1 to 20).map(i => s"w$i").mkString(" ")           // 20 tokens
     val sharedRun = (5 to 12).map(i => s"w$i").mkString(" ")   // one 8-token window of A
