@@ -63,6 +63,38 @@ class StreamingBudgetSpec extends SparkSpec {
     assert(!adm2(3L))
   }
 
+  test("budget state survives a query restart from its checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("budget-restart-ckpt").toString
+    val emitted = scala.collection.mutable.ListBuffer[Admission]()
+    val mem = MemoryStream[Doc]
+    def startQuery() = admissions(spark, mem.toDS(), Map("web" -> 100L), 1)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (b: Dataset[Admission], _: Long) =>
+        emitted.synchronized { emitted ++= b.collect() }
+        ()
+      }
+      .start()
+    val q1 = startQuery()
+    mem.addData(Doc(1, "web", 60, 1), Doc(2, "web", 30, 2)) // 90 of 100 spent
+    q1.processAllAvailable()
+    q1.stop()
+    // docs arrive while the query is DOWN; the restarted query must
+    // resume the 90-token counter from the state store, not from zero
+    mem.addData(Doc(3, "web", 30, 3), Doc(4, "web", 30, 4))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val byDoc = emitted.synchronized { emitted.toList }
+      .map(a => a.docId -> a.admitted).toMap
+    // 3 crosses at 90 < 100 (admitted, -> 120); 4 must be rejected —
+    // a from-zero restart would have admitted it
+    assert(byDoc == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false),
+      s"got $byDoc")
+  }
+
   test("sharded budgets bound overshoot to one doc per shard and raise state parallelism") {
     // 4 shards x 25 tokens each; docs of 10 tokens land on shard docId%4
     val docs = (0L until 40L).map(i => Doc(i, "web", 10, i))
