@@ -699,7 +699,78 @@ object Similarity {
       |FROM c1 LEFT JOIN u2 USING (cell) ORDER BY cell""".stripMargin
   }
 
+  // ------------------------------------------------ scalar quantization
+  /** s07: int8 scalar-quantized (SQ8) brute-force top-k — the 4×-memory
+    * compression every production vector store applies before ANN even
+    * starts (FAISS SQ8, Milvus/pgvector halfvec-class tricks): each
+    * corpus vector stores 64 int8 codes + one scale instead of 64
+    * floats, and search scores queries against the CODES. Ranking by
+    * cosine makes the per-vector scale cancel exactly —
+    * dot(q, code·s/127) / (|q|·|code·s/127|) = dot(q, code) /
+    * (|q|·|code|) — so the score is two exact integer dot products and
+    * one IEEE division: bit-reproducible in DuckDB, no float-sum
+    * nondeterminism anywhere. The checked output carries the SQ8
+    * ranking; SimilaritySpec pins its recall against the exact s01
+    * ranking (quantization error is real — that's the trade being
+    * demonstrated — but it must stay small).
+    *
+    * The per-row encode is a transform() HOF: interpreted, but over 64
+    * elements × corpus rows it is NOT the measured hot path the shingle
+    * pipelines hit (and at scale the encode runs ONCE at ingest, writes
+    * the code column, and search never touches floats again — the whole
+    * point of SQ8). The scoring hot path stays on the codegen'd
+    * LongArrayDot.
+    */
+  def sq8TopK(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qnorm", sqrt(qdot(col("qv"), col("qv")).cast("double")))
+    val corpus = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id"), quantize(col("embedding")).as("cv"))
+      .withColumn("ma",
+        greatest(aggregate(transform(col("cv"), x => abs(x)), lit(0L),
+          (acc, x) => greatest(acc, x)), lit(1L)))
+      .withColumn("code",
+        transform(col("cv"), x => floor(x * lit(127.0) / col("ma"))))
+      .withColumn("cnorm", sqrt(qdot(col("code"), col("code")).cast("double")))
+      .select("vec_id", "code", "cnorm")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq8_cosine").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(q))
+      .withColumn("sq8_cosine",
+        qdot(col("qv"), col("code")).cast("double") / (col("qnorm") * col("cnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "sq8_cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  val sq8TopKSql: String =
+    """WITH v AS (SELECT vec_id,
+      |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS qv
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, qv FROM v WHERE vec_id < 5),
+      |c0 AS (SELECT vec_id, qv,
+      |    greatest(list_max([abs(x) FOR x IN qv]), 1) AS ma
+      |  FROM v WHERE vec_id >= 5),
+      |c AS (SELECT vec_id,
+      |    [CAST(floor(qv[i] * 127.0 / ma) AS BIGINT) FOR i IN range(1, 65)] AS code
+      |  FROM c0),
+      |dots AS (SELECT query_id, c.vec_id,
+      |    CAST(list_sum([q.qv[i] * c.code[i] FOR i IN range(1, 65)]) AS DOUBLE) /
+      |      (sqrt(CAST(list_sum([q.qv[i] * q.qv[i] FOR i IN range(1, 65)]) AS DOUBLE)) *
+      |       sqrt(CAST(list_sum([c.code[i] * c.code[i] FOR i IN range(1, 65)]) AS DOUBLE)))
+      |      AS sq8_cosine
+      |  FROM c CROSS JOIN q),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |             ORDER BY sq8_cosine DESC, vec_id) AS rank
+      |           FROM dots)
+      |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, sq8_cosine
+      |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s07_sq8_ann" -> ((s: SparkSession, d: String) => sq8TopK(s, d)),
     "s06_kmeans_2step" -> (kmeansTwoStep _),
     "s05_kmeans_step" -> (kmeansStep _),
     "s04_semantic_dedup" -> (semanticDedup _),
@@ -709,6 +780,7 @@ object Similarity {
     "d06_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDupPairsSeeded(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "s07_sq8_ann" -> sq8TopKSql,
     "s06_kmeans_2step" -> kmeansTwoStepSql,
     "s05_kmeans_step" -> kmeansStepSql,
     "s04_semantic_dedup" -> semanticDedupSql,

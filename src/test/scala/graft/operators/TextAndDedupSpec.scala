@@ -371,6 +371,19 @@ class SimilaritySpec extends SparkSpec {
     assert(raw.head().getSeq[Long](3).length == 64)
   }
 
+  test("s07 SQ8 ranking stays close to the exact s01 ranking (recall@10 >= 0.8)") {
+    val exact = Similarity.cosineTopK(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val sq8 = Similarity.sq8TopK(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert(exact.keySet == sq8.keySet && exact.nonEmpty)
+    val recalls = exact.keys.toSeq.map { q =>
+      (exact(q) intersect sq8(q)).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"SQ8 recall@10 degraded to $mean (per-query $recalls)")
+  }
+
   test("s05 iterated: a second Lloyd step moves centroids less than the first") {
     import org.apache.spark.sql.expressions.Window
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
