@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -145,6 +145,82 @@ object Extras {
       |  event_id % 7 AS mod7
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** q55: statistical moments (variance/stddev/correlation/least-squares
+    * fit) per (returnflag, linestatus). Built-in `stddev_samp`/`corr` use
+    * streaming merge formulas whose float rounding differs across engines
+    * and partition orders, so the hash-checked form derives every moment
+    * from EXACT integer power sums (n, Σx, Σy, Σx², Σy², Σxy over
+    * quantized bigints — order-independent, overflow-free at test scale)
+    * and then evaluates one identical double expression on both engines:
+    * same exact inputs + same IEEE op order = bit-equal doubles.
+    * StatsMomentsSpec cross-checks the built-in aggregates against these
+    * exact forms, so the built-in surface is covered without betting the
+    * hash on its rounding. At 100 TB the power sums exceed int64 (Σy² is
+    * ~1e14 per million rows at cent scale) — the same query with the six
+    * sums cast to decimal(38,0) keeps exactness; sums here stay < 2^53 so
+    * even the double casts are exact.
+    */
+  def statsMoments(s: SparkSession, d: String): DataFrame = {
+    val dbl: String => Column = c => col(c).cast("double")
+    Tables.lineitem(s, d)
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        floor(col("l_quantity")).cast("long").as("qx"),
+        floor(col("l_extendedprice")).cast("long").as("qy"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("qx")).as("sx"),
+        sum(col("qy")).as("sy"),
+        sum(col("qx") * col("qx")).as("sxx"),
+        sum(col("qy") * col("qy")).as("syy"),
+        sum(col("qx") * col("qy")).as("sxy"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"), col("n"),
+        col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"),
+        (dbl("sx") / dbl("n")).as("mean_x"),
+        ((dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")) /
+          (dbl("n") * (dbl("n") - lit(1.0)))).as("var_x"),
+        sqrt((dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")) /
+          (dbl("n") * (dbl("n") - lit(1.0)))).as("stddev_x"),
+        ((dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")) /
+          (sqrt(dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")) *
+            sqrt(dbl("n") * dbl("syy") - dbl("sy") * dbl("sy")))).as("corr_xy"),
+        ((dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")) /
+          (dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx"))).as("slope_yx"),
+        ((dbl("sy") - ((dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")) /
+          (dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx"))) * dbl("sx")) /
+          dbl("n")).as("intercept_yx"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val statsMomentsSql: String =
+    """WITH q AS (SELECT l_returnflag, l_linestatus,
+      |    CAST(floor(l_quantity) AS BIGINT) AS qx,
+      |    CAST(floor(l_extendedprice) AS BIGINT) AS qy
+      |  FROM lineitem),
+      |s AS (SELECT l_returnflag, l_linestatus,
+      |    count(*) AS n,
+      |    CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(qy) AS BIGINT) AS sy,
+      |    CAST(sum(qx*qx) AS BIGINT) AS sxx, CAST(sum(qy*qy) AS BIGINT) AS syy,
+      |    CAST(sum(qx*qy) AS BIGINT) AS sxy
+      |  FROM q GROUP BY l_returnflag, l_linestatus)
+      |SELECT l_returnflag, l_linestatus, n, sx, sy, sxx, syy, sxy,
+      |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+      |  (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_x,
+      |  sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_x,
+      |  (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |    / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+      |       * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr_xy,
+      |  (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS slope_yx,
+      |  (CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE) AS intercept_yx
+      |FROM s ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_pivot" -> (pivotEvents _),
     "q51_unpivot" -> (unpivotStats _),
@@ -152,6 +228,7 @@ object Extras {
     "q27_weighted_avg_udaf" -> (weightedAvgPrice _),
     "q30_array_funcs" -> (arrayFuncs _),
     "q31_math_funcs" -> (mathFuncs _),
+    "q55_stats_moments" -> (statsMoments _),
     "t06_top_tokens" -> (topTokens _))
 
   val oracles: Map[String, String] = Map(
@@ -160,5 +237,6 @@ object Extras {
     "q27_weighted_avg_udaf" -> weightedAvgPriceSql,
     "q30_array_funcs" -> arrayFuncsSql,
     "q31_math_funcs" -> mathFuncsSql,
+    "q55_stats_moments" -> statsMomentsSql,
     "t06_top_tokens" -> topTokensSql)
 }

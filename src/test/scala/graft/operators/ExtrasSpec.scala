@@ -28,6 +28,41 @@ class ExtrasSpec extends SparkSpec {
     assert(empty.nonEmpty && empty.forall(_._3.isEmpty))
   }
 
+  test("q55 exact power-sum moments agree with Spark's built-in stat aggregates") {
+    import org.apache.spark.sql.functions._
+    // The registered query avoids stddev_samp/corr/regr_* because their
+    // streaming-merge rounding is engine- and partition-order-dependent;
+    // this pins that the exact-integer derivation IS those aggregates
+    // (to float tolerance), so the built-in surface is covered.
+    val exact = Extras.statsMoments(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("var_x"), r.getAs[Double]("stddev_x"),
+          r.getAs[Double]("corr_xy"), r.getAs[Double]("slope_yx"),
+          r.getAs[Double]("intercept_yx"))).toMap
+    val builtin = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        floor(col("l_quantity")).cast("double").as("x"),
+        floor(col("l_extendedprice")).cast("double").as("y"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(var_samp(col("x")).as("v"), stddev_samp(col("x")).as("sd"),
+        corr(col("x"), col("y")).as("c"),
+        regr_slope(col("y"), col("x")).as("sl"),
+        regr_intercept(col("y"), col("x")).as("ic"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    assert(exact.keySet == builtin.keySet)
+    def close(a: Double, b: Double): Boolean =
+      math.abs(a - b) <= 1e-6 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+    exact.foreach { case (k, (v, sd, c, sl, ic)) =>
+      val (bv, bsd, bc, bsl, bic) = builtin(k)
+      assert(close(v, bv) && close(sd, bsd) && close(c, bc) &&
+        close(sl, bsl) && close(ic, bic),
+        s"$k exact=($v,$sd,$c,$sl,$ic) builtin=($bv,$bsd,$bc,$bsl,$bic)")
+    }
+  }
+
   test("WeightedMean UDAF equals the decimal-exact SQL formulation") {
     val udafRes = Extras.weightedAvgPrice(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
