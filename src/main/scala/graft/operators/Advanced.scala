@@ -236,7 +236,55 @@ object Advanced {
       |  CAST(count(*) AS BIGINT) AS n_type_miss
       |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin
 
+  /** q56: gaps-and-islands — per-user runs of consecutive ACTIVE DAYS,
+    * the classic sessionization-by-calendar idiom (retention/streak
+    * analytics; q29's session_window is its event-time cousin). The
+    * grouping key is the row_number-difference trick: within a user,
+    * `day - row_number()` is constant exactly while days are consecutive,
+    * so one window + one aggregate finds every island with no self-join
+    * (the naive form is an O(n²) anti-join per user). Days are int64
+    * day-offsets from a fixed epoch on both engines — no DATE crosses the
+    * comparator boundary.
+    *
+    * Scale shape: one distinct on (user_id, day) — the shuffle carries
+    * two longs — then the window partitions by user_id (cardinality grows
+    * with data; per-key state is one counter) and reuses the same
+    * clustering for the island aggregate, so EnsureRequirements inserts
+    * no second exchange.
+    */
+  def gapsIslands(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // events.ts is nanosecond longs (Tables.load); ns → µs → date
+    val days = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(timestamp_micros(expr("ts div 1000"))),
+          lit("1992-01-01").cast("date")).cast("long").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min("day").as("start_day"), max("day").as("end_day"),
+        count(lit(1)).as("island_days"))
+      .select("user_id", "start_day", "end_day", "island_days")
+      .orderBy("user_id", "start_day")
+  }
+
+  val gapsIslandsSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_diff('day', DATE '1992-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+      |  FROM events),
+      |g AS (SELECT user_id, day,
+      |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM days)
+      |SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+      |  count(*) AS island_days
+      |FROM g GROUP BY user_id, grp
+      |ORDER BY user_id, start_day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_gaps_islands" -> (gapsIslands _),
     "q54_variant" -> (variantJson _),
     "q53_ignore_nulls_windows" -> (ignoreNullsWindows _),
     "q52_recursive_cte" -> (recursiveCte _),
@@ -247,6 +295,7 @@ object Advanced {
     "q35_percentiles" -> (percentiles _))
 
   val oracles: Map[String, String] = Map(
+    "q56_gaps_islands" -> gapsIslandsSql,
     "q54_variant" -> variantJsonSql,
     "q53_ignore_nulls_windows" -> ignoreNullsWindowsSql,
     "q52_recursive_cte" -> recursiveCteSql,

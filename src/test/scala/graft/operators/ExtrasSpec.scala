@@ -28,6 +28,29 @@ class ExtrasSpec extends SparkSpec {
     assert(empty.nonEmpty && empty.forall(_._3.isEmpty))
   }
 
+  test("q56 islands partition each user's day set into maximal consecutive runs") {
+    import org.apache.spark.sql.functions._
+    val islands = Advanced.gapsIslands(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // island length == span (runs are gap-free), and islands don't touch
+    // (a gap of >= 1 day separates consecutive islands — else they'd be one)
+    islands.foreach { case (_, s, e, n) => assert(n == e - s + 1) }
+    islands.groupBy(_._1).values.foreach { is =>
+      is.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1 + 1)
+        case _ =>
+      }
+    }
+    // reconstructing the islands reproduces the exact distinct day set
+    val fromIslands = islands.flatMap { case (u, s, e, _) => (s to e).map(u -> _) }.toSet
+    val days = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        datediff(to_date(timestamp_micros(expr("ts div 1000"))),
+          lit("1992-01-01").cast("date")).cast("long").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromIslands == days)
+  }
+
   test("q55 exact power-sum moments agree with Spark's built-in stat aggregates") {
     import org.apache.spark.sql.functions._
     // The registered query avoids stddev_samp/corr/regr_* because their
