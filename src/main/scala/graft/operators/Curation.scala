@@ -539,7 +539,72 @@ object Curation {
       |FROM q JOIN thr USING (source)
       |GROUP BY q.source ORDER BY q.source""".stripMargin
 
+  // ------------------------------------------------- curriculum ordering
+  /** p09: curriculum ordering — the dataloader-facing global training
+    * order: highest-quality documents first (quality decile descending),
+    * shuffled deterministically within a decile by content hash. The
+    * output is a total epoch rank over the whole corpus — the one thing a
+    * naive implementation writes as `row_number() OVER (ORDER BY ...)`,
+    * i.e. a single-partition window that serializes 100 TB through one
+    * task.
+    *
+    * Scale shape — distributed total-order ranking (the p06 prefix sum
+    * generalized from per-source to global): (1) range-partition on the
+    * full order key (bucket DESC, h, doc_id) into order-preserving
+    * slices; (2) count rows per slice — a [[CURR_SLICES]]-row frame —
+    * and turn counts into per-slice base offsets with a window over that
+    * tiny frame; (3) broadcast the bases back and row_number WITHIN each
+    * slice. base + local rank is exactly the global rank (slices are
+    * contiguous under range partitioning). Quality deciles reuse t03's
+    * hash-green score, so `floor(quality·10)` is bit-identical on both
+    * engines; the oracle states the single-window form, value-identical
+    * by construction.
+    */
+  val CURR_SLICES = 32
+
+  def curriculumOrder(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        least(floor(TextFunctions.qualityScore(col("text"), TextOps.stopwords)
+          * 10).cast("long"), lit(9L)).as("bucket"),
+        Dedup.baseHash(col("text")).as("h"))
+      .repartitionByRange(CURR_SLICES, col("bucket").desc, col("h"), col("doc_id"))
+      .withColumn("slice", spark_partition_id())
+    val wBase = W.orderBy(col("slice"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val bases = docs.groupBy("slice").agg(count(lit(1)).as("n"))
+      .withColumn("base", coalesce(sum(col("n")).over(wBase), lit(0L)))
+      .select("slice", "base")
+    val wLocal = W.partitionBy(col("slice"))
+      .orderBy(col("bucket").desc, col("h"), col("doc_id"))
+    docs
+      .join(broadcast(bases), Seq("slice"))
+      .withColumn("epoch_order", col("base") + row_number().over(wLocal).cast("long"))
+      .select("doc_id", "bucket", "epoch_order")
+      .orderBy("epoch_order")
+  }
+
+  lazy val curriculumOrderSql: String =
+    """WITH m AS (SELECT doc_id, text,
+      |    string_split(trim(lower(text)), ' ') AS ltoks,
+      |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |      / greatest(length(text), 1) AS punct_ratio
+      |  FROM documents),
+      |q AS (SELECT doc_id,
+      |    (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * (1.0 - punct_ratio))
+      |      * (1.0 - 0.5 * (CAST(len(list_filter(ltoks, x -> list_contains(['the','a','and','of','to','is','in'], x))) AS DOUBLE)
+      |        / greatest(len(ltoks), 1))) AS quality,
+      |    CAST(concat('0x', substr(md5(text),1,15)) AS BIGINT) AS h
+      |  FROM m),
+      |b AS (SELECT doc_id, least(CAST(floor(quality * 10) AS BIGINT), 9) AS bucket, h
+      |  FROM q)
+      |SELECT doc_id, bucket,
+      |  row_number() OVER (ORDER BY bucket DESC, h, doc_id) AS epoch_order
+      |FROM b ORDER BY epoch_order""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p09_curriculum" -> (curriculumOrder _),
     "p08_quality_gate" -> (qualityGate _),
     "p07_mixture_sample" -> (mixtureSample _),
     "p06_sequence_packing" -> (sequencePacking _),
@@ -550,6 +615,7 @@ object Curation {
     "p05_curation_funnel" -> (curationFunnel _))
 
   val oracles: Map[String, String] = Map(
+    "p09_curriculum" -> curriculumOrderSql,
     "p08_quality_gate" -> qualityGateSql,
     "p07_mixture_sample" -> mixtureSampleSql,
     "p06_sequence_packing" -> sequencePackingSql,

@@ -127,6 +127,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(Curation.sequencePacking(spark, d).collect().toSeq == ref)
   }
 
+  test("p09 distributed curriculum rank equals the single-window total order") {
+    val d = "/root/testdata/sf0.001"
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket").desc, col("h"), col("doc_id"))
+    val ref = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"),
+        least(floor(graft.functions.TextFunctions.qualityScore(
+          col("text"), TextOps.stopwords) * 10).cast("long"), lit(9L)).as("bucket"),
+        Dedup.baseHash(col("text")).as("h"))
+      .withColumn("epoch_order", row_number().over(w).cast("long"))
+      .select("doc_id", "bucket", "epoch_order")
+      .orderBy("epoch_order")
+      .collect().toSeq
+    val got = Curation.curriculumOrder(spark, d).collect().toSeq
+    assert(got == ref)
+    // the rank is a permutation of 1..n with high-quality deciles first
+    assert(got.map(_.getLong(2)).toSet == (1L to got.length).toSet)
+    assert(got.map(_.getLong(1)).sliding(2).forall {
+      case Seq(a, b) => a >= b; case _ => true })
+  }
+
   test("p07 mixture sample: epoch math exact, capped sources subsample, full sources keep all") {
     val rows = Curation.mixtureSample(spark, "/root/testdata/sf0.01").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

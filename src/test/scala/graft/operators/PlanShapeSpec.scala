@@ -129,6 +129,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "slice bases not broadcast")
   }
 
+  test("p09: global curriculum rank is sliced prefix-sum, not one single-partition window") {
+    val p = plan("p09_curriculum")
+    // the corpus-wide total order arrives via an order-preserving range
+    // exchange on the full key; the only corpus-side window partitions
+    // by slice (bounded); bases broadcast back
+    assert(p.contains("rangepartitioning(bucket"),
+      s"no range partitioning on the curriculum key:\n${p.take(3000)}")
+    assert(p.contains("SPARK_PARTITION_ID"), "no slice-id derivation")
+    assert(p.linesIterator.exists(l => l.contains("Window") &&
+      l.contains("row_number") && l.contains("slice#")),
+      s"corpus window not partitioned by slice:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), "slice bases not broadcast")
+  }
+
   test("t12: boilerplate flagging shuffles chunk hashes, never chunk bodies") {
     val p = plan("t12_boilerplate")
     // the chunk text is folded to its 60-bit hash inside the explode's
