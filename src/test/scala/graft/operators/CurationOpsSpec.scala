@@ -127,6 +127,13 @@ class CurationOpsSpec extends SparkSpec {
     assert(Curation.sequencePacking(spark, d).collect().toSeq == ref)
   }
 
+  test("curationReport produces p01's stats and p05's funnel from one pipeline run") {
+    val d = "/root/testdata/sf0.001"
+    val (stats, funnel) = Curation.curationReport(spark, d)
+    assert(stats.collect().toSeq == Curation.curate(spark, d).collect().toSeq)
+    assert(funnel.collect().toSeq == Curation.curationFunnel(spark, d).collect().toSeq)
+  }
+
   test("p09 distributed curriculum rank equals the single-window total order") {
     val d = "/root/testdata/sf0.001"
     val w = org.apache.spark.sql.expressions.Window
