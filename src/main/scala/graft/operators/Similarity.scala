@@ -769,7 +769,103 @@ object Similarity {
       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, sq8_cosine
       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------------ product quantization
+  /** s08: product-quantization ANN (PQ with ADC scoring — Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011; the
+    * FAISS IndexPQ shape). The 64-dim space splits into [[PQ_M]]
+    * subspaces of [[PQ_SUBDIM]] dims; each subspace has a [[PQ_K]]-entry
+    * codebook; a corpus vector stores only its 4 code ids. A query builds
+    * a (query × subspace × code) distance LOOKUP TABLE once, and scoring
+    * a vector is 4 table lookups + a sum — never a float op against the
+    * corpus.
+    *
+    * Determinism: codebooks are the first PQ_K corpus vectors in vec_id
+    * order (the s03 centroid convention — a real build runs s05/s06
+    * k-means per subspace instead, same plumbing), distances are exact
+    * integer squared-L2 over the established floor-quantized components
+    * (diff² ≤ 3.6e15·16 ≈ 6e16 — inside int64), argmin ties break to the
+    * smallest code id on both engines, so encode, LUT, and ADC all
+    * hash-match the oracle exactly.
+    *
+    * Scale shape: encode is one broadcast(16-row codebook) pass over the
+    * corpus — at 100 TB it runs once at ingest and the code ids become
+    * write-time columns (4 bytes/vector at PQ_K=256, the real geometry);
+    * search is broadcast(320-row LUT) + a linear scan of the code table
+    * with a partial-aggregated 4-rows-per-(query, vec) sum + the bounded
+    * per-query top-k window. No float vector is touched at query time and
+    * nothing quadratic exists anywhere.
+    */
+  val PQ_M = 4
+  val PQ_SUBDIM = 16
+  val PQ_K = 16
+
+  /** Exact integer squared L2 distance between quantized slices. */
+  private def sqd(a: Column, b: Column): Column =
+    qdot(a, a) - lit(2L) * qdot(a, b) + qdot(b, b)
+
+  def pqTopK(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val queries = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv"))
+    val corpus = v.filter(col("vec_id") >= nQueries)
+    val cb = corpus.orderBy("vec_id").limit(PQ_K)
+      .withColumn("j",
+        row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1)
+      .select(col("j"), col("qv").as("cv"))
+    def sub(c: Column, m: Int): Column = slice(c, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+    def perSubspace(a: Column, b: Column, field: String): Column =
+      explode(array((0 until PQ_M).map(m =>
+        struct(lit(m).as("m"), sqd(sub(a, m), sub(b, m)).as(field))): _*))
+    // encode: per (vec, subspace), the id of the nearest codebook entry
+    val codes = corpus.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("j"), perSubspace(col("qv"), col("cv"), "dist").as("x"))
+      .groupBy(col("vec_id"), col("x.m").as("m"))
+      .agg(min(struct(col("x.dist").as("dist"), col("j").as("j")))
+        .getField("j").as("code"))
+    // ADC lookup table: nQueries × PQ_M × PQ_K rows — broadcast
+    val lut = queries.crossJoin(cb)
+      .select(col("query_id"), col("j").as("lj"), perSubspace(col("qv"), col("cv"), "pd").as("x"))
+      .select(col("query_id"), col("x.m").as("lm"), col("lj"), col("x.pd").as("pd"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+    codes.join(broadcast(lut), col("m") === col("lm") && col("code") === col("lj"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("pd")).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "adc")
+      .orderBy("query_id", "rank")
+  }
+
+  val pqTopKSql: String =
+    """WITH v AS (SELECT vec_id,
+      |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS qv
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, qv FROM v WHERE vec_id < 5),
+      |cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS j, qv AS cv
+      |       FROM (SELECT * FROM v WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16)),
+      |ms AS (SELECT unnest(range(0, 4)) AS m),
+      |d0 AS (SELECT c.vec_id, ms.m, cb.j,
+      |    CAST(list_sum([(c.qv[ms.m*16+i] - cb.cv[ms.m*16+i]) * (c.qv[ms.m*16+i] - cb.cv[ms.m*16+i])
+      |                   FOR i IN range(1, 17)]) AS BIGINT) AS dist
+      |  FROM (SELECT vec_id, qv FROM v WHERE vec_id >= 5) c, cb, ms),
+      |enc AS (SELECT vec_id, m, j AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+      |    FROM d0) WHERE rn = 1),
+      |lut AS (SELECT q.query_id, ms.m, cb.j,
+      |    CAST(list_sum([(q.qv[ms.m*16+i] - cb.cv[ms.m*16+i]) * (q.qv[ms.m*16+i] - cb.cv[ms.m*16+i])
+      |                   FOR i IN range(1, 17)]) AS BIGINT) AS pd
+      |  FROM q, cb, ms),
+      |adc AS (SELECT l.query_id, e.vec_id, CAST(sum(l.pd) AS BIGINT) AS adc
+      |  FROM enc e JOIN lut l ON l.m = e.m AND l.j = e.code
+      |  GROUP BY 1, 2),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |             ORDER BY adc, vec_id) AS rank FROM adc)
+      |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc
+      |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s08_pq_ann" -> ((s: SparkSession, d: String) => pqTopK(s, d)),
     "s07_sq8_ann" -> ((s: SparkSession, d: String) => sq8TopK(s, d)),
     "s06_kmeans_2step" -> (kmeansTwoStep _),
     "s05_kmeans_step" -> (kmeansStep _),
@@ -780,6 +876,7 @@ object Similarity {
     "d06_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDupPairsSeeded(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "s08_pq_ann" -> pqTopKSql,
     "s07_sq8_ann" -> sq8TopKSql,
     "s06_kmeans_2step" -> kmeansTwoStepSql,
     "s05_kmeans_step" -> kmeansStepSql,

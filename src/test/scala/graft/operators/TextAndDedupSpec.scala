@@ -384,6 +384,35 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.8, s"SQ8 recall@10 degraded to $mean (per-query $recalls)")
   }
 
+  test("s08 PQ/ADC output equals a local reimplementation of encode + LUT scoring") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong).toArray)
+      .sortBy(_._1)
+    val (m, sd, kcb, nq, topk) =
+      (Similarity.PQ_M, Similarity.PQ_SUBDIM, Similarity.PQ_K, 5, 10)
+    val queries = vecs.filter(_._1 < nq)
+    val corpus = vecs.filter(_._1 >= nq)
+    val cb = corpus.take(kcb).map(_._2)
+    def d2(a: Array[Long], b: Array[Long], off: Int): Long =
+      (off until off + sd).map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val codes = corpus.map { case (id, v) =>
+      id -> (0 until m).map(mm => cb.indices.minBy(j => (d2(v, cb(j), mm * sd), j))).toArray
+    }.toMap
+    val expected = queries.flatMap { case (qid, qv) =>
+      val lut = Array.tabulate(m, kcb)((mm, j) => d2(qv, cb(j), mm * sd))
+      corpus.map { case (id, _) =>
+        (qid, id, (0 until m).map(mm => lut(mm)(codes(id)(mm))).sum) }
+        .sortBy { case (_, id, adc) => (adc, id) }
+        .take(topk).zipWithIndex
+        .map { case ((q, id, adc), i) => (q, i + 1, id, adc) }
+    }.toSeq
+    val got = Similarity.pqTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
   test("s05 iterated: a second Lloyd step moves centroids less than the first") {
     import org.apache.spark.sql.expressions.Window
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
