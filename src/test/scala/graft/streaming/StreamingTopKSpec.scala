@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Windowed SpaceSaving heavy hitters: summaries emit once when the
+  * watermark closes a window; heavy tokens survive eviction with the
+  * est/err invariants; the batch topK tail ranks them.
+  */
+class StreamingTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val WINDOW_MS = 10000L
+  private val CAPACITY = 8
+
+  // window [0, 10s): 3 heavies among 20 singletons — vocab 23 > capacity 8,
+  // so eviction churns; heavies (7..12 > shardN/capacity) must survive
+  private def window0: Seq[(String, Long)] = {
+    val heavies = Seq.fill(12)("alpha") ++ Seq.fill(9)("beta") ++ Seq.fill(7)("gamma")
+    val noise = (1 to 20).map(i => f"tok$i%02d")
+    // interleave deterministically across the window's 10 seconds
+    (heavies ++ noise).zipWithIndex.map { case (t, i) => (t, 100L + i * 190L) }
+  }
+
+  private def run(batches: Seq[Seq[(String, Long)]]): Seq[StreamingTopK.HitRow] = {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val emitted = scala.collection.mutable.ListBuffer[StreamingTopK.HitRow]()
+    val mem = MemoryStream[(String, Long)]
+    val src = mem.toDF().toDF("token", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val q = StreamingTopK
+      .windowedHeavyHitters(src, "ts", WINDOW_MS, delayMs = 2000L,
+        capacity = CAPACITY, shards = 2)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamingTopK.HitRow], _: Long) =>
+          emitted.synchronized { emitted ++= b.collect() }
+          ()
+      }
+      .start()
+    batches.foreach { rows => mem.addData(rows: _*); q.processAllAvailable() }
+    q.stop()
+    emitted.toSeq
+  }
+
+  test("summaries emit once on window close; heavies survive with est/err invariants") {
+    val truth = window0.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    // batch 2 only advances the watermark (event at 60s -> wm 58s > 10s)
+    val out = run(Seq(window0, Seq(("later", 60000L))))
+    val w0 = out.filter(_.window_start_ms == 0L)
+    assert(w0.nonEmpty, "window 0 never emitted")
+    // nothing emitted for the still-open 60s window
+    assert(out.forall(_.window_start_ms == 0L))
+    // bounded state: each shard kept at most CAPACITY counters
+    w0.groupBy(_.shard).values.foreach(s => assert(s.size <= CAPACITY))
+    // every counter satisfies est >= true >= est - err
+    w0.foreach { h =>
+      val t = truth.getOrElse(h.token, 0L)
+      assert(h.est_count >= t && t >= h.est_count - h.max_err,
+        s"${h.token}: est=${h.est_count} err=${h.max_err} true=$t")
+    }
+    // the SpaceSaving guarantee: the three heavies survive, exact or over
+    Seq("alpha", "beta", "gamma").foreach(t =>
+      assert(w0.exists(_.token == t), s"heavy hitter $t evicted"))
+    // the batch tail ranks the heavies first
+    val top3 = StreamingTopK.topK(spark.createDataFrame(w0), 3)
+      .collect().map(_.getString(2)).toSet
+    assert(top3 == Set("alpha", "beta", "gamma"), s"top3 = $top3")
+  }
+
+  test("a token lands in exactly one shard per window (merge is concatenation)") {
+    val out = run(Seq(window0, Seq(("later", 60000L))))
+    out.filter(_.window_start_ms == 0L).groupBy(_.token).values
+      .foreach(rows => assert(rows.map(_.shard).distinct.size == 1))
+  }
+
+  test("SpaceSaving add: eviction inherits the minimum and keeps size bounded") {
+    var m = Map.empty[String, StreamingTopK.Entry]
+    (1 to 8).foreach(i => m = StreamingTopK.add(m, s"t$i", 8))
+    assert(m.size == 8 && m.values.forall(e => e.est == 1 && e.err == 0))
+    m = StreamingTopK.add(m, "new", 8) // evicts (est=1, token-min) "t1"
+    assert(m.size == 8 && !m.contains("t1"))
+    assert(m("new") == StreamingTopK.Entry(2L, 1L))
+  }
+}
