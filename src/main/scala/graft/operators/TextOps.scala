@@ -453,7 +453,77 @@ object TextOps {
       |    AS boiler_permille
       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- Gopher-style rules
+  /** t13: Gopher-style document quality rules (Rae et al., "Scaling
+    * Language Models: ... Gopher", 2021, table A1 — the rule family
+    * behind MassiveWeb filtering, also the C4/FineWeb shape): per-doc
+    * word count, mean word length, fraction of words containing an
+    * alphabetic character, and stopword presence, each against a fixed
+    * threshold; `gopher_pass` is their conjunction. Unlike t03's single
+    * blended score, each rule is independently reported — that is what a
+    * corpus engineer tunes.
+    *
+    * All measures are exact integer arithmetic (permille via `div`), so
+    * the oracle hash-matches: no float ratio ever crosses the engine
+    * boundary. Narrow per-row work; one final global sort. The HOF
+    * lambdas are interpreted per token — acceptable off the shingle hot
+    * path (the t03/t09 precedent); the 100 TB form compiles the same
+    * predicates into one codegen'd regexp pass per doc.
+    */
+  val G_MIN_WORDS = 10
+  val G_MEAN_WLEN_MIN = 3000L  // permille: 3 chars
+  val G_MEAN_WLEN_MAX = 10000L // permille: 10 chars
+  val G_MIN_ALPHA_PERMILLE = 800L
+  val G_MIN_STOP_HITS = 2
+
+  def gopherRules(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nWords = tokenCount(col("text")).cast("long")
+    val wordChars = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val alphaWords = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val stopHits = size(filter(
+      array(stopwords.map(lit): _*),
+      sw => array_contains(transform(toks, t => lower(t)), sw))).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), nWords.as("n_words"),
+        (wordChars * 1000L).as("wc1000"), alphaWords.as("aw"), stopHits.as("stop_hits"))
+      .select(col("doc_id"), col("n_words"),
+        expr("wc1000 div greatest(n_words, 1)").as("mean_wlen_permille"),
+        expr("(aw * 1000) div greatest(n_words, 1)").as("alpha_permille"),
+        col("stop_hits"))
+      .withColumn("gopher_pass",
+        (col("n_words") >= G_MIN_WORDS &&
+          col("mean_wlen_permille") >= G_MEAN_WLEN_MIN &&
+          col("mean_wlen_permille") <= G_MEAN_WLEN_MAX &&
+          col("alpha_permille") >= G_MIN_ALPHA_PERMILLE &&
+          col("stop_hits") >= G_MIN_STOP_HITS).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  lazy val gopherRulesSql: String =
+    s"""WITH t AS (SELECT doc_id,
+      |    regexp_split_to_array(trim(text), '\\s+') AS tk,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words
+      |  FROM documents),
+      |m AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |    (CAST(list_sum([length(x) FOR x IN tk]) AS BIGINT) * 1000)
+      |      // greatest(n_words, 1) AS mean_wlen_permille,
+      |    (CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) * 1000)
+      |      // greatest(n_words, 1) AS alpha_permille,
+      |    CAST(len(list_filter(['the','a','and','of','to','is','in'],
+      |      s -> list_contains([lower(x) FOR x IN tk], s))) AS BIGINT) AS stop_hits
+      |  FROM t)
+      |SELECT doc_id, n_words, mean_wlen_permille, alpha_permille, stop_hits,
+      |  CAST(n_words >= $G_MIN_WORDS
+      |    AND mean_wlen_permille BETWEEN $G_MEAN_WLEN_MIN AND $G_MEAN_WLEN_MAX
+      |    AND alpha_permille >= $G_MIN_ALPHA_PERMILLE
+      |    AND stop_hits >= $G_MIN_STOP_HITS AS INT) AS gopher_pass
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_gopher_rules" -> (gopherRules _),
     "t12_boilerplate" -> (boilerplateRemoval _),
     "t11_typicality" -> (typicality _),
     "t10_pii_redaction" -> (piiRedaction _),
@@ -467,6 +537,7 @@ object TextOps {
     "t05_cleantext" -> (cleanedDocs _))
 
   val oracles: Map[String, String] = Map(
+    "t13_gopher_rules" -> gopherRulesSql,
     "t12_boilerplate" -> boilerplateRemovalSql,
     "t11_typicality" -> typicalitySql,
     "t10_pii_redaction" -> piiRedactionSql,

@@ -24,6 +24,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(4) == "uuber caf")
   }
 
+  test("t13 gopher rules: pass is the conjunction of its reported measures; both classes occur") {
+    val rows = TextOps.gopherRules(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (nw, wl, al, sh, pass) =>
+      val expect = nw >= TextOps.G_MIN_WORDS &&
+        wl >= TextOps.G_MEAN_WLEN_MIN && wl <= TextOps.G_MEAN_WLEN_MAX &&
+        al >= TextOps.G_MIN_ALPHA_PERMILLE && sh >= TextOps.G_MIN_STOP_HITS
+      assert(pass == (if (expect) 1 else 0), s"($nw,$wl,$al,$sh) -> $pass")
+    }
+    // the rules discriminate on this corpus — a gate that passes (or
+    // fails) everything is a mis-tuned gate
+    assert(rows.exists(_._5 == 1) && rows.exists(_._5 == 0))
+  }
+
   test("C8 newline-join quirk: appends whole sections while under maxLen (clean.go:14-24)") {
     // maxLen 10: starts with "aaaa" (4 < 10), appends " bbbb" (9 < 10),
     // appends " cccc" (overshoots to 14 — the reference checks BEFORE
