@@ -360,7 +360,75 @@ object Relational2 {
       |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
       |ORDER BY g_status, g_prio, status, prio""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  /** q57: TPC-H Q8-analog national market share — the deepest join in the
+    * suite (lineitem → part → orders → customer → nation → region →
+    * supplier → nation, 8 relations): per order-year, the share of
+    * PROMO-part revenue into ASIA that NATION_7's suppliers captured.
+    *
+    * Money is cent-quantized BEFORE aggregation —
+    * floor(price·(1−disc)·100) as int64 — so the sums are exact and
+    * order-independent (a double `sum(volume)` differs between engines
+    * and partition orders); the share is one identical IEEE division of
+    * the two exact sums. Plan shape: every dimension (part, customer,
+    * nation, region, supplier) broadcasts; the fact table never shuffles
+    * until the final 7-row year rollup — the q04/q05 star shape at depth.
+    * AQE flips any dimension that outgrows the broadcast threshold to a
+    * shuffle join without a code change.
+    */
+  def marketShare(s: SparkSession, d: String): DataFrame = {
+    val nat = Tables.nation(s, d)
+    val volCents =
+      floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0)
+        .cast("long")
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_type") === "PROMO")
+        .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(nat.select(col("n_nationkey").as("c_nk"), col("n_regionkey")),
+        col("c_nationkey") === col("c_nk"))
+      .join(Tables.region(s, d).filter(col("r_name") === "ASIA")
+        .select("r_regionkey"), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(nat.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation")), col("s_nationkey") === col("s_nk"))
+      .withColumn("vol_cents", volCents)
+      .groupBy("o_year")
+      .agg(
+        sum(when(col("supp_nation") === "NATION_7", col("vol_cents"))
+          .otherwise(0L)).as("nation_cents"),
+        sum(col("vol_cents")).as("total_cents"))
+      .withColumn("mkt_share",
+        col("nation_cents").cast("double") / col("total_cents").cast("double"))
+      .orderBy("o_year")
+  }
+
+  val marketShareSql: String =
+    """SELECT o_year,
+      |  CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol ELSE 0 END) AS BIGINT) AS nation_cents,
+      |  CAST(sum(vol) AS BIGINT) AS total_cents,
+      |  CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol ELSE 0 END) AS BIGINT) AS DOUBLE)
+      |    / CAST(CAST(sum(vol) AS BIGINT) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year, ns.n_name AS supp_nation,
+      |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT) AS vol
+      |  FROM lineitem
+      |  JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation nc ON nc.n_nationkey = c_nationkey
+      |  JOIN region ON r_regionkey = nc.n_regionkey AND r_name = 'ASIA'
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ns ON ns.n_nationkey = s_nationkey)
+      |GROUP BY o_year ORDER BY o_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_market_share" -> (marketShare _),
     "q47_null_ordering" -> (nullOrdering _),
     "q48_union_by_name" -> (unionByName _),
     "q49_grouping_markers" -> (groupingMarkers _),
@@ -377,6 +445,7 @@ object Relational2 {
     "q41_conditional_scalars" -> (conditionalScalars _))
 
   val oracles: Map[String, String] = Map(
+    "q57_market_share" -> marketShareSql,
     "q47_null_ordering" -> nullOrderingSql,
     "q48_union_by_name" -> unionByNameSql,
     "q49_grouping_markers" -> groupingMarkersSql,

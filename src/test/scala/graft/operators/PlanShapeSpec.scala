@@ -42,6 +42,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q57: all seven dimension joins of the deep star broadcast; fact side never pre-shuffles") {
+    val p = plan("q57_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 7, s"q57:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), "q57 picked a non-broadcast join")
+    // the only hash exchanges are the two-phase year rollup (+ final sort)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"unexpected extra exchange:\n${p.take(3000)}")
+  }
+
   test("d04: LSH pair-distinct is a hash aggregate over thin keys, not a sort aggregate over arrays") {
     val p = plan("d04_minhash_lsh")
     assert(!p.contains("SortAggregate"), s"signature arrays reached an aggregate:\n${p.take(3000)}")
