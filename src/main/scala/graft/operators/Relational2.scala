@@ -427,7 +427,39 @@ object Relational2 {
       |  JOIN nation ns ON ns.n_nationkey = s_nationkey)
       |GROUP BY o_year ORDER BY o_year""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** q59: relational DIVISION — "customers whose orders span EVERY order
+    * priority", the universal-quantifier query (∀ priorities ∃ an order).
+    * The textbook double-NOT-EXISTS formulation decorrelates poorly; the
+    * scale form is division-by-counting: per-customer distinct-priority
+    * count equals the global distinct count (a 1-row broadcast). One
+    * fact-table aggregate + one broadcast comparison — no correlated
+    * re-execution, no pairwise anything. The divisor is data-derived (not
+    * a hardcoded 5), so the query adapts if a priority vanishes upstream.
+    */
+  def divisionAllPriorities(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val total = o.agg(countDistinct(col("o_orderpriority")).as("n_all"))
+    o.groupBy("o_custkey")
+      .agg(countDistinct(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("n_orders"))
+      .join(broadcast(total), col("n_prio") === col("n_all"))
+      .select("o_custkey", "n_prio", "n_orders")
+      .orderBy("o_custkey")
+  }
+
+  val divisionAllPrioritiesSql: String =
+    """WITH t AS (SELECT count(DISTINCT o_orderpriority) AS n_all FROM orders)
+      |SELECT o_custkey,
+      |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+      |  count(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING count(DISTINCT o_orderpriority) = (SELECT n_all FROM t)
+      |ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_division" -> (divisionAllPriorities _),
     "q57_market_share" -> (marketShare _),
     "q47_null_ordering" -> (nullOrdering _),
     "q48_union_by_name" -> (unionByName _),
@@ -445,6 +477,7 @@ object Relational2 {
     "q41_conditional_scalars" -> (conditionalScalars _))
 
   val oracles: Map[String, String] = Map(
+    "q59_division" -> divisionAllPrioritiesSql,
     "q57_market_share" -> marketShareSql,
     "q47_null_ordering" -> nullOrderingSql,
     "q48_union_by_name" -> unionByNameSql,
