@@ -465,10 +465,14 @@ object TextOps {
     *
     * All measures are exact integer arithmetic (permille via `div`), so
     * the oracle hash-matches: no float ratio ever crosses the engine
-    * boundary. Narrow per-row work; one final global sort. The HOF
-    * lambdas are interpreted per token — acceptable off the shingle hot
-    * path (the t03/t09 precedent); the 100 TB form compiles the same
-    * predicates into one codegen'd regexp pass per doc.
+    * boundary. Narrow per-row work; one final global sort. Every measure
+    * is a codegen'd regexp/length expression — no interpreted HOF lambda
+    * touches the token array (the first cut filtered tokens per lambda
+    * and cost 1.65 s at sf0.1; these forms compute the same values):
+    * word chars = non-whitespace chars; a word "contains [a-z]" iff a
+    * whitespace-bounded run reaches an [a-z] (one regexp_count); a
+    * stopword is present iff it appears whitespace-bounded (one rlike
+    * per stopword, 7 scans).
     */
   val G_MIN_WORDS = 10
   val G_MEAN_WLEN_MIN = 3000L  // permille: 3 chars
@@ -477,14 +481,13 @@ object TextOps {
   val G_MIN_STOP_HITS = 2
 
   def gopherRules(s: SparkSession, d: String): DataFrame = {
-    val toks = tokens(col("text"))
     val nWords = tokenCount(col("text")).cast("long")
-    val wordChars = aggregate(transform(toks, t => length(t).cast("long")),
-      lit(0L), (acc, x) => acc + x)
-    val alphaWords = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
-    val stopHits = size(filter(
-      array(stopwords.map(lit): _*),
-      sw => array_contains(transform(toks, t => lower(t)), sw))).cast("long")
+    val wordChars = length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+    val alphaWords =
+      regexp_count(trim(col("text")), lit("(?:^|\\s)[^\\s]*[a-z]")).cast("long")
+    val stopHits = stopwords.map(sw =>
+      when(lower(col("text")).rlike(s"(^|\\s)$sw(\\s|$$)"), 1L).otherwise(0L))
+      .reduce(_ + _)
     Tables.documents(s, d)
       .select(col("doc_id"), nWords.as("n_words"),
         (wordChars * 1000L).as("wc1000"), alphaWords.as("aw"), stopHits.as("stop_hits"))
@@ -502,18 +505,17 @@ object TextOps {
   }
 
   lazy val gopherRulesSql: String =
-    s"""WITH t AS (SELECT doc_id,
-      |    regexp_split_to_array(trim(text), '\\s+') AS tk,
+    s"""WITH t AS (SELECT doc_id, text,
       |    CASE WHEN length(trim(text)) = 0 THEN 0
       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words
       |  FROM documents),
       |m AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-      |    (CAST(list_sum([length(x) FOR x IN tk]) AS BIGINT) * 1000)
+      |    (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) * 1000)
       |      // greatest(n_words, 1) AS mean_wlen_permille,
-      |    (CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) * 1000)
+      |    (CAST(len(regexp_extract_all(trim(text), '(?:^|\\s)[^\\s]*[a-z]')) AS BIGINT) * 1000)
       |      // greatest(n_words, 1) AS alpha_permille,
       |    CAST(len(list_filter(['the','a','and','of','to','is','in'],
-      |      s -> list_contains([lower(x) FOR x IN tk], s))) AS BIGINT) AS stop_hits
+      |      s -> regexp_matches(lower(text), '(^|\\s)' || s || '(\\s|$$)'))) AS BIGINT) AS stop_hits
       |  FROM t)
       |SELECT doc_id, n_words, mean_wlen_permille, alpha_permille, stop_hits,
       |  CAST(n_words >= $G_MIN_WORDS
