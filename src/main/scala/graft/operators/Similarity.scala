@@ -809,17 +809,27 @@ object Similarity {
     val queries = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qv"))
     val corpus = v.filter(col("vec_id") >= nQueries)
+    def sub(c: Column, m: Int): Column = slice(c, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+    // centroid self-dots precompute ONCE into the 16-row broadcast frame
     val cb = corpus.orderBy("vec_id").limit(PQ_K)
       .withColumn("j",
         row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1)
-      .select(col("j"), col("qv").as("cv"))
-    def sub(c: Column, m: Int): Column = slice(c, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+      .select(Seq(col("j"), col("qv").as("cv")) ++
+        (0 until PQ_M).map(m => qdot(sub(col("qv"), m), sub(col("qv"), m)).as(s"cc$m")): _*)
     def perSubspace(a: Column, b: Column, field: String): Column =
       explode(array((0 until PQ_M).map(m =>
         struct(lit(m).as("m"), sqd(sub(a, m), sub(b, m)).as(field))): _*))
-    // encode: per (vec, subspace), the id of the nearest codebook entry
+    // encode: per (vec, subspace), the id of the nearest codebook entry.
+    // argmin_j (qq − 2qc + cc) = argmin_j (cc − 2qc) — the probe's
+    // self-dot is constant in j, so each pair costs ONE subspace dot
+    // (cc comes from the broadcast frame), not the three sqd() would do;
+    // exact integers keep the tie-break identical to the full distance.
+    val reduced = explode(array((0 until PQ_M).map(m =>
+      struct(lit(m).as("m"),
+        (col(s"cc$m") - lit(2L) * qdot(sub(col("qv"), m), sub(col("cv"), m)))
+          .as("dist"))): _*))
     val codes = corpus.crossJoin(broadcast(cb))
-      .select(col("vec_id"), col("j"), perSubspace(col("qv"), col("cv"), "dist").as("x"))
+      .select(col("vec_id"), col("j"), reduced.as("x"))
       .groupBy(col("vec_id"), col("x.m").as("m"))
       .agg(min(struct(col("x.dist").as("dist"), col("j").as("j")))
         .getField("j").as("code"))
