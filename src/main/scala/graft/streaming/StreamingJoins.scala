@@ -40,4 +40,17 @@ object StreamingJoins {
       .select(c("user_id").as("user_id"), col("click_id"), col("click_ts"),
         col("conv_id"), col("conv_ts"))
   }
+
+  /** Stream-STATIC dimension enrichment — the other production join: an
+    * unbounded fact stream against a bounded dimension table (the CDC
+    * latest-state output, a nation/customer dim, a mixture-config frame).
+    * No watermark and NO STATE: the static side re-resolves per
+    * micro-batch (so a dim refresh is picked up batch-over-batch) and
+    * Spark broadcasts it when it fits, exactly as in batch. left_outer
+    * keeps facts whose dimension row is missing (nulls), the
+    * data-quality-visible form; inner silently drops them.
+    */
+  def dimensionEnrich(facts: DataFrame, dim: DataFrame, key: String,
+      joinType: String = "left_outer"): DataFrame =
+    facts.join(broadcast(dim), Seq(key), joinType)
 }

@@ -71,4 +71,30 @@ class StreamingJoinsSpec extends SparkSpec {
     // the attributed click must never ALSO emit as unmatched
     assert(!u.contains(1L))
   }
+
+  test("stream-static enrichment: broadcast dim resolves per batch; missing keys keep nulls") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("ssd").toString
+    val dim = Seq((0L, "AFRICA"), (1L, "AMERICA"), (2L, "ASIA"))
+      .toDF("nation_key", "n_name")
+    val mem = MemoryStream[(Long, Long)]
+    val facts = mem.toDF().toDF("event_id", "nation_key")
+    val got = scala.collection.mutable.ListBuffer[(Long, Option[String])]()
+    val q = StreamingJoins.dimensionEnrich(facts, dim, "nation_key")
+      .writeStream.option("checkpointLocation", ckpt).outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= b.select("event_id", "n_name").collect()
+            .map(r => (r.getLong(0), Option(r.getString(1))))
+        }
+        ()
+      }.start()
+    mem.addData((100L, 2L), (101L, 7L)) // 7 has no dim row
+    q.processAllAvailable()
+    mem.addData((102L, 0L))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == Set(
+      (100L, Some("ASIA")), (101L, None), (102L, Some("AFRICA"))))
+  }
 }
