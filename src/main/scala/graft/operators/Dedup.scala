@@ -683,10 +683,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d14: quality-aware survivor selection — d07 keeps the min-id member
+    * of each near-dup component; production dedup (FineWeb/RefinedWeb
+    * style) keeps the BEST member. Per component: its size and the member
+    * with the highest t03 quality score (ties → smallest doc_id). The
+    * extra work over d07 is one narrow quality projection and a join of
+    * the (small) labeled set back to it; the component labels, pair
+    * pipeline, and all its caps are shared verbatim. Quality doubles are
+    * the t03 expression — bit-identical cross-engine — and the argmax is
+    * a lexicographic struct max, so selection is deterministic.
+    */
+  def qualitySurvivors(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccardPairs(s, d).select("id_a", "id_b")
+    val labels = connectedComponentsAuto(pairs)
+    val q = Tables.documents(s, d).select(col("doc_id"),
+      graft.functions.TextFunctions.qualityScore(col("text"), TextOps.stopwords)
+        .as("quality"))
+    labels.join(q, labels("id") === q("doc_id"))
+      .groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality").as("q"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("component"), col("n_members"),
+        (-col("best.nid")).as("keeper_id"), col("best.q").as("keeper_quality"))
+      .orderBy("component")
+  }
+
   /** d07 oracle: recursive transitive-closure min-label (pairs under the
     * same stop-shingle cap as d03).
     */
-  lazy val neardupSurvivorsSql: String =
+  /** Shared oracle prefix: the capped pair pipeline + recursive
+    * transitive-closure component labels (d07/d14).
+    */
+  private lazy val ccCtes: String =
     s"""WITH RECURSIVE
       |t AS (SELECT doc_id, lang, CAST(floor(n_chars/100.0) AS INT) AS band,
       |             regexp_split_to_array(trim(text), '\\s+') AS toks
@@ -718,10 +746,39 @@ object Dedup {
       |  SELECT src AS id, src AS lbl FROM edges
       |  UNION
       |  SELECT e.dst AS id, cc.lbl AS lbl FROM cc JOIN edges e ON cc.id = e.src
-      |)
+      |)""".stripMargin
+
+  lazy val neardupSurvivorsSql: String =
+    s"""$ccCtes
       |SELECT id AS doc_id, min(lbl) AS component,
       |  CAST(CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS INT) AS is_survivor
       |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** d14 oracle: the shared component labels joined to the t03 quality
+    * expression; keeper = rank-1 by (quality DESC, doc_id).
+    */
+  lazy val qualitySurvivorsSql: String =
+    s"""$ccCtes,
+      |labels AS (SELECT id, min(lbl) AS lbl FROM cc GROUP BY id),
+      |qm AS (SELECT doc_id, text,
+      |    string_split(trim(lower(text)), ' ') AS ltoks,
+      |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |      / greatest(length(text), 1) AS punct_ratio
+      |  FROM documents),
+      |q AS (SELECT doc_id,
+      |    (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * (1.0 - punct_ratio))
+      |      * (1.0 - 0.5 * (CAST(len(list_filter(ltoks, x -> list_contains(['the','a','and','of','to','is','in'], x))) AS DOUBLE)
+      |        / greatest(len(ltoks), 1))) AS quality
+      |  FROM qm),
+      |j AS (SELECT l.lbl AS component, q.doc_id, q.quality
+      |      FROM labels l JOIN q ON q.doc_id = l.id),
+      |r AS (SELECT *,
+      |    row_number() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY component) AS cnt
+      |  FROM j)
+      |SELECT component, CAST(cnt AS BIGINT) AS n_members,
+      |  doc_id AS keeper_id, quality AS keeper_quality
+      |FROM r WHERE rn = 1 ORDER BY component""".stripMargin
 
   // ------------------------------------------------------ paragraph dedup
   /** d10: paragraph-level exact dedup (the CCNet / RefinedWeb pass that
@@ -1068,9 +1125,11 @@ object Dedup {
     "d10_paragraph_dedup" -> (paragraphDedupStats _),
     "d11_cross_source_dups" -> (crossSourceDupMatrix _),
     "d12_containment" -> (containmentPairs _),
-    "d13_substring_dedup" -> (substringDupStats _))
+    "d13_substring_dedup" -> (substringDupStats _),
+    "d14_quality_survivors" -> (qualitySurvivors _))
 
   val oracles: Map[String, String] = Map(
+    "d14_quality_survivors" -> qualitySurvivorsSql,
     "d13_substring_dedup" -> substringDupStatsSql,
     "d12_containment" -> containmentPairsSql,
     "d11_cross_source_dups" -> crossSourceDupMatrixSql,

@@ -399,6 +399,25 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.8, s"SQ8 recall@10 degraded to $mean (per-query $recalls)")
   }
 
+  test("d14 keeps the max-quality member of each d07 component (ties -> min id)") {
+    val d = "/root/testdata/sf0.001"
+    val comps = Dedup.neardupSurvivors(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._2)
+      .view.mapValues(_.map(_._1).toSet).toMap
+    val quality = TextOps.qualityScores(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val got = Dedup.qualitySurvivors(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet == comps.keySet)
+    got.foreach { case (comp, n, keeper, kq) =>
+      val members = comps(comp)
+      assert(n == members.size && members.contains(keeper))
+      val best = members.map(m => (quality(m), -m)).max
+      assert((kq, -keeper) == best,
+        s"component $comp keeper $keeper/$kq, expected ${-best._2}/${best._1}")
+    }
+  }
+
   test("s08 PQ/ADC output equals a local reimplementation of encode + LUT scoring") {
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .collect()
