@@ -708,6 +708,47 @@ object Dedup {
       .orderBy("component")
   }
 
+  /** d15: edit-distance-confirmed near-dup pairs — the two-stage fuzzy
+    * dedup the banded pipelines approximate: d03's capped shingle
+    * candidates, then an EXACT Levenshtein confirm on the candidate
+    * texts. The confirm stage is the only place document bodies meet —
+    * and only for candidate pairs (sub-quadratic by the same cap/banding
+    * as d03), which is precisely how production fuzzy dedup bounds the
+    * O(len²) distance kernel. Similarity is permille integer arithmetic
+    * (1000·(maxlen−dist) div maxlen) and levenshtein() is exact in both
+    * engines, so the oracle hash-matches.
+    */
+  val EDIT_SIM_MIN_PERMILLE = 800L
+
+  def editDistancePairs(s: SparkSession, d: String): DataFrame = {
+    val texts = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    ngramJaccardPairs(s, d).select("id_a", "id_b")
+      .join(texts.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+      .join(texts.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long").as("maxlen"))
+      .withColumn("sim_permille",
+        expr("(1000 * (maxlen - edit_dist)) div greatest(maxlen, 1)"))
+      .filter(col("sim_permille") >= EDIT_SIM_MIN_PERMILLE)
+      .select("id_a", "id_b", "edit_dist", "sim_permille")
+      .orderBy("id_a", "id_b")
+  }
+
+  lazy val editDistancePairsSql: String =
+    s"""WITH pr AS (SELECT id_a, id_b FROM (${"\n" + ngramJaccardPairsSql}
+      |)),
+      |e AS (SELECT id_a, id_b,
+      |    CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
+      |    CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT) AS maxlen
+      |  FROM pr JOIN documents ta ON ta.doc_id = id_a
+      |          JOIN documents tb ON tb.doc_id = id_b)
+      |SELECT id_a, id_b, edit_dist,
+      |  (1000 * (maxlen - edit_dist)) // greatest(maxlen, 1) AS sim_permille
+      |FROM e
+      |WHERE (1000 * (maxlen - edit_dist)) // greatest(maxlen, 1) >= $EDIT_SIM_MIN_PERMILLE
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** d07 oracle: recursive transitive-closure min-label (pairs under the
     * same stop-shingle cap as d03).
     */
@@ -1126,9 +1167,11 @@ object Dedup {
     "d11_cross_source_dups" -> (crossSourceDupMatrix _),
     "d12_containment" -> (containmentPairs _),
     "d13_substring_dedup" -> (substringDupStats _),
-    "d14_quality_survivors" -> (qualitySurvivors _))
+    "d14_quality_survivors" -> (qualitySurvivors _),
+    "d15_edit_distance" -> (editDistancePairs _))
 
   val oracles: Map[String, String] = Map(
+    "d15_edit_distance" -> editDistancePairsSql,
     "d14_quality_survivors" -> qualitySurvivorsSql,
     "d13_substring_dedup" -> substringDupStatsSql,
     "d12_containment" -> containmentPairsSql,

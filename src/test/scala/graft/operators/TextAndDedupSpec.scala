@@ -399,6 +399,35 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.8, s"SQ8 recall@10 degraded to $mean (per-query $recalls)")
   }
 
+  test("d15 confirmed pairs: independent DP recompute matches; threshold holds") {
+    val d = "/root/testdata/sf0.01"
+    def lev(a: String, b: String): Int = {
+      val prev = Array.range(0, b.length + 1)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    val texts = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Dedup.editDistancePairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty, "no confirmed pairs at sf0.01 — threshold mis-tuned")
+    rows.foreach { case (a, b, dist, sim) =>
+      val (ta, tb) = (texts(a), texts(b))
+      assert(dist == lev(ta, tb), s"($a,$b) dist $dist != DP")
+      val maxlen = math.max(ta.length, tb.length)
+      assert(sim == 1000L * (maxlen - dist) / math.max(maxlen, 1))
+      assert(sim >= Dedup.EDIT_SIM_MIN_PERMILLE)
+    }
+  }
+
   test("d14 keeps the max-quality member of each d07 component (ties -> min id)") {
     val d = "/root/testdata/sf0.001"
     val comps = Dedup.neardupSurvivors(spark, d).collect()
