@@ -174,6 +174,50 @@ class CdcPipelineSpec extends SparkSpec {
       .schema.fieldNames.toSeq == Seq("id", "name"))
   }
 
+  test("P3: schema evolution — a column RENAMED mid-stream is drop+add under latest-tree decoding") {
+    // ALTER ... RENAME COLUMN title TO headline: Debezium emits the new
+    // name in post-ALTER schema sections, with no lineage to the old one
+    // — so the latest tree sees a drop (title) plus an add (headline).
+    // Pre-ALTER rows decode with headline = null (their images keyed the
+    // OLD name); post-ALTER rows decode the value under the new name.
+    // That null-for-old-generations contract is what makes the rename
+    // replayable without rewriting history.
+    def sectionJson(renamed: Boolean): String = {
+      val c = if (renamed) "headline" else "title"
+      s"""{"type":"struct","fields":[
+         |{"type":"struct","optional":true,"field":"before","fields":[
+         |  {"type":"int64","optional":false,"field":"id"},
+         |  {"type":"string","optional":true,"field":"$c"}]},
+         |{"type":"struct","optional":true,"field":"after","fields":[
+         |  {"type":"int64","optional":false,"field":"id"},
+         |  {"type":"string","optional":true,"field":"$c"}]}]}""".stripMargin.replace("\n", "")
+    }
+    def event(pos: Long, renamed: Boolean, after: String): String =
+      s"""{"schema":${sectionJson(renamed)},"payload":{"before":null,"after":$after,
+         |"source":{"db":"shop","table":"pay5","file":"mysql-bin.000004","pos":$pos,"row":0},
+         |"op":"c","ts_ms":1}}""".stripMargin.replace("\n", "")
+    val lines = Seq(
+      event(10L, renamed = false, """{"id":1,"title":"old one"}"""),
+      event(20L, renamed = false, """{"id":2,"title":"old two"}"""),
+      event(30L, renamed = true, """{"id":1,"headline":"new one"}"""))
+    val dir = java.nio.file.Files.createTempDirectory("evorename")
+    val path = dir.resolve("events.jsonl")
+    java.nio.file.Files.write(path, lines.mkString("\n").getBytes("UTF-8"))
+
+    import SchemaRegistry._
+    val spec = SchemaRegistry.fromEvents(spark, path.toString)(("shop", "pay5"))
+    assert(spec.map(c => c.name -> c.logicalType) ==
+      Seq("id" -> PlainLong, "headline" -> PlainString))
+
+    val state = SchemaRegistry.typedLatestState(spark, path.toString, "shop", "pay5")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // id=1: post-rename update decodes under the new name and wins
+    // id=2: only a pre-rename image exists -> headline is null
+    assert(state == Map(1L -> Some("new one"), 2L -> None))
+    assert(SchemaRegistry.typedLatestState(spark, path.toString, "shop", "pay5")
+      .schema.fieldNames.toSeq == Seq("id", "headline"))
+  }
+
   test("P3: schema evolution — int32 widened to int64 mid-stream decodes both generations") {
     // ALTER ... MODIFY amount BIGINT: pre-ALTER trees say int32, the
     // post-ALTER tree says int64. Latest-tree decoding reads BOTH
