@@ -640,7 +640,56 @@ object Curation {
       |  row_number() OVER (ORDER BY bucket DESC, h, doc_id) AS epoch_order
       |FROM b ORDER BY epoch_order""".stripMargin
 
+  // ------------------------------------------------ rule-gated snapshot
+  /** p10: rule-gated corpus snapshot — p01's composition with the t13
+    * Gopher conjunction as the admission gate instead of the bare
+    * token-count: rule gate → exact dedup (min-id per content hash) →
+    * per-(source, lang) report. The gate frame is t13's minus its
+    * terminal sort (shared via TextOps.gopherFrame, so the two can never
+    * drift); everything downstream is the p01 exact-dedup shape — the
+    * shuffle carries (hash, id), never bodies.
+    */
+  def gopherCuration(s: SparkSession, d: String): DataFrame = {
+    val gated = TextOps.gopherFrame(s, d)
+      .filter(col("gopher_pass") === 1).select("doc_id")
+    val docs = Tables.documents(s, d).join(gated, "doc_id")
+    val keep = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs.join(keep, Seq("doc_id"), "left_semi")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy("source", "lang")
+  }
+
+  lazy val gopherCurationSql: String =
+    s"""WITH t AS (SELECT doc_id, text,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words
+      |  FROM documents),
+      |m AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |    (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) * 1000)
+      |      // greatest(n_words, 1) AS mean_wlen_permille,
+      |    (CAST(len(regexp_extract_all(trim(text), '(?:^|\\s)[^\\s]*[a-z]')) AS BIGINT) * 1000)
+      |      // greatest(n_words, 1) AS alpha_permille,
+      |    CAST(len(list_filter(['the','a','and','of','to','is','in'],
+      |      s -> regexp_matches(lower(text), '(^|\\s)' || s || '(\\s|$$)'))) AS BIGINT) AS stop_hits
+      |  FROM t),
+      |g AS (SELECT doc_id FROM m
+      |  WHERE n_words >= ${TextOps.G_MIN_WORDS}
+      |    AND mean_wlen_permille BETWEEN ${TextOps.G_MEAN_WLEN_MIN} AND ${TextOps.G_MEAN_WLEN_MAX}
+      |    AND alpha_permille >= ${TextOps.G_MIN_ALPHA_PERMILLE}
+      |    AND stop_hits >= ${TextOps.G_MIN_STOP_HITS}),
+      |dd AS (SELECT documents.* FROM documents JOIN g USING (doc_id)),
+      |keep AS (SELECT min(doc_id) AS doc_id FROM dd GROUP BY md5(text)),
+      |x AS (SELECT dd.* FROM dd JOIN keep USING (doc_id))
+      |SELECT source, lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM x GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_gopher_curation" -> (gopherCuration _),
     "p09_curriculum" -> (curriculumOrder _),
     "p08_quality_gate" -> (qualityGate _),
     "p07_mixture_sample" -> (mixtureSample _),
@@ -652,6 +701,7 @@ object Curation {
     "p05_curation_funnel" -> (curationFunnel _))
 
   val oracles: Map[String, String] = Map(
+    "p10_gopher_curation" -> gopherCurationSql,
     "p09_curriculum" -> curriculumOrderSql,
     "p08_quality_gate" -> qualityGateSql,
     "p07_mixture_sample" -> mixtureSampleSql,

@@ -480,7 +480,13 @@ object TextOps {
   val G_MIN_ALPHA_PERMILLE = 800L
   val G_MIN_STOP_HITS = 2
 
-  def gopherRules(s: SparkSession, d: String): DataFrame = {
+  def gopherRules(s: SparkSession, d: String): DataFrame =
+    gopherFrame(s, d).orderBy("doc_id")
+
+  /** The t13 frame without the registered query's terminal sort — the
+    * reusable gate face (p10 composes it in front of dedup).
+    */
+  def gopherFrame(s: SparkSession, d: String): DataFrame = {
     val nWords = tokenCount(col("text")).cast("long")
     val wordChars = length(regexp_replace(col("text"), "\\s+", "")).cast("long")
     val alphaWords =
@@ -501,7 +507,6 @@ object TextOps {
           col("mean_wlen_permille") <= G_MEAN_WLEN_MAX &&
           col("alpha_permille") >= G_MIN_ALPHA_PERMILLE &&
           col("stop_hits") >= G_MIN_STOP_HITS).cast("int"))
-      .orderBy("doc_id")
   }
 
   lazy val gopherRulesSql: String =
