@@ -50,6 +50,38 @@ class ScalePatternsSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime (skew=true in the final plan)") {
+    // the OTHER half of the skew story: saltedJoin is the explicit
+    // rewrite, AQE's OptimizeSkewedJoin is the runtime re-plan the same
+    // code gets for free on a cluster. Thresholds are shrunk so the toy
+    // hot key trips the same machinery a 100 TB hot key would.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val probe = (Seq.fill(60000)(1L) ++ (2L to 100L)).toDF("k")
+        .withColumn("pv", concat_ws("-", Seq.fill(8)(col("k")): _*))
+      val build = (1L to 100L).toDF("k").withColumn("bv", col("k") + 1000)
+      val joined = probe.join(build, "k")
+      // materialize THIS frame's own queryExecution (count() would build
+      // and adapt a different plan tree, leaving this one un-finalized)
+      assert(joined.collect().length == 60000 + 99)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${finalPlan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bloom-pruned join matches the plain join and prunes non-matching probe rows") {
     // spark.range, not a LocalRelation: ConvertToLocalRelation would fold
     // the probe filter at plan time and hide it from the plan assertions
