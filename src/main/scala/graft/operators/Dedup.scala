@@ -749,6 +749,49 @@ object Dedup {
       |WHERE (1000 * (maxlen - edit_dist)) // greatest(maxlen, 1) >= $EDIT_SIM_MIN_PERMILLE
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Production entry point for the near-dup family: candidate pairs,
+    * component labels (d07), quality-selected keepers (d14), and
+    * edit-distance confirms (d15) from ONE pair-pipeline run. The
+    * registered d07/d14/d15 queries each rebuild the pipeline because
+    * the driver harness checks keys in isolation; a real dedup batch
+    * calls this and pays the posting index and connected components
+    * once (pairs localCheckpoint so the two consumers don't recompute;
+    * CC output is already eagerly materialized).
+    */
+  def neardupReport(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val pairs = ngramJaccardPairs(s, d).select("id_a", "id_b")
+      .localCheckpoint(true)
+    val labels = connectedComponentsAuto(pairs)
+    val components = labels
+      .select(col("id").as("doc_id"), col("lbl").as("component"),
+        (col("id") === col("lbl")).cast("int").as("is_survivor"))
+      .orderBy("doc_id")
+    val q = Tables.documents(s, d).select(col("doc_id"),
+      graft.functions.TextFunctions.qualityScore(col("text"), TextOps.stopwords)
+        .as("quality"))
+    val keepers = labels.join(q, labels("id") === q("doc_id"))
+      .groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality").as("q"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("component"), col("n_members"),
+        (-col("best.nid")).as("keeper_id"), col("best.q").as("keeper_quality"))
+      .orderBy("component")
+    val texts = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val confirms = pairs
+      .join(texts.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+      .join(texts.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long").as("maxlen"))
+      .withColumn("sim_permille",
+        expr("(1000 * (maxlen - edit_dist)) div greatest(maxlen, 1)"))
+      .filter(col("sim_permille") >= EDIT_SIM_MIN_PERMILLE)
+      .select("id_a", "id_b", "edit_dist", "sim_permille")
+      .orderBy("id_a", "id_b")
+    (pairs, components, keepers, confirms)
+  }
+
   /** d07 oracle: recursive transitive-closure min-label (pairs under the
     * same stop-shingle cap as d03).
     */

@@ -399,6 +399,19 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.8, s"SQ8 recall@10 degraded to $mean (per-query $recalls)")
   }
 
+  test("neardupReport yields d07/d14/d15 outputs from one pair-pipeline run") {
+    val d = "/root/testdata/sf0.01"
+    val (pairs, components, keepers, confirms) = Dedup.neardupReport(spark, d)
+    assert(pairs.collect().toSet ==
+      Dedup.ngramJaccardPairs(spark, d).select("id_a", "id_b").collect().toSet)
+    assert(components.collect().toSeq ==
+      Dedup.neardupSurvivors(spark, d).collect().toSeq)
+    assert(keepers.collect().toSeq ==
+      Dedup.qualitySurvivors(spark, d).collect().toSeq)
+    assert(confirms.collect().toSeq ==
+      Dedup.editDistancePairs(spark, d).collect().toSeq)
+  }
+
   test("d15 confirmed pairs: independent DP recompute matches; threshold holds") {
     val d = "/root/testdata/sf0.01"
     def lev(a: String, b: String): Int = {
