@@ -39,4 +39,35 @@ class BatchingSpec extends SparkSpec {
     assert(seen.forall(_._2.size == 1))
     assert(seen.flatMap(_._2).toSet == Set("file1", "file2", "file3"))
   }
+
+  test("Trigger.AvailableNow drains the backlog in rate-limited batches, then stops itself") {
+    // the periodic-catch-up deployment mode: run the consumer as a
+    // scheduled job that processes EVERYTHING pending (still respecting
+    // maxFilesPerTrigger) and exits — no always-on cluster, exactly the
+    // checkpoint/offset semantics of the continuous run
+    val dir = Files.createTempDirectory("avnow").toString
+    (1 to 4).foreach { i =>
+      Files.writeString(java.nio.file.Paths.get(s"$dir/f$i.json"),
+        s"""{"v":"file$i"}\n""")
+    }
+    val schema = StructType(Seq(StructField("v", StringType)))
+    val seen = scala.collection.mutable.ListBuffer[Seq[String]]()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2)
+      .json(dir)
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen += batch.select(col("v")).collect().map(_.getString(0)).toSeq
+        }
+        ()
+      }
+      .start()
+    // self-terminates once the backlog is drained — no stop() needed
+    assert(q.awaitTermination(60000), "AvailableNow query did not self-terminate")
+    assert(seen.flatten.toSet == Set("file1", "file2", "file3", "file4"))
+    assert(seen.count(_.nonEmpty) == 2, s"rate limit ignored: $seen")
+  }
 }
