@@ -353,17 +353,29 @@ object Curation {
     * Scale shape: a per-source cumulative sum is order-dependent, and
     * `source` has ~20 values — a window partitioned by bare source would
     * scan petabytes on one task. This is the classic DISTRIBUTED PREFIX
-    * SUM instead: (1) range-partition by (source, doc_id) into
-    * [[PACK_SLICES]] order-preserving slices; (2) aggregate one token
-    * total per (source, slice) — a tiny frame — and turn it into
-    * per-slice base offsets with a window over that tiny frame; (3)
-    * broadcast the bases back and compute the running sum LOCALLY within
-    * each (source, slice). Every task touches one bounded slice; no
-    * single-task-per-source scan anywhere. Slice ids come from
-    * spark_partition_id() over the range exchange, which is
-    * order-preserving across slices, so base + local prefix equals the
-    * global per-source prefix exactly. PlanShapeSpec pins the two-phase
-    * plan.
+    * SUM instead: (1) slice each source's doc_id sequence into
+    * [[PACK_SLICES]] contiguous ranges; (2) aggregate one token total
+    * per (source, slice) — a tiny frame — and turn it into per-slice
+    * base offsets with a window over that tiny frame; (3) broadcast the
+    * bases back and compute the running sum LOCALLY within each
+    * (source, slice). Every task touches one bounded slice; no
+    * single-task-per-source scan anywhere.
+    *
+    * The slice id is DETERMINISTIC ARITHMETIC — `doc_id div width` with
+    * width from the exact max(doc_id) (division first, so arbitrary
+    * int64 ids cannot overflow) — NOT spark_partition_id() over a range
+    * exchange. An earlier form used the latter; it is subtly unsound:
+    * the frame feeds two consumers (base aggregate + running-sum join),
+    * the planner does NOT dedup their exchanges (column pruning makes
+    * the subtrees non-identical — verified: two rangepartitioning
+    * plan_ids, no ReusedExchange), and RangePartitioner seeds boundary
+    * sampling from the per-materialization RDD id. At test scale the
+    * sample is exhaustive so both exchanges compute equal bounds; at
+    * 100 TB sparse sampling diverges and base offsets silently mis-join.
+    * Any monotone function of doc_id cuts each source's sequence into
+    * contiguous runs, so the arithmetic slice keeps base + local prefix
+    * = global per-source prefix EXACTLY, with no dependence on physical
+    * partitioning at all. PlanShapeSpec pins the two-phase plan.
     *
     * All arithmetic is exact int64 (`div`, not float division), so the
     * oracle hash-matches at any corpus size — the oracle keeps the
@@ -374,11 +386,16 @@ object Curation {
 
   def sequencePacking(s: SparkSession, d: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val sliced = Tables.documents(s, d)
+    val base0 = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
-      .repartitionByRange(PACK_SLICES, col("source"), col("doc_id"))
-      .withColumn("slice", spark_partition_id())
+    // exact 1-row bound -> slice width; `div` first so max int64 ids
+    // cannot overflow, and every slice id is a pure function of doc_id
+    val bound = base0.agg(max(col("doc_id")).as("max_id"))
+      .select(expr(s"max_id div $PACK_SLICES + 1").as("width"))
+    val sliced = base0.crossJoin(broadcast(bound))
+      .withColumn("slice", expr("doc_id div width").cast("int"))
+      .drop("width")
     // per-(source, slice) totals → cumulative base offset per slice; the
     // frame is ≤ sources·PACK_SLICES rows, so the bare-source window here
     // sorts a handful of rows, not the corpus
@@ -586,28 +603,38 @@ object Curation {
     * task.
     *
     * Scale shape — distributed total-order ranking (the p06 prefix sum
-    * generalized from per-source to global): (1) range-partition on the
-    * full order key (bucket DESC, h, doc_id) into order-preserving
-    * slices; (2) count rows per slice — a [[CURR_SLICES]]-row frame —
-    * and turn counts into per-slice base offsets with a window over that
-    * tiny frame; (3) broadcast the bases back and row_number WITHIN each
-    * slice. base + local rank is exactly the global rank (slices are
-    * contiguous under range partitioning). Quality deciles reuse t03's
-    * hash-green score, so `floor(quality·10)` is bit-identical on both
-    * engines; the oracle states the single-window form, value-identical
-    * by construction.
+    * generalized from per-source to global): (1) slice the corpus into
+    * ranges CONTIGUOUS in the order key (bucket DESC, h, doc_id); (2)
+    * count rows per slice — a tiny frame — and turn counts into
+    * per-slice base offsets with a window over that tiny frame; (3)
+    * broadcast the bases back and row_number WITHIN each slice. base +
+    * local rank is exactly the global rank.
+    *
+    * The slice id is deterministic arithmetic, monotone in the order
+    * key — `(9 − bucket) · HSLICES + h div (2^60 / HSLICES)` (baseHash
+    * is 15 hex digits, so h < 2^60 exactly, and h is uniform, so slices
+    * balance) — NOT spark_partition_id() over a range exchange, for the
+    * reason sequencePacking documents: the frame feeds two consumers
+    * whose exchanges the planner does not dedup, and RangePartitioner's
+    * sampled bounds are not reproducible across materializations at
+    * sparse-sample scale. Quality deciles reuse t03's hash-green score,
+    * so `floor(quality·10)` is bit-identical on both engines; the
+    * oracle states the single-window form, value-identical by
+    * construction.
     */
-  val CURR_SLICES = 32
+  val CURR_HSLICES = 4 // per quality decile: 10 buckets x 4 = 40 slices
 
   def curriculumOrder(s: SparkSession, d: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
+    val hWidth = (1L << 60) / CURR_HSLICES
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
         least(floor(TextFunctions.qualityScore(col("text"), TextOps.stopwords)
           * 10).cast("long"), lit(9L)).as("bucket"),
         Dedup.baseHash(col("text")).as("h"))
-      .repartitionByRange(CURR_SLICES, col("bucket").desc, col("h"), col("doc_id"))
-      .withColumn("slice", spark_partition_id())
+      .withColumn("slice",
+        ((lit(9L) - col("bucket")) * CURR_HSLICES + expr(s"h div $hWidth"))
+          .cast("int"))
     val wBase = W.orderBy(col("slice"))
       .rowsBetween(W.unboundedPreceding, -1)
     val bases = docs.groupBy("slice").agg(count(lit(1)).as("n"))

@@ -128,25 +128,30 @@ class PlanShapeSpec extends SparkSpec {
 
   test("p06: running sum is a two-phase distributed prefix-sum, not one window per source") {
     val p = plan("p06_sequence_packing")
-    // phase 1: order-preserving range exchange + slice ids
-    assert(p.contains("rangepartitioning(source"),
-      s"no range partitioning on (source, doc_id):\n${p.take(3000)}")
-    assert(p.contains("SPARK_PARTITION_ID"), "no slice-id derivation")
-    // phase 2: the corpus-side window partitions by (source, slice) —
-    // bounded — and the per-slice bases arrive via broadcast
+    // slice ids are arithmetic on doc_id (no RangePartitioner in the
+    // correctness path — its sampled bounds are not reproducible across
+    // the frame's two consumers); the 1-row width bound broadcasts
+    assert(!p.contains("SPARK_PARTITION_ID") && !p.contains("rangepartitioning(source"),
+      s"slice ids must not come from physical partitioning:\n${p.take(3000)}")
+    // the corpus-side window partitions by (source, slice) — bounded —
+    // and the per-slice bases arrive via broadcast
     assert(p.linesIterator.exists(l => l.contains("Window") && l.contains("slice#")),
       s"no (source, slice) window:\n${p.take(3000)}")
+    // slice bases broadcast on the equi-key; the 1-row width bound rides
+    // a broadcast nested-loop (no key — it IS a scalar)
     assert(p.contains("BroadcastHashJoin"), "slice bases not broadcast")
+    assert(p.contains("BroadcastNestedLoopJoin"), "width bound not broadcast")
+    // no corpus window partitioned by bare source
+    assert(!p.linesIterator.exists(l => l.contains("Window") &&
+      l.contains("partitionBy") && !l.contains("slice")), p.take(1000))
   }
 
   test("p09: global curriculum rank is sliced prefix-sum, not one single-partition window") {
     val p = plan("p09_curriculum")
-    // the corpus-wide total order arrives via an order-preserving range
-    // exchange on the full key; the only corpus-side window partitions
-    // by slice (bounded); bases broadcast back
-    assert(p.contains("rangepartitioning(bucket"),
-      s"no range partitioning on the curriculum key:\n${p.take(3000)}")
-    assert(p.contains("SPARK_PARTITION_ID"), "no slice-id derivation")
+    // slice ids are arithmetic on (bucket, h) — monotone in the order
+    // key, no RangePartitioner in the correctness path
+    assert(!p.contains("SPARK_PARTITION_ID") && !p.contains("rangepartitioning(bucket"),
+      s"slice ids must not come from physical partitioning:\n${p.take(3000)}")
     assert(p.linesIterator.exists(l => l.contains("Window") &&
       l.contains("row_number") && l.contains("slice#")),
       s"corpus window not partitioned by slice:\n${p.take(3000)}")
