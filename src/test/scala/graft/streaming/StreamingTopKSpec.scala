@@ -76,6 +76,42 @@ class StreamingTopKSpec extends SparkSpec {
     assert(top3 == Set("alpha", "beta", "gamma"), s"top3 = $top3")
   }
 
+  test("summary state survives a query restart; the closed window reflects both runs") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("topk-restart").toString
+    val emitted = scala.collection.mutable.ListBuffer[StreamingTopK.HitRow]()
+    val mem = MemoryStream[(String, Long)]
+    def startQuery() = {
+      val src = mem.toDF().toDF("token", "ms")
+        .withColumn("ts", timestamp_millis(col("ms")))
+      StreamingTopK
+        .windowedHeavyHitters(src, "ts", WINDOW_MS, delayMs = 2000L,
+          capacity = CAPACITY, shards = 1)
+        .writeStream.option("checkpointLocation", ckpt).outputMode("append")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[StreamingTopK.HitRow], _: Long) =>
+            emitted.synchronized { emitted ++= b.collect() }
+            ()
+        }.start()
+    }
+    val q1 = startQuery()
+    mem.addData(Seq.fill(5)(("alpha", 100L)): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    // more window-0 tokens arrive while the query is DOWN; the restart
+    // must add them to the RESUMED counters, then close the window
+    mem.addData(Seq.fill(3)(("alpha", 200L)) :+ (("later", 60000L)): _*)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val alpha = emitted.synchronized { emitted.toList }
+      .filter(h => h.window_start_ms == 0L && h.token == "alpha")
+    // one emission, with the full cross-restart count — a from-zero
+    // restart would report 3
+    assert(alpha.map(h => (h.est_count, h.max_err)) == Seq((8L, 0L)),
+      s"got $alpha")
+  }
+
   test("a token lands in exactly one shard per window (merge is concatenation)") {
     val out = run(Seq(window0, Seq(("later", 60000L))))
     out.filter(_.window_start_ms == 0L).groupBy(_.token).values
