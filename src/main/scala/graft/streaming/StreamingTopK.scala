@@ -89,6 +89,13 @@ object StreamingTopK {
               .map { case (t, e) => HitRow(winStart, shard, t, e.est, e.err) }
             state.remove()
             out.iterator
+          } else if (state.getOption.isEmpty &&
+              winStart + windowMs <= state.getCurrentWatermarkMs()) {
+            // stragglers for a window that already closed AND emitted
+            // (its state is gone): drop them — re-creating state here
+            // would emit a SECOND summary for the window and break the
+            // emit-once contract
+            Iterator.empty
           } else {
             var m = state.getOption.map(_.counts).getOrElse(Map.empty)
             batch.toSeq.sortBy(r => (r.tsMillis, r.token))

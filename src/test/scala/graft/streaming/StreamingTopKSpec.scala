@@ -118,6 +118,20 @@ class StreamingTopKSpec extends SparkSpec {
       .foreach(rows => assert(rows.map(_.shard).distinct.size == 1))
   }
 
+  test("a straggler after its window emitted is dropped — no second summary") {
+    val out = run(Seq(
+      window0,
+      Seq(("later", 60000L)),        // closes window 0, emits its summary
+      Seq(("alpha", 300L)),          // straggler INTO the emitted window
+      Seq(("even-later", 90000L)))) // advances wm again — would re-fire
+    val w0 = out.filter(_.window_start_ms == 0L)
+    // exactly one emission per (shard, token) for window 0
+    assert(w0.groupBy(h => (h.shard, h.token)).values.forall(_.size == 1),
+      s"window 0 emitted twice: $w0")
+    // and alpha's count is the pre-close count (the straggler is gone)
+    assert(w0.find(_.token == "alpha").map(_.est_count).contains(12L))
+  }
+
   test("SpaceSaving add: eviction inherits the minimum and keeps size bounded") {
     var m = Map.empty[String, StreamingTopK.Entry]
     (1 to 8).foreach(i => m = StreamingTopK.add(m, s"t$i", 8))
