@@ -501,10 +501,10 @@ object Curation {
       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
       |    CAST(concat('0x', substr(md5(text),1,15)) AS BIGINT) AS h
       |  FROM documents),
-      |tot AS (SELECT source, sum(n_tokens) AS t_tokens,
+      |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_tokens,
       |    (CAST(substr(source, 4) AS BIGINT) % 6) * 15 + 10 AS w
       |  FROM docs GROUP BY source),
-      |ws AS (SELECT sum(w) AS w_sum FROM tot),
+      |ws AS (SELECT CAST(sum(w) AS BIGINT) AS w_sum FROM tot),
       |pl AS (SELECT source, t_tokens, w,
       |    ($MIX_BUDGET_TOKENS * w) // w_sum AS target_tokens
       |  FROM tot CROSS JOIN ws),

@@ -27,6 +27,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 BANNED_TYPES = ("decimal", "date32")
 
+# Oracle-side mirror of BANNED_TYPES: duckdb result column types the
+# driver's pandas comparator can't hash stably. HUGEINT (uncast sum())
+# coerces to float64 -> "3000.0" vs Spark's "3000" (r6 p07); DECIMAL and
+# DATE are the r2/r5 classes on the oracle side. The local fetchall()
+# path returns Python ints for HUGEINT so value-compare alone can't
+# catch it — the dtype itself must be linted.
+ORACLE_BANNED_TYPES = ("HUGEINT", "DECIMAL", "DATE")
+
 
 def canon(v):
     """Canonical string form of a value for cross-engine comparison."""
@@ -55,6 +63,9 @@ def main(sfdir, outdir):
         try:
             exp = con.sql(sql)
             exp_cols = exp.columns
+            oracle_banned = [
+                f"{c}:{t}" for c, t in zip(exp.columns, exp.types)
+                if any(b in str(t).upper() for b in ORACLE_BANNED_TYPES)]
             exp_rows = exp.fetchall()
             files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
             tbl = pq.read_table(files)
@@ -69,10 +80,13 @@ def main(sfdir, outdir):
             g = sorted(tuple(canon(r[i]) for i in gidx) for r in got_rows)
             rows_match = len(e) == len(g)
             vals_match = e == g
-            status = "OK" if cols_match and vals_match and not banned else "FAIL"
+            status = ("OK" if cols_match and vals_match and not banned
+                      and not oracle_banned else "FAIL")
             detail = ""
             if banned:
                 detail = f"BANNED output types: {banned}"
+            elif oracle_banned:
+                detail = f"BANNED oracle result types: {oracle_banned}"
             elif not cols_match:
                 detail = f"cols exp={sorted(exp_cols)} got={sorted(got_cols)}"
             elif not rows_match:
