@@ -290,17 +290,68 @@ object Relational2 {
   /** Explicit null-ordering semantics: ranks under DESC NULLS LAST and
     * ASC NULLS FIRST over a lag-produced nullable column (explicit on both
     * engines — defaults differ across SQL dialects).
+    *
+    * Scale shape — the input slice (`user_id < 20`) grows linearly with
+    * the corpus, so a bare `row_number() OVER (ORDER BY …)` would funnel
+    * every row through ONE task (the shape p09 engineered out of the
+    * curation family). This is the p09 sliced total-order rank
+    * generalized to an arbitrary sort column: (1) quantize `prev` into
+    * cent bins — `floor(prev·100)` is deterministic arithmetic, MONOTONE
+    * in the sort key, so bins are contiguous ranges of the total order
+    * (and never come from a RangePartitioner, whose sampled bounds are
+    * not reproducible across a frame's consumers — see sequencePacking);
+    * (2) count rows per (null-flag, bin) — a frame bounded by the VALUE
+    * DOMAIN (cent granularity), not the corpus; (3) prefix-sum that tiny
+    * frame once per direction (nulls last for DESC, first for ASC) into
+    * per-slice base offsets; (4) broadcast the bases back and
+    * row_number WITHIN each bin: base + local rank = global rank, for
+    * both directions, off one count aggregate and zero corpus-wide
+    * sorts. Ties in `prev` break on unique event_id, so the distributed
+    * rank is bit-identical to the single-window statement the oracle
+    * keeps.
     */
+  /** Distributed two-direction global rank over a nullable numeric sort
+    * column: adds `rn_desc` (sortCol DESC NULLS LAST, tieCol) and
+    * `rn_asc` (sortCol ASC NULLS FIRST, tieCol) without ever planning an
+    * unpartitioned corpus window. `tieCol` must be unique (it makes the
+    * total order strict, so the distributed rank is bit-identical to the
+    * single-window statement). See [[nullOrdering]] for the shape
+    * derivation.
+    */
+  def slicedGlobalRanks(df: DataFrame, sortCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = df
+      .withColumn("nn", col(sortCol).isNull.cast("int"))
+      .withColumn("bin", coalesce(floor(col(sortCol) * 100).cast("long"), lit(0L)))
+    val counts = p.groupBy("nn", "bin").agg(count(lit(1)).as("cnt"))
+    // prefix sums over the tiny bin frame — bounded by the value domain
+    val wDesc = Window.orderBy(col("nn").asc, col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAsc = Window.orderBy(col("nn").desc, col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = counts
+      .withColumn("base_desc", coalesce(sum(col("cnt")).over(wDesc), lit(0L)))
+      .withColumn("base_asc", coalesce(sum(col("cnt")).over(wAsc), lit(0L)))
+      .select("nn", "bin", "base_desc", "base_asc")
+    val wLocalDesc = Window.partitionBy(col("nn"), col("bin"))
+      .orderBy(col(sortCol).desc_nulls_last, col(tieCol))
+    val wLocalAsc = Window.partitionBy(col("nn"), col("bin"))
+      .orderBy(col(sortCol).asc_nulls_first, col(tieCol))
+    p.join(broadcast(bases), Seq("nn", "bin"))
+      .withColumn("rn_desc",
+        (col("base_desc") + row_number().over(wLocalDesc)).cast("int"))
+      .withColumn("rn_asc",
+        (col("base_asc") + row_number().over(wLocalAsc)).cast("int"))
+      .drop("nn", "bin", "base_desc", "base_asc")
+  }
+
   def nullOrdering(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-    Tables.events(s, d)
+    val p = Tables.events(s, d)
       .filter(col("user_id") < 20)
       .withColumn("prev", lag(col("value"), 1).over(w))
-      .withColumn("rn_desc", row_number().over(
-        Window.orderBy(col("prev").desc_nulls_last, col("event_id"))))
-      .withColumn("rn_asc", row_number().over(
-        Window.orderBy(col("prev").asc_nulls_first, col("event_id"))))
+    slicedGlobalRanks(p, "prev", "event_id")
       .select("event_id", "prev", "rn_desc", "rn_asc")
       .orderBy("event_id")
   }

@@ -158,6 +158,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "slice bases not broadcast")
   }
 
+  test("q47: global null-ordering ranks are bin-sliced; no unpartitioned corpus window") {
+    val p = plan("q47_null_ordering")
+    // every row_number window partitions by the arithmetic (nn, bin)
+    // slice — the corpus-proportional input never funnels into one task
+    val rankWindows = p.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("row_number")).toSeq
+    assert(rankWindows.nonEmpty, s"no rank windows found:\n${p.take(3000)}")
+    rankWindows.foreach(l => assert(l.contains("bin#"),
+      s"unpartitioned global rank window:\n$l"))
+    // bin ids are arithmetic on the sort key, not physical partitioning
+    assert(!p.contains("SPARK_PARTITION_ID") && !p.contains("rangepartitioning(prev"),
+      s"slice ids must not come from physical partitioning:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), "bin bases not broadcast")
+  }
+
   test("t12: boilerplate flagging shuffles chunk hashes, never chunk bodies") {
     val p = plan("t12_boilerplate")
     // the chunk text is folded to its 60-bit hash inside the explode's

@@ -54,6 +54,29 @@ class Relational2Spec extends SparkSpec {
     }
   }
 
+  test("q47 sliced global ranks equal the single-window form on negatives, ties, and nulls") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // adversarial fixture: negative values (negative bins), exact ties
+    // (cross- and within-bin), nulls, and values straddling bin edges
+    val df = Seq(
+      (1L, Some(-1.37)), (2L, Some(-1.37)), (3L, Some(-0.005)),
+      (4L, Some(0.0)), (5L, None), (6L, Some(0.01)), (7L, Some(0.01)),
+      (8L, Some(249.99)), (9L, Some(250.0)), (10L, None), (11L, Some(-0.004))
+    ).toDF("event_id", "prev")
+    val got = Relational2.slicedGlobalRanks(df, "prev", "event_id")
+      .select("event_id", "rn_desc", "rn_asc").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq.sortBy(_._1)
+    val ref = df
+      .withColumn("rn_desc", row_number().over(
+        Window.orderBy(col("prev").desc_nulls_last, col("event_id"))))
+      .withColumn("rn_asc", row_number().over(
+        Window.orderBy(col("prev").asc_nulls_first, col("event_id"))))
+      .select("event_id", "rn_desc", "rn_asc").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq.sortBy(_._1)
+    assert(got == ref)
+  }
+
   test("d06 near-dup pairs are ordered, above threshold, and bucket-born") {
     val rows = Similarity.embeddingNearDupPairs(spark, sf, threshold = 0.5).collect()
     rows.foreach { r =>
