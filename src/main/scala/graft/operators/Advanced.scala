@@ -221,7 +221,9 @@ object Advanced {
         expr("variant_get(v, '$.k', 'int')").as("k_val"),
         expr("try_variant_get(v, '$.absent', 'int')").isNull
           .cast("int").as("k_not_ts"))
-      .groupBy(pmod(col("k_val"), lit(10)).as("k_mod"))
+      // `%` (sign-of-dividend) on BOTH engines — pmod would silently
+      // diverge from the oracle's `%` on negative keys
+      .groupBy(expr("k_val % 10").as("k_mod"))
       .agg(count(lit(1)).as("n"),
         min(col("k_val")).as("k_min"),
         max(col("k_val")).as("k_max"),

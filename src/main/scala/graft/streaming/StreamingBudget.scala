@@ -46,7 +46,9 @@ object StreamingBudget {
       budgets: Map[String, Long], shards: Int = 1): Dataset[Admission] = {
     import spark.implicits._
     require(shards >= 1, s"shards must be >= 1, got $shards")
-    docs.groupByKey(d => (d.source, (d.docId % shards).toInt))
+    // floorMod: Scala % follows the dividend's sign, so a negative docId
+    // would mint an out-of-range shard with its own budget slice
+    docs.groupByKey(d => (d.source, math.floorMod(d.docId, shards).toInt))
       .flatMapGroupsWithState[ShardState, Admission](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case ((source, shard), batch, state: GroupState[ShardState]) =>

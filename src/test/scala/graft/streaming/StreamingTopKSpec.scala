@@ -132,6 +132,29 @@ class StreamingTopKSpec extends SparkSpec {
     assert(w0.find(_.token == "alpha").map(_.est_count).contains(12L))
   }
 
+  test("window-close races: in-batch wm advance, then same-trigger late data + timeout — one summary") {
+    val out = run(Seq(
+      window0,
+      // RACE 1: window-0 data arrives in the SAME batch whose other row
+      // advances the watermark past the window end. The data is accepted
+      // (batch-start wm is still 7.03s < 9.9s), folded into state, and the
+      // timeout re-arms; the window must close ONCE, later, with it.
+      Seq(("alpha", 9900L), ("later", 60000L)),
+      // RACE 2: a late window-0 row and the due timeout land in one
+      // trigger (wm is now 58s): the row is watermark-filtered, so the
+      // group times out and emits — the straggler must not resurrect
+      // state or trigger a second emission afterwards.
+      Seq(("alpha", 300L), ("even-later", 90000L)),
+      Seq(("final", 120000L))))
+    val w0 = out.filter(_.window_start_ms == 0L)
+    assert(w0.nonEmpty, "window 0 never emitted")
+    assert(w0.groupBy(h => (h.shard, h.token)).values.forall(_.size == 1),
+      s"window 0 emitted a (shard, token) twice: $w0")
+    // the race-1 row is included exactly once; the race-2 late row is not
+    assert(w0.find(_.token == "alpha").map(_.est_count).contains(13L),
+      s"alpha count wrong: ${w0.filter(_.token == "alpha")}")
+  }
+
   test("SpaceSaving add: eviction inherits the minimum and keeps size bounded") {
     var m = Map.empty[String, StreamingTopK.Entry]
     (1 to 8).foreach(i => m = StreamingTopK.add(m, s"t$i", 8))
