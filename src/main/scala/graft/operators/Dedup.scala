@@ -328,18 +328,26 @@ object Dedup {
     * unbiased estimator). Never compares docs across buckets. Band keys are
     * the comma-joined band minhashes (identical string form both engines).
     */
-  def minhashLshPairs(s: SparkSession, d: String, threshold: Double = 0.1): DataFrame = {
-    val sigs = minhashSignatures(Tables.documents(s, d))
+  /** (doc_id, band_idx, band_key) rows from a signature frame — the LSH
+    * banding both the d04 self-join and the d16 persisted index share.
+    * Band keys are the comma-joined band minhashes (identical string form
+    * both engines).
+    */
+  def bandedKeys(sigs: DataFrame): DataFrame = {
     val bandKeys = (0 until BANDS).map { b =>
       val cols = (b * ROWS_PER_BAND until (b + 1) * ROWS_PER_BAND).map(i => col(s"m$i"))
       concat_ws(",", cols: _*)
     }
+    sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+  }
+
+  def minhashLshPairs(s: SparkSession, d: String, threshold: Double = 0.1): DataFrame = {
+    val sigs = minhashSignatures(Tables.documents(s, d))
     // Thin (doc_id, band_idx, band_key) self-join, pair-distinct as a
     // HashAggregate over two longs, THEN join the signatures back — same
     // SortAggregate-over-arrays avoidance as d06.
-    val banded = sigs.select(col("doc_id"),
-        posexplode(array(bandKeys: _*)))
-      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+    val banded = bandedKeys(sigs)
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -394,6 +402,149 @@ object Dedup {
        |        FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
        |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.1
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ----------------------------------------- incremental index dedup
+  /** d16: incremental near-dup of a DELTA batch against a PERSISTED
+    * corpus index — the production 100 TB shape every d01–d15 operator
+    * sidesteps by recomputing its index from the full corpus. A daily
+    * ingest dedups "today's batch against yesterday's corpus" by probing
+    * a saved structure, never rescanning the corpus: here the d04
+    * MinHash band table ((band_idx, band_key, doc_id) + the signature
+    * table), written once via [[writeMinhashIndex]] with the band key's
+    * hash bucket as the WRITE-TIME PARTITION KEY (the s03/s04 pattern),
+    * probed via [[probeMinhashIndex]] which reads ONLY the ≤
+    * [[INDEX_BUCKETS]] partitions the delta's own band keys hash into —
+    * PartitionFilters pruning, spec-pinned, with the bucket list bounded
+    * by construction (64 literals, never delta-proportional).
+    *
+    * Per delta doc the probe reports its banded candidate count and the
+    * best base match by signature agreement (the d04 estimator), with
+    * `is_dup` at the 0.5 threshold. Selection is a lexicographic struct
+    * max (est DESC, base id ASC) — deterministic under est ties.
+    *
+    * The REGISTERED query states the same semantics as pure joins over a
+    * deterministic `doc_id % 5` corpus split (base = 4/5, delta = 1/5) so
+    * DuckDB can oracle-check values; the index write+probe path is
+    * asserted equal to it by spec (same discipline as the s03 IVF
+    * partition-pruning claim). Candidate generation inherits d04's
+    * banding bounds; a production index build would additionally apply
+    * the d03 posting cap per band key at WRITE time — once, amortized
+    * across every delta that probes it.
+    */
+  val INC_SPLIT = 5
+  val INDEX_BUCKETS = 64
+  val INC_DUP_THRESHOLD = 0.5
+
+  /** Probe: delta signatures vs an index's band table + signature table.
+    * The band probe is a thin equi-join on (band_idx, band_key); the
+    * pair-distinct is a hash aggregate over two longs; signatures join
+    * back only for the candidate set (d04's confirm shape).
+    */
+  def probeSignatures(deltaSigs: DataFrame, indexBands: DataFrame,
+      indexSigs: DataFrame): DataFrame = {
+    val cand = bandedKeys(deltaSigs).as("q")
+      .join(indexBands.as("x"),
+        col("q.band_idx") === col("x.band_idx") &&
+          col("q.band_key") === col("x.band_key"))
+      .select(col("q.doc_id").as("did"), col("x.doc_id").as("bid"))
+      .distinct()
+    val sq = deltaSigs.toDF("did" +: (0 until SIG_N).map(i => s"a$i"): _*)
+    val sx = indexSigs.toDF("bid" +: (0 until SIG_N).map(i => s"b$i"): _*)
+    val matches = (0 until SIG_N).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+    cand.join(sq, "did").join(sx, "bid")
+      .withColumn("est_jaccard", matches.cast("double") / SIG_N)
+      .groupBy(col("did").as("doc_id"))
+      .agg(count(lit(1)).as("n_cand"),
+        max(struct(col("est_jaccard").as("e"), (-col("bid")).as("nid"))).as("best"))
+      .select(col("doc_id"), col("n_cand"),
+        (-col("best.nid")).as("match_id"), col("best.e").as("est_jaccard"),
+        (col("best.e") >= INC_DUP_THRESHOLD).cast("int").as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** Write "yesterday's" index: the band table partitioned by the band
+    * key's hash bucket (what the delta probe prunes on) and the
+    * signature table. The bucket hash is Spark-internal (xxhash64) —
+    * it never reaches a result, only partition layout.
+    */
+  def writeMinhashIndex(docs: DataFrame, dir: String): Unit = {
+    val sigs = minhashSignatures(docs)
+    bandedKeys(sigs)
+      .withColumn("bkt",
+        pmod(xxhash64(col("band_key")), lit(INDEX_BUCKETS)).cast("int"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/bands")
+    sigs.write.mode("overwrite").parquet(s"$dir/sigs")
+  }
+
+  /** Probe the persisted index with a delta batch, reading only the band
+    * partitions the delta hashes into (collected as ≤ [[INDEX_BUCKETS]]
+    * literals — bounded by construction, so the collect is not
+    * delta-proportional).
+    */
+  def probeMinhashIndex(s: SparkSession, dir: String, delta: DataFrame): DataFrame = {
+    val deltaSigs = minhashSignatures(delta)
+    val buckets = bandedKeys(deltaSigs)
+      .select(pmod(xxhash64(col("band_key")), lit(INDEX_BUCKETS)).cast("int").as("bkt"))
+      .distinct().collect().map(_.getInt(0))
+    val idxBands = s.read.parquet(s"$dir/bands")
+      .filter(col("bkt").isin(buckets.map(Integer.valueOf): _*))
+      .select("doc_id", "band_idx", "band_key")
+    val idxSigs = s.read.parquet(s"$dir/sigs")
+    probeSignatures(deltaSigs, idxBands, idxSigs)
+  }
+
+  /** The registered d16 face: both batches derived from `documents` by
+    * the deterministic split so the oracle can restate it.
+    */
+  def incrementalNearDup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val baseSigs = minhashSignatures(docs.filter(expr(s"doc_id % $INC_SPLIT != 0")))
+    val deltaSigs = minhashSignatures(docs.filter(expr(s"doc_id % $INC_SPLIT = 0")))
+    probeSignatures(deltaSigs, bandedKeys(baseSigs), baseSigs)
+  }
+
+  /** d16 oracle: same sig/band CTEs as d04, split into base/delta. */
+  lazy val incrementalNearDupSql: String = {
+    val p = HASH_P
+    val sigCols = (0 until SIG_N).map(i =>
+      s"min((${seedA(i)}*hm + ${seedB(i)}) % $p) AS m$i").mkString(",\n  ")
+    val bandSelects = (0 until BANDS).map { b =>
+      val key = (b * ROWS_PER_BAND until (b + 1) * ROWS_PER_BAND)
+        .map(i => s"m$i").mkString(", ',', ")
+      s"SELECT doc_id, $b AS band_idx, concat($key) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val matchTerms = (0 until SIG_N).map(i =>
+      s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |        unnest(list_distinct(
+       |          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |               ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |                     FOR i IN range(1, len(toks)-1)] END)) AS sh
+       |      FROM t),
+       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) % $p AS hm FROM g),
+       |sig AS (SELECT doc_id,
+       |  $sigCols
+       |FROM h GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |q AS (SELECT * FROM bands WHERE doc_id % $INC_SPLIT = 0),
+       |x AS (SELECT * FROM bands WHERE doc_id % $INC_SPLIT != 0),
+       |cand AS (SELECT DISTINCT q.doc_id AS did, x.doc_id AS bid
+       |         FROM q JOIN x ON q.band_idx = x.band_idx AND q.bkey = x.bkey),
+       |est AS (SELECT did, bid,
+       |          CAST($matchTerms AS DOUBLE)/$SIG_N AS est
+       |        FROM cand JOIN sig sa ON sa.doc_id = did JOIN sig sb ON sb.doc_id = bid),
+       |sel AS (SELECT did, bid, est,
+       |          count(*) OVER (PARTITION BY did) AS n_cand,
+       |          row_number() OVER (PARTITION BY did ORDER BY est DESC, bid) AS rn
+       |        FROM est)
+       |SELECT did AS doc_id, CAST(n_cand AS BIGINT) AS n_cand, bid AS match_id,
+       |  est AS est_jaccard,
+       |  CASE WHEN est >= $INC_DUP_THRESHOLD THEN 1 ELSE 0 END AS is_dup
+       |FROM sel WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
 
   // --------------------------------------------------------------- SimHash
@@ -1211,9 +1362,11 @@ object Dedup {
     "d12_containment" -> (containmentPairs _),
     "d13_substring_dedup" -> (substringDupStats _),
     "d14_quality_survivors" -> (qualitySurvivors _),
-    "d15_edit_distance" -> (editDistancePairs _))
+    "d15_edit_distance" -> (editDistancePairs _),
+    "d16_incremental_neardup" -> (incrementalNearDup _))
 
   val oracles: Map[String, String] = Map(
+    "d16_incremental_neardup" -> incrementalNearDupSql,
     "d15_edit_distance" -> editDistancePairsSql,
     "d14_quality_survivors" -> qualitySurvivorsSql,
     "d13_substring_dedup" -> substringDupStatsSql,

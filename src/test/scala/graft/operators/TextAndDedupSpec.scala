@@ -418,6 +418,44 @@ class SimilaritySpec extends SparkSpec {
       s"probe did not prune partitions:\n${p.take(800)}")
   }
 
+  test("d16: persisted-index probe equals the registered join form; planted cross-batch dups found") {
+    val d = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    Dedup.writeMinhashIndex(docs.filter(expr("doc_id % 5 != 0")), dir)
+    val probed = Dedup.probeMinhashIndex(spark, dir,
+      docs.filter(expr("doc_id % 5 = 0")))
+    val registered = Dedup.incrementalNearDup(spark, d)
+    assert(probed.collect().toSeq == registered.collect().toSeq)
+    // the fixture plants cross-batch near-dups — the probe must find them
+    assert(registered.filter(col("is_dup") === 1).count() > 0)
+  }
+
+  test("d16: the delta probe PRUNES band partitions — only the delta's buckets are read") {
+    val d = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("mhidx-prune").toString
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    Dedup.writeMinhashIndex(docs.filter(expr("doc_id % 100 != 0")), dir)
+    // a TINY delta (the daily-ingest shape): its band keys hash into a
+    // strict subset of the 64 bucket partitions
+    val delta = docs.filter(expr("doc_id % 100 = 0"))
+    val deltaBuckets = Dedup.bandedKeys(Dedup.minhashSignatures(delta))
+      .select(pmod(xxhash64(col("band_key")), lit(Dedup.INDEX_BUCKETS)).cast("int"))
+      .distinct().count()
+    assert(deltaBuckets < Dedup.INDEX_BUCKETS,
+      s"delta covers all $deltaBuckets buckets — pruning untestable")
+    val probed = Dedup.probeMinhashIndex(spark, dir, delta)
+    // the pre-adaptive plan prints full scan nodes (AQE's executedPlan
+    // hides them inside query-stage references)
+    val scans = probed.queryExecution.sparkPlan.toString
+    val scanLine = scans.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("/bands"))
+      .getOrElse(fail(s"no bands scan in plan:\n${scans.take(1200)}"))
+    assert(scanLine.contains("PartitionFilters: [") &&
+      !scanLine.contains("PartitionFilters: []") && scanLine.contains("bkt"),
+      s"probe did not prune partitions:\n$scanLine")
+  }
+
   test("neardupReport yields d07/d14/d15 outputs from one pair-pipeline run") {
     val d = "/root/testdata/sf0.01"
     val (pairs, components, keepers, confirms) = Dedup.neardupReport(spark, d)
