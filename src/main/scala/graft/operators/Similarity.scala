@@ -445,19 +445,20 @@ object Similarity {
       .filter(col("cell") <= N_CELLS)
       .select(col("cell"), col("qv").as("centroid"))
 
-  /** Assign every corpus vector to its best cell by quantized cosine
-    * against broadcast centroids (tie-break (score DESC, cell), mirrored
-    * in every oracle that consumes it). One broadcast join + one window
-    * exchange; shared by s04/s05.
+  /** Assign every corpus vector to its best `nBest` cells by quantized
+    * cosine against broadcast centroids (tie-break (score DESC, cell),
+    * mirrored in every oracle that consumes it). One broadcast join + one
+    * window exchange; shared by s04/s05 (nBest=1: residency) and the s09
+    * query probe (nBest=N_PROBE).
     */
-  def assignToCells(corpus: DataFrame, centsIn: DataFrame): DataFrame = {
+  def assignToCells(corpus: DataFrame, centsIn: DataFrame, nBest: Int = 1): DataFrame = {
     val cents = broadcast(centsIn)
     corpus.crossJoin(cents)
       .withColumn("score", qdot(col("qv"), col("centroid")).cast("double") /
         sqrt(qdot(col("centroid"), col("centroid")).cast("double")))
       .withColumn("r", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
-      .filter(col("r") === 1)
+      .filter(col("r") <= nBest)
       .select(col("vec_id"), col("qv"), col("cell"))
   }
 
@@ -803,40 +804,59 @@ object Similarity {
   private def sqd(a: Column, b: Column): Column =
     qdot(a, a) - lit(2L) * qdot(a, b) + qdot(b, b)
 
+  private def sub(c: Column, m: Int): Column = slice(c, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+  /** The PQ_K-row codebook from a (vec_id, qv) corpus: first PQ_K vectors
+    * in id order, with per-subspace centroid self-dots precomputed ONCE
+    * into the broadcast frame. Shared by s08/s09.
+    */
+  def pqCodebook(corpus: DataFrame): DataFrame =
+    corpus.orderBy("vec_id").limit(PQ_K)
+      .withColumn("j",
+        row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1)
+      .select(Seq(col("j"), col("qv").as("cv")) ++
+        (0 until PQ_M).map(m => qdot(sub(col("qv"), m), sub(col("qv"), m)).as(s"cc$m")): _*)
+
+  /** Encode: per (vec, subspace), the id of the nearest codebook entry.
+    * argmin_j (qq − 2qc + cc) = argmin_j (cc − 2qc) — the probe's
+    * self-dot is constant in j, so each pair costs ONE subspace dot
+    * (cc comes from the broadcast frame), not the three sqd() would do;
+    * exact integers keep the tie-break identical to the full distance.
+    */
+  def pqEncode(corpus: DataFrame, cb: DataFrame): DataFrame = {
+    val reduced = explode(array((0 until PQ_M).map(m =>
+      struct(lit(m).as("m"),
+        (col(s"cc$m") - lit(2L) * qdot(sub(col("qv"), m), sub(col("cv"), m)))
+          .as("dist"))): _*))
+    corpus.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("j"), reduced.as("x"))
+      .groupBy(col("vec_id"), col("x.m").as("m"))
+      .agg(min(struct(col("x.dist").as("dist"), col("j").as("j")))
+        .getField("j").as("code"))
+  }
+
+  /** ADC lookup table: nQueries × PQ_M × PQ_K rows — broadcast side of
+    * every scoring join. Shared by s08/s09.
+    */
+  def pqLut(queries: DataFrame, cb: DataFrame): DataFrame = {
+    def perSubspace(a: Column, b: Column, field: String): Column =
+      explode(array((0 until PQ_M).map(m =>
+        struct(lit(m).as("m"), sqd(sub(a, m), sub(b, m)).as(field))): _*))
+    queries.crossJoin(cb)
+      .select(col("query_id"), col("j").as("lj"),
+        perSubspace(col("qv"), col("cv"), "pd").as("x"))
+      .select(col("query_id"), col("x.m").as("lm"), col("lj"), col("x.pd").as("pd"))
+  }
+
   def pqTopK(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 10): DataFrame = {
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
     val queries = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qv"))
     val corpus = v.filter(col("vec_id") >= nQueries)
-    def sub(c: Column, m: Int): Column = slice(c, m * PQ_SUBDIM + 1, PQ_SUBDIM)
-    // centroid self-dots precompute ONCE into the 16-row broadcast frame
-    val cb = corpus.orderBy("vec_id").limit(PQ_K)
-      .withColumn("j",
-        row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1)
-      .select(Seq(col("j"), col("qv").as("cv")) ++
-        (0 until PQ_M).map(m => qdot(sub(col("qv"), m), sub(col("qv"), m)).as(s"cc$m")): _*)
-    def perSubspace(a: Column, b: Column, field: String): Column =
-      explode(array((0 until PQ_M).map(m =>
-        struct(lit(m).as("m"), sqd(sub(a, m), sub(b, m)).as(field))): _*))
-    // encode: per (vec, subspace), the id of the nearest codebook entry.
-    // argmin_j (qq − 2qc + cc) = argmin_j (cc − 2qc) — the probe's
-    // self-dot is constant in j, so each pair costs ONE subspace dot
-    // (cc comes from the broadcast frame), not the three sqd() would do;
-    // exact integers keep the tie-break identical to the full distance.
-    val reduced = explode(array((0 until PQ_M).map(m =>
-      struct(lit(m).as("m"),
-        (col(s"cc$m") - lit(2L) * qdot(sub(col("qv"), m), sub(col("cv"), m)))
-          .as("dist"))): _*))
-    val codes = corpus.crossJoin(broadcast(cb))
-      .select(col("vec_id"), col("j"), reduced.as("x"))
-      .groupBy(col("vec_id"), col("x.m").as("m"))
-      .agg(min(struct(col("x.dist").as("dist"), col("j").as("j")))
-        .getField("j").as("code"))
-    // ADC lookup table: nQueries × PQ_M × PQ_K rows — broadcast
-    val lut = queries.crossJoin(cb)
-      .select(col("query_id"), col("j").as("lj"), perSubspace(col("qv"), col("cv"), "pd").as("x"))
-      .select(col("query_id"), col("x.m").as("lm"), col("lj"), col("x.pd").as("pd"))
+    val cb = pqCodebook(corpus)
+    val codes = pqEncode(corpus, cb)
+    val lut = pqLut(queries, cb)
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
     codes.join(broadcast(lut), col("m") === col("lm") && col("code") === col("lj"))
       .groupBy("query_id", "vec_id")
@@ -874,7 +894,108 @@ object Similarity {
       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc
       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------------ IVF-PQ composition
+  /** s09: IVF-PQ ANN — the composed form a real 100 TB vector store runs
+    * (FAISS IndexIVFPQ): s03's inverted-file cell probe bounds WHICH
+    * vectors are scored, s08's ADC table scoring bounds WHAT each score
+    * costs. Both halves are oracle-green in isolation; the composition
+    * is the same machinery chained — seedCentroids/assignToCells for the
+    * cells (the s04/s05 convention; the plant filter is a no-op on the
+    * raw corpus), pqCodebook/pqEncode/pqLut for the codes.
+    *
+    * Scale shape: at 100 TB `cell` and the 4 code ids are WRITE-TIME
+    * columns (cell the partition key — the s03 claim the
+    * TextAndDedupSpec partition-pruning test makes executable, extended
+    * here to the composed probe: the spec writes (cell, m, code) rows
+    * partitioned by cell, probes only the queries' ≤ nQueries·N_PROBE
+    * cells as literals, and pins PartitionFilters). A probe touches
+    * N_PROBE/N_CELLS of the corpus and never reads a float vector: the
+    * scoring join is broadcast(LUT ≤ nQueries·PQ_M·PQ_K rows) against
+    * the pruned code scan, partial-aggregated before its one exchange.
+    * Candidate restriction is the (cell) equi-join against the broadcast
+    * ≤ nQueries·N_PROBE probe frame — no all-pairs anywhere.
+    */
+  def ivfPqTopK(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val queries = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv"))
+    val corpus = v.filter(col("vec_id") >= nQueries)
+    val cents = seedCentroids(corpus)
+    val cassign = assignToCells(corpus, cents).select("vec_id", "cell")
+    val qprobe = assignToCells(
+        queries.withColumnRenamed("query_id", "vec_id"), cents, nBest = N_PROBE)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cb = pqCodebook(corpus)
+    val codes = pqEncode(corpus, cb)
+    val lut = pqLut(queries, cb).withColumnRenamed("query_id", "lq")
+    // probed-cell candidates: (query_id, vec_id) via the cell equi-join
+    val cand = cassign.join(broadcast(qprobe), "cell")
+      .select("query_id", "vec_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+    codes.join(cand, "vec_id")
+      .join(broadcast(lut),
+        col("m") === col("lm") && col("code") === col("lj") &&
+          col("query_id") === col("lq"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("pd")).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "adc")
+      .orderBy("query_id", "rank")
+  }
+
+  /** s09 oracle: s03's cents/assign/probe CTEs + s08's cb/enc/lut CTEs,
+    * candidates restricted to probed cells.
+    */
+  val ivfPqTopKSql: String =
+    """WITH v AS (SELECT vec_id,
+      |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS qv
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, qv FROM v WHERE vec_id < 5),
+      |corpus AS (SELECT vec_id, qv FROM v WHERE vec_id >= 5),
+      |cents AS (SELECT cell, qv AS centroid FROM (
+      |  SELECT vec_id, qv, row_number() OVER (ORDER BY vec_id) AS cell
+      |  FROM corpus WHERE vec_id % 31 = 6) WHERE cell <= 16),
+      |cassign AS (SELECT vec_id, cell FROM (
+      |  SELECT c.vec_id, cents.cell,
+      |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |      CAST(list_sum([c.qv[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
+      |        sqrt(CAST(list_sum([cents.centroid[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) DESC, cents.cell) AS r
+      |  FROM corpus c CROSS JOIN cents) WHERE r = 1),
+      |qprobe AS (SELECT query_id, cell FROM (
+      |  SELECT q.query_id, cents.cell,
+      |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |      CAST(list_sum([q.qv[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
+      |        sqrt(CAST(list_sum([cents.centroid[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) DESC, cents.cell) AS r
+      |  FROM q CROSS JOIN cents) WHERE r <= 3),
+      |cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS j, qv AS cv
+      |       FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT 16)),
+      |ms AS (SELECT unnest(range(0, 4)) AS m),
+      |d0 AS (SELECT c.vec_id, ms.m, cb.j,
+      |    CAST(list_sum([(c.qv[ms.m*16+i] - cb.cv[ms.m*16+i]) * (c.qv[ms.m*16+i] - cb.cv[ms.m*16+i])
+      |                   FOR i IN range(1, 17)]) AS BIGINT) AS dist
+      |  FROM corpus c, cb, ms),
+      |enc AS (SELECT vec_id, m, j AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+      |    FROM d0) WHERE rn = 1),
+      |lut AS (SELECT q.query_id, ms.m, cb.j,
+      |    CAST(list_sum([(q.qv[ms.m*16+i] - cb.cv[ms.m*16+i]) * (q.qv[ms.m*16+i] - cb.cv[ms.m*16+i])
+      |                   FOR i IN range(1, 17)]) AS BIGINT) AS pd
+      |  FROM q, cb, ms),
+      |cand AS (SELECT qp.query_id, ca.vec_id
+      |         FROM qprobe qp JOIN cassign ca ON qp.cell = ca.cell),
+      |adc AS (SELECT cand.query_id, cand.vec_id, CAST(sum(l.pd) AS BIGINT) AS adc
+      |  FROM cand JOIN enc e ON e.vec_id = cand.vec_id
+      |  JOIN lut l ON l.query_id = cand.query_id AND l.m = e.m AND l.j = e.code
+      |  GROUP BY 1, 2),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |             ORDER BY adc, vec_id) AS rank FROM adc)
+      |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc
+      |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s09_ivfpq_ann" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d)),
     "s08_pq_ann" -> ((s: SparkSession, d: String) => pqTopK(s, d)),
     "s07_sq8_ann" -> ((s: SparkSession, d: String) => sq8TopK(s, d)),
     "s06_kmeans_2step" -> (kmeansTwoStep _),
@@ -886,6 +1007,7 @@ object Similarity {
     "d06_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDupPairsSeeded(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "s09_ivfpq_ann" -> ivfPqTopKSql,
     "s08_pq_ann" -> pqTopKSql,
     "s07_sq8_ann" -> sq8TopKSql,
     "s06_kmeans_2step" -> kmeansTwoStepSql,

@@ -418,6 +418,52 @@ class SimilaritySpec extends SparkSpec {
       s"probe did not prune partitions:\n${p.take(800)}")
   }
 
+  test("s09 scale path is executable: cell-partitioned code table, pruned probe, same ranking") {
+    // the composed IVF-PQ claim — "cell and codes are write-time columns;
+    // a probe reads only its cells' partitions and scores via the
+    // broadcast LUT" — as running code
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    val v = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+    val queries = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("qv"))
+    val corpus = v.filter(col("vec_id") >= 5)
+    val cents = Similarity.seedCentroids(corpus)
+    val cb = Similarity.pqCodebook(corpus)
+    // write time: (cell, m, code) per vector, partitioned by cell
+    Similarity.assignToCells(corpus, cents).select("vec_id", "cell")
+      .join(Similarity.pqEncode(corpus, cb), "vec_id")
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    // query time: probe cells as literals (≤ nQueries·N_PROBE of them)
+    val qprobe = Similarity.assignToCells(
+        queries.withColumnRenamed("query_id", "vec_id"), cents, nBest = Similarity.N_PROBE)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val probeCells = qprobe.select("cell").distinct().collect().map(_.getInt(0))
+    assert(probeCells.length < Similarity.N_CELLS,
+      s"probe touches all cells — pruning untestable")
+    val codeScan = spark.read.parquet(dir)
+      .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+    val scanLine = codeScan.queryExecution.sparkPlan.toString.linesIterator
+      .find(_.contains("FileScan")).get
+    assert(scanLine.contains("PartitionFilters: [") &&
+      !scanLine.contains("PartitionFilters: []") && scanLine.contains("cell"),
+      s"probe did not prune partitions:\n$scanLine")
+    // scoring off the pruned scan equals the registered composed query
+    import org.apache.spark.sql.expressions.Window
+    val lut = Similarity.pqLut(queries, cb).withColumnRenamed("query_id", "lq")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+    val got = codeScan.join(broadcast(qprobe), "cell")
+      .join(broadcast(lut),
+        col("m") === col("lm") && col("code") === col("lj") &&
+          col("query_id") === col("lq"))
+      .groupBy("query_id", "vec_id").agg(sum(col("pd")).as("adc"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      .select("query_id", "rank", "vec_id", "adc")
+      .orderBy("query_id", "rank")
+    assert(got.collect().toSeq ==
+      Similarity.ivfPqTopK(spark, sfDir).collect().toSeq)
+  }
+
   test("d16: persisted-index probe equals the registered join form; planted cross-batch dups found") {
     val d = "/root/testdata/sf0.001"
     val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
