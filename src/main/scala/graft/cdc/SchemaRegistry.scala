@@ -105,6 +105,85 @@ object SchemaRegistry {
     }.toMap
   }
 
+  /** Is a column's logical-type transition across schema generations
+    * WIDENING (safe to replay via latest-tree decoding)? Widening means
+    * every old value decodes losslessly under the new type: bool→int,
+    * int→double, anything→string (the row image is already strings),
+    * decimal scale growth. Anything else — string→int, double→int,
+    * timestamp→date, decimal scale shrink — would silently misdecode
+    * pre-ALTER rows (unparseable values become null with no error), so
+    * it must be REJECTED loudly instead (see [[fromEventsChecked]]).
+    */
+  def isWidening(from: LogicalType, to: LogicalType): Boolean = (from, to) match {
+    case (a, b) if a == b => true
+    case (BoolInt, PlainLong) => true
+    case (PlainLong, PlainDouble) => true
+    case (_, PlainString) => true
+    case (ConnectDecimal(s1), ConnectDecimal(s2)) => s2 >= s1
+    case _ => false
+  }
+
+  final case class EvolutionViolation(db: String, tbl: String, column: String,
+      from: LogicalType, to: LogicalType)
+
+  /** Scan ALL schema generations per table and report columns whose type
+    * transition is not widening. Generations are the DISTINCT column
+    * trees, aggregated to (tree, first binlog coord) BEFORE collecting —
+    * the frame is bounded by DDL count (generations × tables), never by
+    * event count, so the driver-side fold stays catalog-sized at any
+    * scale.
+    */
+  def evolutionViolations(spark: SparkSession, path: String): Seq[EvolutionViolation] = {
+    val raw = spark.read.schema(
+      StructType(schemaTreeType.fields :+
+        StructField("payload", Envelope.dmlPayloadSchema))).json(path)
+    val gens = raw.select(
+        col("payload.source.db").as("db"),
+        col("payload.source.table").as("tbl"),
+        struct(col("payload.source.file"), col("payload.source.pos"),
+          col("payload.source.row")).as("coord"),
+        expr("filter(schema.fields, f -> f.field = 'after')[0].fields").as("cols"))
+      .filter(col("cols").isNotNull)
+      .groupBy("db", "tbl", "cols").agg(min(col("coord")).as("coord"))
+      .collect()
+    gens.groupBy(r => (r.getString(0), r.getString(1))).toSeq.flatMap {
+      case ((db, tbl), rows) =>
+        val ordered = rows.sortBy { r =>
+          val c = r.getStruct(3)
+          (c.getString(0), c.getAs[Number](1).longValue, c.getAs[Number](2).longValue)
+        }.map { r =>
+          r.getSeq[Row](2).map { f =>
+            val params = Option(f.getAs[Map[String, String]]("parameters"))
+              .getOrElse(Map.empty[String, String])
+            f.getAs[String]("field") ->
+              logicalTypeOf(f.getAs[String]("type"), f.getAs[String]("name"), params)
+          }.toMap
+        }
+        ordered.iterator.sliding(2).withPartial(false).flatMap {
+          case Seq(prev, next) =>
+            prev.keySet.intersect(next.keySet).toSeq.sorted.collect {
+              case c if !isWidening(prev(c), next(c)) =>
+                EvolutionViolation(db, tbl, c, prev(c), next(c))
+            }
+          case _ => Nil
+        }.toSeq
+    }.distinct
+  }
+
+  /** [[fromEvents]] guarded by the narrowing check: an unsupported ALTER
+    * fails the BATCH loudly (the ST4 pause-the-world discipline — the
+    * operator repairs the schema or re-snapshots) instead of silently
+    * nulling every pre-ALTER value the narrowed type can't parse.
+    */
+  def fromEventsChecked(spark: SparkSession, path: String): Map[(String, String), Seq[ColumnSpec]] = {
+    val violations = evolutionViolations(spark, path)
+    if (violations.nonEmpty)
+      throw new IllegalStateException(
+        "unsupported narrowing schema evolution: " + violations.map(v =>
+          s"${v.db}.${v.tbl}.${v.column} ${v.from} -> ${v.to}").mkString("; "))
+    fromEvents(spark, path)
+  }
+
   /** Typed projection of a string row-image map per the column specs. */
   def decodeImage(image: Column, spec: Seq[ColumnSpec]): Seq[Column] =
     spec.map { cs =>

@@ -174,6 +174,52 @@ class CdcPipelineSpec extends SparkSpec {
       .schema.fieldNames.toSeq == Seq("id", "name"))
   }
 
+  test("P3: schema evolution — a NARROWING type change is rejected loudly, not silently misdecoded") {
+    // ALTER ... MODIFY code BIGINT on a string column: latest-tree
+    // decoding would cast pre-ALTER images with string values to null
+    // with no error. The checked registry must refuse the batch naming
+    // the column and both types; a widening change must still pass.
+    def sectionJson(codeType: String): String =
+      s"""{"type":"struct","fields":[
+         |{"type":"struct","optional":true,"field":"before","fields":[
+         |  {"type":"int64","optional":false,"field":"id"},
+         |  {"type":"$codeType","optional":true,"field":"code"}]},
+         |{"type":"struct","optional":true,"field":"after","fields":[
+         |  {"type":"int64","optional":false,"field":"id"},
+         |  {"type":"$codeType","optional":true,"field":"code"}]}]}""".stripMargin.replace("\n", "")
+    def event(pos: Long, codeType: String, after: String): String =
+      s"""{"schema":${sectionJson(codeType)},"payload":{"before":null,"after":$after,
+         |"source":{"db":"shop","table":"pay6","file":"mysql-bin.000004","pos":$pos,"row":0},
+         |"op":"c","ts_ms":1}}""".stripMargin.replace("\n", "")
+    val narrowing = Seq(
+      event(10L, "string", """{"id":1,"code":"A-7"}"""),
+      event(20L, "int64", """{"id":2,"code":7}"""))
+    val dir = java.nio.file.Files.createTempDirectory("evonarrow")
+    val path = dir.resolve("events.jsonl")
+    java.nio.file.Files.write(path, narrowing.mkString("\n").getBytes("UTF-8"))
+
+    import SchemaRegistry._
+    val v = SchemaRegistry.evolutionViolations(spark, path.toString)
+    assert(v == Seq(EvolutionViolation("shop", "pay6", "code", PlainString, PlainLong)))
+    val ex = intercept[IllegalStateException] {
+      SchemaRegistry.fromEventsChecked(spark, path.toString)
+    }
+    assert(ex.getMessage.contains("shop.pay6.code") &&
+      ex.getMessage.contains("narrowing"))
+
+    // the mirror-image WIDENING change (int64 -> string) is admitted and
+    // yields the latest tree
+    val widening = Seq(
+      event(10L, "int64", """{"id":1,"code":7}"""),
+      event(20L, "string", """{"id":2,"code":"A-7"}"""))
+    val wpath = dir.resolve("widen.jsonl")
+    java.nio.file.Files.write(wpath, widening.mkString("\n").getBytes("UTF-8"))
+    assert(SchemaRegistry.evolutionViolations(spark, wpath.toString).isEmpty)
+    val spec = SchemaRegistry.fromEventsChecked(spark, wpath.toString)(("shop", "pay6"))
+    assert(spec.map(c => c.name -> c.logicalType) ==
+      Seq("id" -> PlainLong, "code" -> PlainString))
+  }
+
   test("P3: schema evolution — a column RENAMED mid-stream is drop+add under latest-tree decoding") {
     // ALTER ... RENAME COLUMN title TO headline: Debezium emits the new
     // name in post-ALTER schema sections, with no lineage to the old one
