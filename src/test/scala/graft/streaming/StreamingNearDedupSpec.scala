@@ -62,6 +62,45 @@ class StreamingNearDedupSpec extends SparkSpec {
     assert(out == Seq(Seq(1L), Seq(3L), Seq(5L), Seq(4L)), s"got $out")
   }
 
+  test("streaming persisted-index probe agrees with the batch d16 probe verdict") {
+    implicit val sqlCtx = spark.sqlContext
+    // "yesterday": the sf0.001 base corpus (doc_id % 5 != 0) indexed once
+    val d = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("smhidx").toString
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    graft.operators.Dedup.writeMinhashIndex(
+      docs.filter(expr("doc_id % 5 != 0")), dir)
+    // "today": a small delta streamed in one batch
+    val delta = docs.filter(expr("doc_id % 5 = 0 AND doc_id < 150"))
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    // batch expectation from the registered probe over the same delta
+    val batchDup = graft.operators.Dedup.probeMinhashIndex(spark, dir,
+        docs.filter(expr("doc_id % 5 = 0 AND doc_id < 150")))
+      .filter(col("is_dup") === 1).collect().map(_.getLong(0)).toSet
+    assert(batchDup.nonEmpty, "fixture lost its planted cross-batch dups")
+    val ckpt = Files.createTempDirectory("smhidx-ckpt").toString
+    val adm = scala.collection.mutable.ListBuffer[Long]()
+    val mem = MemoryStream[(Long, String)]
+    val src = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingNearDedup.indexMatches(src, dir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        adm.synchronized {
+          adm ++= StreamingNearDedup.indexAdmitted(b).collect().map(_.getLong(0))
+        }
+        ()
+      }
+      .start()
+    mem.addData(delta.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val suppressed = delta.map(_._1).toSet -- adm.toSet
+    assert(suppressed == batchDup,
+      s"streaming suppressed $suppressed, batch says $batchDup")
+  }
+
   test("signature and band keys reproduce the batch d04 family") {
     // the per-row HOF signature must equal the batch explode+aggregate
     // signature, or streaming and batch dedup would disagree
