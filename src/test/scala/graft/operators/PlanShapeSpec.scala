@@ -241,6 +241,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "thresholds not broadcast")
   }
 
+  test("d16: index-probe candidates come from the (band_idx, band_key) equi-join, never all-pairs") {
+    val p = plan("d16_incremental_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in d16:\n${p.take(3000)}")
+    // the signature confirm joins back only for candidates — the
+    // pair-distinct before it is a hash aggregate over two longs
+    assert(p.contains("HashAggregate(keys=[did"), s"pair-distinct shape:\n${p.take(3000)}")
+  }
+
+  test("s09: the only nested-loop members are the broadcast 16-row centroid/codebook frames") {
+    val p = plan("s09_ivfpq_ann")
+    assert(!p.contains("CartesianProduct"), s"cartesian in s09:\n${p.take(3000)}")
+    // crossJoins against centroids/codebook are broadcast by construction;
+    // the candidate restriction and the LUT scoring are hash joins
+    assert(p.contains("BroadcastHashJoin"), "probe/LUT joins not broadcast")
+  }
+
   test("s04: semantic-dedup candidates come from a (cell, bucket) equi-join, never all-pairs") {
     val p = plan("s04_semantic_dedup")
     // the only nested-loop member allowed is the broadcast 16-row

@@ -77,6 +77,31 @@ class Relational2Spec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("q47 sliced ranks: property check over random values with nulls, ties, and negatives") {
+    import org.apache.spark.sql.expressions.Window
+    import org.scalacheck.{Gen, rng}
+    import spark.implicits._
+    // deterministic scalacheck sample: clustered values force cross-bin
+    // and within-bin ties; scale mixes sub-cent and multi-bin magnitudes
+    val gen = Gen.listOfN(400, Gen.frequency(
+      (8, Gen.chooseNum(-500, 500).map(n => Some(n / 100.0))),
+      (3, Gen.oneOf(-1.0, 0.0, 0.005, 0.01, 2.5).map(Some(_))),
+      (2, Gen.const(Option.empty[Double]))))
+    val vals = gen.apply(Gen.Parameters.default, rng.Seed(4242L)).get
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("event_id", "prev")
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getInt(1), r.getInt(2))
+    val got = Relational2.slicedGlobalRanks(df, "prev", "event_id")
+      .select("event_id", "rn_desc", "rn_asc").collect().map(key).sortBy(_._1)
+    val ref = df
+      .withColumn("rn_desc", row_number().over(
+        Window.orderBy(col("prev").desc_nulls_last, col("event_id"))))
+      .withColumn("rn_asc", row_number().over(
+        Window.orderBy(col("prev").asc_nulls_first, col("event_id"))))
+      .select("event_id", "rn_desc", "rn_asc").collect().map(key).sortBy(_._1)
+    assert(got.sameElements(ref))
+  }
+
   test("d06 near-dup pairs are ordered, above threshold, and bucket-born") {
     val rows = Similarity.embeddingNearDupPairs(spark, sf, threshold = 0.5).collect()
     rows.foreach { r =>
