@@ -82,28 +82,40 @@ object SchemaRegistry {
     * registry is tiny (tables × columns), safely driver-resident, rebuilt
     * per batch.
     */
-  def fromEvents(spark: SparkSession, path: String): Map[(String, String), Seq[ColumnSpec]] = {
-    val raw = spark.read.schema(
+  def fromEvents(spark: SparkSession, path: String): Map[(String, String), Seq[ColumnSpec]] =
+    registryOf(schemaFrame(spark, path))
+
+  /** The (db, tbl, coord, cols) projection every registry consumer
+    * shares — one definition, so the checked path can persist it and
+    * derive both the violation scan and the registry from ONE parse.
+    */
+  private def schemaFrame(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(
       StructType(schemaTreeType.fields :+
         StructField("payload", Envelope.dmlPayloadSchema))).json(path)
-    val perTable = raw.select(
+      .select(
         col("payload.source.db").as("db"),
         col("payload.source.table").as("tbl"),
         struct(col("payload.source.file"), col("payload.source.pos"),
           col("payload.source.row")).as("coord"),
         expr("filter(schema.fields, f -> f.field = 'after')[0].fields").as("cols"))
       .filter(col("cols").isNotNull)
-      .groupBy("db", "tbl").agg(max_by(col("cols"), col("coord")).as("cols"))
-    perTable.collect().map { r =>
-      val key = (r.getString(0), r.getString(1))
-      val cols = r.getSeq[Row](2).map { f =>
-        val params = Option(f.getAs[Map[String, String]]("parameters")).getOrElse(Map.empty)
-        ColumnSpec(f.getAs[String]("field"),
-          logicalTypeOf(f.getAs[String]("type"), f.getAs[String]("name"), params))
-      }
-      key -> cols
-    }.toMap
+
+  private def specOf(f: Row): (String, LogicalType) = {
+    val params = Option(f.getAs[Map[String, String]]("parameters"))
+      .getOrElse(Map.empty[String, String])
+    f.getAs[String]("field") ->
+      logicalTypeOf(f.getAs[String]("type"), f.getAs[String]("name"), params)
   }
+
+  private def registryOf(frame: DataFrame): Map[(String, String), Seq[ColumnSpec]] =
+    frame.groupBy("db", "tbl").agg(max_by(col("cols"), col("coord")).as("cols"))
+      .collect().map { r =>
+        (r.getString(0), r.getString(1)) ->
+          r.getSeq[Row](2).map { f =>
+            val (n, t) = specOf(f); ColumnSpec(n, t)
+          }
+      }.toMap
 
   /** Is a column's logical-type transition across schema generations
     * WIDENING (safe to replay via latest-tree decoding)? Widening means
@@ -126,47 +138,40 @@ object SchemaRegistry {
   final case class EvolutionViolation(db: String, tbl: String, column: String,
       from: LogicalType, to: LogicalType)
 
-  /** Scan ALL schema generations per table and report columns whose type
-    * transition is not widening. Generations are the DISTINCT column
-    * trees, aggregated to (tree, first binlog coord) BEFORE collecting —
-    * the frame is bounded by DDL count (generations × tables), never by
-    * event count, so the driver-side fold stays catalog-sized at any
-    * scale.
+  /** Report columns whose type transitions — between CONSECUTIVE events
+    * in binlog order, per table — are not widening. The event stream is
+    * lag-compared distributively (a window per table, the latestState
+    * shape) and only the DISTINCT adjacent-generation transitions are
+    * collected, so the driver-side frame is bounded by DDL-change count,
+    * never event count. Comparing adjacent events (not distinct trees by
+    * first occurrence) is what catches a REVERT sequence A→B→A: both the
+    * A→B and B→A edges exist as adjacent pairs, while a distinct-tree
+    * scan would collapse the second A into the first and miss B→A.
     */
-  def evolutionViolations(spark: SparkSession, path: String): Seq[EvolutionViolation] = {
-    val raw = spark.read.schema(
-      StructType(schemaTreeType.fields :+
-        StructField("payload", Envelope.dmlPayloadSchema))).json(path)
-    val gens = raw.select(
-        col("payload.source.db").as("db"),
-        col("payload.source.table").as("tbl"),
-        struct(col("payload.source.file"), col("payload.source.pos"),
-          col("payload.source.row")).as("coord"),
-        expr("filter(schema.fields, f -> f.field = 'after')[0].fields").as("cols"))
-      .filter(col("cols").isNotNull)
-      .groupBy("db", "tbl", "cols").agg(min(col("coord")).as("coord"))
+  def evolutionViolations(spark: SparkSession, path: String): Seq[EvolutionViolation] =
+    violationsOf(schemaFrame(spark, path))
+
+  private def violationsOf(frame: DataFrame): Seq[EvolutionViolation] = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("db", "tbl").orderBy("coord")
+    // tree equality via the JSON rendering — the col structs carry a
+    // parameters MAP, which Spark cannot compare or group on directly
+    val transitions = frame
+      .withColumn("sig", to_json(col("cols")))
+      .withColumn("prev_cols", lag(col("cols"), 1).over(w))
+      .withColumn("prev_sig", lag(to_json(col("cols")), 1).over(w))
+      .filter(col("prev_sig").isNotNull && col("prev_sig") =!= col("sig"))
+      .groupBy("db", "tbl", "prev_sig", "sig")
+      .agg(first(col("prev_cols")).as("prev_cols"), first(col("cols")).as("cols"))
       .collect()
-    gens.groupBy(r => (r.getString(0), r.getString(1))).toSeq.flatMap {
-      case ((db, tbl), rows) =>
-        val ordered = rows.sortBy { r =>
-          val c = r.getStruct(3)
-          (c.getString(0), c.getAs[Number](1).longValue, c.getAs[Number](2).longValue)
-        }.map { r =>
-          r.getSeq[Row](2).map { f =>
-            val params = Option(f.getAs[Map[String, String]]("parameters"))
-              .getOrElse(Map.empty[String, String])
-            f.getAs[String]("field") ->
-              logicalTypeOf(f.getAs[String]("type"), f.getAs[String]("name"), params)
-          }.toMap
-        }
-        ordered.iterator.sliding(2).withPartial(false).flatMap {
-          case Seq(prev, next) =>
-            prev.keySet.intersect(next.keySet).toSeq.sorted.collect {
-              case c if !isWidening(prev(c), next(c)) =>
-                EvolutionViolation(db, tbl, c, prev(c), next(c))
-            }
-          case _ => Nil
-        }.toSeq
+    transitions.toSeq.flatMap { r =>
+      val prev = r.getAs[Seq[Row]]("prev_cols").map(specOf).toMap
+      val next = r.getAs[Seq[Row]]("cols").map(specOf).toMap
+      prev.keySet.intersect(next.keySet).toSeq.sorted.collect {
+        case c if !isWidening(prev(c), next(c)) =>
+          EvolutionViolation(r.getAs[String]("db"), r.getAs[String]("tbl"),
+            c, prev(c), next(c))
+      }
     }.distinct
   }
 
@@ -176,12 +181,16 @@ object SchemaRegistry {
     * nulling every pre-ALTER value the narrowed type can't parse.
     */
   def fromEventsChecked(spark: SparkSession, path: String): Map[(String, String), Seq[ColumnSpec]] = {
-    val violations = evolutionViolations(spark, path)
-    if (violations.nonEmpty)
-      throw new IllegalStateException(
-        "unsupported narrowing schema evolution: " + violations.map(v =>
-          s"${v.db}.${v.tbl}.${v.column} ${v.from} -> ${v.to}").mkString("; "))
-    fromEvents(spark, path)
+    // one parse feeds both the violation scan and the registry build
+    val frame = schemaFrame(spark, path).persist()
+    try {
+      val violations = violationsOf(frame)
+      if (violations.nonEmpty)
+        throw new IllegalStateException(
+          "unsupported narrowing schema evolution: " + violations.map(v =>
+            s"${v.db}.${v.tbl}.${v.column} ${v.from} -> ${v.to}").mkString("; "))
+      registryOf(frame)
+    } finally { frame.unpersist(); () }
   }
 
   /** Typed projection of a string row-image map per the column specs. */

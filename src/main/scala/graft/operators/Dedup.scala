@@ -369,8 +369,13 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** d04 oracle, generated from the same shingle/hash/band definitions. */
-  lazy val minhashLshPairsSql: String = {
+  /** Shared DuckDB CTE prefix (shingles → hashes → signatures → band
+    * keys) and the signature-agreement terms — generated ONCE from the
+    * same shingle/hash/band definitions, consumed by BOTH the d04 and
+    * d16 oracles so a seed/band/hash change cannot silently
+    * desynchronize them.
+    */
+  private lazy val minhashCtePrefixSql: String = {
     val p = HASH_P
     val sigCols = (0 until SIG_N).map(i =>
       s"min((${seedA(i)}*hm + ${seedB(i)}) % $p) AS m$i").mkString(",\n  ")
@@ -379,8 +384,6 @@ object Dedup {
         .map(i => s"m$i").mkString(", ',', ")
       s"SELECT doc_id, $b AS band_idx, concat($key) AS bkey FROM sig"
     }.mkString("\n  UNION ALL ")
-    val matchTerms = (0 until SIG_N).map(i =>
-      s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
     s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
        |g AS (SELECT doc_id,
        |        unnest(list_distinct(
@@ -393,16 +396,23 @@ object Dedup {
        |  $sigCols
        |FROM h GROUP BY doc_id),
        |bands AS (
-       |  $bandSelects),
+       |  $bandSelects)""".stripMargin
+  }
+
+  private lazy val sigMatchTermsSql: String = (0 until SIG_N).map(i =>
+    s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+
+  /** d04 oracle, generated from the same shingle/hash/band definitions. */
+  lazy val minhashLshPairsSql: String =
+    s"""$minhashCtePrefixSql,
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM bands a JOIN bands b
        |           ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |est AS (SELECT id_a, id_b,
-       |          CAST($matchTerms AS DOUBLE)/$SIG_N AS est_jaccard
+       |          CAST($sigMatchTermsSql AS DOUBLE)/$SIG_N AS est_jaccard
        |        FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
        |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.1
        |ORDER BY id_a, id_b""".stripMargin
-  }
 
   // ----------------------------------------- incremental index dedup
   /** d16: incremental near-dup of a DELTA batch against a PERSISTED
@@ -449,6 +459,14 @@ object Dedup {
           col("q.band_key") === col("x.band_key"))
       .select(col("q.doc_id").as("did"), col("x.doc_id").as("bid"))
       .distinct()
+    confirmCandidates(cand, deltaSigs, indexSigs)
+  }
+
+  /** The confirm stage over an already-generated (did, bid) candidate
+    * frame: signature agreement, best-match struct max, verdict.
+    */
+  private def confirmCandidates(cand: DataFrame, deltaSigs: DataFrame,
+      indexSigs: DataFrame): DataFrame = {
     val sq = deltaSigs.toDF("did" +: (0 until SIG_N).map(i => s"a$i"): _*)
     val sx = indexSigs.toDF("bid" +: (0 until SIG_N).map(i => s"b$i"): _*)
     val matches = (0 until SIG_N).map(i =>
@@ -466,8 +484,11 @@ object Dedup {
 
   /** Write "yesterday's" index: the band table partitioned by the band
     * key's hash bucket (what the delta probe prunes on) and the
-    * signature table. The bucket hash is Spark-internal (xxhash64) —
-    * it never reaches a result, only partition layout.
+    * signature table partitioned by a doc-id bucket (what the CONFIRM
+    * stage prunes on — without it every probe would scan the
+    * corpus-sized signature table for a tiny candidate set). Both bucket
+    * hashes are Spark-internal; they never reach a result, only
+    * partition layout.
     */
   def writeMinhashIndex(docs: DataFrame, dir: String): Unit = {
     val sigs = minhashSignatures(docs)
@@ -475,24 +496,42 @@ object Dedup {
       .withColumn("bkt",
         pmod(xxhash64(col("band_key")), lit(INDEX_BUCKETS)).cast("int"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/bands")
-    sigs.write.mode("overwrite").parquet(s"$dir/sigs")
+    sigs
+      .withColumn("sbkt", pmod(col("doc_id"), lit(INDEX_BUCKETS.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("sbkt").parquet(s"$dir/sigs")
   }
 
-  /** Probe the persisted index with a delta batch, reading only the band
-    * partitions the delta hashes into (collected as ≤ [[INDEX_BUCKETS]]
-    * literals — bounded by construction, so the collect is not
-    * delta-proportional).
+  /** Probe the persisted index with a delta batch. Every index read is
+    * partition-pruned by literals bounded by [[INDEX_BUCKETS]], never by
+    * delta or corpus size: the band scan by the delta's own band-key
+    * buckets, the signature scan by the CANDIDATES' doc-id buckets
+    * (known only after the band join — the thin candidate frame is
+    * checkpointed once so the bucket collect and the confirm join share
+    * one computation, and the delta's signatures are checkpointed so
+    * the bucket collect does not recompute the shingle pipeline).
     */
   def probeMinhashIndex(s: SparkSession, dir: String, delta: DataFrame): DataFrame = {
-    val deltaSigs = minhashSignatures(delta)
+    val deltaSigs = minhashSignatures(delta).localCheckpoint(true)
     val buckets = bandedKeys(deltaSigs)
       .select(pmod(xxhash64(col("band_key")), lit(INDEX_BUCKETS)).cast("int").as("bkt"))
       .distinct().collect().map(_.getInt(0))
     val idxBands = s.read.parquet(s"$dir/bands")
       .filter(col("bkt").isin(buckets.map(Integer.valueOf): _*))
       .select("doc_id", "band_idx", "band_key")
+    val cand = bandedKeys(deltaSigs).as("q")
+      .join(idxBands.as("x"),
+        col("q.band_idx") === col("x.band_idx") &&
+          col("q.band_key") === col("x.band_key"))
+      .select(col("q.doc_id").as("did"), col("x.doc_id").as("bid"))
+      .distinct()
+      .localCheckpoint(true)
+    val sigBuckets = cand
+      .select(pmod(col("bid"), lit(INDEX_BUCKETS.toLong)).cast("int").as("sbkt"))
+      .distinct().collect().map(_.getInt(0))
     val idxSigs = s.read.parquet(s"$dir/sigs")
-    probeSignatures(deltaSigs, idxBands, idxSigs)
+      .filter(col("sbkt").isin(sigBuckets.map(Integer.valueOf): _*))
+      .drop("sbkt")
+    confirmCandidates(cand, deltaSigs, idxSigs)
   }
 
   /** The registered d16 face: both batches derived from `documents` by
@@ -505,37 +544,15 @@ object Dedup {
     probeSignatures(deltaSigs, bandedKeys(baseSigs), baseSigs)
   }
 
-  /** d16 oracle: same sig/band CTEs as d04, split into base/delta. */
-  lazy val incrementalNearDupSql: String = {
-    val p = HASH_P
-    val sigCols = (0 until SIG_N).map(i =>
-      s"min((${seedA(i)}*hm + ${seedB(i)}) % $p) AS m$i").mkString(",\n  ")
-    val bandSelects = (0 until BANDS).map { b =>
-      val key = (b * ROWS_PER_BAND until (b + 1) * ROWS_PER_BAND)
-        .map(i => s"m$i").mkString(", ',', ")
-      s"SELECT doc_id, $b AS band_idx, concat($key) AS bkey FROM sig"
-    }.mkString("\n  UNION ALL ")
-    val matchTerms = (0 until SIG_N).map(i =>
-      s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
-       |g AS (SELECT doc_id,
-       |        unnest(list_distinct(
-       |          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-       |               ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-       |                     FOR i IN range(1, len(toks)-1)] END)) AS sh
-       |      FROM t),
-       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) % $p AS hm FROM g),
-       |sig AS (SELECT doc_id,
-       |  $sigCols
-       |FROM h GROUP BY doc_id),
-       |bands AS (
-       |  $bandSelects),
+  /** d16 oracle: the shared sig/band CTE prefix, split into base/delta. */
+  lazy val incrementalNearDupSql: String =
+    s"""$minhashCtePrefixSql,
        |q AS (SELECT * FROM bands WHERE doc_id % $INC_SPLIT = 0),
        |x AS (SELECT * FROM bands WHERE doc_id % $INC_SPLIT != 0),
        |cand AS (SELECT DISTINCT q.doc_id AS did, x.doc_id AS bid
        |         FROM q JOIN x ON q.band_idx = x.band_idx AND q.bkey = x.bkey),
        |est AS (SELECT did, bid,
-       |          CAST($matchTerms AS DOUBLE)/$SIG_N AS est
+       |          CAST($sigMatchTermsSql AS DOUBLE)/$SIG_N AS est
        |        FROM cand JOIN sig sa ON sa.doc_id = did JOIN sig sb ON sb.doc_id = bid),
        |sel AS (SELECT did, bid, est,
        |          count(*) OVER (PARTITION BY did) AS n_cand,
@@ -545,7 +562,6 @@ object Dedup {
        |  est AS est_jaccard,
        |  CASE WHEN est >= $INC_DUP_THRESHOLD THEN 1 ELSE 0 END AS is_dup
        |FROM sel WHERE rn = 1 ORDER BY doc_id""".stripMargin
-  }
 
   // --------------------------------------------------------------- SimHash
   val SIMHASH_BITS = 60 // the md5-derived base hash carries 60 bits

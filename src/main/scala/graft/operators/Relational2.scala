@@ -315,34 +315,42 @@ object Relational2 {
     * `rn_asc` (sortCol ASC NULLS FIRST, tieCol) without ever planning an
     * unpartitioned corpus window. `tieCol` must be unique (it makes the
     * total order strict, so the distributed rank is bit-identical to the
-    * single-window statement). See [[nullOrdering]] for the shape
+    * single-window statement). NaN gets its own slice flag: Spark orders
+    * NaN above every double, but `floor(NaN·100)` casts to null → bin 0,
+    * so without the flag NaN rows would sort with bin 0 instead of at
+    * the top of the DESC order. See [[nullOrdering]] for the shape
     * derivation.
     */
   def slicedGlobalRanks(df: DataFrame, sortCol: String, tieCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val p = df
       .withColumn("nn", col(sortCol).isNull.cast("int"))
+      .withColumn("nan",
+        coalesce(isnan(col(sortCol).cast("double")).cast("int"), lit(0)))
       .withColumn("bin", coalesce(floor(col(sortCol) * 100).cast("long"), lit(0L)))
-    val counts = p.groupBy("nn", "bin").agg(count(lit(1)).as("cnt"))
-    // prefix sums over the tiny bin frame — bounded by the value domain
-    val wDesc = Window.orderBy(col("nn").asc, col("bin").desc)
+    val counts = p.groupBy("nn", "nan", "bin").agg(count(lit(1)).as("cnt"))
+    // prefix sums over the tiny bin frame — bounded by the value domain.
+    // NaN sorts above all numbers, so the slice order is (NaN, numbers
+    // desc, nulls) under DESC NULLS LAST and (nulls, numbers asc, NaN)
+    // under ASC NULLS FIRST
+    val wDesc = Window.orderBy(col("nn").asc, col("nan").desc, col("bin").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wAsc = Window.orderBy(col("nn").desc, col("bin").asc)
+    val wAsc = Window.orderBy(col("nn").desc, col("nan").asc, col("bin").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val bases = counts
       .withColumn("base_desc", coalesce(sum(col("cnt")).over(wDesc), lit(0L)))
       .withColumn("base_asc", coalesce(sum(col("cnt")).over(wAsc), lit(0L)))
-      .select("nn", "bin", "base_desc", "base_asc")
-    val wLocalDesc = Window.partitionBy(col("nn"), col("bin"))
+      .select("nn", "nan", "bin", "base_desc", "base_asc")
+    val wLocalDesc = Window.partitionBy(col("nn"), col("nan"), col("bin"))
       .orderBy(col(sortCol).desc_nulls_last, col(tieCol))
-    val wLocalAsc = Window.partitionBy(col("nn"), col("bin"))
+    val wLocalAsc = Window.partitionBy(col("nn"), col("nan"), col("bin"))
       .orderBy(col(sortCol).asc_nulls_first, col(tieCol))
-    p.join(broadcast(bases), Seq("nn", "bin"))
+    p.join(broadcast(bases), Seq("nn", "nan", "bin"))
       .withColumn("rn_desc",
         (col("base_desc") + row_number().over(wLocalDesc)).cast("int"))
       .withColumn("rn_asc",
         (col("base_asc") + row_number().over(wLocalAsc)).cast("int"))
-      .drop("nn", "bin", "base_desc", "base_asc")
+      .drop("nn", "nan", "bin", "base_desc", "base_asc")
   }
 
   def nullOrdering(s: SparkSession, d: String): DataFrame = {

@@ -44,9 +44,12 @@ object StreamingJoins {
   /** Stream-STATIC dimension enrichment — the other production join: an
     * unbounded fact stream against a bounded dimension table (the CDC
     * latest-state output, a nation/customer dim, a mixture-config frame).
-    * No watermark and NO STATE: the static side re-resolves per
-    * micro-batch (so a dim refresh is picked up batch-over-batch) and
-    * Spark broadcasts it when it fits, exactly as in batch. left_outer
+    * No watermark and NO STATE: the static plan RE-EXECUTES per
+    * micro-batch and Spark broadcasts it when it fits, exactly as in
+    * batch. Whether a dim refresh is picked up batch-over-batch depends
+    * on the static source: a JDBC/catalog/Delta-backed dim re-resolves
+    * in place; a path-based parquet read pins its file listing at query
+    * start and needs a (stateless, offsets-only) query restart. left_outer
     * keeps facts whose dimension row is missing (nulls), the
     * data-quality-visible form; inner silently drops them.
     */

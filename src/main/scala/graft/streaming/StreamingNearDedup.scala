@@ -154,9 +154,12 @@ object StreamingNearDedup {
     * [[verdicts]]' within-stream state cannot see, with no state at all:
     * a stream-STATIC left-outer equi-join on (band_idx, band_key), the
     * signature-agreement confirm only for candidate rows, one row out
-    * per (doc, band[, candidate]). The static side is re-resolved per
-    * micro-batch (the dimensionEnrich contract), so an index refresh is
-    * picked up on the next trigger without restarting the query.
+    * per (doc, band[, candidate]). The static plan RE-EXECUTES per
+    * micro-batch, but a path-based parquet read pins its file listing at
+    * query start — an index refresh is picked up by RESTARTING the
+    * query, which is free here precisely because there is no state (the
+    * checkpoint holds only source offsets); a catalog/Delta-backed index
+    * would re-resolve in place.
     * Per-event work is bounded by the d04 banding (≤ BANDS index
     * lookups); at scale the join partitions by band_key exactly as the
     * batch probe does. Feed micro-batches through [[indexAdmitted]];
@@ -173,7 +176,7 @@ object StreamingNearDedup {
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
     val idxBands = spark.read.parquet(s"$indexDir/bands")
       .select(col("doc_id").as("index_id"), col("band_idx"), col("band_key"))
-    val idxSigs = spark.read.parquet(s"$indexDir/sigs")
+    val idxSigs = spark.read.parquet(s"$indexDir/sigs").drop("sbkt")
       .toDF("sig_id" +: (0 until Dedup.SIG_N).map(i => s"m$i"): _*)
     val agree = (0 until Dedup.SIG_N).map(i =>
       when(element_at(col("_sig"), i + 1) === col(s"m$i"), 1).otherwise(0))

@@ -218,6 +218,21 @@ class CdcPipelineSpec extends SparkSpec {
     val spec = SchemaRegistry.fromEventsChecked(spark, wpath.toString)(("shop", "pay6"))
     assert(spec.map(c => c.name -> c.logicalType) ==
       Seq("id" -> PlainLong, "code" -> PlainString))
+
+    // a REVERT sequence int64 -> string -> int64 hides the narrowing
+    // from any distinct-tree scan (the second int64 tree IS the first);
+    // adjacent-event comparison must still see the string -> int64 edge
+    val revert = Seq(
+      event(10L, "int64", """{"id":1,"code":7}"""),
+      event(20L, "string", """{"id":2,"code":"A-7"}"""),
+      event(30L, "int64", """{"id":3,"code":9}"""))
+    val rpath = dir.resolve("revert.jsonl")
+    java.nio.file.Files.write(rpath, revert.mkString("\n").getBytes("UTF-8"))
+    assert(SchemaRegistry.evolutionViolations(spark, rpath.toString) ==
+      Seq(EvolutionViolation("shop", "pay6", "code", PlainString, PlainLong)))
+    intercept[IllegalStateException] {
+      SchemaRegistry.fromEventsChecked(spark, rpath.toString)
+    }
   }
 
   test("P3: schema evolution — a column RENAMED mid-stream is drop+add under latest-tree decoding") {

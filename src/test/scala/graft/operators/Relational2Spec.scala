@@ -58,11 +58,13 @@ class Relational2Spec extends SparkSpec {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     // adversarial fixture: negative values (negative bins), exact ties
-    // (cross- and within-bin), nulls, and values straddling bin edges
+    // (cross- and within-bin), nulls, NaN (sorts above every double, but
+    // floor(NaN·100) would land it in bin 0), and bin-edge values
     val df = Seq(
       (1L, Some(-1.37)), (2L, Some(-1.37)), (3L, Some(-0.005)),
       (4L, Some(0.0)), (5L, None), (6L, Some(0.01)), (7L, Some(0.01)),
-      (8L, Some(249.99)), (9L, Some(250.0)), (10L, None), (11L, Some(-0.004))
+      (8L, Some(249.99)), (9L, Some(250.0)), (10L, None), (11L, Some(-0.004)),
+      (12L, Some(Double.NaN)), (13L, Some(Double.NaN))
     ).toDF("event_id", "prev")
     val got = Relational2.slicedGlobalRanks(df, "prev", "event_id")
       .select("event_id", "rn_desc", "rn_asc").collect()
@@ -86,6 +88,7 @@ class Relational2Spec extends SparkSpec {
     val gen = Gen.listOfN(400, Gen.frequency(
       (8, Gen.chooseNum(-500, 500).map(n => Some(n / 100.0))),
       (3, Gen.oneOf(-1.0, 0.0, 0.005, 0.01, 2.5).map(Some(_))),
+      (1, Gen.const(Some(Double.NaN))),
       (2, Gen.const(Option.empty[Double]))))
     val vals = gen.apply(Gen.Parameters.default, rng.Seed(4242L)).get
     val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
