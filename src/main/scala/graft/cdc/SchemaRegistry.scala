@@ -120,8 +120,10 @@ object SchemaRegistry {
   /** Is a column's logical-type transition across schema generations
     * WIDENING (safe to replay via latest-tree decoding)? Widening means
     * every old value decodes losslessly under the new type: bool→int,
-    * int→double, anything→string (the row image is already strings),
-    * decimal scale growth. Anything else — string→int, double→int,
+    * anything→string (the row image is already strings), decimal scale
+    * growth. int→double is NOT whitelisted: longs above 2^53 change
+    * value under a double decode — the silent-misdecode class this
+    * guard exists to reject. Anything else — string→int, double→int,
     * timestamp→date, decimal scale shrink — would silently misdecode
     * pre-ALTER rows (unparseable values become null with no error), so
     * it must be REJECTED loudly instead (see [[fromEventsChecked]]).
@@ -129,7 +131,6 @@ object SchemaRegistry {
   def isWidening(from: LogicalType, to: LogicalType): Boolean = (from, to) match {
     case (a, b) if a == b => true
     case (BoolInt, PlainLong) => true
-    case (PlainLong, PlainDouble) => true
     case (_, PlainString) => true
     case (ConnectDecimal(s1), ConnectDecimal(s2)) => s2 >= s1
     case _ => false
@@ -138,40 +139,42 @@ object SchemaRegistry {
   final case class EvolutionViolation(db: String, tbl: String, column: String,
       from: LogicalType, to: LogicalType)
 
-  /** Report columns whose type transitions — between CONSECUTIVE events
-    * in binlog order, per table — are not widening. The event stream is
-    * lag-compared distributively (a window per table, the latestState
-    * shape) and only the DISTINCT adjacent-generation transitions are
-    * collected, so the driver-side frame is bounded by DDL-change count,
-    * never event count. Comparing adjacent events (not distinct trees by
-    * first occurrence) is what catches a REVERT sequence A→B→A: both the
-    * A→B and B→A edges exist as adjacent pairs, while a distinct-tree
-    * scan would collapse the second A into the first and miss B→A.
+  /** Report columns whose type transitions are not widening. Each
+    * COLUMN's type history is lag-compared per (db, tbl, column) in
+    * binlog order over the events where the column exists — so a revert
+    * sequence A→B→A keeps its B→A edge, and a DROP + re-ADD at a
+    * different type still compares the column's consecutive OCCURRENCES
+    * (a tree-level adjacent compare would see only an intersecting-key
+    * no-op on each edge and miss the narrowing entirely). Only the
+    * DISTINCT transitions are collected, so the driver-side frame is
+    * bounded by DDL-change count, never event count.
     */
   def evolutionViolations(spark: SparkSession, path: String): Seq[EvolutionViolation] =
     violationsOf(schemaFrame(spark, path))
 
   private def violationsOf(frame: DataFrame): Seq[EvolutionViolation] = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("db", "tbl").orderBy("coord")
-    // tree equality via the JSON rendering — the col structs carry a
+      .partitionBy("db", "tbl", "column").orderBy("coord")
+    // type equality via the JSON rendering — the col structs carry a
     // parameters MAP, which Spark cannot compare or group on directly
     val transitions = frame
-      .withColumn("sig", to_json(col("cols")))
-      .withColumn("prev_cols", lag(col("cols"), 1).over(w))
-      .withColumn("prev_sig", lag(to_json(col("cols")), 1).over(w))
-      .filter(col("prev_sig").isNotNull && col("prev_sig") =!= col("sig"))
-      .groupBy("db", "tbl", "prev_sig", "sig")
-      .agg(first(col("prev_cols")).as("prev_cols"), first(col("cols")).as("cols"))
+      .select(col("db"), col("tbl"), col("coord"), explode(col("cols")).as("f"))
+      .select(col("db"), col("tbl"), col("coord"),
+        col("f.field").as("column"),
+        to_json(struct(col("f.type"), col("f.name"), col("f.parameters"))).as("tsig"),
+        col("f"))
+      .withColumn("prev_tsig", lag(col("tsig"), 1).over(w))
+      .withColumn("prev_f", lag(col("f"), 1).over(w))
+      .filter(col("prev_tsig").isNotNull && col("prev_tsig") =!= col("tsig"))
+      .groupBy("db", "tbl", "column", "prev_tsig", "tsig")
+      .agg(first(col("prev_f")).as("prev_f"), first(col("f")).as("f"))
       .collect()
     transitions.toSeq.flatMap { r =>
-      val prev = r.getAs[Seq[Row]]("prev_cols").map(specOf).toMap
-      val next = r.getAs[Seq[Row]]("cols").map(specOf).toMap
-      prev.keySet.intersect(next.keySet).toSeq.sorted.collect {
-        case c if !isWidening(prev(c), next(c)) =>
-          EvolutionViolation(r.getAs[String]("db"), r.getAs[String]("tbl"),
-            c, prev(c), next(c))
-      }
+      val (_, from) = specOf(r.getAs[Row]("prev_f"))
+      val (_, to) = specOf(r.getAs[Row]("f"))
+      if (isWidening(from, to)) Nil
+      else Seq(EvolutionViolation(r.getAs[String]("db"), r.getAs[String]("tbl"),
+        r.getAs[String]("column"), from, to))
     }.distinct
   }
 

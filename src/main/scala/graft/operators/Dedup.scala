@@ -512,13 +512,18 @@ object Dedup {
     */
   def probeMinhashIndex(s: SparkSession, dir: String, delta: DataFrame): DataFrame = {
     val deltaSigs = minhashSignatures(delta).localCheckpoint(true)
-    val buckets = bandedKeys(deltaSigs)
+    // one banded frame feeds both the bucket collect and the candidate
+    // join — two uncheckpointed subtrees would recompute the band-key
+    // concat (column pruning makes them differ, so ReuseExchange
+    // would not dedup them)
+    val deltaBands = bandedKeys(deltaSigs).localCheckpoint(true)
+    val buckets = deltaBands
       .select(pmod(xxhash64(col("band_key")), lit(INDEX_BUCKETS)).cast("int").as("bkt"))
       .distinct().collect().map(_.getInt(0))
     val idxBands = s.read.parquet(s"$dir/bands")
       .filter(col("bkt").isin(buckets.map(Integer.valueOf): _*))
       .select("doc_id", "band_idx", "band_key")
-    val cand = bandedKeys(deltaSigs).as("q")
+    val cand = deltaBands.as("q")
       .join(idxBands.as("x"),
         col("q.band_idx") === col("x.band_idx") &&
           col("q.band_key") === col("x.band_key"))

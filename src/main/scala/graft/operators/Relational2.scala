@@ -324,33 +324,33 @@ object Relational2 {
   def slicedGlobalRanks(df: DataFrame, sortCol: String, tieCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val p = df
-      .withColumn("nn", col(sortCol).isNull.cast("int"))
-      .withColumn("nan",
+      .withColumn("_sgr_nn", col(sortCol).isNull.cast("int"))
+      .withColumn("_sgr_nan",
         coalesce(isnan(col(sortCol).cast("double")).cast("int"), lit(0)))
-      .withColumn("bin", coalesce(floor(col(sortCol) * 100).cast("long"), lit(0L)))
-    val counts = p.groupBy("nn", "nan", "bin").agg(count(lit(1)).as("cnt"))
+      .withColumn("_sgr_bin", coalesce(floor(col(sortCol) * 100).cast("long"), lit(0L)))
+    val counts = p.groupBy("_sgr_nn", "_sgr_nan", "_sgr_bin").agg(count(lit(1)).as("cnt"))
     // prefix sums over the tiny bin frame — bounded by the value domain.
     // NaN sorts above all numbers, so the slice order is (NaN, numbers
     // desc, nulls) under DESC NULLS LAST and (nulls, numbers asc, NaN)
     // under ASC NULLS FIRST
-    val wDesc = Window.orderBy(col("nn").asc, col("nan").desc, col("bin").desc)
+    val wDesc = Window.orderBy(col("_sgr_nn").asc, col("_sgr_nan").desc, col("_sgr_bin").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wAsc = Window.orderBy(col("nn").desc, col("nan").asc, col("bin").asc)
+    val wAsc = Window.orderBy(col("_sgr_nn").desc, col("_sgr_nan").asc, col("_sgr_bin").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val bases = counts
-      .withColumn("base_desc", coalesce(sum(col("cnt")).over(wDesc), lit(0L)))
-      .withColumn("base_asc", coalesce(sum(col("cnt")).over(wAsc), lit(0L)))
-      .select("nn", "nan", "bin", "base_desc", "base_asc")
-    val wLocalDesc = Window.partitionBy(col("nn"), col("nan"), col("bin"))
+      .withColumn("_sgr_base_desc", coalesce(sum(col("cnt")).over(wDesc), lit(0L)))
+      .withColumn("_sgr_base_asc", coalesce(sum(col("cnt")).over(wAsc), lit(0L)))
+      .select("_sgr_nn", "_sgr_nan", "_sgr_bin", "_sgr_base_desc", "_sgr_base_asc")
+    val wLocalDesc = Window.partitionBy(col("_sgr_nn"), col("_sgr_nan"), col("_sgr_bin"))
       .orderBy(col(sortCol).desc_nulls_last, col(tieCol))
-    val wLocalAsc = Window.partitionBy(col("nn"), col("nan"), col("bin"))
+    val wLocalAsc = Window.partitionBy(col("_sgr_nn"), col("_sgr_nan"), col("_sgr_bin"))
       .orderBy(col(sortCol).asc_nulls_first, col(tieCol))
-    p.join(broadcast(bases), Seq("nn", "nan", "bin"))
+    p.join(broadcast(bases), Seq("_sgr_nn", "_sgr_nan", "_sgr_bin"))
       .withColumn("rn_desc",
-        (col("base_desc") + row_number().over(wLocalDesc)).cast("int"))
+        (col("_sgr_base_desc") + row_number().over(wLocalDesc)).cast("int"))
       .withColumn("rn_asc",
-        (col("base_asc") + row_number().over(wLocalAsc)).cast("int"))
-      .drop("nn", "nan", "bin", "base_desc", "base_asc")
+        (col("_sgr_base_asc") + row_number().over(wLocalAsc)).cast("int"))
+      .drop("_sgr_nn", "_sgr_nan", "_sgr_bin", "_sgr_base_desc", "_sgr_base_asc")
   }
 
   def nullOrdering(s: SparkSession, d: String): DataFrame = {

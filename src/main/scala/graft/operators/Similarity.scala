@@ -867,24 +867,24 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  val pqTopKSql: String =
-    """WITH v AS (SELECT vec_id,
+  lazy val pqTopKSql: String =
+    s"""WITH v AS (SELECT vec_id,
       |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS qv
       |  FROM embeddings),
       |q AS (SELECT vec_id AS query_id, qv FROM v WHERE vec_id < 5),
       |cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS j, qv AS cv
-      |       FROM (SELECT * FROM v WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16)),
-      |ms AS (SELECT unnest(range(0, 4)) AS m),
+      |       FROM (SELECT * FROM v WHERE vec_id >= 5 ORDER BY vec_id LIMIT $PQ_K)),
+      |ms AS (SELECT unnest(range(0, $PQ_M)) AS m),
       |d0 AS (SELECT c.vec_id, ms.m, cb.j,
-      |    CAST(list_sum([(c.qv[ms.m*16+i] - cb.cv[ms.m*16+i]) * (c.qv[ms.m*16+i] - cb.cv[ms.m*16+i])
-      |                   FOR i IN range(1, 17)]) AS BIGINT) AS dist
+      |    CAST(list_sum([(c.qv[ms.m*$PQ_SUBDIM+i] - cb.cv[ms.m*$PQ_SUBDIM+i]) * (c.qv[ms.m*$PQ_SUBDIM+i] - cb.cv[ms.m*$PQ_SUBDIM+i])
+      |                   FOR i IN range(1, ${PQ_SUBDIM + 1})]) AS BIGINT) AS dist
       |  FROM (SELECT vec_id, qv FROM v WHERE vec_id >= 5) c, cb, ms),
       |enc AS (SELECT vec_id, m, j AS code FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
       |    FROM d0) WHERE rn = 1),
       |lut AS (SELECT q.query_id, ms.m, cb.j,
-      |    CAST(list_sum([(q.qv[ms.m*16+i] - cb.cv[ms.m*16+i]) * (q.qv[ms.m*16+i] - cb.cv[ms.m*16+i])
-      |                   FOR i IN range(1, 17)]) AS BIGINT) AS pd
+      |    CAST(list_sum([(q.qv[ms.m*$PQ_SUBDIM+i] - cb.cv[ms.m*$PQ_SUBDIM+i]) * (q.qv[ms.m*$PQ_SUBDIM+i] - cb.cv[ms.m*$PQ_SUBDIM+i])
+      |                   FOR i IN range(1, ${PQ_SUBDIM + 1})]) AS BIGINT) AS pd
       |  FROM q, cb, ms),
       |adc AS (SELECT l.query_id, e.vec_id, CAST(sum(l.pd) AS BIGINT) AS adc
       |  FROM enc e JOIN lut l ON l.m = e.m AND l.j = e.code
@@ -948,15 +948,15 @@ object Similarity {
   /** s09 oracle: s03's cents/assign/probe CTEs + s08's cb/enc/lut CTEs,
     * candidates restricted to probed cells.
     */
-  val ivfPqTopKSql: String =
-    """WITH v AS (SELECT vec_id,
+  lazy val ivfPqTopKSql: String =
+    s"""WITH v AS (SELECT vec_id,
       |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS qv
       |  FROM embeddings),
       |q AS (SELECT vec_id AS query_id, qv FROM v WHERE vec_id < 5),
       |corpus AS (SELECT vec_id, qv FROM v WHERE vec_id >= 5),
       |cents AS (SELECT cell, qv AS centroid FROM (
       |  SELECT vec_id, qv, row_number() OVER (ORDER BY vec_id) AS cell
-      |  FROM corpus WHERE vec_id % 31 = 6) WHERE cell <= 16),
+      |  FROM corpus WHERE vec_id % 31 = 6) WHERE cell <= $N_CELLS),
       |cassign AS (SELECT vec_id, cell FROM (
       |  SELECT c.vec_id, cents.cell,
       |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
@@ -968,20 +968,20 @@ object Similarity {
       |    row_number() OVER (PARTITION BY q.query_id ORDER BY
       |      CAST(list_sum([q.qv[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
       |        sqrt(CAST(list_sum([cents.centroid[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) DESC, cents.cell) AS r
-      |  FROM q CROSS JOIN cents) WHERE r <= 3),
+      |  FROM q CROSS JOIN cents) WHERE r <= $N_PROBE),
       |cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS j, qv AS cv
-      |       FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT 16)),
-      |ms AS (SELECT unnest(range(0, 4)) AS m),
+      |       FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT $PQ_K)),
+      |ms AS (SELECT unnest(range(0, $PQ_M)) AS m),
       |d0 AS (SELECT c.vec_id, ms.m, cb.j,
-      |    CAST(list_sum([(c.qv[ms.m*16+i] - cb.cv[ms.m*16+i]) * (c.qv[ms.m*16+i] - cb.cv[ms.m*16+i])
-      |                   FOR i IN range(1, 17)]) AS BIGINT) AS dist
+      |    CAST(list_sum([(c.qv[ms.m*$PQ_SUBDIM+i] - cb.cv[ms.m*$PQ_SUBDIM+i]) * (c.qv[ms.m*$PQ_SUBDIM+i] - cb.cv[ms.m*$PQ_SUBDIM+i])
+      |                   FOR i IN range(1, ${PQ_SUBDIM + 1})]) AS BIGINT) AS dist
       |  FROM corpus c, cb, ms),
       |enc AS (SELECT vec_id, m, j AS code FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
       |    FROM d0) WHERE rn = 1),
       |lut AS (SELECT q.query_id, ms.m, cb.j,
-      |    CAST(list_sum([(q.qv[ms.m*16+i] - cb.cv[ms.m*16+i]) * (q.qv[ms.m*16+i] - cb.cv[ms.m*16+i])
-      |                   FOR i IN range(1, 17)]) AS BIGINT) AS pd
+      |    CAST(list_sum([(q.qv[ms.m*$PQ_SUBDIM+i] - cb.cv[ms.m*$PQ_SUBDIM+i]) * (q.qv[ms.m*$PQ_SUBDIM+i] - cb.cv[ms.m*$PQ_SUBDIM+i])
+      |                   FOR i IN range(1, ${PQ_SUBDIM + 1})]) AS BIGINT) AS pd
       |  FROM q, cb, ms),
       |cand AS (SELECT qp.query_id, ca.vec_id
       |         FROM qprobe qp JOIN cassign ca ON qp.cell = ca.cell),

@@ -233,6 +233,36 @@ class CdcPipelineSpec extends SparkSpec {
     intercept[IllegalStateException] {
       SchemaRegistry.fromEventsChecked(spark, rpath.toString)
     }
+
+    // DROP then re-ADD at a narrower type: no adjacent tree pair shares
+    // the column, but its consecutive OCCURRENCES narrow string -> int64
+    // — the per-column compare must still reject it
+    val idOnly =
+      s"""{"schema":{"type":"struct","fields":[
+         |{"type":"struct","optional":true,"field":"before","fields":[
+         |  {"type":"int64","optional":false,"field":"id"}]},
+         |{"type":"struct","optional":true,"field":"after","fields":[
+         |  {"type":"int64","optional":false,"field":"id"}]}]},
+         |"payload":{"before":null,"after":{"id":2},
+         |"source":{"db":"shop","table":"pay6","file":"mysql-bin.000004","pos":20,"row":0},
+         |"op":"c","ts_ms":1}}""".stripMargin.replace("\n", "")
+    val dropAdd = Seq(
+      event(10L, "string", """{"id":1,"code":"A-7"}"""),
+      idOnly,
+      event(30L, "int64", """{"id":3,"code":9}"""))
+    val dpath = dir.resolve("dropadd.jsonl")
+    java.nio.file.Files.write(dpath, dropAdd.mkString("\n").getBytes("UTF-8"))
+    assert(SchemaRegistry.evolutionViolations(spark, dpath.toString) ==
+      Seq(EvolutionViolation("shop", "pay6", "code", PlainString, PlainLong)))
+
+    // and int64 -> double is NOT widening: longs above 2^53 change value
+    val toDouble = Seq(
+      event(10L, "int64", """{"id":1,"code":9007199254740993}"""),
+      event(20L, "float64", """{"id":2,"code":1.5}"""))
+    val fpath = dir.resolve("todouble.jsonl")
+    java.nio.file.Files.write(fpath, toDouble.mkString("\n").getBytes("UTF-8"))
+    assert(SchemaRegistry.evolutionViolations(spark, fpath.toString) ==
+      Seq(EvolutionViolation("shop", "pay6", "code", PlainLong, PlainDouble)))
   }
 
   test("P3: schema evolution — a column RENAMED mid-stream is drop+add under latest-tree decoding") {

@@ -165,7 +165,7 @@ class PlanShapeSpec extends SparkSpec {
     val rankWindows = p.linesIterator.filter(l =>
       l.contains("Window") && l.contains("row_number")).toSeq
     assert(rankWindows.nonEmpty, s"no rank windows found:\n${p.take(3000)}")
-    rankWindows.foreach(l => assert(l.contains("bin#"),
+    rankWindows.foreach(l => assert(l.contains("_sgr_bin#"),
       s"unpartitioned global rank window:\n$l"))
     // bin ids are arithmetic on the sort key, not physical partitioning
     assert(!p.contains("SPARK_PARTITION_ID") && !p.contains("rangepartitioning(prev"),

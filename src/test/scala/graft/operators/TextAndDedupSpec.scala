@@ -507,11 +507,13 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("bkt").isin(someBuckets: _*)), "bkt")
     pinPruned(spark.read.parquet(s"$dir/sigs")
       .filter(col("sbkt").isin(someBuckets: _*)), "sbkt")
-    // and the full probe executes with both pruned scans (file-level
-    // pruning shows in the scan logs; result equality is pinned in the
-    // companion test)
-    assert(Dedup.probeMinhashIndex(spark, dir, delta).collect().nonEmpty ||
-      delta.isEmpty)
+    // and the full pruned probe returns exactly what the un-persisted
+    // join form computes on the same split (not fixture-dependent)
+    val deltaSigs = Dedup.minhashSignatures(delta)
+    val baseSigs = Dedup.minhashSignatures(docs.filter(expr("doc_id % 100 != 0")))
+    val expected = Dedup.probeSignatures(deltaSigs,
+      Dedup.bandedKeys(baseSigs), baseSigs).collect().toSeq
+    assert(Dedup.probeMinhashIndex(spark, dir, delta).collect().toSeq == expected)
   }
 
   test("neardupReport yields d07/d14/d15 outputs from one pair-pipeline run") {
