@@ -568,6 +568,109 @@ object Dedup {
        |  CASE WHEN est >= $INC_DUP_THRESHOLD THEN 1 ELSE 0 END AS is_dup
        |FROM sel WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- incremental EXACT index dedup
+  /** d17: exact incremental dedup of a delta batch against a persisted
+    * content-hash index — the cheap first tier in front of d16's
+    * near-dup probe (production runs exact-then-near: most re-crawls
+    * are byte-identical and never need a signature). The persisted
+    * index is (md5, keeper id) partitioned by a hash bucket, PLUS a
+    * Bloom filter over the hashes: the probe drops non-dup delta rows
+    * with a codegen [[BloomFilterMightContain]] BEFORE any join or
+    * exchange — at 100 TB with a ~1% dup rate that is a ~99% cut in
+    * shuffled volume (fpp extra rows are harmless: the join still
+    * decides membership exactly). Remaining index reads are
+    * partition-pruned by the SURVIVORS' hash buckets (≤
+    * [[INDEX_BUCKETS]] literals).
+    *
+    * The corpus has no organic exact duplicates (d01: 500 distinct
+    * hashes of 500 docs), so the registered query PLANTS deterministic
+    * copies of base docs into the delta — the d06 discipline, mirrored
+    * in the oracle — and reports each delta doc's base keeper.
+    */
+  val EXACT_PLANT_OFFSET = 10000000L
+  val EXACT_PLANT_STRIDE = 83L
+
+  def incrementalExact(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs.filter(expr(s"doc_id % $INC_SPLIT != 0"))
+    val index = base
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("match_id"))
+    // delta = the %INC_SPLIT slice + planted exact copies of base docs
+    val delta = docs.filter(expr(s"doc_id % $INC_SPLIT = 0"))
+      .select(col("doc_id"), col("text"))
+      .unionAll(base
+        .filter(expr(s"doc_id % $EXACT_PLANT_STRIDE = 1"))
+        .select((col("doc_id") + EXACT_PLANT_OFFSET).as("doc_id"), col("text")))
+    delta.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(index, "h")
+      .select("doc_id", "match_id")
+      .orderBy("doc_id")
+  }
+
+  lazy val incrementalExactSql: String =
+    s"""WITH b AS (SELECT md5(text) AS h, min(doc_id) AS match_id
+       |           FROM documents WHERE doc_id % $INC_SPLIT != 0 GROUP BY 1),
+       |delta AS (SELECT doc_id, text FROM documents WHERE doc_id % $INC_SPLIT = 0
+       |          UNION ALL
+       |          SELECT doc_id + $EXACT_PLANT_OFFSET, text FROM documents
+       |          WHERE doc_id % $INC_SPLIT != 0 AND doc_id % $EXACT_PLANT_STRIDE = 1)
+       |SELECT d.doc_id, b.match_id
+       |FROM delta d JOIN b ON md5(d.text) = b.h
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Write the exact index: (h, match_id) partitioned by hash bucket,
+    * plus the serialized Bloom filter over the hashes.
+    */
+  def writeExactIndex(docs: DataFrame, dir: String,
+      expectedKeys: Long = 1000000L, fpp: Double = 0.01): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.ColumnShim
+    val index = docs
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("match_id"))
+    index
+      .withColumn("hbkt", pmod(xxhash64(col("h")), lit(INDEX_BUCKETS)).cast("int"))
+      .write.mode("overwrite").partitionBy("hbkt").parquet(s"$dir/hashes")
+    // the bloom caps mirror bloomPrunedJoin's (ScalePatterns) clamping
+    val items = math.min(expectedKeys, 4000000L)
+    val numBits = math.min(
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp),
+      67108864L)
+    val bfBytes = index.select(ColumnShim.column(
+        new BloomFilterAggregate(ColumnShim.expression(xxhash64(col("h"))),
+          Literal(items), Literal(numBits)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bloom.bin"), bfBytes)
+  }
+
+  /** Probe the exact index: bloom-prefilter the delta (codegen, no
+    * shuffle), then read only the SURVIVORS' hash-bucket partitions and
+    * join. Both the bloom literal and the bucket list are
+    * size-bounded — nothing driver-side is delta- or corpus-
+    * proportional.
+    */
+  def probeExactIndex(s: SparkSession, dir: String, delta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.ColumnShim
+    import org.apache.spark.sql.types.BinaryType
+    val bfBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "bloom.bin"))
+    val hashed = delta.select(col("doc_id"), md5(col("text")).as("h"))
+    val pruned = hashed.filter(ColumnShim.column(
+        BloomFilterMightContain(Literal(bfBytes, BinaryType),
+          ColumnShim.expression(xxhash64(col("h"))))))
+      .localCheckpoint(true)
+    val buckets = pruned
+      .select(pmod(xxhash64(col("h")), lit(INDEX_BUCKETS)).cast("int").as("hbkt"))
+      .distinct().collect().map(_.getInt(0))
+    val index = s.read.parquet(s"$dir/hashes")
+      .filter(col("hbkt").isin(buckets.map(Integer.valueOf): _*))
+      .select("h", "match_id")
+    pruned.join(index, "h")
+      .select("doc_id", "match_id")
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------------- SimHash
   val SIMHASH_BITS = 60 // the md5-derived base hash carries 60 bits
 
@@ -1384,9 +1487,11 @@ object Dedup {
     "d13_substring_dedup" -> (substringDupStats _),
     "d14_quality_survivors" -> (qualitySurvivors _),
     "d15_edit_distance" -> (editDistancePairs _),
-    "d16_incremental_neardup" -> (incrementalNearDup _))
+    "d16_incremental_neardup" -> (incrementalNearDup _),
+    "d17_incremental_exact" -> (incrementalExact _))
 
   val oracles: Map[String, String] = Map(
+    "d17_incremental_exact" -> incrementalExactSql,
     "d16_incremental_neardup" -> incrementalNearDupSql,
     "d15_edit_distance" -> editDistancePairsSql,
     "d14_quality_survivors" -> qualitySurvivorsSql,

@@ -516,6 +516,46 @@ class SimilaritySpec extends SparkSpec {
     assert(Dedup.probeMinhashIndex(spark, dir, delta).collect().toSeq == expected)
   }
 
+  test("d17: bloom-prefiltered exact-index probe equals the registered join; bloom prunes pre-shuffle") {
+    val d = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("exidx").toString
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val base = docs.filter(expr("doc_id % 5 != 0"))
+    Dedup.writeExactIndex(base, dir)
+    // delta: the %5 slice + planted exact copies of base docs (the
+    // registered query's construction)
+    val delta = docs.filter(expr("doc_id % 5 = 0")).select("doc_id", "text")
+      .unionAll(base.filter(expr(s"doc_id % ${Dedup.EXACT_PLANT_STRIDE} = 1"))
+        .select((col("doc_id") + Dedup.EXACT_PLANT_OFFSET).as("doc_id"), col("text")))
+    val probed = Dedup.probeExactIndex(spark, dir, delta)
+    assert(probed.collect().toSeq ==
+      Dedup.incrementalExact(spark, d).collect().toSeq)
+    // the bloom is a codegen prefilter: most non-dup delta rows die
+    // before any join or exchange (fpp 1% on this corpus ⇒ survivors
+    // ≈ the planted dups, far below the delta size)
+    val bf = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "bloom.bin"))
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.ColumnShim
+    import org.apache.spark.sql.types.BinaryType
+    val survivors = delta.select(md5(col("text")).as("h"))
+      .filter(ColumnShim.column(BloomFilterMightContain(
+        Literal(bf, BinaryType),
+        ColumnShim.expression(xxhash64(col("h")))))).count()
+    val dups = probed.count()
+    val total = delta.count()
+    assert(survivors >= dups && survivors < total / 2,
+      s"bloom pruned nothing: $survivors of $total survive ($dups true dups)")
+    // the pruned index scan pins PartitionFilters on the hash bucket
+    val scan = spark.read.parquet(s"$dir/hashes")
+      .filter(col("hbkt").isin(Seq(0, 1).map(Integer.valueOf): _*))
+      .queryExecution.sparkPlan.toString
+    val scanLine = scan.linesIterator.find(_.contains("FileScan")).get
+    assert(scanLine.contains("PartitionFilters: [") &&
+      !scanLine.contains("PartitionFilters: []") && scanLine.contains("hbkt"),
+      s"index scan did not prune:\n$scanLine")
+  }
+
   test("neardupReport yields d07/d14/d15 outputs from one pair-pipeline run") {
     val d = "/root/testdata/sf0.01"
     val (pairs, components, keepers, confirms) = Dedup.neardupReport(spark, d)
