@@ -438,11 +438,19 @@ object Similarity {
   /** Deterministic seed centroids from a (vec_id, qv) corpus: every 31st
     * original id (planted copies excluded), first [[N_CELLS]] by id — the
     * k-means-build stand-in shared by s03/s04/s05.
+    *
+    * Scale shape: the candidate frame (1/31 of the corpus) is bounded to
+    * [[N_CELLS]] rows FIRST via `orderBy().limit()` — a
+    * TakeOrderedAndProject with a constant-memory per-partition heap —
+    * and only then ranked, so the unpartitioned `row_number` window runs
+    * over exactly [[N_CELLS]] rows instead of funneling a
+    * corpus-proportional frame through one task (same template as
+    * [[pqCodebook]]).
     */
   def seedCentroids(corpus: DataFrame): DataFrame =
     corpus.filter(col("vec_id") % 31 === 6 && col("vec_id") < PLANT_ID_OFFSET)
+      .orderBy("vec_id").limit(N_CELLS)
       .withColumn("cell", row_number().over(Window.orderBy(col("vec_id"))))
-      .filter(col("cell") <= N_CELLS)
       .select(col("cell"), col("qv").as("centroid"))
 
   /** Assign every corpus vector to its best `nBest` cells by quantized

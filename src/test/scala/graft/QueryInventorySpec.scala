@@ -62,4 +62,34 @@ class QueryInventorySpec extends SparkSpec {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: ${orphans.mkString(", ")}")
   }
+
+  test("every unpartitioned window runs over a bounded-by-construction frame") {
+    // An unpartitioned WindowExec funnels its ENTIRE input through one
+    // task — fine for a frame bounded by construction (a limit's heap, an
+    // aggregate's group domain, a literal local relation), a scale-killer
+    // for anything corpus-proportional (the round-7 seedCentroids flag).
+    // This generalizes the q47/p09 plan pins: census the whole inventory
+    // so no future operator reintroduces the shape. Asserted on the
+    // pre-adaptive sparkPlan (AQE hides scans inside query stages).
+    import org.apache.spark.sql.execution.{SparkPlan, LocalLimitExec,
+      GlobalLimitExec, TakeOrderedAndProjectExec, LocalTableScanExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec}
+    def bounded(p: SparkPlan): Boolean = p.exists {
+      case _: LocalLimitExec | _: GlobalLimitExec |
+           _: TakeOrderedAndProjectExec => true // explicit row bound
+      case _: BaseAggregateExec => true // bounded by the grouping domain
+      case _: LocalTableScanExec => true // literal golden frames
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        q(spark, sfDir).queryExecution.sparkPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) =>
+            s"$name: ${w.windowExpression.mkString(",").take(80)}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"corpus-proportional unpartitioned windows: ${offenders.mkString("; ")}")
+  }
 }
