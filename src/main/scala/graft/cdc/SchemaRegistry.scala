@@ -202,7 +202,15 @@ object SchemaRegistry {
       val raw = element_at(image, cs.name)
       val decoded = cs.logicalType match {
         case PlainString => raw
-        case PlainLong => raw.cast("long")
+        // boolean-aware: isWidening whitelists BoolInt -> PlainLong, and
+        // pre-ALTER boolean row images are the STRINGS 'true'/'false'
+        // (fixtures/cdc_typed_events.jsonl) which a bare cast("long")
+        // breaks on — the misdecode class fromEventsChecked exists to
+        // reject. Integer-looking images take the numeric cast; anything
+        // else decodes as boolean (true -> 1L), and genuine garbage still
+        // fails the batch loudly under ANSI rather than nulling out.
+        case PlainLong => when(raw.rlike("^-?[0-9]+$"), raw.cast("long"))
+          .otherwise(Decoders.boolToInt(raw.cast("boolean")).cast("long"))
         case PlainDouble => raw.cast("double")
         case BoolInt => Decoders.boolToInt(raw.cast("boolean"))
         case ConnectDecimal(scale) => Decoders.debeziumDecimal(raw, scale)

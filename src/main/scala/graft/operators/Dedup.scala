@@ -509,6 +509,14 @@ object Dedup {
     * checkpointed once so the bucket collect and the confirm join share
     * one computation, and the delta's signatures are checkpointed so
     * the bucket collect does not recompute the shingle pipeline).
+    *
+    * The probe's intermediate checkpoints are RELEASED before returning
+    * (DataFrame.unpersist is a no-op for localCheckpoint'ed frames, so
+    * in the long-lived daily-ingest service each probe would otherwise
+    * strand cached RDD blocks — see [[release]]); the returned verdict
+    * is therefore materialized eagerly and holds the probe's ONE
+    * surviving checkpoint, which the caller may [[release]] once
+    * consumed.
     */
   def probeMinhashIndex(s: SparkSession, dir: String, delta: DataFrame): DataFrame = {
     val deltaSigs = minhashSignatures(delta).localCheckpoint(true)
@@ -536,7 +544,9 @@ object Dedup {
     val idxSigs = s.read.parquet(s"$dir/sigs")
       .filter(col("sbkt").isin(sigBuckets.map(Integer.valueOf): _*))
       .drop("sbkt")
-    confirmCandidates(cand, deltaSigs, idxSigs)
+    val verdict = confirmCandidates(cand, deltaSigs, idxSigs).localCheckpoint(true)
+    Seq(deltaSigs, deltaBands, cand).foreach(release)
+    verdict
   }
 
   /** The registered d16 face: both batches derived from `documents` by
@@ -628,18 +638,26 @@ object Dedup {
     import org.apache.spark.sql.graft.ColumnShim
     val index = docs
       .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("match_id"))
-    index
-      .withColumn("hbkt", pmod(xxhash64(col("h")), lit(INDEX_BUCKETS)).cast("int"))
-      .write.mode("overwrite").partitionBy("hbkt").parquet(s"$dir/hashes")
     // the bloom caps mirror bloomPrunedJoin's (ScalePatterns) clamping
     val items = math.min(expectedKeys, 4000000L)
     val numBits = math.min(
       org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp),
       67108864L)
+    // the bloom is built BEFORE any file lands: BloomFilterAggregate
+    // yields NULL over zero rows, and discovering that after the parquet
+    // write would NPE and leave a half-written index (parquet present,
+    // bloom.bin missing). An empty corpus also writes an UNREADABLE
+    // partitioned parquet (no part files to infer a schema from), so the
+    // only self-consistent outcome is to refuse loudly, touching nothing.
     val bfBytes = index.select(ColumnShim.column(
         new BloomFilterAggregate(ColumnShim.expression(xxhash64(col("h"))),
           Literal(items), Literal(numBits)).toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
+    require(bfBytes != null,
+      s"writeExactIndex: empty corpus — refusing to write an empty index to $dir")
+    index
+      .withColumn("hbkt", pmod(xxhash64(col("h")), lit(INDEX_BUCKETS)).cast("int"))
+      .write.mode("overwrite").partitionBy("hbkt").parquet(s"$dir/hashes")
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bloom.bin"), bfBytes)
   }
 
@@ -666,9 +684,14 @@ object Dedup {
     val index = s.read.parquet(s"$dir/hashes")
       .filter(col("hbkt").isin(buckets.map(Integer.valueOf): _*))
       .select("h", "match_id")
-    pruned.join(index, "h")
+    // materialize the (delta-bounded) verdict, then release the probe's
+    // intermediate checkpoint — see probeMinhashIndex's release note
+    val verdict = pruned.join(index, "h")
       .select("doc_id", "match_id")
       .orderBy("doc_id")
+      .localCheckpoint(true)
+    release(pruned)
+    verdict
   }
 
   // --------------------------------------------------------------- SimHash
@@ -852,7 +875,7 @@ object Dedup {
     * ConnectedComponentsSpec hygiene test: one stranded RDD per
     * iteration).
     */
-  private def release(df: DataFrame): Unit = {
+  def release(df: DataFrame): Unit = {
     df.unpersist()
     df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd

@@ -320,14 +320,33 @@ object Relational2 {
     * so without the flag NaN rows would sort with bin 0 instead of at
     * the top of the DESC order. See [[nullOrdering]] for the shape
     * derivation.
+    *
+    * Boundedness is by CONSTRUCTION, not assumption: the sort column is
+    * cast to double up front (a decimal/long whose `*100` overflows
+    * would otherwise null out and silently land in bin 0, corrupting
+    * the global order) and the cent quantization SATURATES at
+    * ±[[SGR_BIN_RANGE]], so the bin/base frames can never exceed
+    * 2·[[SGR_BIN_RANGE]]·100+1 rows no matter how wide or fine-grained
+    * the value domain is — broadcast and prefix-sum stay small for ANY
+    * input. Saturation cannot change results: the bin is still monotone
+    * in the sort order and the within-bin window orders by the REAL
+    * column value, so rows piling into an edge bin only shift work, not
+    * ranks (the q47 trade-off: extreme-range data degrades to fewer,
+    * bigger bins, never to wrong answers).
     */
+  val SGR_BIN_RANGE = 1000.0
+
   def slicedGlobalRanks(df: DataFrame, sortCol: String, tieCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val vd = col(sortCol).cast("double")
+    // least/greatest skip nulls and order NaN above all doubles, so null
+    // and NaN rows clamp to the top bin — harmless: their slice FLAGS
+    // (_sgr_nn/_sgr_nan), not the bin, decide where they rank
+    val clamped = greatest(lit(-SGR_BIN_RANGE), least(lit(SGR_BIN_RANGE), vd))
     val p = df
       .withColumn("_sgr_nn", col(sortCol).isNull.cast("int"))
-      .withColumn("_sgr_nan",
-        coalesce(isnan(col(sortCol).cast("double")).cast("int"), lit(0)))
-      .withColumn("_sgr_bin", coalesce(floor(col(sortCol) * 100).cast("long"), lit(0L)))
+      .withColumn("_sgr_nan", coalesce(isnan(vd).cast("int"), lit(0)))
+      .withColumn("_sgr_bin", coalesce(floor(clamped * 100), lit(0L)))
     val counts = p.groupBy("_sgr_nn", "_sgr_nan", "_sgr_bin").agg(count(lit(1)).as("cnt"))
     // prefix sums over the tiny bin frame — bounded by the value domain.
     // NaN sorts above all numbers, so the slice order is (NaN, numbers

@@ -265,6 +265,44 @@ class CdcPipelineSpec extends SparkSpec {
       Seq(EvolutionViolation("shop", "pay6", "code", PlainLong, PlainDouble)))
   }
 
+  test("P3: schema evolution — bool -> int ALTER decodes pre-ALTER 'true'/'false' images, not null") {
+    // isWidening whitelists BoolInt -> PlainLong, so the latest-tree
+    // registry decodes pre-ALTER rows as PlainLong — but their row images
+    // are the STRINGS 'true'/'false', which a bare cast("long") nulls:
+    // exactly the silent misdecode the checked registry claims to reject.
+    // The PlainLong decoder must be boolean-aware at DECODE level.
+    def sectionJson(flagType: String): String =
+      s"""{"type":"struct","fields":[
+         |{"type":"struct","optional":true,"field":"before","fields":[
+         |  {"type":"int64","optional":false,"field":"id"},
+         |  {"type":"$flagType","optional":true,"field":"flag"}]},
+         |{"type":"struct","optional":true,"field":"after","fields":[
+         |  {"type":"int64","optional":false,"field":"id"},
+         |  {"type":"$flagType","optional":true,"field":"flag"}]}]}""".stripMargin.replace("\n", "")
+    def event(pos: Long, flagType: String, after: String): String =
+      s"""{"schema":${sectionJson(flagType)},"payload":{"before":null,"after":$after,
+         |"source":{"db":"shop","table":"pay7","file":"mysql-bin.000004","pos":$pos,"row":0},
+         |"op":"c","ts_ms":1}}""".stripMargin.replace("\n", "")
+    val lines = Seq(
+      event(10L, "boolean", """{"id":1,"flag":true}"""),
+      event(20L, "boolean", """{"id":2,"flag":false}"""),
+      event(30L, "int64", """{"id":3,"flag":7}"""))
+    val dir = java.nio.file.Files.createTempDirectory("evoboolint")
+    val path = dir.resolve("events.jsonl")
+    java.nio.file.Files.write(path, lines.mkString("\n").getBytes("UTF-8"))
+
+    import SchemaRegistry._
+    // admitted as widening...
+    assert(SchemaRegistry.evolutionViolations(spark, path.toString).isEmpty)
+    val spec = SchemaRegistry.fromEventsChecked(spark, path.toString)(("shop", "pay7"))
+    assert(spec.map(c => c.name -> c.logicalType) ==
+      Seq("id" -> PlainLong, "flag" -> PlainLong))
+    // ...and pre-ALTER boolean images decode to 1/0, not null
+    val state = SchemaRegistry.typedLatestState(spark, path.toString, "shop", "pay7")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(state == Map(1L -> Some(1L), 2L -> Some(0L), 3L -> Some(7L)))
+  }
+
   test("P3: schema evolution — a column RENAMED mid-stream is drop+add under latest-tree decoding") {
     // ALTER ... RENAME COLUMN title TO headline: Debezium emits the new
     // name in post-ALTER schema sections, with no lineage to the old one

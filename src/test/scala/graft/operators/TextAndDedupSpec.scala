@@ -556,6 +556,52 @@ class SimilaritySpec extends SparkSpec {
       s"index scan did not prune:\n$scanLine")
   }
 
+  test("d16/d17 probes strand no intermediate checkpoints (daily-ingest hygiene)") {
+    // the probes localCheckpoint their intermediates (signatures, bands,
+    // candidates, bloom survivors); DataFrame.unpersist is a NO-OP for
+    // those, so in a long-lived ingest service every probe call would
+    // strand RDD blocks. Each probe must release its intermediates and
+    // return a verdict holding exactly ONE checkpoint, which the caller
+    // releases once consumed. Delta-with-retries pattern: a genuine leak
+    // survives every attempt; a concurrent suite's transient cache does not.
+    val d = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("probeleak").toString
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val base = docs.filter(expr("doc_id % 5 != 0"))
+    Dedup.writeMinhashIndex(base, s"$dir/mh")
+    Dedup.writeExactIndex(base, s"$dir/ex")
+    val delta = docs.filter(expr("doc_id % 5 = 0")).select("doc_id", "text")
+    def leaksAtMost(expected: Int)(run: => Unit): Boolean =
+      (1 to 5).exists { _ =>
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        run
+        val persisted = spark.sparkContext.getPersistentRDDs
+        val added = persisted.keySet -- before
+        added.foreach(id => persisted.get(id).foreach(_.unpersist(true)))
+        added.size <= expected
+      }
+    assert(leaksAtMost(0) {
+      val v = Dedup.probeMinhashIndex(spark, s"$dir/mh", delta)
+      v.collect(); Dedup.release(v)
+    }, "probeMinhashIndex leaked checkpointed RDDs")
+    assert(leaksAtMost(0) {
+      val v = Dedup.probeExactIndex(spark, s"$dir/ex", delta)
+      v.collect(); Dedup.release(v)
+    }, "probeExactIndex leaked checkpointed RDDs")
+  }
+
+  test("d17: writeExactIndex refuses an empty corpus before touching any file") {
+    val dir = java.nio.file.Files.createTempDirectory("exidx-empty").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.writeExactIndex(docs.filter(expr("doc_id < 0")), dir)
+    }
+    assert(ex.getMessage.contains("empty corpus"))
+    // nothing half-written: no parquet dir, no bloom
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "hashes")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "bloom.bin")))
+  }
+
   test("neardupReport yields d07/d14/d15 outputs from one pair-pipeline run") {
     val d = "/root/testdata/sf0.01"
     val (pairs, components, keepers, confirms) = Dedup.neardupReport(spark, d)
