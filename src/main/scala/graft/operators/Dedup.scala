@@ -628,6 +628,99 @@ object Dedup {
        |FROM delta d JOIN b ON md5(d.text) = b.h
        |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------ d18: composed exact -> near tier
+  /** d18: the production daily-ingest composition of d17 and d16 — the
+    * cheap exact tier runs FIRST and byte-identical delta rows (most
+    * re-crawls) never reach the signature build: survivors of the exact
+    * hash join are the ONLY rows shingled, minhashed, and band-probed.
+    * Registered over the same deterministic %[[INC_SPLIT]] split (with
+    * d17's planted exact copies, so the exact tier provably kills rows)
+    * and oracle-mirrored; the amortized persisted-index face is
+    * [[probeExactThenNear]], spec-pinned equal.
+    *
+    * Output: one verdict row per matched delta doc — `tier='exact'`
+    * (byte-identical, est 1.0) or `tier='near'` (d16's best-match
+    * estimate over exact-survivors only).
+    */
+  def exactThenNear(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs.filter(expr(s"doc_id % $INC_SPLIT != 0"))
+    val index = base
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("match_id"))
+    val delta = docs.filter(expr(s"doc_id % $INC_SPLIT = 0"))
+      .select(col("doc_id"), col("text"))
+      .unionAll(base
+        .filter(expr(s"doc_id % $EXACT_PLANT_STRIDE = 1"))
+        .select((col("doc_id") + EXACT_PLANT_OFFSET).as("doc_id"), col("text")))
+    val hashed = delta.withColumn("h", md5(col("text")))
+    val exact = hashed.join(index, "h").select(col("doc_id"), col("match_id"))
+    // the near tier's input EXCLUDES exact dups — the composition's point:
+    // a killed row generates zero shingles, signatures, or band candidates
+    val survivors = hashed.join(index, Seq("h"), "left_anti")
+      .select("doc_id", "text")
+    val baseSigs = minhashSignatures(base)
+    val near = probeSignatures(minhashSignatures(survivors),
+      bandedKeys(baseSigs), baseSigs)
+    exact.select(col("doc_id"), lit("exact").as("tier"), col("match_id"),
+        lit(1.0).as("est_jaccard"), lit(1).as("is_dup"))
+      .unionAll(near.select(col("doc_id"), lit("near").as("tier"),
+        col("match_id"), col("est_jaccard"), col("is_dup")))
+      .orderBy("doc_id")
+  }
+
+  lazy val exactThenNearSql: String =
+    s"""$minhashCtePrefixSql,
+       |bidx AS (SELECT md5(text) AS h, min(doc_id) AS match_id
+       |         FROM documents WHERE doc_id % $INC_SPLIT != 0 GROUP BY 1),
+       |delta AS (SELECT doc_id, text FROM documents WHERE doc_id % $INC_SPLIT = 0
+       |          UNION ALL
+       |          SELECT doc_id + $EXACT_PLANT_OFFSET, text FROM documents
+       |          WHERE doc_id % $INC_SPLIT != 0 AND doc_id % $EXACT_PLANT_STRIDE = 1),
+       |ex AS (SELECT d.doc_id, b.match_id FROM delta d JOIN bidx b ON md5(d.text) = b.h),
+       |q AS (SELECT * FROM bands WHERE doc_id % $INC_SPLIT = 0
+       |      AND doc_id NOT IN (SELECT doc_id FROM ex)),
+       |x AS (SELECT * FROM bands WHERE doc_id % $INC_SPLIT != 0),
+       |cand AS (SELECT DISTINCT q.doc_id AS did, x.doc_id AS bid
+       |         FROM q JOIN x ON q.band_idx = x.band_idx AND q.bkey = x.bkey),
+       |est AS (SELECT did, bid, CAST($sigMatchTermsSql AS DOUBLE)/$SIG_N AS est
+       |        FROM cand JOIN sig sa ON sa.doc_id = did JOIN sig sb ON sb.doc_id = bid),
+       |sel AS (SELECT did, bid, est,
+       |          count(*) OVER (PARTITION BY did) AS n_cand,
+       |          row_number() OVER (PARTITION BY did ORDER BY est DESC, bid) AS rn
+       |        FROM est)
+       |SELECT doc_id, 'exact' AS tier, match_id, CAST(1.0 AS DOUBLE) AS est_jaccard,
+       |  1 AS is_dup
+       |FROM ex
+       |UNION ALL
+       |SELECT did AS doc_id, 'near' AS tier, bid AS match_id, est AS est_jaccard,
+       |  CASE WHEN est >= $INC_DUP_THRESHOLD THEN 1 ELSE 0 END AS is_dup
+       |FROM sel WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
+  /** The persisted-index face of [[exactThenNear]]: d17's bloom-fronted
+    * exact probe kills byte-identical rows pre-shuffle, then d16's
+    * partition-pruned signature probe runs on the survivors only. The
+    * exact verdict is dup-rate-bounded (tiny at a ~1% dup rate), so its
+    * anti-join against the delta broadcasts. Intermediates are released;
+    * the returned verdict holds one checkpoint for the caller to
+    * [[release]].
+    */
+  def probeExactThenNear(s: SparkSession, exactDir: String, mhDir: String,
+      delta: DataFrame): DataFrame = {
+    val exact = probeExactIndex(s, exactDir, delta)
+    val survivors = delta.join(broadcast(exact.select("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val near = probeMinhashIndex(s, mhDir, survivors)
+    val verdict = exact.select(col("doc_id"), lit("exact").as("tier"),
+        col("match_id"), lit(1.0).as("est_jaccard"), lit(1).as("is_dup"))
+      .unionAll(near.select(col("doc_id"), lit("near").as("tier"),
+        col("match_id"), col("est_jaccard"), col("is_dup")))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    Seq(exact, near).foreach(release)
+    verdict
+  }
+
   /** Write the exact index: (h, match_id) partitioned by hash bucket,
     * plus the serialized Bloom filter over the hashes.
     */
@@ -1511,9 +1604,11 @@ object Dedup {
     "d14_quality_survivors" -> (qualitySurvivors _),
     "d15_edit_distance" -> (editDistancePairs _),
     "d16_incremental_neardup" -> (incrementalNearDup _),
-    "d17_incremental_exact" -> (incrementalExact _))
+    "d17_incremental_exact" -> (incrementalExact _),
+    "d18_exact_then_near" -> (exactThenNear _))
 
   val oracles: Map[String, String] = Map(
+    "d18_exact_then_near" -> exactThenNearSql,
     "d17_incremental_exact" -> incrementalExactSql,
     "d16_incremental_neardup" -> incrementalNearDupSql,
     "d15_edit_distance" -> editDistancePairsSql,

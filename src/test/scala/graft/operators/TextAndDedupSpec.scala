@@ -556,6 +556,37 @@ class SimilaritySpec extends SparkSpec {
       s"index scan did not prune:\n$scanLine")
   }
 
+  test("d18: composed probe equals the registered exact-then-near; exact-killed rows reach no band") {
+    val d = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("composed").toString
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val base = docs.filter(expr("doc_id % 5 != 0"))
+    Dedup.writeExactIndex(base, s"$dir/ex")
+    Dedup.writeMinhashIndex(base, s"$dir/mh")
+    val delta = docs.filter(expr("doc_id % 5 = 0")).select("doc_id", "text")
+      .unionAll(base.filter(expr(s"doc_id % ${Dedup.EXACT_PLANT_STRIDE} = 1"))
+        .select((col("doc_id") + Dedup.EXACT_PLANT_OFFSET).as("doc_id"), col("text")))
+    val probed = Dedup.probeExactThenNear(spark, s"$dir/ex", s"$dir/mh", delta)
+    val registered = Dedup.exactThenNear(spark, d)
+    assert(probed.collect().toSeq == registered.collect().toSeq)
+    // the exact tier provably fires (every plant is a byte-copy of base)
+    val exactIds = registered.filter(col("tier") === "exact")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exactIds.nonEmpty && exactIds.exists(_ >= Dedup.EXACT_PLANT_OFFSET))
+    // the composition's point: an exact-killed row generates ZERO band
+    // candidates — the near tier's signature input excludes it entirely
+    val index = base.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("match_id"))
+    val survivors = delta.withColumn("h", md5(col("text")))
+      .join(index, Seq("h"), "left_anti").select("doc_id", "text")
+    val survivorBands = Dedup.bandedKeys(Dedup.minhashSignatures(survivors))
+    assert(survivorBands.filter(col("doc_id").isin(exactIds.toSeq: _*)).count() == 0)
+    // and no near verdict exists for an exact-matched doc
+    assert(registered.filter(col("tier") === "near" &&
+      col("doc_id").isin(exactIds.toSeq: _*)).count() == 0)
+    Dedup.release(probed)
+  }
+
   test("d16/d17 probes strand no intermediate checkpoints (daily-ingest hygiene)") {
     // the probes localCheckpoint their intermediates (signatures, bands,
     // candidates, bloom survivors); DataFrame.unpersist is a NO-OP for
