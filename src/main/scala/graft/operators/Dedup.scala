@@ -490,15 +490,33 @@ object Dedup {
     * hashes are Spark-internal; they never reach a result, only
     * partition layout.
     */
-  def writeMinhashIndex(docs: DataFrame, dir: String): Unit = {
+  def writeMinhashIndex(docs: DataFrame, dir: String): Unit =
+    writeMinhash(docs, dir, "overwrite")
+
+  /** Absorb a delta into a persisted minhash index WITHOUT rewriting the
+    * corpus — the index-maintenance half of the daily-ingest cycle
+    * (write once, then probe + append every day). Signatures and bands
+    * are computed for the DELTA only and appended into the existing
+    * bucketed partition layout: parquet append adds new files under the
+    * delta's own partition dirs and never reads or touches an existing
+    * file, so the write cost is delta-proportional regardless of index
+    * size (spec-pinned: every pre-append file survives byte-identical).
+    * Callers append the probe's NON-dup rows; appending a dup merely
+    * adds a redundant candidate row (the band index is a multi-map), it
+    * cannot corrupt verdicts.
+    */
+  def appendToMinhashIndex(docs: DataFrame, dir: String): Unit =
+    writeMinhash(docs, dir, "append")
+
+  private def writeMinhash(docs: DataFrame, dir: String, mode: String): Unit = {
     val sigs = minhashSignatures(docs)
     bandedKeys(sigs)
       .withColumn("bkt",
         pmod(xxhash64(col("band_key")), lit(INDEX_BUCKETS)).cast("int"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/bands")
+      .write.mode(mode).partitionBy("bkt").parquet(s"$dir/bands")
     sigs
       .withColumn("sbkt", pmod(col("doc_id"), lit(INDEX_BUCKETS.toLong)).cast("int"))
-      .write.mode("overwrite").partitionBy("sbkt").parquet(s"$dir/sigs")
+      .write.mode(mode).partitionBy("sbkt").parquet(s"$dir/sigs")
   }
 
   /** Probe the persisted index with a delta batch. Every index read is
@@ -721,37 +739,83 @@ object Dedup {
     verdict
   }
 
-  /** Write the exact index: (h, match_id) partitioned by hash bucket,
-    * plus the serialized Bloom filter over the hashes.
+  /** The keeper frame and serialized bloom of a docs batch — shared by
+    * the exact-index write and append paths. Returns null bloom bytes
+    * for an empty batch. The bloom caps mirror bloomPrunedJoin's
+    * (ScalePatterns) clamping.
     */
-  def writeExactIndex(docs: DataFrame, dir: String,
-      expectedKeys: Long = 1000000L, fpp: Double = 0.01): Unit = {
+  private def exactIndexParts(docs: DataFrame, expectedKeys: Long,
+      fpp: Double): (DataFrame, Array[Byte]) = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.graft.ColumnShim
     val index = docs
       .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("match_id"))
-    // the bloom caps mirror bloomPrunedJoin's (ScalePatterns) clamping
     val items = math.min(expectedKeys, 4000000L)
     val numBits = math.min(
       org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp),
       67108864L)
+    val bfBytes = index.select(ColumnShim.column(
+        new BloomFilterAggregate(ColumnShim.expression(xxhash64(col("h"))),
+          Literal(items), Literal(numBits)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    (index, bfBytes)
+  }
+
+  /** Write the exact index: (h, match_id) partitioned by hash bucket,
+    * plus the serialized Bloom filter over the hashes.
+    */
+  def writeExactIndex(docs: DataFrame, dir: String,
+      expectedKeys: Long = 1000000L, fpp: Double = 0.01): Unit = {
     // the bloom is built BEFORE any file lands: BloomFilterAggregate
     // yields NULL over zero rows, and discovering that after the parquet
     // write would NPE and leave a half-written index (parquet present,
     // bloom.bin missing). An empty corpus also writes an UNREADABLE
     // partitioned parquet (no part files to infer a schema from), so the
     // only self-consistent outcome is to refuse loudly, touching nothing.
-    val bfBytes = index.select(ColumnShim.column(
-        new BloomFilterAggregate(ColumnShim.expression(xxhash64(col("h"))),
-          Literal(items), Literal(numBits)).toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    val (index, bfBytes) = exactIndexParts(docs, expectedKeys, fpp)
     require(bfBytes != null,
       s"writeExactIndex: empty corpus — refusing to write an empty index to $dir")
     index
       .withColumn("hbkt", pmod(xxhash64(col("h")), lit(INDEX_BUCKETS)).cast("int"))
       .write.mode("overwrite").partitionBy("hbkt").parquet(s"$dir/hashes")
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bloom.bin"), bfBytes)
+  }
+
+  /** Absorb a delta into a persisted exact index without rewriting the
+    * corpus: new (h, keeper) rows append into the delta's own hash-bucket
+    * partitions (no existing file is read or touched — delta-proportional
+    * cost at any index size), and the on-disk bloom is REPLACED by the
+    * union of itself and the delta's bloom, built with the same
+    * (expectedKeys, fpp) so the two filters are bit-compatible
+    * (mergeInPlace fails loudly on a mismatch — pass the original
+    * write's parameters). The bloom swap is write-temp-then-atomic-move,
+    * so a crash mid-append can never leave a torn bloom.bin.
+    *
+    * Caller contract: append only rows the probe reported UNMATCHED
+    * (their hashes are provably absent — the probe's join is exact, so
+    * no duplicate h can arise); intra-delta copies collapse to one
+    * min-id keeper in the grouping here.
+    */
+  def appendToExactIndex(docs: DataFrame, dir: String,
+      expectedKeys: Long = 1000000L, fpp: Double = 0.01): Unit = {
+    val (index, bfBytes) = exactIndexParts(docs, expectedKeys, fpp)
+    if (bfBytes == null) return // empty delta: nothing to absorb
+    index
+      .withColumn("hbkt", pmod(xxhash64(col("h")), lit(INDEX_BUCKETS)).cast("int"))
+      .write.mode("append").partitionBy("hbkt").parquet(s"$dir/hashes")
+    import org.apache.spark.util.sketch.BloomFilter
+    val existing = BloomFilter.readFrom(new java.io.ByteArrayInputStream(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, "bloom.bin"))))
+    existing.mergeInPlace(
+      BloomFilter.readFrom(new java.io.ByteArrayInputStream(bfBytes)))
+    val out = new java.io.ByteArrayOutputStream()
+    existing.writeTo(out)
+    val tmp = java.nio.file.Paths.get(dir, "bloom.bin.tmp")
+    java.nio.file.Files.write(tmp, out.toByteArray)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "bloom.bin"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Probe the exact index: bloom-prefilter the delta (codegen, no
