@@ -101,6 +101,73 @@ class StreamingNearDedupSpec extends SparkSpec {
       s"streaming suppressed $suppressed, batch says $batchDup")
   }
 
+  test("index refresh is an offsets-only restart: new index used, no offsets re-processed") {
+    // indexMatches documents that a path-based parquet index pins its
+    // file listing at query start, so a refresh needs a RESTART — which
+    // is free because the checkpoint holds only source offsets. Prove
+    // both halves: after stop -> append day-2 -> restart from the SAME
+    // checkpoint, (a) a copy of day-2 content flips from admitted to
+    // suppressed (the new files are live), and (b) no batch-1 offset is
+    // re-processed (batch-1 doc_ids never reappear in foreachBatch).
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("refresh-idx").toString
+    val ckpt = Files.createTempDirectory("refresh-ckpt").toString
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val day1 = docs.filter(expr("doc_id % 5 != 0"))
+    val day2 = docs.filter(expr("doc_id % 5 = 0")).select("doc_id", "text")
+    graft.operators.Dedup.writeMinhashIndex(day1, dir)
+    // X: a day-2 doc with NO candidate in the day-1 index (absent from
+    // the probe verdict frame entirely), so a copy of X is admitted
+    // before the refresh and suppressed only after
+    val day2Probe = graft.operators.Dedup.probeMinhashIndex(spark, dir, day2)
+    val withCand = day2Probe.select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.operators.Dedup.release(day2Probe)
+    val x = day2.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(t => !withCand.contains(t._1)).minBy(_._1)
+    // control: a byte-copy of a day-1 doc proves the index is live at all
+    val ctl = day1.select("doc_id", "text").orderBy("doc_id").limit(1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).head
+    val seen = scala.collection.mutable.ListBuffer[Set[Long]]()
+    val adm = scala.collection.mutable.ListBuffer[Long]()
+    val mem = MemoryStream[(Long, String)]
+    def start() = StreamingNearDedup.indexMatches(
+        mem.toDF().toDF("doc_id", "text"), dir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val batch = b.localCheckpoint(true)
+        seen.synchronized {
+          seen += batch.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+          adm ++= StreamingNearDedup.indexAdmitted(batch).collect().map(_.getLong(0))
+        }
+        graft.operators.Dedup.release(batch)
+        ()
+      }
+      .start()
+    val q1 = start()
+    mem.addData((900001L, x._2), (900011L, ctl._2))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(adm.toSet == Set(900001L), s"pre-refresh verdicts wrong: $adm")
+    // refresh: absorb day-2 into the index while the query is down
+    graft.operators.Dedup.appendToMinhashIndex(day2, dir)
+    val q2 = start()
+    q2.processAllAvailable() // restart replays NOTHING...
+    val batch1Ids = Set(900001L, 900011L)
+    assert(seen.drop(1).forall(s => s.intersect(batch1Ids).isEmpty),
+      s"restart re-processed batch-1 offsets: $seen")
+    mem.addData((900002L, x._2)) // ...and the SAME content is now suppressed
+    q2.processAllAvailable()
+    q2.stop()
+    assert(!adm.contains(900002L),
+      s"refreshed index not used after restart: $adm")
+    assert(seen.count(_.contains(900001L)) == 1,
+      s"batch-1 offsets re-processed: $seen")
+  }
+
   test("signature and band keys reproduce the batch d04 family") {
     // the per-row HOF signature must equal the batch explode+aggregate
     // signature, or streaming and batch dedup would disagree
