@@ -447,9 +447,11 @@ object Similarity {
     * corpus-proportional frame through one task (same template as
     * [[pqCodebook]]).
     */
-  def seedCentroids(corpus: DataFrame): DataFrame =
-    corpus.filter(col("vec_id") % 31 === 6 && col("vec_id") < PLANT_ID_OFFSET)
-      .orderBy("vec_id").limit(N_CELLS)
+  def seedCentroids(corpus: DataFrame, nCells: Int = N_CELLS,
+      stride: Long = 31L, residue: Long = 6L): DataFrame =
+    corpus.filter(col("vec_id") % stride === residue &&
+        col("vec_id") < PLANT_ID_OFFSET)
+      .orderBy("vec_id").limit(nCells)
       .withColumn("cell", row_number().over(Window.orderBy(col("vec_id"))))
       .select(col("cell"), col("qv").as("centroid"))
 
@@ -818,8 +820,8 @@ object Similarity {
     * in id order, with per-subspace centroid self-dots precomputed ONCE
     * into the broadcast frame. Shared by s08/s09.
     */
-  def pqCodebook(corpus: DataFrame): DataFrame =
-    corpus.orderBy("vec_id").limit(PQ_K)
+  def pqCodebook(corpus: DataFrame, k: Int = PQ_K): DataFrame =
+    corpus.orderBy("vec_id").limit(k)
       .withColumn("j",
         row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1)
       .select(Seq(col("j"), col("qv").as("cv")) ++

@@ -587,6 +587,72 @@ class SimilaritySpec extends SparkSpec {
     Dedup.release(probed)
   }
 
+  test("ANN at production k: 256 cells / 256 codes stay broadcast-safe; probe prune stays literal-bounded") {
+    // N_CELLS=16 / PQ_K=16 are fixture-scaled; a production vector store
+    // runs k ≈ 256+. This pins, QUANTITATIVELY at k=256 on sf0.1, the
+    // structural claims the ANN family's 100 TB story rests on: the
+    // centroid/codebook builds stay bounded (TakeOrderedAndProject, never
+    // a corpus window), their frames stay far under the broadcast
+    // threshold, the cell layout partitions cleanly at 256 dirs, and a
+    // probe still prunes to its literal cells.
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.window.WindowExec
+    val K = 256
+    val d = "/root/testdata/sf0.1"
+    val all = graft.Tables.embeddings(spark, d)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+    val corpus = all.filter(col("vec_id") >= 5)
+    // centroid build: bounded even at production k (the %31 sample is
+    // fixture-thin, so sample every 2nd id to reach 256 candidates)
+    val cents = Similarity.seedCentroids(corpus, nCells = K, stride = 2L, residue = 0L)
+    assert(cents.queryExecution.sparkPlan.toString.contains("TakeOrderedAndProject"))
+    assert(cents.count() == K)
+    // broadcast-safety is arithmetic, not hope: k × 64 dims × 8 bytes
+    assert(K.toLong * 64 * 8 < 8L * 1024 * 1024)
+    // assignment: centroids broadcast; every window partitions by vec_id
+    val assign = Similarity.assignToCells(corpus, cents)
+    val ap = assign.queryExecution.sparkPlan
+    // pre-EnsureRequirements plan: the broadcast shows as the BNLJ itself
+    assert(ap.toString.contains("BroadcastNestedLoopJoin"), ap.toString.take(1500))
+    // the only empty-partition window allowed is the centroid rank, which
+    // sits on the 256-row TakeOrderedAndProject bound (the census rule)
+    assert(ap.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+        !w.child.exists {
+          case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+          case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+          case _: org.apache.spark.sql.execution.LocalLimitExec => true
+          case _ => false
+        } => w
+    }.isEmpty, "corpus-proportional unpartitioned window in the assignment plan")
+    // write-time cell layout at 256 cells; a probe prunes to its literals
+    val dir = Files.createTempDirectory("ivf256").toString
+    assign.select("vec_id", "cell").write.partitionBy("cell").parquet(s"$dir/cells")
+    val probeCells = Seq(3, 77, 201).map(Integer.valueOf)
+    val scan = spark.read.parquet(s"$dir/cells")
+      .filter(col("cell").isin(probeCells: _*))
+    val scanLine = scan.queryExecution.sparkPlan.toString
+      .linesIterator.find(_.contains("FileScan")).get
+    assert(scanLine.contains("PartitionFilters: [") &&
+      !scanLine.contains("PartitionFilters: []") && scanLine.contains("cell"),
+      s"probe scan did not prune:\n$scanLine")
+    assert(scan.count() ==
+      assign.filter(col("cell").isin(probeCells: _*)).count())
+    // PQ at k=256: codebook bounded; LUT = nQueries·M·k rows and is the
+    // BROADCAST side of the scoring join
+    val queries = all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("qv"))
+    val cb = Similarity.pqCodebook(corpus, k = K)
+    assert(cb.queryExecution.sparkPlan.toString.contains("TakeOrderedAndProject"))
+    assert(cb.count() == K)
+    val lut = Similarity.pqLut(queries, cb)
+    assert(lut.count() == 5L * Similarity.PQ_M * K)
+    val scoring = Similarity.pqEncode(corpus, cb).join(broadcast(lut),
+      col("m") === col("lm") && col("code") === col("lj"))
+    assert(scoring.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+      "ADC scoring join did not broadcast the LUT")
+  }
+
   test("d16: appendToMinhashIndex absorbs a delta — merged probe == from-scratch; no existing file rewritten") {
     // the full daily-ingest cycle: write day-1, probe+append day-2,
     // probe day-3 against the merged index. Merged must equal an index
