@@ -509,6 +509,12 @@ object Dedup {
     writeMinhash(docs, dir, "append")
 
   private def writeMinhash(docs: DataFrame, dir: String, mode: String): Unit = {
+    // an empty overwrite would land an UNREADABLE partitioned parquet (no
+    // part files to infer a schema from) — refuse loudly, like
+    // writeExactIndex; an empty APPEND is a harmless no-op
+    if (mode == "overwrite")
+      require(!docs.isEmpty,
+        s"writeMinhashIndex: empty corpus — refusing to write an empty index to $dir")
     val sigs = minhashSignatures(docs)
     bandedKeys(sigs)
       .withColumn("bkt",

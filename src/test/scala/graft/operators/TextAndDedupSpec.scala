@@ -772,16 +772,26 @@ class SimilaritySpec extends SparkSpec {
     }, "probeExactIndex leaked checkpointed RDDs")
   }
 
-  test("d17: writeExactIndex refuses an empty corpus before touching any file") {
+  test("d16/d17: index writers refuse an empty corpus before touching any file") {
     val dir = java.nio.file.Files.createTempDirectory("exidx-empty").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val empty = docs.filter(expr("doc_id < 0"))
     val ex = intercept[IllegalArgumentException] {
-      Dedup.writeExactIndex(docs.filter(expr("doc_id < 0")), dir)
+      Dedup.writeExactIndex(empty, dir)
     }
     assert(ex.getMessage.contains("empty corpus"))
     // nothing half-written: no parquet dir, no bloom
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "hashes")))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "bloom.bin")))
+    val mx = intercept[IllegalArgumentException] {
+      Dedup.writeMinhashIndex(empty, dir)
+    }
+    assert(mx.getMessage.contains("empty corpus"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "bands")))
+    // an empty minhash APPEND over an existing index is a harmless no-op
+    Dedup.writeMinhashIndex(docs.filter(expr("doc_id < 20")), dir)
+    Dedup.appendToMinhashIndex(empty, dir)
+    assert(spark.read.parquet(s"$dir/bands").count() > 0)
   }
 
   test("neardupReport yields d07/d14/d15 outputs from one pair-pipeline run") {
