@@ -120,19 +120,25 @@ object SchemaRegistry {
   /** Is a column's logical-type transition across schema generations
     * WIDENING (safe to replay via latest-tree decoding)? Widening means
     * every old value decodes losslessly under the new type: bool→int,
-    * anything→string (the row image is already strings), decimal scale
-    * growth. int→double is NOT whitelisted: longs above 2^53 change
-    * value under a double decode — the silent-misdecode class this
-    * guard exists to reject. Anything else — string→int, double→int,
-    * timestamp→date, decimal scale shrink — would silently misdecode
-    * pre-ALTER rows (unparseable values become null with no error), so
-    * it must be REJECTED loudly instead (see [[fromEventsChecked]]).
+    * anything→string (the row image is already strings). int→double is
+    * NOT whitelisted: longs above 2^53 change value under a double
+    * decode — the silent-misdecode class this guard exists to reject.
+    * Decimal scale change — in EITHER direction — is NOT whitelisted
+    * either: the row image carries UNSCALED bytes whose value depends on
+    * the scale of the schema generation that WROTE them, so latest-tree
+    * decoding of a pre-ALTER image under the new scale shifts every old
+    * value by 10^(s2-s1) silently (12345 @ scale 2 = 123.45 decodes as
+    * 1.2345 after a "widening" to scale 4). A scale ALTER needs
+    * per-generation decode or a re-snapshot, so it is rejected loudly.
+    * Anything else — string→int, double→int, timestamp→date — would
+    * silently misdecode pre-ALTER rows (unparseable values become null
+    * with no error), so it must be REJECTED loudly instead (see
+    * [[fromEventsChecked]]).
     */
   def isWidening(from: LogicalType, to: LogicalType): Boolean = (from, to) match {
     case (a, b) if a == b => true
     case (BoolInt, PlainLong) => true
     case (_, PlainString) => true
-    case (ConnectDecimal(s1), ConnectDecimal(s2)) => s2 >= s1
     case _ => false
   }
 
@@ -206,11 +212,15 @@ object SchemaRegistry {
         // pre-ALTER boolean row images are the STRINGS 'true'/'false'
         // (fixtures/cdc_typed_events.jsonl) which a bare cast("long")
         // breaks on — the misdecode class fromEventsChecked exists to
-        // reject. Integer-looking images take the numeric cast; anything
-        // else decodes as boolean (true -> 1L), and genuine garbage still
-        // fails the batch loudly under ANSI rather than nulling out.
-        case PlainLong => when(raw.rlike("^-?[0-9]+$"), raw.cast("long"))
-          .otherwise(Decoders.boolToInt(raw.cast("boolean")).cast("long"))
+        // reject. ONLY the literal true/false renderings take the boolean
+        // path: Spark's boolean cast also accepts 'y'/'yes'/'t'/'n'/'no'/
+        // 'f', and routing those through it would silently decode garbage
+        // to 1L/0L. Everything else takes the plain long cast, which
+        // keeps legitimate renderings like '+7' or ' 7' decodable and
+        // fails the batch loudly under ANSI on genuine garbage.
+        case PlainLong => when(lower(trim(raw)).isin("true", "false"),
+            Decoders.boolToInt(raw.cast("boolean")).cast("long"))
+          .otherwise(raw.cast("long"))
         case PlainDouble => raw.cast("double")
         case BoolInt => Decoders.boolToInt(raw.cast("boolean"))
         case ConnectDecimal(scale) => Decoders.debeziumDecimal(raw, scale)

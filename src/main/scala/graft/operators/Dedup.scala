@@ -724,15 +724,21 @@ object Dedup {
   /** The persisted-index face of [[exactThenNear]]: d17's bloom-fronted
     * exact probe kills byte-identical rows pre-shuffle, then d16's
     * partition-pruned signature probe runs on the survivors only. The
-    * exact verdict is dup-rate-bounded (tiny at a ~1% dup rate), so its
-    * anti-join against the delta broadcasts. Intermediates are released;
-    * the returned verdict holds one checkpoint for the caller to
-    * [[release]].
+    * exact verdict's anti-join against the delta is deliberately NOT
+    * broadcast-hinted: in the daily-ingest workload this composition
+    * exists for, MOST of the delta matches the exact tier (byte-identical
+    * re-crawls), so the verdict is delta-proportional — a forced
+    * broadcast would blow the 8 GB relation limit at exactly the scale
+    * the operator targets. The shuffle anti-join on doc_id is what the
+    * survivors needed anyway (the signature build shuffles on doc_id
+    * next), and AQE still demotes it to a broadcast when the verdict is
+    * genuinely small. Intermediates are released; the returned verdict
+    * holds one checkpoint for the caller to [[release]].
     */
   def probeExactThenNear(s: SparkSession, exactDir: String, mhDir: String,
       delta: DataFrame): DataFrame = {
     val exact = probeExactIndex(s, exactDir, delta)
-    val survivors = delta.join(broadcast(exact.select("doc_id")),
+    val survivors = delta.join(exact.select("doc_id"),
       Seq("doc_id"), "left_anti")
     val near = probeMinhashIndex(s, mhDir, survivors)
     val verdict = exact.select(col("doc_id"), lit("exact").as("tier"),
@@ -807,9 +813,14 @@ object Dedup {
       expectedKeys: Long = 1000000L, fpp: Double = 0.01): Unit = {
     val (index, bfBytes) = exactIndexParts(docs, expectedKeys, fpp)
     if (bfBytes == null) return // empty delta: nothing to absorb
-    index
-      .withColumn("hbkt", pmod(xxhash64(col("h")), lit(INDEX_BUCKETS)).cast("int"))
-      .write.mode("append").partitionBy("hbkt").parquet(s"$dir/hashes")
+    // the bloom swap happens BEFORE the parquet append (the writeExactIndex
+    // "bloom before any file lands" discipline): a mismatched-parameter
+    // mergeInPlace, a missing bloom.bin, or a crash between the two writes
+    // must not leave appended hashes the bloom prefilter can never see
+    // (those docs would silently probe as non-dups forever). The reverse
+    // failure — bloom swapped, parquet append lost — only widens the
+    // filter: the join still decides membership exactly, and a retried
+    // append is harmless (same keeper rows, bloom merge idempotent).
     import org.apache.spark.util.sketch.BloomFilter
     val existing = BloomFilter.readFrom(new java.io.ByteArrayInputStream(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, "bloom.bin"))))
@@ -822,6 +833,9 @@ object Dedup {
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "bloom.bin"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    index
+      .withColumn("hbkt", pmod(xxhash64(col("h")), lit(INDEX_BUCKETS)).cast("int"))
+      .write.mode("append").partitionBy("hbkt").parquet(s"$dir/hashes")
   }
 
   /** Probe the exact index: bloom-prefilter the delta (codegen, no

@@ -75,10 +75,30 @@ class QueryInventorySpec extends SparkSpec {
       GlobalLimitExec, TakeOrderedAndProjectExec, LocalTableScanExec}
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec}
+    // the declared arithmetic-bin grouping columns whose domains are
+    // bounded by a VALUE range, not the row count: p09's `slice` is
+    // 10 quality deciles x CURR_HSLICES hash slices (≤40 values), q47's
+    // `_sgr_*` are the null/NaN flags plus the clamped cent-quantized
+    // bin of slicedGlobalRanks. Grouping on anything else (doc_id, a
+    // text hash, ...) fails the census and needs its own bound argument.
+    val boundedDomainCols = Set("slice", "_sgr_nn", "_sgr_nan", "_sgr_bin")
+
     def bounded(p: SparkPlan): Boolean = p.exists {
       case _: LocalLimitExec | _: GlobalLimitExec |
            _: TakeOrderedAndProjectExec => true // explicit row bound
-      case _: BaseAggregateExec => true // bounded by the grouping domain
+      // a GLOBAL aggregate is ≤1 row; a GROUPED aggregate is only as
+      // bounded as its grouping domain — groupBy(doc_id) is corpus-
+      // proportional (the exact round-7 shape this census exists to
+      // catch), so grouped aggregates count only when every grouping
+      // key is a declared arithmetic-bin column (cent-quantized /
+      // modulo slice ids, domains bounded by the VALUE range, not the
+      // row count).
+      case a: BaseAggregateExec => a.groupingExpressions.isEmpty ||
+        a.groupingExpressions.forall {
+          case att: org.apache.spark.sql.catalyst.expressions.Attribute =>
+            boundedDomainCols.contains(att.name)
+          case _ => false
+        }
       case _: LocalTableScanExec => true // literal golden frames
       case _ => false
     }

@@ -301,6 +301,76 @@ class CdcPipelineSpec extends SparkSpec {
     val state = SchemaRegistry.typedLatestState(spark, path.toString, "shop", "pay7")
       .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(state == Map(1L -> Some(1L), 2L -> Some(0L), 3L -> Some(7L)))
+
+    // the boolean fallback is EXACTLY 'true'/'false': Spark's boolean
+    // cast also accepts 'y'/'yes'/'t'/'n'/'no'/'f', and routing garbage
+    // through it would silently mint 1L/0L — garbage must fail the batch
+    // loudly instead. Legitimate long renderings with sign/whitespace
+    // ('+7', ' 7') must still decode — they did under the plain long
+    // cast before the decoder was boolean-aware.
+    import org.apache.spark.sql.functions.{map_from_arrays, lit, array}
+    def decodeOne(img: String): Option[Long] = {
+      val decoded = spark.range(1).select(
+        SchemaRegistry.decodeImage(
+          map_from_arrays(array(lit("flag")), array(lit(img))),
+          Seq(SchemaRegistry.ColumnSpec("flag", PlainLong))): _*)
+      Option(decoded.head().get(0)).map(_.asInstanceOf[Long])
+    }
+    assert(decodeOne("+7") == Some(7L))
+    assert(decodeOne(" 7") == Some(7L))
+    assert(decodeOne("TRUE") == Some(1L))
+    intercept[Exception] { decodeOne("y") }
+    intercept[Exception] { decodeOne("yes") }
+    intercept[Exception] { decodeOne("t") }
+  }
+
+  test("P3: schema evolution — a decimal scale ALTER is rejected, not replayed") {
+    // Debezium decimals are UNSCALED bytes: the value of an image depends
+    // on the scale of the schema generation that WROTE it. Latest-tree
+    // decoding of a pre-ALTER image under a grown scale divides every old
+    // value by 10^(s2-s1) — 12345 @ scale 2 (123.45) silently becomes
+    // 1.2345 at scale 4. So scale change in EITHER direction is narrowing
+    // for this registry, and the checked path must refuse the batch.
+    def sectionJson(scale: Int): String =
+      s"""{"type":"struct","fields":[
+         |{"type":"struct","optional":true,"field":"before","fields":[
+         |  {"type":"int64","optional":false,"field":"id"},
+         |  {"type":"bytes","optional":true,
+         |   "name":"org.apache.kafka.connect.data.Decimal",
+         |   "parameters":{"scale":"$scale"},"field":"amount"}]},
+         |{"type":"struct","optional":true,"field":"after","fields":[
+         |  {"type":"int64","optional":false,"field":"id"},
+         |  {"type":"bytes","optional":true,
+         |   "name":"org.apache.kafka.connect.data.Decimal",
+         |   "parameters":{"scale":"$scale"},"field":"amount"}]}]}""".stripMargin.replace("\n", "")
+    def event(pos: Long, scale: Int, after: String): String =
+      s"""{"schema":${sectionJson(scale)},"payload":{"before":null,"after":$after,
+         |"source":{"db":"shop","table":"pay8","file":"mysql-bin.000004","pos":$pos,"row":0},
+         |"op":"c","ts_ms":1}}""".stripMargin.replace("\n", "")
+    // the image VALUE is irrelevant to the guard — only the schema
+    // parameters are compared
+    val lines = Seq(
+      event(10L, 2, """{"id":1,"amount":"MDk="}"""),
+      event(20L, 4, """{"id":2,"amount":"MDk="}"""))
+    val dir = java.nio.file.Files.createTempDirectory("evodecscale")
+    val path = dir.resolve("events.jsonl")
+    java.nio.file.Files.write(path, lines.mkString("\n").getBytes("UTF-8"))
+
+    import SchemaRegistry._
+    assert(SchemaRegistry.evolutionViolations(spark, path.toString) ==
+      Seq(EvolutionViolation("shop", "pay8", "amount",
+        ConnectDecimal(2), ConnectDecimal(4))))
+    val ex = intercept[IllegalStateException] {
+      SchemaRegistry.fromEventsChecked(spark, path.toString)
+    }
+    assert(ex.getMessage.contains("shop.pay8.amount"))
+    // an UNCHANGED decimal scale across generations stays admitted
+    val same = Seq(
+      event(10L, 2, """{"id":1,"amount":"MDk="}"""),
+      event(20L, 2, """{"id":2,"amount":"MDk="}"""))
+    val spath = dir.resolve("same.jsonl")
+    java.nio.file.Files.write(spath, same.mkString("\n").getBytes("UTF-8"))
+    assert(SchemaRegistry.evolutionViolations(spark, spath.toString).isEmpty)
   }
 
   test("P3: schema evolution — a column RENAMED mid-stream is drop+add under latest-tree decoding") {

@@ -653,35 +653,48 @@ class SimilaritySpec extends SparkSpec {
       "ADC scoring join did not broadcast the LUT")
   }
 
+  // ---- shared by the d16/d17 append tests: the byte-identical-files
+  // invariant and the three-way day split. day-3 plants a byte-copy of a
+  // DAY-2 doc (id + APPEND_PLANT_OFFSET): its match is findable only if
+  // the appended day-2 entries are live in the merged index. day3 is
+  // checkpointed — each test releases it.
+  private val APPEND_PLANT_OFFSET = 20000000L
+  private def parquetListing(p: String): Map[java.nio.file.Path, Long] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+      .filter(f => java.nio.file.Files.isRegularFile(f) &&
+        f.toString.endsWith(".parquet"))
+      .map(f => f -> java.nio.file.Files.size(f)).toMap
+  }
+  private def daySplit(docs: org.apache.spark.sql.DataFrame): (
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val day1 = docs.filter(expr("doc_id % 3 = 1"))
+    val day2 = docs.filter(expr("doc_id % 3 = 2")).select("doc_id", "text")
+    val day3 = docs.filter(expr("doc_id % 3 = 0")).select("doc_id", "text")
+      .unionAll(day2.orderBy("doc_id").limit(1)
+        .select((col("doc_id") + APPEND_PLANT_OFFSET).as("doc_id"), col("text")))
+      .localCheckpoint(true)
+    (day1, day2, day3)
+  }
+
   test("d16: appendToMinhashIndex absorbs a delta — merged probe == from-scratch; no existing file rewritten") {
     // the full daily-ingest cycle: write day-1, probe+append day-2,
     // probe day-3 against the merged index. Merged must equal an index
     // built from scratch over day-1 ∪ day-2, and the append must be
     // delta-proportional: every pre-append file survives byte-identical
     // (parquet append only ADDS files under the delta's partitions).
-    import java.nio.file.{Files, Paths, Path}
-    import scala.jdk.CollectionConverters._
+    import java.nio.file.Files
     val d = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$d/documents.parquet")
-    val day1 = docs.filter(expr("doc_id % 3 = 1"))
-    val day2 = docs.filter(expr("doc_id % 3 = 2")).select("doc_id", "text")
-    // day-3 plants a byte-copy of a DAY-2 doc: its match is findable only
-    // if the appended signatures are live in the merged index
-    val day3 = docs.filter(expr("doc_id % 3 = 0")).select("doc_id", "text")
-      .unionAll(day2.orderBy("doc_id").limit(1)
-        .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
-      .localCheckpoint(true)
+    val (day1, day2, day3) = daySplit(docs)
     val dir = Files.createTempDirectory("mhappend").toString
     Dedup.writeMinhashIndex(day1, s"$dir/inc")
-    def listing(p: String): Map[Path, Long] =
-      Files.walk(Paths.get(p)).iterator().asScala
-        .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".parquet"))
-        .map(f => f -> Files.size(f)).toMap
-    val before = listing(s"$dir/inc")
+    val before = parquetListing(s"$dir/inc")
     // day-2 probes (the daily verdict), then is absorbed
     Dedup.release(Dedup.probeMinhashIndex(spark, s"$dir/inc", day2))
     Dedup.appendToMinhashIndex(day2, s"$dir/inc")
-    val after = listing(s"$dir/inc")
+    val after = parquetListing(s"$dir/inc")
     assert(before.forall { case (f, sz) => after.get(f).contains(sz) },
       "append rewrote or removed an existing index file")
     assert(after.size > before.size, "append added no files")
@@ -692,35 +705,26 @@ class SimilaritySpec extends SparkSpec {
     val mergedRows = merged.collect().toSeq
     assert(mergedRows == scratch.collect().toSeq)
     // the planted day-2 copy is found via the APPENDED signatures
-    assert(mergedRows.exists(r => r.getLong(0) >= 20000000L && r.getInt(4) == 1),
+    assert(mergedRows.exists(r =>
+      r.getLong(0) >= APPEND_PLANT_OFFSET && r.getInt(4) == 1),
       s"planted day-2 copy not matched: $mergedRows")
     Seq(merged, scratch, day3).foreach(Dedup.release)
   }
 
   test("d17: appendToExactIndex absorbs a delta — merged probe == from-scratch; bloom union is live") {
-    import java.nio.file.{Files, Paths, Path}
-    import scala.jdk.CollectionConverters._
+    import java.nio.file.Files
     val d = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$d/documents.parquet")
-    val day1 = docs.filter(expr("doc_id % 3 = 1"))
-    val day2 = docs.filter(expr("doc_id % 3 = 2")).select("doc_id", "text")
-    val day3 = docs.filter(expr("doc_id % 3 = 0")).select("doc_id", "text")
-      .unionAll(day2.orderBy("doc_id").limit(1)
-        .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
-      .localCheckpoint(true)
+    val (day1, day2, day3) = daySplit(docs)
     val dir = Files.createTempDirectory("exappend").toString
     Dedup.writeExactIndex(day1, s"$dir/inc")
     val day2Verdict = Dedup.probeExactIndex(spark, s"$dir/inc", day2)
     // organic corpus has no exact dups: day-2 is all-new, append it whole
     assert(day2Verdict.count() == 0)
     Dedup.release(day2Verdict)
-    def listing(p: String): Map[Path, Long] =
-      Files.walk(Paths.get(p)).iterator().asScala
-        .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".parquet"))
-        .map(f => f -> Files.size(f)).toMap
-    val before = listing(s"$dir/inc/hashes")
+    val before = parquetListing(s"$dir/inc/hashes")
     Dedup.appendToExactIndex(day2, s"$dir/inc")
-    val after = listing(s"$dir/inc/hashes")
+    val after = parquetListing(s"$dir/inc/hashes")
     assert(before.forall { case (f, sz) => after.get(f).contains(sz) },
       "append rewrote or removed an existing index file")
     assert(after.size > before.size, "append added no files")
@@ -731,7 +735,7 @@ class SimilaritySpec extends SparkSpec {
     assert(mergedRows == scratch.collect().toSeq)
     // the planted day-2 copy passes the MERGED bloom and hash-joins to
     // its day-2 keeper — proof the append reached both tiers of the index
-    assert(mergedRows.exists(_.getLong(0) >= 20000000L),
+    assert(mergedRows.exists(_.getLong(0) >= APPEND_PLANT_OFFSET),
       s"planted day-2 copy not matched: $mergedRows")
     // an empty append is a no-op, not a crash
     Dedup.appendToExactIndex(day2.filter(lit(false)), s"$dir/inc")
