@@ -29,7 +29,14 @@ object SchemaRegistry {
   case object MicroTime extends LogicalType
   final case class ZonedTs(shiftHours: Int = 7) extends LogicalType
 
-  final case class ColumnSpec(name: String, logicalType: LogicalType)
+  /** One registry column: latest logical type plus the single piece of
+    * HISTORY the decoder needs — whether any schema generation of this
+    * column was boolean. The PlainLong boolean fallback is gated on that
+    * provenance: a never-boolean long column keeps the strict fail-loud
+    * ANSI cast, so corrupted images like 'true' cannot silently mint 1L.
+    */
+  final case class ColumnSpec(name: String, logicalType: LogicalType,
+      boolGeneration: Boolean = false)
 
   /** Envelope `schema.fields` tree (data/model.go:35-53), one nesting level
     * (envelope section → columns) as used by Debezium MySQL.
@@ -108,14 +115,27 @@ object SchemaRegistry {
       logicalTypeOf(f.getAs[String]("type"), f.getAs[String]("name"), params)
   }
 
-  private def registryOf(frame: DataFrame): Map[(String, String), Seq[ColumnSpec]] =
+  private def registryOf(frame: DataFrame): Map[(String, String), Seq[ColumnSpec]] = {
+    // columns with a boolean generation ANYWHERE in their history (the
+    // cols structs carry a parameters MAP, so distinct runs on the
+    // projected scalar triple, not the struct) — bounded by tables ×
+    // columns, like the registry itself
+    val boolCols = frame
+      .select(col("db"), col("tbl"), explode(col("cols")).as("f"))
+      .filter(col("f.type") === "boolean")
+      .select(col("db"), col("tbl"), col("f.field"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     frame.groupBy("db", "tbl").agg(max_by(col("cols"), col("coord")).as("cols"))
       .collect().map { r =>
-        (r.getString(0), r.getString(1)) ->
+        val (db, tbl) = (r.getString(0), r.getString(1))
+        (db, tbl) ->
           r.getSeq[Row](2).map { f =>
-            val (n, t) = specOf(f); ColumnSpec(n, t)
+            val (n, t) = specOf(f)
+            ColumnSpec(n, t, boolCols.contains((db, tbl, n)))
           }
       }.toMap
+  }
 
   /** Is a column's logical-type transition across schema generations
     * WIDENING (safe to replay via latest-tree decoding)? Widening means
@@ -208,19 +228,24 @@ object SchemaRegistry {
       val raw = element_at(image, cs.name)
       val decoded = cs.logicalType match {
         case PlainString => raw
-        // boolean-aware: isWidening whitelists BoolInt -> PlainLong, and
-        // pre-ALTER boolean row images are the STRINGS 'true'/'false'
-        // (fixtures/cdc_typed_events.jsonl) which a bare cast("long")
-        // breaks on — the misdecode class fromEventsChecked exists to
-        // reject. ONLY the literal true/false renderings take the boolean
-        // path: Spark's boolean cast also accepts 'y'/'yes'/'t'/'n'/'no'/
-        // 'f', and routing those through it would silently decode garbage
-        // to 1L/0L. Everything else takes the plain long cast, which
-        // keeps legitimate renderings like '+7' or ' 7' decodable and
-        // fails the batch loudly under ANSI on genuine garbage.
-        case PlainLong => when(lower(trim(raw)).isin("true", "false"),
+        // boolean-aware ONLY for columns whose history holds a boolean
+        // generation (ColumnSpec.boolGeneration): isWidening whitelists
+        // BoolInt -> PlainLong, and pre-ALTER boolean row images are the
+        // STRINGS 'true'/'false' (fixtures/cdc_typed_events.jsonl) which
+        // a bare cast("long") breaks on — the misdecode class
+        // fromEventsChecked exists to reject. Even then only the literal
+        // true/false renderings take the boolean path: Spark's boolean
+        // cast also accepts 'y'/'yes'/'t'/'n'/'no'/'f', and routing
+        // those through it would silently decode garbage to 1L/0L.
+        // Everything else — including EVERY image of a never-boolean
+        // column — takes the plain long cast, which keeps legitimate
+        // renderings like '+7' or ' 7' decodable and fails the batch
+        // loudly under ANSI on genuine garbage.
+        case PlainLong if cs.boolGeneration =>
+          when(lower(trim(raw)).isin("true", "false"),
             Decoders.boolToInt(raw.cast("boolean")).cast("long"))
           .otherwise(raw.cast("long"))
+        case PlainLong => raw.cast("long")
         case PlainDouble => raw.cast("double")
         case BoolInt => Decoders.boolToInt(raw.cast("boolean"))
         case ConnectDecimal(scale) => Decoders.debeziumDecimal(raw, scale)

@@ -515,14 +515,30 @@ object Dedup {
     if (mode == "overwrite")
       require(!docs.isEmpty,
         s"writeMinhashIndex: empty corpus — refusing to write an empty index to $dir")
+    else
+      // append-mode parquet happily CREATES a missing table, so a typo'd
+      // or unmounted index path would silently become a fresh delta-only
+      // index that every later probe runs against — require the index
+      // this append claims to extend to actually exist
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "bands")) &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "sigs")),
+        s"appendToMinhashIndex: no index at $dir — write one first")
     val sigs = minhashSignatures(docs)
+    // sigs land BEFORE bands: a crash between the two writes must not
+    // leave band rows without signatures — the probe's confirm join is
+    // inner, so such candidates would be dropped SILENTLY forever. An
+    // orphan signature (sigs committed, bands lost) is never probed, so
+    // every verdict stays correct; recovering the torn delta still takes
+    // a fresh from-scratch write, but nothing is silently wrong in the
+    // meantime. (Same discipline as appendToExactIndex's
+    // bloom-before-parquet ordering.)
+    sigs
+      .withColumn("sbkt", pmod(col("doc_id"), lit(INDEX_BUCKETS.toLong)).cast("int"))
+      .write.mode(mode).partitionBy("sbkt").parquet(s"$dir/sigs")
     bandedKeys(sigs)
       .withColumn("bkt",
         pmod(xxhash64(col("band_key")), lit(INDEX_BUCKETS)).cast("int"))
       .write.mode(mode).partitionBy("bkt").parquet(s"$dir/bands")
-    sigs
-      .withColumn("sbkt", pmod(col("doc_id"), lit(INDEX_BUCKETS.toLong)).cast("int"))
-      .write.mode(mode).partitionBy("sbkt").parquet(s"$dir/sigs")
   }
 
   /** Probe the persisted index with a delta batch. Every index read is
@@ -819,8 +835,13 @@ object Dedup {
     // must not leave appended hashes the bloom prefilter can never see
     // (those docs would silently probe as non-dups forever). The reverse
     // failure — bloom swapped, parquet append lost — only widens the
-    // filter: the join still decides membership exactly, and a retried
-    // append is harmless (same keeper rows, bloom merge idempotent).
+    // filter: the join still decides membership exactly, and every verdict
+    // stays correct. Recovery after a torn append must go through the
+    // probe, not a blind re-run: re-appending rows whose parquet append
+    // actually committed would duplicate (h, match_id) rows and the probe
+    // would emit duplicate verdicts — but the documented probe-then-append
+    // flow is naturally idempotent (a re-probe reports the committed rows
+    // as matched, so they are excluded from the retried append).
     import org.apache.spark.util.sketch.BloomFilter
     val existing = BloomFilter.readFrom(new java.io.ByteArrayInputStream(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, "bloom.bin"))))

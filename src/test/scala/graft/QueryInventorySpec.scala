@@ -83,9 +83,19 @@ class QueryInventorySpec extends SparkSpec {
     // text hash, ...) fails the census and needs its own bound argument.
     val boundedDomainCols = Set("slice", "_sgr_nn", "_sgr_nan", "_sgr_bin")
 
-    def bounded(p: SparkPlan): Boolean = p.exists {
+    // STRUCTURAL recursion down the window's input, not an exists() over
+    // the whole subtree: a limit sitting on a JOIN'S BUILD SIDE (e.g.
+    // corpus.join(broadcast(dim.limit(10)))) bounds nothing about the
+    // streamed corpus, yet exists() would find it and wave the window
+    // through. A node bounds its output iff it IS a bound (limit /
+    // literal frame / bounded-domain aggregate) or every
+    // cardinality-carrying child is bounded (joins: BOTH sides — the
+    // conservative choice; unions: all branches; other unary ops:
+    // their child). Leaf file scans are corpus-proportional => false.
+    def bounded(p: SparkPlan): Boolean = p match {
       case _: LocalLimitExec | _: GlobalLimitExec |
            _: TakeOrderedAndProjectExec => true // explicit row bound
+      case _: LocalTableScanExec => true // literal golden frames
       // a GLOBAL aggregate is ≤1 row; a GROUPED aggregate is only as
       // bounded as its grouping domain — groupBy(doc_id) is corpus-
       // proportional (the exact round-7 shape this census exists to
@@ -99,7 +109,7 @@ class QueryInventorySpec extends SparkSpec {
             boundedDomainCols.contains(att.name)
           case _ => false
         }
-      case _: LocalTableScanExec => true // literal golden frames
+      case _ if p.children.nonEmpty => p.children.forall(bounded)
       case _ => false
     }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

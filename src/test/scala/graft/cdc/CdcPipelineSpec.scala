@@ -302,6 +302,12 @@ class CdcPipelineSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(state == Map(1L -> Some(1L), 2L -> Some(0L), 3L -> Some(7L)))
 
+    // ...and the registry carries the boolean PROVENANCE: the fallback
+    // exists only for columns that actually lived through a bool->int
+    // ALTER
+    assert(spec.find(_.name == "flag").exists(_.boolGeneration))
+    assert(!spec.find(_.name == "id").exists(_.boolGeneration))
+
     // the boolean fallback is EXACTLY 'true'/'false': Spark's boolean
     // cast also accepts 'y'/'yes'/'t'/'n'/'no'/'f', and routing garbage
     // through it would silently mint 1L/0L — garbage must fail the batch
@@ -309,11 +315,11 @@ class CdcPipelineSpec extends SparkSpec {
     // ('+7', ' 7') must still decode — they did under the plain long
     // cast before the decoder was boolean-aware.
     import org.apache.spark.sql.functions.{map_from_arrays, lit, array}
-    def decodeOne(img: String): Option[Long] = {
+    def decodeOne(img: String, boolGen: Boolean = true): Option[Long] = {
       val decoded = spark.range(1).select(
         SchemaRegistry.decodeImage(
           map_from_arrays(array(lit("flag")), array(lit(img))),
-          Seq(SchemaRegistry.ColumnSpec("flag", PlainLong))): _*)
+          Seq(SchemaRegistry.ColumnSpec("flag", PlainLong, boolGen))): _*)
       Option(decoded.head().get(0)).map(_.asInstanceOf[Long])
     }
     assert(decodeOne("+7") == Some(7L))
@@ -322,6 +328,10 @@ class CdcPipelineSpec extends SparkSpec {
     intercept[Exception] { decodeOne("y") }
     intercept[Exception] { decodeOne("yes") }
     intercept[Exception] { decodeOne("t") }
+    // a column with NO boolean generation keeps the strict ANSI cast:
+    // even a literal 'true' is garbage there and fails the batch loudly
+    intercept[Exception] { decodeOne("true", boolGen = false) }
+    assert(decodeOne("7", boolGen = false) == Some(7L))
   }
 
   test("P3: schema evolution — a decimal scale ALTER is rejected, not replayed") {

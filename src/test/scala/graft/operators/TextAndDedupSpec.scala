@@ -708,7 +708,20 @@ class SimilaritySpec extends SparkSpec {
     assert(mergedRows.exists(r =>
       r.getLong(0) >= APPEND_PLANT_OFFSET && r.getInt(4) == 1),
       s"planted day-2 copy not matched: $mergedRows")
-    Seq(merged, scratch, day3).foreach(Dedup.release)
+    // torn-append safety: the writer lands sigs BEFORE bands, so the
+    // worst crash leaves ORPHAN signatures (no band rows). Orphans are
+    // never probed — the band join is what creates candidates — so
+    // verdicts must be byte-identical to the untorn index
+    val orphan = day2.orderBy("doc_id").limit(1)
+      .select((col("doc_id") + 30000000L).as("doc_id"), col("text"))
+    Dedup.minhashSignatures(orphan)
+      .withColumn("sbkt",
+        pmod(col("doc_id"), lit(Dedup.INDEX_BUCKETS.toLong)).cast("int"))
+      .write.mode("append").partitionBy("sbkt").parquet(s"$dir/inc/sigs")
+    val afterTorn = Dedup.probeMinhashIndex(spark, s"$dir/inc", day3)
+    assert(afterTorn.collect().toSeq == mergedRows,
+      "orphan signatures changed probe verdicts")
+    Seq(merged, scratch, day3, afterTorn).foreach(Dedup.release)
   }
 
   test("d17: appendToExactIndex absorbs a delta — merged probe == from-scratch; bloom union is live") {
@@ -792,6 +805,13 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(mx.getMessage.contains("empty corpus"))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "bands")))
+    // an APPEND against a missing index path must fail loudly, not
+    // silently mint a fresh delta-only index at the typo'd location
+    val ax = intercept[IllegalArgumentException] {
+      Dedup.appendToMinhashIndex(docs.filter(expr("doc_id < 20")), s"$dir/nope")
+    }
+    assert(ax.getMessage.contains("no index"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/nope", "bands")))
     // an empty minhash APPEND over an existing index is a harmless no-op
     Dedup.writeMinhashIndex(docs.filter(expr("doc_id < 20")), dir)
     Dedup.appendToMinhashIndex(empty, dir)
