@@ -808,31 +808,44 @@ object Dedup {
       .withColumn("hbkt", pmod(xxhash64(col("h")), lit(INDEX_BUCKETS)).cast("int"))
       .write.mode("overwrite").partitionBy("hbkt").parquet(s"$dir/hashes")
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bloom.bin"), bfBytes)
+    // the bloom build parameters are part of the index, not of each
+    // call site: an append must build a BIT-COMPATIBLE delta filter,
+    // and making every future caller re-supply the original
+    // (expectedKeys, fpp) is a foot-gun — appendToExactIndex reads this
+    // manifest instead of taking parameters
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bloom.meta"),
+      s"$expectedKeys,$fpp".getBytes("UTF-8"))
   }
 
   /** Absorb a delta into a persisted exact index without rewriting the
     * corpus: new (h, keeper) rows append into the delta's own hash-bucket
     * partitions (no existing file is read or touched — delta-proportional
     * cost at any index size), and the on-disk bloom is REPLACED by the
-    * union of itself and the delta's bloom, built with the same
-    * (expectedKeys, fpp) so the two filters are bit-compatible
-    * (mergeInPlace fails loudly on a mismatch — pass the original
-    * write's parameters). The bloom swap is write-temp-then-atomic-move,
-    * so a crash mid-append can never leave a torn bloom.bin.
+    * union of itself and the delta's bloom, built with the parameters
+    * the INDEX records in its own manifest (bloom.meta, written by
+    * [[writeExactIndex]]) so the two filters are bit-compatible by
+    * construction — no caller-supplied parameters to get wrong. The
+    * bloom swap is write-temp-then-atomic-move, so a crash mid-append
+    * can never leave a torn bloom.bin.
     *
     * Caller contract: append only rows the probe reported UNMATCHED
     * (their hashes are provably absent — the probe's join is exact, so
     * no duplicate h can arise); intra-delta copies collapse to one
     * min-id keeper in the grouping here.
     */
-  def appendToExactIndex(docs: DataFrame, dir: String,
-      expectedKeys: Long = 1000000L, fpp: Double = 0.01): Unit = {
+  def appendToExactIndex(docs: DataFrame, dir: String): Unit = {
+    val metaPath = java.nio.file.Paths.get(dir, "bloom.meta")
+    require(java.nio.file.Files.exists(metaPath),
+      s"appendToExactIndex: no index manifest at $metaPath — write the index first")
+    val meta = new String(
+      java.nio.file.Files.readAllBytes(metaPath), "UTF-8").split(",")
+    val (expectedKeys, fpp) = (meta(0).toLong, meta(1).toDouble)
     val (index, bfBytes) = exactIndexParts(docs, expectedKeys, fpp)
     if (bfBytes == null) return // empty delta: nothing to absorb
     // the bloom swap happens BEFORE the parquet append (the writeExactIndex
-    // "bloom before any file lands" discipline): a mismatched-parameter
-    // mergeInPlace, a missing bloom.bin, or a crash between the two writes
-    // must not leave appended hashes the bloom prefilter can never see
+    // "bloom before any file lands" discipline): a corrupt bloom.bin
+    // (mergeInPlace fails loudly), a missing one, or a crash between the
+    // two writes must not leave appended hashes the bloom prefilter can never see
     // (those docs would silently probe as non-dups forever). The reverse
     // failure — bloom swapped, parquet append lost — only widens the
     // filter: the join still decides membership exactly, and every verdict

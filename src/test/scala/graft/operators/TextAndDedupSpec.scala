@@ -730,7 +730,10 @@ class SimilaritySpec extends SparkSpec {
     val docs = spark.read.parquet(s"$d/documents.parquet")
     val (day1, day2, day3) = daySplit(docs)
     val dir = Files.createTempDirectory("exappend").toString
-    Dedup.writeExactIndex(day1, s"$dir/inc")
+    // NON-default bloom parameters: the append must pick them up from the
+    // index's own manifest (a caller-side default would build a
+    // bit-incompatible delta filter)
+    Dedup.writeExactIndex(day1, s"$dir/inc", expectedKeys = 2000000L, fpp = 0.02)
     val day2Verdict = Dedup.probeExactIndex(spark, s"$dir/inc", day2)
     // organic corpus has no exact dups: day-2 is all-new, append it whole
     assert(day2Verdict.count() == 0)
@@ -797,9 +800,10 @@ class SimilaritySpec extends SparkSpec {
       Dedup.writeExactIndex(empty, dir)
     }
     assert(ex.getMessage.contains("empty corpus"))
-    // nothing half-written: no parquet dir, no bloom
+    // nothing half-written: no parquet dir, no bloom, no manifest
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "hashes")))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "bloom.bin")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "bloom.meta")))
     val mx = intercept[IllegalArgumentException] {
       Dedup.writeMinhashIndex(empty, dir)
     }
