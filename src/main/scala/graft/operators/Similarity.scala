@@ -1004,6 +1004,106 @@ object Similarity {
       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc
       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------- persisted IVF-PQ index (s09 at rest)
+  /** Persisted IVF-PQ index — the d16/d17 daily-ingest discipline applied
+    * to ANN: the MODEL (centroids + codebook) and the CODED corpus are
+    * written once; probes read the tiny model plus only the probed cells'
+    * partitions; deltas append their codes under the FROZEN model. The
+    * model is deliberately never updated by an append — re-clustering
+    * under existing codes would silently invalidate every earlier cell
+    * assignment and code id (they are argmins AGAINST that model); recall
+    * drift from a shifted distribution is recovered by a full
+    * [[writeIvfPqIndex]] rebuild, the FAISS retrain discipline.
+    *
+    * Layout under `dir`: `centroids` ([[N_CELLS]] rows), `codebook`
+    * ([[PQ_K]] rows with the precomputed per-subspace self-dots), `codes`
+    * ((vec_id, m, code) rows partitioned by `cell` — the write-time
+    * partition key the probe prunes on). The model lands BEFORE any code
+    * row: a crash between the two writes leaves a missing/empty `codes`
+    * table — probes fail loudly or return no candidates from the torn
+    * delta, never a silently-wrong ranking (the appendToMinhashIndex
+    * ordering discipline). Code rows are derived by READING BACK the
+    * persisted model, so codes always agree with the model on disk, not
+    * with a driver-side copy.
+    *
+    * Corpus/delta/query frames carry (vec_id|query_id, qv) with qv the
+    * [[quantize]]d integer components — quantization happens once at
+    * ingest, as in every registered similarity query.
+    */
+  def writeIvfPqIndex(corpus: DataFrame, dir: String): Unit = {
+    // an empty overwrite would land an unreadable partitioned parquet and
+    // a null model — refuse loudly, touching nothing (writeExactIndex)
+    require(!corpus.isEmpty,
+      s"writeIvfPqIndex: empty corpus — refusing to write an empty index to $dir")
+    seedCentroids(corpus).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    pqCodebook(corpus).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    writeCodes(corpus, dir, "overwrite")
+  }
+
+  /** Absorb a delta batch: assign + encode against the PERSISTED model,
+    * append under the deltas' own cell partitions — no existing file is
+    * read or touched, so the cost is delta-proportional at any index
+    * size. An empty delta appends nothing (harmless no-op).
+    */
+  def appendToIvfPqIndex(delta: DataFrame, dir: String): Unit = {
+    // append-mode parquet happily CREATES a missing table — require the
+    // index this append claims to extend to exist (appendToMinhashIndex)
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "codes")),
+      s"appendToIvfPqIndex: no index at $dir — write one first")
+    writeCodes(delta, dir, "append")
+  }
+
+  private def writeCodes(batch: DataFrame, dir: String, mode: String): Unit = {
+    val s = batch.sparkSession
+    val cents = s.read.parquet(s"$dir/centroids")
+    val cb = s.read.parquet(s"$dir/codebook")
+    assignToCells(batch, cents).select("vec_id", "cell")
+      .join(pqEncode(batch, cb), "vec_id")
+      .write.mode(mode).partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** Probe the persisted index with a (query_id, qv) batch: assign the
+    * queries to their [[N_PROBE]] best cells against the stored
+    * centroids, then read ONLY those cells' code partitions
+    * (PartitionFilters pruning — the cell-literal list is bounded by
+    * |queries|·N_PROBE, never corpus-proportional) and ADC-score them
+    * against the broadcast LUT. Identical ranking to [[ivfPqTopK]] when
+    * the index was written from the same corpus (spec-pinned). The
+    * probe's intermediate checkpoint is released before returning; the
+    * returned frame holds the one surviving checkpoint for the caller to
+    * [[Dedup.release]] once consumed (the probeMinhashIndex hygiene).
+    */
+  def probeIvfPqIndex(s: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 10): DataFrame = {
+    val cents = s.read.parquet(s"$dir/centroids")
+    val cb = s.read.parquet(s"$dir/codebook")
+    // one assigned frame feeds both the cell collect and the scoring join
+    val qprobe = assignToCells(
+        queries.withColumnRenamed("query_id", "vec_id"), cents, nBest = N_PROBE)
+      .select(col("vec_id").as("query_id"), col("cell"))
+      .localCheckpoint(true)
+    val cells = qprobe.select("cell").distinct().collect().map(_.getInt(0))
+    val codes = s.read.parquet(s"$dir/codes")
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+    val lut = pqLut(queries, cb).withColumnRenamed("query_id", "lq")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+    val res = codes.join(broadcast(qprobe), "cell")
+      .join(broadcast(lut),
+        col("m") === col("lm") && col("code") === col("lj") &&
+          col("query_id") === col("lq"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("pd")).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "adc")
+      .orderBy("query_id", "rank")
+      .localCheckpoint(true)
+    Dedup.release(qprobe)
+    res
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s09_ivfpq_ann" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d)),
     "s08_pq_ann" -> ((s: SparkSession, d: String) => pqTopK(s, d)),

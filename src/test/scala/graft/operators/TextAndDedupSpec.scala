@@ -421,47 +421,112 @@ class SimilaritySpec extends SparkSpec {
   test("s09 scale path is executable: cell-partitioned code table, pruned probe, same ranking") {
     // the composed IVF-PQ claim — "cell and codes are write-time columns;
     // a probe reads only its cells' partitions and scores via the
-    // broadcast LUT" — as running code
+    // broadcast LUT" — as the library's persisted-index API
     val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
     val v = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
     val queries = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("qv"))
     val corpus = v.filter(col("vec_id") >= 5)
-    val cents = Similarity.seedCentroids(corpus)
-    val cb = Similarity.pqCodebook(corpus)
-    // write time: (cell, m, code) per vector, partitioned by cell
-    Similarity.assignToCells(corpus, cents).select("vec_id", "cell")
-      .join(Similarity.pqEncode(corpus, cb), "vec_id")
-      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    Similarity.writeIvfPqIndex(corpus, dir)
     // query time: probe cells as literals (≤ nQueries·N_PROBE of them)
-    val qprobe = Similarity.assignToCells(
-        queries.withColumnRenamed("query_id", "vec_id"), cents, nBest = Similarity.N_PROBE)
-      .select(col("vec_id").as("query_id"), col("cell"))
-    val probeCells = qprobe.select("cell").distinct().collect().map(_.getInt(0))
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val probeCells = Similarity.assignToCells(
+        queries.withColumnRenamed("query_id", "vec_id"), cents,
+        nBest = Similarity.N_PROBE)
+      .select("cell").distinct().collect().map(_.getInt(0))
     assert(probeCells.length < Similarity.N_CELLS,
       s"probe touches all cells — pruning untestable")
-    val codeScan = spark.read.parquet(dir)
+    // the probe's code scan prunes partitions (the probe itself
+    // checkpoints its result, detaching the scan — pin it directly)
+    val codeScan = spark.read.parquet(s"$dir/codes")
       .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
     val scanLine = codeScan.queryExecution.sparkPlan.toString.linesIterator
       .find(_.contains("FileScan")).get
     assert(scanLine.contains("PartitionFilters: [") &&
       !scanLine.contains("PartitionFilters: []") && scanLine.contains("cell"),
       s"probe did not prune partitions:\n$scanLine")
-    // scoring off the pruned scan equals the registered composed query
-    import org.apache.spark.sql.expressions.Window
-    val lut = Similarity.pqLut(queries, cb).withColumnRenamed("query_id", "lq")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
-    val got = codeScan.join(broadcast(qprobe), "cell")
-      .join(broadcast(lut),
-        col("m") === col("lm") && col("code") === col("lj") &&
-          col("query_id") === col("lq"))
-      .groupBy("query_id", "vec_id").agg(sum(col("pd")).as("adc"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
-      .select("query_id", "rank", "vec_id", "adc")
-      .orderBy("query_id", "rank")
+    // the persisted probe equals the registered composed query
+    val got = Similarity.probeIvfPqIndex(spark, dir, queries)
     assert(got.collect().toSeq ==
       Similarity.ivfPqTopK(spark, sfDir).collect().toSeq)
+    graft.operators.Dedup.release(got)
+  }
+
+  test("s09: probeIvfPqIndex strands no intermediate checkpoints") {
+    // the probeMinhashIndex hygiene, for the ANN probe: intermediates are
+    // released, the returned frame holds exactly one checkpoint for the
+    // caller. Delta-with-retries: a genuine leak survives every attempt.
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-leak").toString
+    val v = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+    val queries = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("qv"))
+    Similarity.writeIvfPqIndex(v.filter(col("vec_id") >= 5), dir)
+    val clean = (1 to 5).exists { _ =>
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val got = Similarity.probeIvfPqIndex(spark, dir, queries)
+      got.collect()
+      graft.operators.Dedup.release(got)
+      val persisted = spark.sparkContext.getPersistentRDDs
+      val added = persisted.keySet -- before
+      added.foreach(id => persisted.get(id).foreach(_.unpersist(true)))
+      added.isEmpty
+    }
+    assert(clean, "probeIvfPqIndex leaked checkpointed RDDs")
+  }
+
+  test("s09: appendToIvfPqIndex encodes under the frozen model — merged probe == from-scratch") {
+    // daily-ingest for ANN: write day-1, append day-2 (no re-clustering),
+    // probe == an index built from scratch over day-1 ∪ day-2. The delta
+    // is chosen ABOVE every seed/codebook id, so the from-scratch build
+    // derives the identical model and the comparison isolates the append
+    // path itself.
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("ivfpq-append").toString
+    val v = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+    val queries = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("qv"))
+    val corpus = v.filter(col("vec_id") >= 5)
+    // seeds are the first N_CELLS ids with vec_id % 31 == 6 (6 … 471);
+    // the codebook is the first PQ_K ids overall (5 … 20) — a delta of
+    // high non-seed ids leaves both model inputs inside the base
+    val isDelta = col("vec_id") > 400 && col("vec_id") % 31 =!= 6
+    val delta = corpus.filter(isDelta)
+    val base = corpus.filter(!isDelta)
+    assert(Similarity.seedCentroids(base).collect().toSeq ==
+      Similarity.seedCentroids(corpus).collect().toSeq,
+      "delta split touches the seed set — comparison would conflate models")
+    assert(Similarity.pqCodebook(base).collect().toSeq ==
+      Similarity.pqCodebook(corpus).collect().toSeq,
+      "delta split touches the codebook — comparison would conflate models")
+    Similarity.writeIvfPqIndex(base, s"$dir/inc")
+    val before = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/inc"))
+      .iterator()
+    import scala.jdk.CollectionConverters._
+    val beforeFiles = before.asScala.filter(f =>
+        java.nio.file.Files.isRegularFile(f) && f.toString.endsWith(".parquet"))
+      .map(f => f -> java.nio.file.Files.size(f)).toMap
+    Similarity.appendToIvfPqIndex(delta, s"$dir/inc")
+    val afterFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/inc"))
+      .iterator().asScala.filter(f =>
+        java.nio.file.Files.isRegularFile(f) && f.toString.endsWith(".parquet"))
+      .map(f => f -> java.nio.file.Files.size(f)).toMap
+    assert(beforeFiles.forall { case (f, sz) => afterFiles.get(f).contains(sz) },
+      "append rewrote or removed an existing index file")
+    assert(afterFiles.size > beforeFiles.size, "append added no files")
+    Similarity.writeIvfPqIndex(corpus, s"$dir/scratch")
+    val merged = Similarity.probeIvfPqIndex(spark, s"$dir/inc", queries)
+    val scratch = Similarity.probeIvfPqIndex(spark, s"$dir/scratch", queries)
+    val mergedRows = merged.collect().toSeq
+    assert(mergedRows == scratch.collect().toSeq)
+    assert(mergedRows.nonEmpty)
+    // appended vectors are genuinely searchable: some delta id must rank
+    // (the delta is ~1/5 of the corpus across all cells)
+    assert(mergedRows.exists(r => r.getLong(2) > 400 && r.getLong(2) % 31 != 6),
+      s"no appended vector ranked: $mergedRows")
+    Seq(merged, scratch).foreach(graft.operators.Dedup.release)
   }
 
   test("d16: persisted-index probe equals the registered join form; planted cross-batch dups found") {
