@@ -767,27 +767,33 @@ object Dedup {
     verdict
   }
 
-  /** The keeper frame and serialized bloom of a docs batch — shared by
-    * the exact-index write and append paths. Returns null bloom bytes
-    * for an empty batch. The bloom caps mirror bloomPrunedJoin's
-    * (ScalePatterns) clamping.
+  /** Serialized bloom over a frame's `h` column (null for an empty
+    * frame). The caps mirror bloomPrunedJoin's (ScalePatterns) clamping.
     */
-  private def exactIndexParts(docs: DataFrame, expectedKeys: Long,
-      fpp: Double): (DataFrame, Array[Byte]) = {
+  private def bloomBytes(hashes: DataFrame, expectedKeys: Long,
+      fpp: Double): Array[Byte] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.graft.ColumnShim
-    val index = docs
-      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("match_id"))
-    val items = math.min(expectedKeys, 4000000L)
+    val items = math.min(math.max(expectedKeys, 1L), 4000000L)
     val numBits = math.min(
       org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp),
       67108864L)
-    val bfBytes = index.select(ColumnShim.column(
+    hashes.select(ColumnShim.column(
         new BloomFilterAggregate(ColumnShim.expression(xxhash64(col("h"))),
           Literal(items), Literal(numBits)).toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
-    (index, bfBytes)
+  }
+
+  /** The keeper frame and serialized bloom of a docs batch — shared by
+    * the exact-index write and append paths. Returns null bloom bytes
+    * for an empty batch.
+    */
+  private def exactIndexParts(docs: DataFrame, expectedKeys: Long,
+      fpp: Double): (DataFrame, Array[Byte]) = {
+    val index = docs
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("match_id"))
+    (index, bloomBytes(index, expectedKeys, fpp))
   }
 
   /** Write the exact index: (h, match_id) partitioned by hash bucket,
@@ -903,6 +909,111 @@ object Dedup {
       .localCheckpoint(true)
     release(pruned)
     verdict
+  }
+
+  // ---------------------------------------------- index compaction
+  /** Rewrite a bucket-partitioned index table so each partition holds
+    * ~one file instead of the one-file-per-append debris the daily
+    * ingest cycle accumulates (after 365 appends every probe of a bucket
+    * opens 365 tiny files — footer decode and scheduler overhead grow
+    * linearly with index AGE, not size; compaction resets it). The
+    * rewrite is partition-parallel: one shuffle hash-partitioned on the
+    * bucket column, so each bucket is written by exactly one task into
+    * exactly one file, and no driver-side row ever materializes.
+    *
+    * Swap discipline: the compacted copy is fully written BESIDE the
+    * live table, then swapped in via two directory renames. A crash
+    * between the renames leaves the live path MISSING — every probe
+    * fails loudly (no silent wrong answers), and recovery is renaming
+    * `<path>__old` (the untouched original) back. Leftovers from a
+    * crashed prior run are reconciled on entry: a stale `__compact` is
+    * incomplete output (deleted, rebuilt), a stale `__old` beside a
+    * live table is post-swap debris (deleted); `__old` WITHOUT a live
+    * table aborts loudly with the recovery instruction rather than
+    * guessing.
+    *
+    * On an object store the same sequence runs against a metadata
+    * catalog pointer swap instead of renames; the layout contract
+    * (content-identical rows, one file per bucket) is unchanged.
+    */
+  private[operators] def compactBucketedTable(s: SparkSession, path: String,
+      partCol: String, numPartitions: Int = INDEX_BUCKETS): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val live = Paths.get(path)
+    val tmp = Paths.get(path + "__compact")
+    val old = Paths.get(path + "__old")
+    if (Files.exists(old)) {
+      require(Files.exists(live),
+        s"compact: $old exists but $path is missing — a prior compaction " +
+          s"crashed mid-swap; restore by renaming $old back to $path")
+      deleteTree(old)
+    }
+    if (Files.exists(tmp)) deleteTree(tmp)
+    require(Files.exists(live), s"compact: no table at $path")
+    s.read.parquet(path)
+      .repartition(numPartitions, col(partCol))
+      .write.partitionBy(partCol).parquet(tmp.toString)
+    Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+    deleteTree(old)
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+  }
+
+  /** Compact a persisted exact index ([[writeExactIndex]] layout) after a
+    * season of appends: fold each hash bucket's file debris to one file,
+    * then REBUILD the bloom sized to the index's ACTUAL key count. The
+    * rebuild matters as much as the file fold: the live bloom is a union
+    * of per-append filters all sized by the original `expectedKeys`
+    * guess, so its false-positive rate degrades as appends accumulate —
+    * and every false positive is delta rows surviving the pre-shuffle
+    * kill [[probeExactIndex]] exists to provide. Rebuilding from the
+    * on-disk hashes restores the manifest fpp exactly (and the manifest
+    * records the new count, so future appends size against reality, not
+    * the day-one guess).
+    *
+    * Order: parquet swap FIRST, bloom after — if the bloom rebuild never
+    * runs, the stale bloom is a superset of the live hash set (unions
+    * only ever widened it), so every probe verdict stays correct, merely
+    * less pre-filtered. The reverse order could crash having narrowed
+    * nothing (the new bloom equals the set) but is pointless risk
+    * ordering; both writes individually keep the
+    * bloom-covers-every-hash invariant that correctness rests on.
+    */
+  def compactExactIndex(s: SparkSession, dir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val metaPath = Paths.get(dir, "bloom.meta")
+    require(Files.exists(metaPath),
+      s"compactExactIndex: no index manifest at $metaPath")
+    val fpp = new String(Files.readAllBytes(metaPath), "UTF-8")
+      .split(",")(1).toDouble
+    compactBucketedTable(s, s"$dir/hashes", "hbkt")
+    val hashes = s.read.parquet(s"$dir/hashes")
+    val keys = hashes.count()
+    val bf = bloomBytes(hashes.select("h"), keys, fpp)
+    val tmpB = Paths.get(dir, "bloom.bin.tmp")
+    Files.write(tmpB, bf)
+    Files.move(tmpB, Paths.get(dir, "bloom.bin"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val tmpM = Paths.get(dir, "bloom.meta.tmp")
+    Files.write(tmpM, s"$keys,$fpp".getBytes("UTF-8"))
+    Files.move(tmpM, metaPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Compact a persisted minhash index ([[writeMinhashIndex]] layout):
+    * fold both bucketed tables' append debris. Content is untouched, so
+    * the sigs-before-bands write discipline has no analogue here — any
+    * one-table crash outcome leaves a fully correct index (one table
+    * compacted, the other not yet).
+    */
+  def compactMinhashIndex(s: SparkSession, dir: String): Unit = {
+    compactBucketedTable(s, s"$dir/sigs", "sbkt")
+    compactBucketedTable(s, s"$dir/bands", "bkt")
   }
 
   // --------------------------------------------------------------- SimHash

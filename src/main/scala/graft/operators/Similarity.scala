@@ -1064,6 +1064,16 @@ object Similarity {
       .write.mode(mode).partitionBy("cell").parquet(s"$dir/codes")
   }
 
+  /** Compact the code table after a season of appends: fold each cell
+    * partition's one-file-per-append debris into one file per cell
+    * ([[Dedup.compactBucketedTable]] — same swap discipline and crash
+    * story). The model is untouched: compaction is a pure layout rewrite
+    * and codes stay valid against the frozen centroids/codebook by
+    * construction.
+    */
+  def compactIvfPqIndex(s: SparkSession, dir: String): Unit =
+    Dedup.compactBucketedTable(s, s"$dir/codes", "cell", N_CELLS)
+
   /** Probe the persisted index with a (query_id, qv) batch: assign the
     * queries to their [[N_PROBE]] best cells against the stored
     * centroids, then read ONLY those cells' code partitions

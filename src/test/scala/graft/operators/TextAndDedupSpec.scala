@@ -527,6 +527,20 @@ class SimilaritySpec extends SparkSpec {
     assert(mergedRows.exists(r => r.getLong(2) > 400 && r.getLong(2) % 31 != 6),
       s"no appended vector ranked: $mergedRows")
     Seq(merged, scratch).foreach(graft.operators.Dedup.release)
+    // compaction folds the append debris to one file per cell without
+    // touching the frozen model or any ranking
+    graft.operators.Similarity.compactIvfPqIndex(spark, s"$dir/inc")
+    import scala.jdk.CollectionConverters._
+    val perCell = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/inc/codes"))
+      .iterator().asScala.filter(f => java.nio.file.Files.isRegularFile(f) &&
+        f.toString.endsWith(".parquet")).toSeq
+      .groupBy(_.getParent.getFileName.toString).view.mapValues(_.size).toMap
+    assert(perCell.nonEmpty && perCell.values.forall(_ == 1),
+      s"compaction left multi-file cells: $perCell")
+    val compacted = Similarity.probeIvfPqIndex(spark, s"$dir/inc", queries)
+    assert(compacted.collect().toSeq == mergedRows,
+      "compaction changed the ANN ranking")
+    graft.operators.Dedup.release(compacted)
   }
 
   test("d16: persisted-index probe equals the registered join form; planted cross-batch dups found") {
@@ -821,6 +835,105 @@ class SimilaritySpec extends SparkSpec {
     // an empty append is a no-op, not a crash
     Dedup.appendToExactIndex(day2.filter(lit(false)), s"$dir/inc")
     Seq(merged, scratch, day3).foreach(Dedup.release)
+  }
+
+  private def filesPerBucket(path: String): Map[String, Int] =
+    parquetListing(path).keys.toSeq
+      .groupBy(_.getParent.getFileName.toString).view.mapValues(_.size).toMap
+
+  test("d17: compactExactIndex folds file debris to one file per bucket; probe identical; bloom re-sized") {
+    // after a season of appends every bucket partition holds
+    // one-file-per-append (plus one-file-per-write-task) debris;
+    // compaction folds each bucket to ONE file, rebuilds the bloom at
+    // the manifest fpp over the ACTUAL key set, and must not change a
+    // single probe verdict
+    import java.nio.file.{Files, Paths}
+    val d = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val (day1, day2, day3) = daySplit(docs)
+    val dir = Files.createTempDirectory("excompact").toString
+    Dedup.writeExactIndex(day1, s"$dir/inc", expectedKeys = 2000000L, fpp = 0.02)
+    Dedup.appendToExactIndex(day2, s"$dir/inc")
+    val before = Dedup.probeExactIndex(spark, s"$dir/inc", day3)
+    val beforeRows = before.collect().toSeq
+    Dedup.release(before)
+    assert(filesPerBucket(s"$dir/inc/hashes").values.exists(_ > 1),
+      "no multi-file bucket — compaction untestable")
+    // a stale __compact from a crashed prior run is reconciled, not tripped over
+    Files.createDirectories(Paths.get(s"$dir/inc/hashes__compact"))
+    Files.write(Paths.get(s"$dir/inc/hashes__compact/junk"), Array[Byte](1))
+    Dedup.compactExactIndex(spark, s"$dir/inc")
+    val bucketFiles = filesPerBucket(s"$dir/inc/hashes")
+    assert(bucketFiles.nonEmpty && bucketFiles.values.forall(_ == 1),
+      s"compaction left multi-file buckets: $bucketFiles")
+    assert(!Files.exists(Paths.get(s"$dir/inc/hashes__compact")) &&
+      !Files.exists(Paths.get(s"$dir/inc/hashes__old")),
+      "compaction left swap debris")
+    val after = Dedup.probeExactIndex(spark, s"$dir/inc", day3)
+    assert(after.collect().toSeq == beforeRows, "compaction changed probe verdicts")
+    Dedup.release(after)
+    // the manifest now records the actual key count at the original fpp —
+    // future appends size their delta blooms against reality
+    val meta = new String(Files.readAllBytes(
+      Paths.get(s"$dir/inc/bloom.meta")), "UTF-8").split(",")
+    assert(meta(0).toLong == spark.read.parquet(s"$dir/inc/hashes").count(),
+      s"manifest keys ${meta(0)} != on-disk key count")
+    assert(meta(1).toDouble == 0.02, "compaction changed the manifest fpp")
+    // the cycle continues: a post-compaction append + probe still works
+    val day4 = day3.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 40000000L).as("doc_id"), col("text"))
+    Dedup.appendToExactIndex(day4, s"$dir/inc")
+    val reprobe = Dedup.probeExactIndex(spark, s"$dir/inc",
+      day4.select((col("doc_id") + 1000L).as("doc_id"), col("text")))
+    assert(reprobe.count() == day4.count(),
+      "post-compaction append not probe-visible")
+    Seq(reprobe, day3).foreach(Dedup.release)
+  }
+
+  test("d16: compactMinhashIndex folds both bucketed tables; probe identical") {
+    import java.nio.file.{Files, Paths}
+    val d = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val (day1, day2, day3) = daySplit(docs)
+    val dir = Files.createTempDirectory("mhcompact").toString
+    Dedup.writeMinhashIndex(day1, s"$dir/inc")
+    Dedup.appendToMinhashIndex(day2, s"$dir/inc")
+    val before = Dedup.probeMinhashIndex(spark, s"$dir/inc", day3)
+    val beforeRows = before.collect().toSeq
+    Dedup.release(before)
+    assert(filesPerBucket(s"$dir/inc/bands").values.exists(_ > 1),
+      "no multi-file band bucket — compaction untestable")
+    Dedup.compactMinhashIndex(spark, s"$dir/inc")
+    Seq(s"$dir/inc/sigs", s"$dir/inc/bands").foreach { t =>
+      val counts = filesPerBucket(t)
+      assert(counts.nonEmpty && counts.values.forall(_ == 1),
+        s"compaction left multi-file buckets in $t: $counts")
+      assert(!Files.exists(Paths.get(t + "__compact")) &&
+        !Files.exists(Paths.get(t + "__old")), s"swap debris at $t")
+    }
+    val after = Dedup.probeMinhashIndex(spark, s"$dir/inc", day3)
+    assert(after.collect().toSeq == beforeRows, "compaction changed probe verdicts")
+    Seq(after, day3).foreach(Dedup.release)
+  }
+
+  test("compactBucketedTable: __old without a live table aborts with the recovery path") {
+    // the one crash window is between the two swap renames; the
+    // reconciler must refuse to guess and name the recovery move
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("compact-crash").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(expr("doc_id % 7 = 1"))
+    Dedup.writeExactIndex(docs, s"$dir/inc")
+    // simulate the mid-swap crash: live moved to __old, replacement lost
+    Files.move(Paths.get(s"$dir/inc/hashes"), Paths.get(s"$dir/inc/hashes__old"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.compactExactIndex(spark, s"$dir/inc")
+    }
+    assert(e.getMessage.contains("restore by renaming"), e.getMessage)
+    // the documented recovery, then compaction proceeds
+    Files.move(Paths.get(s"$dir/inc/hashes__old"), Paths.get(s"$dir/inc/hashes"))
+    Dedup.compactExactIndex(spark, s"$dir/inc")
+    assert(filesPerBucket(s"$dir/inc/hashes").values.forall(_ == 1))
   }
 
   test("d16/d17 probes strand no intermediate checkpoints (daily-ingest hygiene)") {
