@@ -524,13 +524,20 @@ object Dedup {
         java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "sigs")),
         s"appendToMinhashIndex: no index at $dir — write one first")
     val sigs = minhashSignatures(docs)
+    // a REBUILD over an existing index must not let a torn run pair the
+    // NEW sigs with the STALE band table: candidates are generated from
+    // bands, so stale bands would silently miss every new-corpus dup.
+    // Dropping bands first turns that window into a missing-table read —
+    // loud — and the old sigs it strands are harmless orphans
+    if (mode == "overwrite")
+      deleteTreeIfExists(java.nio.file.Paths.get(dir, "bands"))
     // sigs land BEFORE bands: a crash between the two writes must not
     // leave band rows without signatures — the probe's confirm join is
     // inner, so such candidates would be dropped SILENTLY forever. An
     // orphan signature (sigs committed, bands lost) is never probed, so
     // every verdict stays correct; recovering the torn delta still takes
     // a fresh from-scratch write, but nothing is silently wrong in the
-    // meantime. (Same discipline as appendToExactIndex's
+    // meantime. (Same discipline as writeExactIndex's
     // bloom-before-parquet ordering.)
     sigs
       .withColumn("sbkt", pmod(col("doc_id"), lit(INDEX_BUCKETS.toLong)).cast("int"))
@@ -810,9 +817,14 @@ object Dedup {
     val (index, bfBytes) = exactIndexParts(docs, expectedKeys, fpp)
     require(bfBytes != null,
       s"writeExactIndex: empty corpus — refusing to write an empty index to $dir")
-    index
-      .withColumn("hbkt", pmod(xxhash64(col("h")), lit(INDEX_BUCKETS)).cast("int"))
-      .write.mode("overwrite").partitionBy("hbkt").parquet(s"$dir/hashes")
+    // artifact ORDER decides what a torn REBUILD over an existing index
+    // looks like: the bloom must land BEFORE the parquet overwrite. A
+    // new bloom over old hashes is merely too wide (the join still
+    // decides exactly); the reverse torn state — new hashes gated by the
+    // STALE bloom — would silently drop every new-corpus hash the old
+    // filter doesn't cover, the forever-miss failure the append path's
+    // bloom-first discipline exists to prevent.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bloom.bin"), bfBytes)
     // the bloom build parameters are part of the index, not of each
     // call site: an append must build a BIT-COMPATIBLE delta filter,
@@ -821,6 +833,9 @@ object Dedup {
     // manifest instead of taking parameters
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bloom.meta"),
       s"$expectedKeys,$fpp".getBytes("UTF-8"))
+    index
+      .withColumn("hbkt", pmod(xxhash64(col("h")), lit(INDEX_BUCKETS)).cast("int"))
+      .write.mode("overwrite").partitionBy("hbkt").parquet(s"$dir/hashes")
   }
 
   /** Absorb a delta into a persisted exact index without rewriting the
@@ -843,6 +858,12 @@ object Dedup {
     val metaPath = java.nio.file.Paths.get(dir, "bloom.meta")
     require(java.nio.file.Files.exists(metaPath),
       s"appendToExactIndex: no index manifest at $metaPath — write the index first")
+    // a manifest without a hash table is a torn writeExactIndex (bloom
+    // lands first there); appending would quietly mint a delta-only
+    // table under the full-corpus bloom — every base dup would then
+    // probe as new, silently, forever
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "hashes")),
+      s"appendToExactIndex: manifest but no hash table at $dir — torn write, rebuild the index")
     val meta = new String(
       java.nio.file.Files.readAllBytes(metaPath), "UTF-8").split(",")
     val (expectedKeys, fpp) = (meta(0).toLong, meta(1).toDouble)
@@ -963,6 +984,9 @@ object Dedup {
     java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
       .foreach(java.nio.file.Files.delete)
   }
+
+  private[operators] def deleteTreeIfExists(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) deleteTree(p)
 
   /** Compact a persisted exact index ([[writeExactIndex]] layout) after a
     * season of appends: fold each hash bucket's file debris to one file,

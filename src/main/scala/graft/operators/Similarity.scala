@@ -1035,6 +1035,12 @@ object Similarity {
     // a null model — refuse loudly, touching nothing (writeExactIndex)
     require(!corpus.isEmpty,
       s"writeIvfPqIndex: empty corpus — refusing to write an empty index to $dir")
+    // a REBUILD (the retrain path) must never let a torn run pair the
+    // NEW model with the STALE code table — codes are argmins against
+    // the model that encoded them, so that pairing is silently-wrong
+    // rankings. Dropping codes first turns every torn window into a
+    // missing-table read: loud (the writeMinhashIndex discipline)
+    Dedup.deleteTreeIfExists(java.nio.file.Paths.get(dir, "codes"))
     seedCentroids(corpus).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
     pqCodebook(corpus).coalesce(1)
@@ -1046,6 +1052,13 @@ object Similarity {
     * append under the deltas' own cell partitions — no existing file is
     * read or touched, so the cost is delta-proportional at any index
     * size. An empty delta appends nothing (harmless no-op).
+    *
+    * Caller contract: `vec_id` is the index's primary key — append only
+    * ids not already present. Unlike the minhash band index (a
+    * multi-map, where a duplicate append is merely redundant), a
+    * duplicate vec_id here lands a second (vec_id, m, code) row set and
+    * the probe's per-(query, vec) ADC SUM would double-count it —
+    * corrupt scores, not just waste. Dedup ingest ids first (d01/d17).
     */
   def appendToIvfPqIndex(delta: DataFrame, dir: String): Unit = {
     // append-mode parquet happily CREATES a missing table — require the

@@ -916,6 +916,54 @@ class SimilaritySpec extends SparkSpec {
     Seq(after, day3).foreach(Dedup.release)
   }
 
+  test("index writers rebuild cleanly over an existing directory (the retrain path)") {
+    // all three writers drop the table whose staleness would pair
+    // silently with fresh artifacts (bands / codes) before writing, and
+    // overwrite the rest — a rebuild must fully replace content, and a
+    // probe against the rebuilt index must see ONLY the new corpus
+    import java.nio.file.Files
+    val d = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val (day1, day2, _) = daySplit(docs)
+    val dir = Files.createTempDirectory("rebuild").toString
+    // exact: rebuild over day2; a day1 copy must no longer match
+    Dedup.writeExactIndex(day1, s"$dir/ex")
+    Dedup.writeExactIndex(day2, s"$dir/ex")
+    val day1Copy = day1.orderBy("doc_id").limit(1)
+      .select((col("doc_id") + 50000000L).as("doc_id"), col("text"))
+    val day2Copy = day2.orderBy("doc_id").limit(1)
+      .select((col("doc_id") + 50000000L).as("doc_id"), col("text"))
+    val exOld = Dedup.probeExactIndex(spark, s"$dir/ex", day1Copy)
+    val exNew = Dedup.probeExactIndex(spark, s"$dir/ex", day2Copy)
+    assert(exOld.count() == 0, "stale exact-index content survived a rebuild")
+    assert(exNew.count() == 1, "rebuilt exact index misses its own corpus")
+    Seq(exOld, exNew).foreach(Dedup.release)
+    // minhash: after a rebuild over day2, both tables hold ONLY day2 ids
+    Dedup.writeMinhashIndex(day1, s"$dir/mh")
+    Dedup.writeMinhashIndex(day2, s"$dir/mh")
+    assert(spark.read.parquet(s"$dir/mh/bands")
+      .filter(expr("doc_id % 3 != 2")).count() == 0,
+      "stale band rows survived a rebuild")
+    assert(spark.read.parquet(s"$dir/mh/sigs")
+      .filter(expr("doc_id % 3 != 2")).count() == 0,
+      "stale signature rows survived a rebuild")
+    // ivf-pq: rebuild over the full corpus equals a fresh-dir build
+    val v = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+    val queries = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("qv"))
+    val corpus = v.filter(col("vec_id") >= 5)
+    Similarity.writeIvfPqIndex(corpus.filter(col("vec_id") < 250), s"$dir/ann")
+    Similarity.writeIvfPqIndex(corpus, s"$dir/ann")
+    assert(spark.read.parquet(s"$dir/ann/codes").select("vec_id").distinct()
+      .count() == corpus.count(), "rebuilt code table has stale or missing ids")
+    val rebuilt = Similarity.probeIvfPqIndex(spark, s"$dir/ann", queries)
+    assert(rebuilt.collect().toSeq ==
+      Similarity.ivfPqTopK(spark, d).collect().toSeq,
+      "rebuilt index ranks differently from the registered query")
+    Dedup.release(rebuilt)
+  }
+
   test("compactBucketedTable: __old without a live table aborts with the recovery path") {
     // the one crash window is between the two swap renames; the
     // reconciler must refuse to guess and name the recovery move
