@@ -512,10 +512,11 @@ object Dedup {
     // an empty overwrite would land an UNREADABLE partitioned parquet (no
     // part files to infer a schema from) — refuse loudly, like
     // writeExactIndex; an empty APPEND is a harmless no-op
-    if (mode == "overwrite")
+    if (mode == "overwrite") {
       require(!docs.isEmpty,
         s"writeMinhashIndex: empty corpus — refusing to write an empty index to $dir")
-    else
+      stampLayout(dir, minhashLayout)
+    } else {
       // append-mode parquet happily CREATES a missing table, so a typo'd
       // or unmounted index path would silently become a fresh delta-only
       // index that every later probe runs against — require the index
@@ -523,6 +524,10 @@ object Dedup {
       require(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "bands")) &&
         java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "sigs")),
         s"appendToMinhashIndex: no index at $dir — write one first")
+      // an append under different constants would interleave
+      // incompatible signatures with the index's own
+      requireLayout(dir, minhashLayout, "appendToMinhashIndex")
+    }
     val sigs = minhashSignatures(docs)
     // a REBUILD over an existing index must not let a torn run pair the
     // NEW sigs with the STALE band table: candidates are generated from
@@ -566,6 +571,7 @@ object Dedup {
     * consumed.
     */
   def probeMinhashIndex(s: SparkSession, dir: String, delta: DataFrame): DataFrame = {
+    requireLayout(dir, minhashLayout, "probeMinhashIndex")
     val deltaSigs = minhashSignatures(delta).localCheckpoint(true)
     // one banded frame feeds both the bucket collect and the candidate
     // join — two uncheckpointed subtrees would recompute the band-key
@@ -824,7 +830,7 @@ object Dedup {
     // STALE bloom — would silently drop every new-corpus hash the old
     // filter doesn't cover, the forever-miss failure the append path's
     // bloom-first discipline exists to prevent.
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    stampLayout(dir, exactLayout)
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bloom.bin"), bfBytes)
     // the bloom build parameters are part of the index, not of each
     // call site: an append must build a BIT-COMPATIBLE delta filter,
@@ -864,6 +870,7 @@ object Dedup {
     // probe as new, silently, forever
     require(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "hashes")),
       s"appendToExactIndex: manifest but no hash table at $dir — torn write, rebuild the index")
+    requireLayout(dir, exactLayout, "appendToExactIndex")
     val meta = new String(
       java.nio.file.Files.readAllBytes(metaPath), "UTF-8").split(",")
     val (expectedKeys, fpp) = (meta(0).toLong, meta(1).toDouble)
@@ -906,6 +913,7 @@ object Dedup {
     * proportional.
     */
   def probeExactIndex(s: SparkSession, dir: String, delta: DataFrame): DataFrame = {
+    requireLayout(dir, exactLayout, "probeExactIndex")
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graft.ColumnShim
     import org.apache.spark.sql.types.BinaryType
@@ -987,6 +995,42 @@ object Dedup {
 
   private[operators] def deleteTreeIfExists(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) deleteTree(p)
+
+  // ---------------------------------------------- index layout manifests
+  /** The layout constants an index was WRITTEN under are part of the
+    * index, not of whichever library version later probes it — the
+    * bloom.meta lesson generalized. A probe computes partition buckets,
+    * band keys, and scores with its own compiled constants; against an
+    * index laid out under different ones it would prune the WRONG
+    * partitions or compare incompatible signatures and silently report
+    * non-dups. Every writer stamps `index.meta`; every probe/append
+    * requires an exact match and aborts naming both layouts otherwise.
+    */
+  private[operators] def stampLayout(dir: String, layout: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "index.meta"),
+      layout.getBytes("UTF-8"))
+  }
+
+  private[graft] def requireLayout(dir: String, expected: String,
+      what: String): Unit = {
+    val p = java.nio.file.Paths.get(dir, "index.meta")
+    require(java.nio.file.Files.exists(p),
+      s"$what: no layout manifest at $p — rebuild the index with this library version")
+    val found = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    require(found == expected,
+      s"$what: index layout [$found] does not match this library's [$expected] — " +
+        "probing across layouts silently misses matches; rebuild the index")
+  }
+
+  /** Minhash index layout: partition bucket count + signature shape. */
+  private[graft] val minhashLayout: String =
+    s"buckets=$INDEX_BUCKETS,sig_n=$SIG_N,bands=$BANDS"
+
+  /** Exact index layout: partition bucket count (hash fn is xxhash64 by
+    * construction of this format version).
+    */
+  private[operators] val exactLayout: String = s"buckets=$INDEX_BUCKETS"
 
   /** Compact a persisted exact index ([[writeExactIndex]] layout) after a
     * season of appends: fold each hash bucket's file debris to one file,

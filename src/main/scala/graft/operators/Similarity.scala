@@ -1030,11 +1030,21 @@ object Similarity {
     * [[quantize]]d integer components — quantization happens once at
     * ingest, as in every registered similarity query.
     */
+  /** Layout constants this index format is written under — stamped at
+    * write, required at probe/append ([[Dedup.requireLayout]]): cell and
+    * code geometry decide both the partition layout and what a stored
+    * code MEANS; the quantization scale decides what the stored model
+    * vectors mean relative to a caller's query frame.
+    */
+  private val ivfPqLayout: String =
+    s"cells=$N_CELLS,m=$PQ_M,subdim=$PQ_SUBDIM,k=$PQ_K,quant=${QUANT.toLong}"
+
   def writeIvfPqIndex(corpus: DataFrame, dir: String): Unit = {
     // an empty overwrite would land an unreadable partitioned parquet and
     // a null model — refuse loudly, touching nothing (writeExactIndex)
     require(!corpus.isEmpty,
       s"writeIvfPqIndex: empty corpus — refusing to write an empty index to $dir")
+    Dedup.stampLayout(dir, ivfPqLayout)
     // a REBUILD (the retrain path) must never let a torn run pair the
     // NEW model with the STALE code table — codes are argmins against
     // the model that encoded them, so that pairing is silently-wrong
@@ -1065,6 +1075,7 @@ object Similarity {
     // index this append claims to extend to exist (appendToMinhashIndex)
     require(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "codes")),
       s"appendToIvfPqIndex: no index at $dir — write one first")
+    Dedup.requireLayout(dir, ivfPqLayout, "appendToIvfPqIndex")
     writeCodes(delta, dir, "append")
   }
 
@@ -1100,6 +1111,7 @@ object Similarity {
     */
   def probeIvfPqIndex(s: SparkSession, dir: String, queries: DataFrame,
       k: Int = 10): DataFrame = {
+    Dedup.requireLayout(dir, ivfPqLayout, "probeIvfPqIndex")
     val cents = s.read.parquet(s"$dir/centroids")
     val cb = s.read.parquet(s"$dir/codebook")
     // one assigned frame feeds both the cell collect and the scoring join

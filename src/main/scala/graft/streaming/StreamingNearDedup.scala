@@ -168,6 +168,9 @@ object StreamingNearDedup {
     */
   def indexMatches(docs: DataFrame, indexDir: String,
       threshold: Double = Dedup.INC_DUP_THRESHOLD): DataFrame = {
+    // the stream computes band keys with its own compiled constants —
+    // refuse an index laid out under different ones (Dedup.requireLayout)
+    Dedup.requireLayout(indexDir, Dedup.minhashLayout, "indexMatches")
     val spark = docs.sparkSession
     val banded = docs
       .withColumn("_sig", signature(col("text")))

@@ -964,6 +964,52 @@ class SimilaritySpec extends SparkSpec {
     Dedup.release(rebuilt)
   }
 
+  test("index probes refuse a layout-mismatched index, naming both layouts") {
+    // the layout constants an index was written under are part of the
+    // index (the bloom.meta lesson generalized): a probe computing
+    // buckets/band keys/scores with different compiled constants would
+    // prune the wrong partitions and silently report non-dups — so every
+    // probe/append requires index.meta to match exactly
+    import java.nio.file.{Files, Paths}
+    val d = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val base = docs.filter(expr("doc_id % 5 != 0"))
+    val delta = docs.filter(expr("doc_id % 5 = 0")).select("doc_id", "text")
+    val dir = Files.createTempDirectory("layout").toString
+    Dedup.writeExactIndex(base, s"$dir/ex")
+    Dedup.writeMinhashIndex(base, s"$dir/mh")
+    val v = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+    val queries = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("qv"))
+    Similarity.writeIvfPqIndex(v.filter(col("vec_id") >= 5), s"$dir/ann")
+    def tamper(idx: String): Unit =
+      Files.write(Paths.get(s"$dir/$idx/index.meta"),
+        "buckets=32,from=an-older-build".getBytes("UTF-8"))
+    Seq("ex", "mh", "ann").foreach(tamper)
+    def refusal(run: => Any): String = {
+      val e = intercept[IllegalArgumentException](run)
+      assert(e.getMessage.contains("buckets=32,from=an-older-build") &&
+        e.getMessage.contains("rebuild"), e.getMessage)
+      e.getMessage
+    }
+    refusal(Dedup.probeExactIndex(spark, s"$dir/ex", delta))
+    refusal(Dedup.appendToExactIndex(delta, s"$dir/ex"))
+    refusal(Dedup.probeMinhashIndex(spark, s"$dir/mh", delta))
+    refusal(Dedup.appendToMinhashIndex(delta, s"$dir/mh"))
+    refusal(Similarity.probeIvfPqIndex(spark, s"$dir/ann", queries))
+    refusal(Similarity.appendToIvfPqIndex(queries
+      .withColumnRenamed("query_id", "vec_id"), s"$dir/ann"))
+    refusal(graft.streaming.StreamingNearDedup.indexMatches(
+      delta, s"$dir/mh"))
+    // a missing manifest (pre-manifest index) also refuses, pointing at
+    // the rebuild path rather than probing on a guess
+    Files.delete(Paths.get(s"$dir/mh/index.meta"))
+    val e = intercept[IllegalArgumentException](
+      Dedup.probeMinhashIndex(spark, s"$dir/mh", delta))
+    assert(e.getMessage.contains("no layout manifest"), e.getMessage)
+  }
+
   test("compactBucketedTable: __old without a live table aborts with the recovery path") {
     // the one crash window is between the two swap renames; the
     // reconciler must refuse to guess and name the recovery move
