@@ -925,7 +925,12 @@ object Similarity {
     * Candidate restriction is the (cell) equi-join against the broadcast
     * ≤ nQueries·N_PROBE probe frame — no all-pairs anywhere.
     */
-  def ivfPqTopK(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 10): DataFrame = {
+  /** The s09 scored-candidate frame — (query_id, vec_id, adc) for every
+    * probed-cell candidate, BEFORE ranking. Shared by the registered
+    * top-k, the recall eval (s10), and the re-rank refinement (s11), so
+    * all three agree on what "the ADC ranking" is by construction.
+    */
+  private def ivfPqAdcScores(s: SparkSession, d: String, nQueries: Int): DataFrame = {
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
     val queries = v.filter(col("vec_id") < nQueries)
@@ -942,23 +947,29 @@ object Similarity {
     // probed-cell candidates: (query_id, vec_id) via the cell equi-join
     val cand = cassign.join(broadcast(qprobe), "cell")
       .select("query_id", "vec_id")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
     codes.join(cand, "vec_id")
       .join(broadcast(lut),
         col("m") === col("lm") && col("code") === col("lj") &&
           col("query_id") === col("lq"))
       .groupBy("query_id", "vec_id")
       .agg(sum(col("pd")).as("adc"))
+  }
+
+  def ivfPqTopK(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+    ivfPqAdcScores(s, d, nQueries)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "adc")
       .orderBy("query_id", "rank")
   }
 
-  /** s09 oracle: s03's cents/assign/probe CTEs + s08's cb/enc/lut CTEs,
-    * candidates restricted to probed cells.
+  /** s09 oracle CTE chain (through `ranked`): s03's cents/assign/probe
+    * CTEs + s08's cb/enc/lut CTEs, candidates restricted to probed
+    * cells. Shared verbatim with the s10 recall and s11 re-rank oracles
+    * so all three oracles agree on the ADC ranking by construction.
     */
-  lazy val ivfPqTopKSql: String =
+  private lazy val ivfPqCtes: String =
     s"""WITH v AS (SELECT vec_id,
       |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS qv
       |  FROM embeddings),
@@ -1000,9 +1011,126 @@ object Similarity {
       |  JOIN lut l ON l.query_id = cand.query_id AND l.m = e.m AND l.j = e.code
       |  GROUP BY 1, 2),
       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
-      |             ORDER BY adc, vec_id) AS rank FROM adc)
+      |             ORDER BY adc, vec_id) AS rank FROM adc)""".stripMargin
+
+  lazy val ivfPqTopKSql: String =
+    s"""$ivfPqCtes
       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc
       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // ------------------------------------------- IVF-PQ recall + re-rank
+  /** s10: recall@k of the IVF-PQ ranking (s09) against EXACT squared-L2
+    * ground truth — the number every production ANN deployment measures
+    * before trusting an index (the recall axis of every FAISS/ann-benchmarks
+    * report). Ground truth is the exact top-k by integer squared L2 over
+    * the same floor-quantized components ADC approximates (deterministic,
+    * ties to vec_id); the approximate list is the s09 ranking itself via
+    * [[ivfPqAdcScores]]. Output: per-query hit count and recall fraction.
+    *
+    * Scale shape: the ground-truth half scans the corpus once against a
+    * BROADCAST query sample — and the bounded sample is the point: recall
+    * is estimated over nQueries probes (production: a few hundred), never
+    * query×corpus for the live load. The hits join is k·nQueries rows
+    * against k·nQueries rows; nothing here is corpus-proportional except
+    * the single ground-truth scan that defines the eval.
+    */
+  def ivfPqRecall(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val queries = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("quv"))
+      .withColumn("qq", qdot(col("quv"), col("quv")))
+    // corpus self-dots computed once per row, not once per (query, row)
+    val corpus = v.filter(col("vec_id") >= nQueries)
+      .withColumn("cc", qdot(col("qv"), col("qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sq"), col("vec_id"))
+    val exact = corpus.crossJoin(broadcast(queries))
+      .withColumn("sq",
+        col("qq") + col("cc") - lit(2L) * qdot(col("quv"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id")
+    val approx = ivfPqTopK(s, d, nQueries, k)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    // left join from the ground truth so a zero-hit query still reports
+    // recall 0 instead of vanishing from the output
+    exact.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("hits"))
+      .withColumn("recall", col("hits").cast("double") / lit(k))
+      .select("query_id", "hits", "recall")
+      .orderBy("query_id")
+  }
+
+  /** s10 oracle: the s09 chain + an exact-L2 ground-truth CTE + the
+    * per-query intersection count.
+    */
+  lazy val ivfPqRecallSql: String =
+    s"""$ivfPqCtes,
+      |exact AS (SELECT query_id, vec_id FROM (
+      |    SELECT q.query_id, c.vec_id,
+      |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |        CAST(list_sum([(q.qv[i]-c.qv[i])*(q.qv[i]-c.qv[i]) FOR i IN range(1,65)]) AS BIGINT),
+      |        c.vec_id) AS r
+      |    FROM corpus c CROSS JOIN q) WHERE r <= 10),
+      |apx AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 10)
+      |SELECT e.query_id, CAST(count(a.vec_id) AS BIGINT) AS hits,
+      |  CAST(count(a.vec_id) AS DOUBLE) / 10 AS recall
+      |FROM exact e LEFT JOIN apx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+      |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
+  /** s11: ADC shortlist + exact re-rank — the FAISS `refine` stage
+    * (IndexRefineFlat): the IVF-PQ ranking keeps its speed for CANDIDATE
+    * GENERATION (top-[[RERANK_C]] by ADC, never touching a full vector),
+    * then the final top-k re-scores only those C·nQueries candidates
+    * with the exact integer squared L2 the codes approximate. This is
+    * how production recovers the recall PQ gives up: the quantization
+    * error only has to keep the true neighbor inside the top-C, not at
+    * its exact rank.
+    *
+    * Scale shape: the shortlist (≤ C·nQueries rows) is BROADCAST into
+    * the corpus scan, so the refine reads full vectors for only the
+    * shortlisted rows — one corpus scan, no shuffle of vector data; the
+    * re-rank window is over ≤ C rows per query.
+    */
+  val RERANK_C = 50
+
+  def ivfPqRerank(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val wa = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+    val shortlist = ivfPqAdcScores(s, d, nQueries)
+      .withColumn("ar", row_number().over(wa))
+      .filter(col("ar") <= RERANK_C)
+      .select("query_id", "vec_id")
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val queries = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("quv"))
+      .withColumn("qq", qdot(col("quv"), col("quv")))
+    val corpus = v.filter(col("vec_id") >= nQueries)
+      .withColumn("cc", qdot(col("qv"), col("qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sq"), col("vec_id"))
+    corpus.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("sq",
+        col("qq") + col("cc") - lit(2L) * qdot(col("quv"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "sq")
+      .orderBy("query_id", "rank")
+  }
+
+  /** s11 oracle: the s09 chain + shortlist + exact re-scoring CTEs. */
+  lazy val ivfPqRerankSql: String =
+    s"""$ivfPqCtes,
+      |short AS (SELECT query_id, vec_id FROM ranked WHERE rank <= $RERANK_C),
+      |ref AS (SELECT s.query_id, s.vec_id,
+      |    CAST(list_sum([(q.qv[i]-c.qv[i])*(q.qv[i]-c.qv[i]) FOR i IN range(1,65)]) AS BIGINT) AS sq
+      |  FROM short s JOIN corpus c ON c.vec_id = s.vec_id
+      |  JOIN q ON q.query_id = s.query_id),
+      |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |         ORDER BY sq, vec_id) AS rank FROM ref)
+      |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, sq
+      |FROM rr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   // ------------------------------- persisted IVF-PQ index (s09 at rest)
   /** Persisted IVF-PQ index — the d16/d17 daily-ingest discipline applied
@@ -1140,6 +1268,8 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_pq_rerank" -> ((s: SparkSession, d: String) => ivfPqRerank(s, d)),
+    "s10_ivfpq_recall" -> ((s: SparkSession, d: String) => ivfPqRecall(s, d)),
     "s09_ivfpq_ann" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d)),
     "s08_pq_ann" -> ((s: SparkSession, d: String) => pqTopK(s, d)),
     "s07_sq8_ann" -> ((s: SparkSession, d: String) => sq8TopK(s, d)),
@@ -1152,6 +1282,8 @@ object Similarity {
     "d06_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDupPairsSeeded(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "s11_pq_rerank" -> ivfPqRerankSql,
+    "s10_ivfpq_recall" -> ivfPqRecallSql,
     "s09_ivfpq_ann" -> ivfPqTopKSql,
     "s08_pq_ann" -> pqTopKSql,
     "s07_sq8_ann" -> sq8TopKSql,

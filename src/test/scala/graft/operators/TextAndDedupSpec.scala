@@ -964,6 +964,67 @@ class SimilaritySpec extends SparkSpec {
     Dedup.release(rebuilt)
   }
 
+  test("s11 re-rank recovers recall over the raw ADC ranking; refine joins broadcast") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 10
+    // exact squared-L2 ground truth, computed independently of the
+    // operators under test (the metric ADC approximates)
+    val v = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("qv").as("quv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sq"), col("vec_id"))
+    val exact = v.filter(col("vec_id") >= 5).crossJoin(broadcast(q))
+      .withColumn("sq",
+        Similarity.qdot(col("quv"), col("quv")) +
+          Similarity.qdot(col("qv"), col("qv")) -
+          lit(2L) * Similarity.qdot(col("quv"), col("qv")))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= k)
+      .select("query_id", "vec_id")
+    def hitsOf(topk: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      exact.join(topk.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+        .groupBy("query_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    val adcHits = hitsOf(Similarity.ivfPqTopK(spark, sfDir))
+    val rerank = Similarity.ivfPqRerank(spark, sfDir)
+    val rrHits = hitsOf(rerank)
+    // s10 agrees with the independent ground truth on the ADC hits
+    val s10 = Similarity.ivfPqRecall(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s10 == (0L until 5L).map(q => q -> adcHits(q)).toMap, s"$s10 vs $adcHits")
+    // refinement never loses a hit (the true neighbor only has to be in
+    // the top-C, not at its exact ADC rank) and recovers some on this
+    // corpus (deterministic fixture: 7 -> 14 of 50)
+    (0L until 5L).foreach(q =>
+      assert(rrHits(q) >= adcHits(q), s"query $q: ${rrHits(q)} < ${adcHits(q)}"))
+    assert(rrHits.values.sum > adcHits.values.sum,
+      s"re-rank recovered nothing: $rrHits vs $adcHits")
+    // the re-ranked list is drawn from the ADC shortlist, nowhere else
+    val shortlist = Similarity.ivfPqTopK(spark, sfDir, 5, Similarity.RERANK_C)
+      .select("query_id", "vec_id")
+    assert(rerank.select("query_id", "vec_id")
+      .join(shortlist, Seq("query_id", "vec_id"), "left_anti").isEmpty,
+      "re-rank emitted a vector outside the ADC shortlist")
+    // plan pin: the ranked shortlist (the plan's only per-query window
+    // below a join — the ADC path's windows partition on vec_id) is only
+    // ever the BROADCAST side of the refine joins; a shuffle join there
+    // would exchange the corpus scan against a ≤ C·nQueries-row frame
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    def hasShortlist(j: SparkPlan): Boolean = j.exists {
+      case we: WindowExec =>
+        we.partitionSpec.exists(_.references.exists(_.name == "query_id"))
+      case _ => false
+    }
+    val shuffledOverShortlist = rerank.queryExecution.sparkPlan.collect {
+      case j: SortMergeJoinExec if hasShortlist(j) => j
+      case j: ShuffledHashJoinExec if hasShortlist(j) => j
+    }
+    assert(shuffledOverShortlist.isEmpty,
+      s"shortlist reached a shuffle join; refine must broadcast it:\n${shuffledOverShortlist.headOption}")
+  }
+
   test("index probes refuse a layout-mismatched index, naming both layouts") {
     // the layout constants an index was written under are part of the
     // index (the bloom.meta lesson generalized): a probe computing
