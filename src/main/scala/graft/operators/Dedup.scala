@@ -515,7 +515,6 @@ object Dedup {
     if (mode == "overwrite") {
       require(!docs.isEmpty,
         s"writeMinhashIndex: empty corpus — refusing to write an empty index to $dir")
-      stampLayout(dir, minhashLayout)
     } else {
       // append-mode parquet happily CREATES a missing table, so a typo'd
       // or unmounted index path would silently become a fresh delta-only
@@ -551,6 +550,10 @@ object Dedup {
       .withColumn("bkt",
         pmod(xxhash64(col("band_key")), lit(INDEX_BUCKETS)).cast("int"))
       .write.mode(mode).partitionBy("bkt").parquet(s"$dir/bands")
+    // the layout stamp lands LAST on a rebuild: a torn run leaves the
+    // OLD stamp (or none) next to new tables, so requireLayout refuses
+    // loudly instead of blessing old-layout tables with a new stamp
+    if (mode == "overwrite") stampLayout(dir, minhashLayout)
   }
 
   /** Probe the persisted index with a delta batch. Every index read is
@@ -824,13 +827,16 @@ object Dedup {
     require(bfBytes != null,
       s"writeExactIndex: empty corpus — refusing to write an empty index to $dir")
     // artifact ORDER decides what a torn REBUILD over an existing index
-    // looks like: the bloom must land BEFORE the parquet overwrite. A
-    // new bloom over old hashes is merely too wide (the join still
-    // decides exactly); the reverse torn state — new hashes gated by the
-    // STALE bloom — would silently drop every new-corpus hash the old
-    // filter doesn't cover, the forever-miss failure the append path's
-    // bloom-first discipline exists to prevent.
-    stampLayout(dir, exactLayout)
+    // looks like, and EITHER stale pairing is silently wrong: a stale
+    // bloom drops every new-corpus hash it doesn't cover, and a NEW
+    // bloom over the STALE hash table drops every old-corpus hash the
+    // new corpus no longer contains — both before the exact join can
+    // decide. So the stale table is dropped FIRST: every torn state
+    // from here to the final write has no hash table at all, and a
+    // probe fails loudly on the missing path instead of mis-verdicting
+    // (the writeMinhash bands-first discipline).
+    deleteTreeIfExists(java.nio.file.Paths.get(dir, "hashes"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bloom.bin"), bfBytes)
     // the bloom build parameters are part of the index, not of each
     // call site: an append must build a BIT-COMPATIBLE delta filter,
@@ -842,6 +848,10 @@ object Dedup {
     index
       .withColumn("hbkt", pmod(xxhash64(col("h")), lit(INDEX_BUCKETS)).cast("int"))
       .write.mode("overwrite").partitionBy("hbkt").parquet(s"$dir/hashes")
+    // the layout stamp lands LAST: a torn rebuild leaves the OLD stamp
+    // (or none) next to new tables, so requireLayout refuses loudly
+    // instead of blessing old-layout tables with a new-layout stamp
+    stampLayout(dir, exactLayout)
   }
 
   /** Absorb a delta into a persisted exact index without rewriting the

@@ -955,14 +955,39 @@ object Similarity {
       .agg(sum(col("pd")).as("adc"))
   }
 
-  def ivfPqTopK(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 10): DataFrame = {
+  /** The ADC ranking, filtered to the top k per query — shared by the
+    * registered top-k and the s11 shortlist so both are the same ranking
+    * at different depths by construction.
+    */
+  private def ivfPqRanked(s: SparkSession, d: String, nQueries: Int, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
     ivfPqAdcScores(s, d, nQueries)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  def ivfPqTopK(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 10): DataFrame =
+    ivfPqRanked(s, d, nQueries, k)
       .select("query_id", "rank", "vec_id", "adc")
       .orderBy("query_id", "rank")
-  }
+
+  // ---- exact squared-L2 scoring, shared by the s10 ground truth and the
+  // s11 refine so both mean the same metric (qq + cc − 2·q·c over the
+  // floor-quantized components, exact 64-bit integers) by construction
+  /** Query-sample frame (query_id, quv, qq) — self-dots once per row. */
+  private def l2Queries(v: DataFrame, nQueries: Int): DataFrame =
+    v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("quv"))
+      .withColumn("qq", qdot(col("quv"), col("quv")))
+
+  /** Corpus frame (vec_id, qv, cc) — self-dots once per row. */
+  private def l2Corpus(v: DataFrame, nQueries: Int): DataFrame =
+    v.filter(col("vec_id") >= nQueries)
+      .withColumn("cc", qdot(col("qv"), col("qv")))
+
+  /** Exact squared L2 between quv and qv via the per-row self-dots. */
+  private def exactSq: Column =
+    col("qq") + col("cc") - lit(2L) * qdot(col("quv"), col("qv"))
 
   /** s09 oracle CTE chain (through `ranked`): s03's cents/assign/probe
     * CTEs + s08's cb/enc/lut CTEs, candidates restricted to probed
@@ -1037,20 +1062,13 @@ object Similarity {
   def ivfPqRecall(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 10): DataFrame = {
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
-    val queries = v.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("qv").as("quv"))
-      .withColumn("qq", qdot(col("quv"), col("quv")))
-    // corpus self-dots computed once per row, not once per (query, row)
-    val corpus = v.filter(col("vec_id") >= nQueries)
-      .withColumn("cc", qdot(col("qv"), col("qv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sq"), col("vec_id"))
-    val exact = corpus.crossJoin(broadcast(queries))
-      .withColumn("sq",
-        col("qq") + col("cc") - lit(2L) * qdot(col("quv"), col("qv")))
+    val exact = l2Corpus(v, nQueries).crossJoin(broadcast(l2Queries(v, nQueries)))
+      .withColumn("sq", exactSq)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id")
-    val approx = ivfPqTopK(s, d, nQueries, k)
+    val approx = ivfPqRanked(s, d, nQueries, k)
       .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
     // left join from the ground truth so a zero-hit query still reports
     // recall 0 instead of vanishing from the output
@@ -1096,23 +1114,14 @@ object Similarity {
   val RERANK_C = 50
 
   def ivfPqRerank(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val wa = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
-    val shortlist = ivfPqAdcScores(s, d, nQueries)
-      .withColumn("ar", row_number().over(wa))
-      .filter(col("ar") <= RERANK_C)
+    val shortlist = ivfPqRanked(s, d, nQueries, RERANK_C)
       .select("query_id", "vec_id")
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
-    val queries = v.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("qv").as("quv"))
-      .withColumn("qq", qdot(col("quv"), col("quv")))
-    val corpus = v.filter(col("vec_id") >= nQueries)
-      .withColumn("cc", qdot(col("qv"), col("qv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sq"), col("vec_id"))
-    corpus.join(broadcast(shortlist), "vec_id")
-      .join(broadcast(queries), "query_id")
-      .withColumn("sq",
-        col("qq") + col("cc") - lit(2L) * qdot(col("quv"), col("qv")))
+    l2Corpus(v, nQueries).join(broadcast(shortlist), "vec_id")
+      .join(broadcast(l2Queries(v, nQueries)), "query_id")
+      .withColumn("sq", exactSq)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "sq")
@@ -1172,7 +1181,6 @@ object Similarity {
     // a null model — refuse loudly, touching nothing (writeExactIndex)
     require(!corpus.isEmpty,
       s"writeIvfPqIndex: empty corpus — refusing to write an empty index to $dir")
-    Dedup.stampLayout(dir, ivfPqLayout)
     // a REBUILD (the retrain path) must never let a torn run pair the
     // NEW model with the STALE code table — codes are argmins against
     // the model that encoded them, so that pairing is silently-wrong
@@ -1184,6 +1192,10 @@ object Similarity {
     pqCodebook(corpus).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/codebook")
     writeCodes(corpus, dir, "overwrite")
+    // the layout stamp lands LAST: a torn rebuild leaves the OLD stamp
+    // (or none) next to new tables, so requireLayout refuses loudly
+    // instead of blessing old-layout tables with a new-layout stamp
+    Dedup.stampLayout(dir, ivfPqLayout)
   }
 
   /** Absorb a delta batch: assign + encode against the PERSISTED model,

@@ -964,6 +964,41 @@ class SimilaritySpec extends SparkSpec {
     Dedup.release(rebuilt)
   }
 
+  test("torn exact rebuild is loud; rebuild migrates an old-layout index and stamps last") {
+    import java.nio.file.{Files, Paths}
+    val d = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val (day1, day2, _) = daySplit(docs)
+    val dir = Files.createTempDirectory("torn").toString
+    Dedup.writeExactIndex(day1, s"$dir/ex")
+    // the rebuild's torn window: the stale hash table is dropped BEFORE
+    // any new artifact lands (either stale pairing — old bloom/new
+    // hashes or new bloom/old hashes — mis-verdicts silently), so a
+    // crash inside the window leaves bloom artifacts with no hash table,
+    // and a probe must fail LOUDLY on the missing path, never report
+    // "unique"
+    Dedup.deleteTreeIfExists(Paths.get(s"$dir/ex", "hashes"))
+    val delta = day1.orderBy("doc_id").limit(1).select("doc_id", "text")
+    intercept[Exception] {
+      Dedup.probeExactIndex(spark, s"$dir/ex", delta).count()
+    }
+    // an index stamped by an OLDER build refuses probes (layout test),
+    // but a REBUILD over it must succeed — rebuild IS the migration path
+    // — and must leave the new stamp, written AFTER the tables so a torn
+    // migration keeps refusing instead of blessing old tables
+    Dedup.writeExactIndex(day1, s"$dir/ex")
+    Files.write(Paths.get(s"$dir/ex", "index.meta"),
+      "buckets=7,from=an-older-build".getBytes("UTF-8"))
+    Dedup.writeExactIndex(day2, s"$dir/ex")
+    assert(new String(Files.readAllBytes(Paths.get(s"$dir/ex", "index.meta")),
+      "UTF-8") == Dedup.exactLayout, "rebuild did not re-stamp the layout")
+    val day2Copy = day2.orderBy("doc_id").limit(1)
+      .select((col("doc_id") + 50000000L).as("doc_id"), col("text"))
+    val probed = Dedup.probeExactIndex(spark, s"$dir/ex", day2Copy)
+    assert(probed.count() == 1, "migrated index misses its own corpus")
+    Dedup.release(probed)
+  }
+
   test("s11 re-rank recovers recall over the raw ADC ranking; refine joins broadcast") {
     import org.apache.spark.sql.expressions.Window
     val k = 10
