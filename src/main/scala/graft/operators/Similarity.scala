@@ -1153,15 +1153,19 @@ object Similarity {
     * [[writeIvfPqIndex]] rebuild, the FAISS retrain discipline.
     *
     * Layout under `dir`: `centroids` ([[N_CELLS]] rows), `codebook`
-    * ([[PQ_K]] rows with the precomputed per-subspace self-dots), `codes`
-    * ((vec_id, m, code) rows partitioned by `cell` — the write-time
-    * partition key the probe prunes on). The model lands BEFORE any code
-    * row: a crash between the two writes leaves a missing/empty `codes`
-    * table — probes fail loudly or return no candidates from the torn
-    * delta, never a silently-wrong ranking (the appendToMinhashIndex
-    * ordering discipline). Code rows are derived by READING BACK the
-    * persisted model, so codes always agree with the model on disk, not
-    * with a driver-side copy.
+    * ([[PQ_K]] rows with the precomputed per-subspace self-dots),
+    * `vectors` ((vec_id, qv) flat rows partitioned by `cell` — the FAISS
+    * IndexRefineFlat storage the refined probe re-scores against), and
+    * `codes` ((vec_id, m, code) rows partitioned by `cell` — the
+    * write-time partition key both probes prune on). The model lands
+    * BEFORE the vectors, and the vectors BEFORE any code row: both probe
+    * flavors read `codes`, so a crash anywhere in the chain leaves a
+    * missing/empty `codes` table — probes fail loudly or return no
+    * candidates from the torn delta, never a silently-wrong ranking (the
+    * appendToMinhashIndex ordering discipline), and "codes present ⇒
+    * vectors present" holds by construction. Code rows are derived by
+    * READING BACK the persisted model, so codes always agree with the
+    * model on disk, not with a driver-side copy.
     *
     * Corpus/delta/query frames carry (vec_id|query_id, qv) with qv the
     * [[quantize]]d integer components — quantization happens once at
@@ -1174,7 +1178,11 @@ object Similarity {
     * vectors mean relative to a caller's query frame.
     */
   private val ivfPqLayout: String =
-    s"cells=$N_CELLS,m=$PQ_M,subdim=$PQ_SUBDIM,k=$PQ_K,quant=${QUANT.toLong}"
+    // store=flat marks the vectors-table format version: an index written
+    // before the refine store existed must refuse (and rebuild) rather
+    // than let an append CREATE a delta-only vectors table the refined
+    // probe would silently treat as the whole corpus
+    s"cells=$N_CELLS,m=$PQ_M,subdim=$PQ_SUBDIM,k=$PQ_K,quant=${QUANT.toLong},store=flat"
 
   def writeIvfPqIndex(corpus: DataFrame, dir: String): Unit = {
     // an empty overwrite would land an unreadable partitioned parquet and
@@ -1211,10 +1219,12 @@ object Similarity {
     * corrupt scores, not just waste. Dedup ingest ids first (d01/d17).
     */
   def appendToIvfPqIndex(delta: DataFrame, dir: String): Unit = {
-    // append-mode parquet happily CREATES a missing table — require the
-    // index this append claims to extend to exist (appendToMinhashIndex)
-    require(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "codes")),
-      s"appendToIvfPqIndex: no index at $dir — write one first")
+    // append-mode parquet happily CREATES a missing table — require BOTH
+    // tables this append claims to extend to exist (appendToMinhashIndex);
+    // a missing vectors table alongside live codes is a torn write
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "codes")) &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "vectors")),
+      s"appendToIvfPqIndex: no complete index at $dir — write one first")
     Dedup.requireLayout(dir, ivfPqLayout, "appendToIvfPqIndex")
     writeCodes(delta, dir, "append")
   }
@@ -1223,20 +1233,30 @@ object Similarity {
     val s = batch.sparkSession
     val cents = s.read.parquet(s"$dir/centroids")
     val cb = s.read.parquet(s"$dir/codebook")
-    assignToCells(batch, cents).select("vec_id", "cell")
-      .join(pqEncode(batch, cb), "vec_id")
+    val assigned = assignToCells(batch, cents).select("vec_id", "cell")
+    // the FLAT vectors land under the same cell partitioning, BEFORE the
+    // codes, so "codes present ⇒ vectors present": the refined probe
+    // reads both tables, and any torn write leaves codes missing — both
+    // probe flavors then fail loudly on the same path (the FAISS
+    // IndexRefineFlat storage, under the writeMinhash sigs-before-bands
+    // discipline)
+    assigned.join(batch.select("vec_id", "qv"), "vec_id")
+      .write.mode(mode).partitionBy("cell").parquet(s"$dir/vectors")
+    assigned.join(pqEncode(batch, cb), "vec_id")
       .write.mode(mode).partitionBy("cell").parquet(s"$dir/codes")
   }
 
-  /** Compact the code table after a season of appends: fold each cell
-    * partition's one-file-per-append debris into one file per cell
-    * ([[Dedup.compactBucketedTable]] — same swap discipline and crash
-    * story). The model is untouched: compaction is a pure layout rewrite
-    * and codes stay valid against the frozen centroids/codebook by
-    * construction.
+  /** Compact the code and vector tables after a season of appends: fold
+    * each cell partition's one-file-per-append debris into one file per
+    * cell ([[Dedup.compactBucketedTable]] — same swap discipline and
+    * crash story). The model is untouched: compaction is a pure layout
+    * rewrite and codes stay valid against the frozen centroids/codebook
+    * by construction.
     */
-  def compactIvfPqIndex(s: SparkSession, dir: String): Unit =
+  def compactIvfPqIndex(s: SparkSession, dir: String): Unit = {
     Dedup.compactBucketedTable(s, s"$dir/codes", "cell", N_CELLS)
+    Dedup.compactBucketedTable(s, s"$dir/vectors", "cell", N_CELLS)
+  }
 
   /** Probe the persisted index with a (query_id, qv) batch: assign the
     * queries to their [[N_PROBE]] best cells against the stored
@@ -1252,6 +1272,19 @@ object Similarity {
   def probeIvfPqIndex(s: SparkSession, dir: String, queries: DataFrame,
       k: Int = 10): DataFrame = {
     Dedup.requireLayout(dir, ivfPqLayout, "probeIvfPqIndex")
+    val (ranked, _) = probeAdcRanked(s, dir, queries, k)
+    ranked
+  }
+
+  /** The shared ADC half of both probe flavors: assign the query batch to
+    * its probed cells, prune the code scan to those cell literals,
+    * ADC-score against the broadcast LUT, rank to depth k. Returns the
+    * checkpointed ranked frame — (query_id, rank, vec_id, adc), caller
+    * releases — plus the probed cell ids, so the refined flavor can prune
+    * its vectors scan to the SAME partitions without re-deriving them.
+    */
+  private def probeAdcRanked(s: SparkSession, dir: String, queries: DataFrame,
+      k: Int): (DataFrame, Array[Int]) = {
     val cents = s.read.parquet(s"$dir/centroids")
     val cb = s.read.parquet(s"$dir/codebook")
     // one assigned frame feeds both the cell collect and the scoring join
@@ -1276,6 +1309,42 @@ object Similarity {
       .orderBy("query_id", "rank")
       .localCheckpoint(true)
     Dedup.release(qprobe)
+    (res, cells)
+  }
+
+  /** s11 at rest: probe the persisted index and REFINE the ADC shortlist
+    * with exact squared L2 against the index's own `vectors` table — the
+    * FAISS IndexRefineFlat probe, against the index instead of a live
+    * corpus frame. The ADC half shortlists top-`c` per query without
+    * touching a full vector; the refine then reads flat vectors from ONLY
+    * the probed cells' partitions (every shortlisted candidate lives in a
+    * probed cell by construction — its code row came from one) and joins
+    * them against the BROADCAST shortlist (≤ c·|queries| rows), so no
+    * vector data ever shuffles and the re-rank window is ≤ c rows per
+    * query. Identical ranking to [[ivfPqRerank]] when the index holds the
+    * same corpus (spec-pinned). Returned frame carries the one surviving
+    * checkpoint — [[Dedup.release]] once consumed.
+    */
+  def probeIvfPqIndexRefined(s: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 10, c: Int = RERANK_C): DataFrame = {
+    Dedup.requireLayout(dir, ivfPqLayout, "probeIvfPqIndexRefined")
+    val (shortlist, cells) = probeAdcRanked(s, dir, queries, c)
+    val vectors = s.read.parquet(s"$dir/vectors")
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .withColumn("cc", qdot(col("qv"), col("qv")))
+    val q = queries.select(col("query_id"), col("qv").as("quv"))
+      .withColumn("qq", qdot(col("quv"), col("quv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sq"), col("vec_id"))
+    val res = vectors
+      .join(broadcast(shortlist.select("query_id", "vec_id")), "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("sq", exactSq)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "sq")
+      .orderBy("query_id", "rank")
+      .localCheckpoint(true)
+    Dedup.release(shortlist)
     res
   }
 

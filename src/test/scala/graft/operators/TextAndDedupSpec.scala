@@ -522,6 +522,14 @@ class SimilaritySpec extends SparkSpec {
     val mergedRows = merged.collect().toSeq
     assert(mergedRows == scratch.collect().toSeq)
     assert(mergedRows.nonEmpty)
+    // the appended VECTORS are searchable too: the refined probe re-ranks
+    // against the merged flat store and equals the from-scratch refine
+    val mergedRef = Similarity.probeIvfPqIndexRefined(spark, s"$dir/inc", queries)
+    val scratchRef = Similarity.probeIvfPqIndexRefined(spark, s"$dir/scratch", queries)
+    val mergedRefRows = mergedRef.collect().toSeq
+    assert(mergedRefRows == scratchRef.collect().toSeq,
+      "append left the refine store inconsistent with a from-scratch build")
+    Seq(mergedRef, scratchRef).foreach(graft.operators.Dedup.release)
     // appended vectors are genuinely searchable: some delta id must rank
     // (the delta is ~1/5 of the corpus across all cells)
     assert(mergedRows.exists(r => r.getLong(2) > 400 && r.getLong(2) % 31 != 6),
@@ -531,16 +539,62 @@ class SimilaritySpec extends SparkSpec {
     // touching the frozen model or any ranking
     graft.operators.Similarity.compactIvfPqIndex(spark, s"$dir/inc")
     import scala.jdk.CollectionConverters._
-    val perCell = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/inc/codes"))
-      .iterator().asScala.filter(f => java.nio.file.Files.isRegularFile(f) &&
-        f.toString.endsWith(".parquet")).toSeq
-      .groupBy(_.getParent.getFileName.toString).view.mapValues(_.size).toMap
-    assert(perCell.nonEmpty && perCell.values.forall(_ == 1),
-      s"compaction left multi-file cells: $perCell")
+    Seq("codes", "vectors").foreach { t =>
+      val perCell = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/inc/$t"))
+        .iterator().asScala.filter(f => java.nio.file.Files.isRegularFile(f) &&
+          f.toString.endsWith(".parquet")).toSeq
+        .groupBy(_.getParent.getFileName.toString).view.mapValues(_.size).toMap
+      assert(perCell.nonEmpty && perCell.values.forall(_ == 1),
+        s"compaction left multi-file cells in $t: $perCell")
+    }
     val compacted = Similarity.probeIvfPqIndex(spark, s"$dir/inc", queries)
     assert(compacted.collect().toSeq == mergedRows,
       "compaction changed the ANN ranking")
     graft.operators.Dedup.release(compacted)
+    val compactedRef = Similarity.probeIvfPqIndexRefined(spark, s"$dir/inc", queries)
+    assert(compactedRef.collect().toSeq == mergedRefRows,
+      "compaction changed the refined ranking")
+    graft.operators.Dedup.release(compactedRef)
+  }
+
+  test("s11 at rest: refined probe equals the registered re-rank, prunes the vectors scan, strands nothing") {
+    // the IndexRefineFlat claim — "the refine reads flat vectors from
+    // only the probed cells and broadcasts the shortlist" — against the
+    // persisted index, pinned three ways: ranking identity with the
+    // registered s11 query, PartitionFilters on the vectors scan, and
+    // the one-surviving-checkpoint hygiene
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-refine").toString
+    val v = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+    val queries = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("qv"))
+    Similarity.writeIvfPqIndex(v.filter(col("vec_id") >= 5), dir)
+    // the refine's vector read prunes to the probed cells (the probe
+    // checkpoints its result, detaching the scan — pin it directly)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val probeCells = Similarity.assignToCells(
+        queries.withColumnRenamed("query_id", "vec_id"), cents,
+        nBest = Similarity.N_PROBE)
+      .select("cell").distinct().collect().map(_.getInt(0))
+    assert(probeCells.length < Similarity.N_CELLS,
+      "probe touches all cells — pruning untestable")
+    val vecScan = spark.read.parquet(s"$dir/vectors")
+      .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+    val scanLine = vecScan.queryExecution.sparkPlan.toString.linesIterator
+      .find(_.contains("FileScan")).get
+    assert(scanLine.contains("PartitionFilters: [") &&
+      !scanLine.contains("PartitionFilters: []") && scanLine.contains("cell"),
+      s"refine did not prune the vectors scan:\n$scanLine")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = Similarity.probeIvfPqIndexRefined(spark, dir, queries)
+    assert(got.collect().toSeq ==
+      Similarity.ivfPqRerank(spark, sfDir).collect().toSeq,
+      "refined probe ranks differently from the registered s11 query")
+    graft.operators.Dedup.release(got)
+    val persisted = spark.sparkContext.getPersistentRDDs
+    val added = persisted.keySet -- before
+    added.foreach(id => persisted.get(id).foreach(_.unpersist(true)))
+    assert(added.isEmpty, "probeIvfPqIndexRefined leaked checkpointed RDDs")
   }
 
   test("d16: persisted-index probe equals the registered join form; planted cross-batch dups found") {
@@ -957,6 +1011,8 @@ class SimilaritySpec extends SparkSpec {
     Similarity.writeIvfPqIndex(corpus, s"$dir/ann")
     assert(spark.read.parquet(s"$dir/ann/codes").select("vec_id").distinct()
       .count() == corpus.count(), "rebuilt code table has stale or missing ids")
+    assert(spark.read.parquet(s"$dir/ann/vectors").select("vec_id").distinct()
+      .count() == corpus.count(), "rebuilt vectors table has stale or missing ids")
     val rebuilt = Similarity.probeIvfPqIndex(spark, s"$dir/ann", queries)
     assert(rebuilt.collect().toSeq ==
       Similarity.ivfPqTopK(spark, d).collect().toSeq,
@@ -1094,6 +1150,7 @@ class SimilaritySpec extends SparkSpec {
     refusal(Dedup.probeMinhashIndex(spark, s"$dir/mh", delta))
     refusal(Dedup.appendToMinhashIndex(delta, s"$dir/mh"))
     refusal(Similarity.probeIvfPqIndex(spark, s"$dir/ann", queries))
+    refusal(Similarity.probeIvfPqIndexRefined(spark, s"$dir/ann", queries))
     refusal(Similarity.appendToIvfPqIndex(queries
       .withColumnRenamed("query_id", "vec_id"), s"$dir/ann"))
     refusal(graft.streaming.StreamingNearDedup.indexMatches(
