@@ -13,13 +13,11 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
-    // default; read nanos as LongType (no query consumes raw ts — event_id
-    // is the monotone ordering key, see Relational q09/q20).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    // events.parquet carries µs TIMESTAMP_NTZ as of the current testdata
+    // generation (earlier generations wrote TIMESTAMP(NANOS)); consumers
+    // cast through TimeWindows.eventTime under the session-wide UTC pin.
     spark.read.parquet(s"$dir/$name.parquet")
-  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

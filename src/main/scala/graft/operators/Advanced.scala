@@ -256,10 +256,11 @@ object Advanced {
     */
   def gapsIslands(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // events.ts is nanosecond longs (Tables.load); ns → µs → date
+    // events.ts is µs TIMESTAMP_NTZ (Tables.load); session tz is UTC, so
+    // the date floor matches DuckDB's naive CAST(ts AS DATE)
     val days = Tables.events(s, d)
       .select(col("user_id"),
-        datediff(to_date(timestamp_micros(expr("ts div 1000"))),
+        datediff(to_date(TimeWindows.eventTime),
           lit("1992-01-01").cast("date")).cast("long").as("day"))
       .distinct()
     val w = Window.partitionBy("user_id").orderBy("day")

@@ -11,16 +11,16 @@ import graft.Tables
   * identically in batch and Structured Streaming (the streaming side with
   * watermarks is exercised in EventTimeWindowSpec).
   *
-  * events.ts arrives as nanosecond longs (see Tables.load); ns→µs uses
-  * integer `div` — a double division would lose precision above 2^53 and
-  * corrupt timestamps.
+  * events.ts arrives as µs TIMESTAMP_NTZ (see Tables.load); the cast to
+  * session-local TIMESTAMP is value-stable because every graft session
+  * pins spark.sql.session.timeZone=UTC.
   */
 object TimeWindows {
 
-  /** Event-time as a proper timestamp column (µs floor, matching DuckDB's
-    * ns→µs read truncation).
+  /** Event-time as a session-UTC timestamp column (DuckDB reads the same
+    * µs values as naive TIMESTAMP, so window starts agree bit-for-bit).
     */
-  def eventTime: Column = timestamp_micros(expr("ts div 1000"))
+  def eventTime: Column = col("ts").cast("timestamp")
 
   /** Tumbling 1-hour windows: count + exact sum per window. */
   def hourlyWindow(s: SparkSession, d: String): DataFrame =

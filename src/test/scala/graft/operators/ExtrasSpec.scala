@@ -45,7 +45,7 @@ class ExtrasSpec extends SparkSpec {
     val fromIslands = islands.flatMap { case (u, s, e, _) => (s to e).map(u -> _) }.toSet
     val days = graft.Tables.events(spark, sfDir)
       .select(col("user_id"),
-        datediff(to_date(timestamp_micros(expr("ts div 1000"))),
+        datediff(to_date(col("ts").cast("timestamp")),
           lit("1992-01-01").cast("date")).cast("long").as("day"))
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(fromIslands == days)
