@@ -262,8 +262,17 @@ object Dedup {
     * (xxhash64 exists only in Spark).
     */
   val HASH_P = 2147483647L
-  def baseHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Digest→long via the codegen [[graft.expressions.Md5Prefix60]] —
+    * value-identical to `conv(substring(md5(c), 1, 15), 16, 10)
+    * .cast("long")` (HashFamilySpec pins the equivalence) but skips the
+    * hex-string materialization + base-16 parse on the per-shingle hot
+    * path.
+    */
+  def baseHash(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(graft.expressions.Md5Prefix60(ColumnShim.expression(c)))
+  }
   def seedA(i: Int): Long = ((2L * i + 1L) * 2654435761L) % HASH_P
   def seedB(i: Int): Long = (i.toLong * 40503L + 1L) % HASH_P
 
@@ -1040,7 +1049,7 @@ object Dedup {
   /** Exact index layout: partition bucket count (hash fn is xxhash64 by
     * construction of this format version).
     */
-  private[operators] val exactLayout: String = s"buckets=$INDEX_BUCKETS"
+  private[graft] val exactLayout: String = s"buckets=$INDEX_BUCKETS"
 
   /** Compact a persisted exact index ([[writeExactIndex]] layout) after a
     * season of appends: fold each hash bucket's file debris to one file,

@@ -97,4 +97,48 @@ object ScalePatterns {
       BloomFilterMightContain(Literal(bfBytes, BinaryType), hashed)))
     pruned.join(build, key)
   }
+
+  /** q58: the salted skew join as a registered, oracled query. events has
+    * five distinct event_type values at any SF — the pathological shape
+    * where a plain hash join funnels ~1/5 of the fact table through one
+    * task. [[saltedJoin]] spreads each hot key over SALTS sub-partitions;
+    * the result is the exact inner-join multiset (the salt is a join-key
+    * refinement, not a filter), so the DuckDB oracle is the PLAIN join.
+    * Flag arithmetic is exact decimal×int (value·cnt > Σvalue, i.e.
+    * "above the type mean" without dividing) — a double mean would make
+    * boundary rows engine-order-dependent and hash-unstable.
+    */
+  val SALTS = 8
+
+  def saltedSkewJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables
+    import org.apache.spark.sql.types.DecimalType
+    val e = graft.Tables.events(s, d).select(col("event_type"), col("value"))
+    val dim = Tables.events(s, d).groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).as("total"))
+    saltedJoin(e, dim, "event_type", SALTS)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value").cast(DecimalType(18, 2)) * col("cnt") > col("total"),
+          1L).otherwise(0L)).as("n_above"))
+      .orderBy("event_type")
+  }
+
+  val saltedSkewJoinSql: String =
+    """WITH dim AS (
+      |  SELECT event_type, count(*) AS cnt,
+      |         sum(CAST(value AS DECIMAL(18,2))) AS total
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN CAST(e.value AS DECIMAL(18,2)) * d.cnt > d.total
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+      |FROM events e JOIN dim d ON e.event_type = d.event_type
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_salted_skew_join" -> (saltedSkewJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q58_salted_skew_join" -> saltedSkewJoinSql)
 }

@@ -50,6 +50,25 @@ class HashFamilySpec extends SparkSpec {
     }
   }
 
+  test("Md5Prefix60 equals the built-in conv(substring(md5)) chain, both eval paths") {
+    // codegen path: the custom expression vs the chain it replaced
+    val rows = samples.toDF("s")
+      .select(Dedup.baseHash(col("s")).as("h"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // interpreted path (no codegen): Literal eval must agree with the model
+    samples.take(20).foreach { s =>
+      val got = graft.expressions.Md5Prefix60(
+        org.apache.spark.sql.catalyst.expressions.Literal(s)).eval(null)
+      assert(got == modelBaseHash(s), s"interpreted mismatch for ${s.take(40)}")
+    }
+    // null in → null out (nullIntolerant)
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(Dedup.baseHash(col("s")).as("h")).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("affine family members match the int64 model and stay in [0, p)") {
     val members = Seq(0, 7, 31)
     val cols = members.map(i =>

@@ -112,6 +112,29 @@ class ScalePatternsSpec extends SparkSpec {
     assert(pruned.select("k", "pv", "bv").collect().map(_.toSeq).toSet == plain)
   }
 
+  test("q58 plan replicates the build side across salts; result equals the plain join") {
+    val d = "/root/testdata/sf0.001"
+    val q = ScalePatterns.saltedSkewJoin(spark, d)
+    // the salt replication is a Generate(explode) over the dim side — the
+    // structural signature that distinguishes q58 from a plain hash join
+    val hasGenerate = q.queryExecution.executedPlan.toString.contains("Generate")
+    assert(hasGenerate, q.queryExecution.executedPlan.toString.take(2000))
+    // salting must not change the join multiset: same aggregate as unsalted
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables.events(spark, d).select(col("event_type"), col("value"))
+    val dim = Tables.events(spark, d).groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).as("total"))
+    val plain = e.join(dim, "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value").cast(DecimalType(18, 2)) * col("cnt") > col("total"),
+          1L).otherwise(0L)).as("n_above"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
   test("might_contain SQL surface composes with bloom_filter_agg and prunes the probe") {
     graft.GraftExtensions.register(spark)
     (1L to 10000L).toDF("k").createOrReplaceTempView("bf_probe")
