@@ -205,4 +205,55 @@ object StreamingNearDedup {
       .agg(max(col("matched").cast("int")).as("_m"))
       .filter(col("_m") === 0)
       .select("doc_id")
+
+  // ------------------------------------- composed exact-then-near probe
+  /** Streaming face of the composed d18 probe ([[Dedup.probeExactThenNear]]):
+    * the production ingest ORDER — cheap exact tier first, near tier only
+    * for its survivors — with zero streaming state.
+    *
+    *   1. exact tier: md5 per row, then the exact index's PERSISTED Bloom
+    *      filter as a codegen literal filter — a bloom-negative row is
+    *      DEFINITIVELY not an exact dup and skips the static hash join
+    *      entirely (at a re-crawl-heavy 1% novel rate the join sees ~1%
+    *      of the stream + fpp); bloom-positives join the persisted
+    *      (h, match_id) table, and a join hit is an exact verdict;
+    *   2. near tier: only exact-SURVIVORS (bloom-negatives plus bloom
+    *      false-positives that missed the join) are signatured and
+    *      band-probed via [[indexMatches]] — an exact-killed row
+    *      generates zero shingles, signatures, or band lookups, which is
+    *      the composition's entire point at scale.
+    *
+    * Both tiers are stream-static joins against path-pinned parquet, so
+    * the refresh story is [[indexMatches]]'s: stop → append/compact the
+    * indexes → restart from the same offsets-only checkpoint. Feed each
+    * micro-batch through [[indexAdmitted]]; equivalence with the batch
+    * [[Dedup.probeExactThenNear]] verdict is spec-pinned.
+    */
+  def exactThenNearMatches(docs: DataFrame, exactDir: String, mhDir: String,
+      threshold: Double = Dedup.INC_DUP_THRESHOLD): DataFrame = {
+    Dedup.requireLayout(exactDir, Dedup.exactLayout, "exactThenNearMatches")
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.ColumnShim
+    import org.apache.spark.sql.types.BinaryType
+    val spark = docs.sparkSession
+    val bfBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(exactDir, "bloom.bin"))
+    val hashed = docs.withColumn("_h", md5(col("text")))
+    val mightDup = ColumnShim.column(
+      BloomFilterMightContain(Literal(bfBytes, BinaryType),
+        ColumnShim.expression(xxhash64(col("_h")))))
+    val idx = spark.read.parquet(s"$exactDir/hashes")
+      .select(col("h").as("_h"), col("match_id"))
+    val maybe = hashed.filter(mightDup)
+    val exact = maybe.join(idx, "_h")
+      .select(col("doc_id"), lit("exact").as("tier"), col("match_id"),
+        lit(1.0).as("est_jaccard"), lit(true).as("matched"))
+    val survivors = hashed.filter(!mightDup).select("doc_id", "text")
+      .unionByName(maybe.join(idx, Seq("_h"), "left_anti")
+        .select("doc_id", "text"))
+    val near = indexMatches(survivors, mhDir, threshold)
+      .select(col("doc_id"), lit("near").as("tier"),
+        col("index_id").as("match_id"), col("est_jaccard"), col("matched"))
+    exact.unionByName(near)
+  }
 }

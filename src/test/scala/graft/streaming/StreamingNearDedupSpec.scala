@@ -168,6 +168,63 @@ class StreamingNearDedupSpec extends SparkSpec {
       s"batch-1 offsets re-processed: $seen")
   }
 
+  test("streaming exact-then-near agrees with the batch composed verdict; exact kills skip the near tier") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val exactDir = Files.createTempDirectory("setn-ex").toString
+    val mhDir = Files.createTempDirectory("setn-mh").toString
+    val ckpt = Files.createTempDirectory("setn-ckpt").toString
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val base = docs.filter(expr("doc_id % 5 != 0"))
+    graft.operators.Dedup.writeExactIndex(base, exactDir)
+    graft.operators.Dedup.writeMinhashIndex(base, mhDir)
+    // the d18 delta shape: the %5 slice plus planted byte-copies of base
+    // docs, so the exact tier provably kills rows
+    val deltaDf = docs.filter(expr("doc_id % 5 = 0")).select("doc_id", "text")
+      .unionAll(base
+        .filter(expr(s"doc_id % ${graft.operators.Dedup.EXACT_PLANT_STRIDE} = 1"))
+        .select((col("doc_id") + graft.operators.Dedup.EXACT_PLANT_OFFSET)
+          .as("doc_id"), col("text")))
+    val batch = graft.operators.Dedup.probeExactThenNear(
+      spark, exactDir, mhDir, deltaDf)
+    val batchRows = batch.collect()
+    graft.operators.Dedup.release(batch)
+    val batchDup = batchRows.filter(_.getAs[Int]("is_dup") == 1)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val exactIds = batchRows.filter(_.getAs[String]("tier") == "exact")
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(exactIds.nonEmpty, "fixture lost its planted exact copies")
+    val delta = deltaDf.collect().map(r => (r.getLong(0), r.getString(1)))
+    val adm = scala.collection.mutable.ListBuffer[Long]()
+    val tiers = scala.collection.mutable.ListBuffer[(Long, String)]()
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingNearDedup.exactThenNearMatches(
+        mem.toDF().toDF("doc_id", "text"), exactDir, mhDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        adm.synchronized {
+          val rows = b.collect()
+          tiers ++= rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("tier")))
+          adm ++= StreamingNearDedup.indexAdmitted(b).collect().map(_.getLong(0))
+        }
+        ()
+      }
+      .start()
+    mem.addData(delta.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val suppressed = delta.map(_._1).toSet -- adm.toSet
+    assert(suppressed == batchDup,
+      s"streaming suppressed $suppressed, batch says $batchDup")
+    // the composition pin: an exact-matched doc generates NO near-tier row
+    // (it never reaches the signature build or a band lookup)
+    val nearIds = tiers.filter(_._2 == "near").map(_._1).toSet
+    assert(exactIds.intersect(nearIds).isEmpty,
+      s"exact-killed docs leaked into the near tier: ${exactIds.intersect(nearIds)}")
+  }
+
   test("signature and band keys reproduce the batch d04 family") {
     // the per-row HOF signature must equal the batch explode+aggregate
     // signature, or streaming and batch dedup would disagree
