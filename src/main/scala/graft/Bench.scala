@@ -30,6 +30,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE's default 64 MB advisory coalesce looks like it strands cores
+      // at bench scale (the d03 pipeline's post-shuffle stages run at 8
+      // partitions on 32 cores), but forcing ~core-count partitions via a
+      // 256 KB advisory measured SLOWER (wall 7.6 -> 9.9 s, task-summed
+      // pipeline CPU 3x): at sub-MB partition sizes per-task overhead
+      // dominates and the coalesced sorts are cache-resident. Keep the
+      // defaults; graft.Profile has env knobs to re-run the experiment.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
