@@ -225,6 +225,72 @@ class StreamingNearDedupSpec extends SparkSpec {
       s"exact-killed docs leaked into the near tier: ${exactIds.intersect(nearIds)}")
   }
 
+  test("composed probe refresh: an exact-index append flips a copy to exact-suppressed after restart") {
+    // the composed probe's refresh story must hold for the EXACT tier
+    // too: its Bloom filter is read ONCE at query build (a driver-side
+    // literal), so only a restart can widen it. After stop ->
+    // appendToExactIndex(new docs) -> restart from the SAME checkpoint,
+    // a byte-copy of an appended doc flips from admitted to
+    // exact-suppressed, and no batch-1 offset re-processes.
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val exactDir = Files.createTempDirectory("setnr-ex").toString
+    val mhDir = Files.createTempDirectory("setnr-mh").toString
+    val ckpt = Files.createTempDirectory("setnr-ckpt").toString
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val day1 = docs.filter(expr("doc_id % 5 != 0"))
+    val day2 = docs.filter(expr("doc_id % 5 = 0")).select("doc_id", "text")
+    graft.operators.Dedup.writeExactIndex(day1, exactDir)
+    graft.operators.Dedup.writeMinhashIndex(day1, mhDir)
+    // a day-2 doc with no near-candidate in the day-1 band index, so its
+    // byte-copy is fully admitted pre-refresh and exact-suppressed after
+    val day2Probe = graft.operators.Dedup.probeMinhashIndex(spark, mhDir, day2)
+    val withCand = day2Probe.select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.operators.Dedup.release(day2Probe)
+    val x = day2.collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(t => !withCand.contains(t._1)).minBy(_._1)
+    val seen = scala.collection.mutable.ListBuffer[Set[Long]]()
+    val adm = scala.collection.mutable.ListBuffer[Long]()
+    val tiers = scala.collection.mutable.ListBuffer[(Long, String)]()
+    val mem = MemoryStream[(Long, String)]
+    def start() = StreamingNearDedup.exactThenNearMatches(
+        mem.toDF().toDF("doc_id", "text"), exactDir, mhDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val batch = b.localCheckpoint(true)
+        seen.synchronized {
+          seen += batch.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+          tiers ++= batch.filter(col("matched")).collect()
+            .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("tier")))
+          adm ++= StreamingNearDedup.indexAdmitted(batch).collect().map(_.getLong(0))
+        }
+        graft.operators.Dedup.release(batch)
+        ()
+      }
+      .start()
+    val q1 = start()
+    mem.addData((910001L, x._2))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(adm.toSet == Set(910001L), s"pre-refresh verdicts wrong: $adm")
+    // refresh both tiers while the query is down (the daily absorb)
+    graft.operators.Dedup.appendToExactIndex(day2, exactDir)
+    graft.operators.Dedup.appendToMinhashIndex(day2, mhDir)
+    val q2 = start()
+    q2.processAllAvailable()
+    assert(seen.drop(1).forall(s => !s.contains(910001L)),
+      s"restart re-processed batch-1 offsets: $seen")
+    mem.addData((910002L, x._2))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(!adm.contains(910002L),
+      s"refreshed exact index not used after restart: $adm")
+    assert(tiers.contains((910002L, "exact")),
+      s"copy suppressed by the wrong tier (bloom not refreshed?): $tiers")
+  }
+
   test("signature and band keys reproduce the batch d04 family") {
     // the per-row HOF signature must equal the batch explode+aggregate
     // signature, or streaming and batch dedup would disagree
