@@ -1177,7 +1177,7 @@ object Similarity {
     * code MEANS; the quantization scale decides what the stored model
     * vectors mean relative to a caller's query frame.
     */
-  private val ivfPqLayout: String =
+  private[graft] val ivfPqLayout: String =
     // store=flat marks the vectors-table format version: an index written
     // before the refine store existed must refuse (and rebuild) rather
     // than let an append CREATE a delta-only vectors table the refined
