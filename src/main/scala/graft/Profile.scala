@@ -40,29 +40,40 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val last = new AtomicReference[QueryExecution]()
+    // operators with EAGER phases (p01's connected components, the
+    // similarity family's centroid/codebook builds via localCheckpoint)
+    // run several actions before the final sink write — capture them ALL,
+    // or the profile attributes their wall time to nothing
+    val execs = new java.util.concurrent.ConcurrentLinkedQueue[(QueryExecution, Long)]()
     spark.listenerManager.register(new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        last.set(qe)
+        execs.add((qe, durationNs))
       override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-        last.set(qe)
+        execs.add((qe, -1L))
     })
     names.foreach { n =>
       // untimed warmup: codegen classes + JIT, so the profiled run's
       // metrics reflect steady state, not first-run compilation
       SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
-      last.set(null)
+      // listener events are async — drain the warmup's own events to
+      // quiescence, or they'd be mis-counted as the profiled run's
+      var lastSize = -1
+      while (execs.size != lastSize) { lastSize = execs.size; Thread.sleep(250) }
+      execs.clear()
       val t0 = System.nanoTime()
-      // construction INSIDE the timed window — operators with eager
-      // phases (p01's connected components) do real work there
+      // construction INSIDE the timed window — eager phases count
       val df = SparkEntry.queries(n)(spark, sfDir)
       df.write.mode("overwrite").format("noop").save()
       val sec = (System.nanoTime() - t0) / 1e9
       // the listener fires asynchronously after the action returns
       val deadline = System.nanoTime() + 5000000000L
-      while (last.get() == null && System.nanoTime() < deadline) Thread.sleep(50)
-      println(f"\n========== $n  ($sec%.2f s) ==========")
-      Option(last.get()).foreach(qe => print(render(qe.executedPlan, 0)))
+      while (execs.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(200) // drain stragglers from the same window
+      println(f"\n========== $n  ($sec%.2f s, ${execs.size} actions) ==========")
+      execs.forEach { case (qe, ns) =>
+        println(f"---- action (${ns / 1e9}%.2f s) ----")
+        print(render(qe.executedPlan, 0))
+      }
     }
     spark.stop()
   }
