@@ -15,6 +15,26 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("q26 distinct-then-count equals the multi-distinct Expand form bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    // HLL registers are set-functions: deduping the input cannot change
+    // the sketch, so the cheap pre-distinct plan must reproduce the
+    // Expand plan's EXACT values — estimate included, not just the count
+    val expand = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = Extras.approxDistinct(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expand)
+    // and the cheap plan really dropped the Expand
+    val plan = Extras.approxDistinct(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan.take(1500))
+  }
+
   test("q52 recursive CTE: full month spine, zero-order months gap-filled") {
     val rows = Advanced.recursiveCte(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), Option(r.getString(2))))
