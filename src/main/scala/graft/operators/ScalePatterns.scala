@@ -98,6 +98,21 @@ object ScalePatterns {
     pruned.join(build, key)
   }
 
+  /** Write a table range-partitioned AND sorted by a filter column, so a
+    * range predicate's pushed parquet filters skip whole row groups by
+    * their min/max stats — the one-dimension form of z-order layout, and
+    * at 100 TB the difference between scanning the whole table and
+    * scanning the files that can match. Row-group skipping happens inside
+    * the parquet reader (every file is still LISTED — this is stats
+    * pruning, not partition pruning), so the observable is BYTES READ,
+    * which ScalePatternsSpec asserts drops by the selectivity.
+    */
+  def writeSorted(df: DataFrame, path: String, sortCol: String,
+      nFiles: Int = 8): Unit =
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
   /** q58: the salted skew join as a registered, oracled query. events has
     * five distinct event_type values at any SF — the pathological shape
     * where a plain hash join funnels ~1/5 of the fact table through one
