@@ -67,6 +67,12 @@ class HashFamilySpec extends SparkSpec {
     val n = Seq[Option[String]](None).toDF("s")
       .select(Dedup.baseHash(col("s")).as("h")).collect()
     assert(n.head.isNullAt(0))
+    // binary input path (md5 is defined over bytes; strings implicit-cast)
+    val b = samples.take(10).map(_.getBytes("UTF-8")).toDF("b")
+      .select(Dedup.baseHash(col("b")).as("h"),
+        conv(substring(md5(col("b")), 1, 15), 16, 10).cast("long").as("ref"))
+      .collect()
+    b.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
   test("affine family members match the int64 model and stay in [0, p)") {
