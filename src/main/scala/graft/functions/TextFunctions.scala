@@ -25,18 +25,16 @@ object TextFunctions {
     * clean.go:30) and ellipsis -> "...".
     */
   def charMapFold(c: Column): Column = {
-    // 1:1 folds via translate (codegen'd single pass)
-    val one2one = translate(c,
-      "\u1ebd\u200b\u200e\u2010\u2013\u2014\u2022\u2038\u2044\u201a\u201b\u2035\u201c\u201d\u201e\u201f\u2033\u2034\u2036\u2037\u27a2\u00a0\u00fc",
-      "e\u0020\u0020---../,''\"\"\"\"\"\"\"\">\u0020u")
+    import graft.expressions.CleanTextKernel
+    // 1:1 folds via translate (codegen'd single pass); the map/delete
+    // tables are the kernel's constants so the Column and single-pass
+    // expression forms cannot drift
+    val one2one = translate(c, CleanTextKernel.ONE2ONE_FROM, CleanTextKernel.ONE2ONE_TO)
     // deletions incl. astral emoji via one regex class
-    val deleted = regexp_replace(one2one,
-      "[\u2032'|\u2018\u2019\u2028\u2122\u2600\u263a\u26fa\ufe0f\u00a2\u00ae\u00bd\u00de\u00e2\u00e9" +
-        "\ud83d\udc4c\ud83d\udc4d\ud83d\ude42\ud83d\ude01\ud83d\ude90\ud83c\udf34\ud83c\udfdd\ud83c\udffd\ud83c\udfd6\ud83c\udfa3\ud83d\udd25\ud83d\ude0a]", "")
+    val deleted = regexp_replace(one2one, "[" + CleanTextKernel.DELETE_CHARS + "]", "")
     val amp = regexp_replace(deleted, "&", "and")
     regexp_replace(amp, "\u2026", "...")
   }
-
   /** C8 `CleanText(text, maxLen)`, faithful to utils/clean.go:9-102:
     * min-length-5 gate (:10-12); newline sections joined with " " while the
     * accumulated length is still under maxLen — the reference checks BEFORE
@@ -46,6 +44,21 @@ object TextFunctions {
     * documented for multibyte).
     */
   def cleanText(c: Column, maxLen: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    // single codegen'd pass (graft.expressions.CleanTextFold) — the
+    // declarative chain below ([[cleanTextColumnForm]]) planned an
+    // interpreted `aggregate` HOF plus four string passes per row;
+    // value-identity between the two forms is property-pinned in
+    // TextFunctionsSpec
+    ColumnShim.column(graft.expressions.CleanTextFold(
+      ColumnShim.expression(c), maxLen))
+  }
+
+  /** The declarative Column form of [[cleanText]] — kept as the
+    * independent model the spec compares the codegen kernel against
+    * (and the shape the scaladoc documents).
+    */
+  private[graft] def cleanTextColumnForm(c: Column, maxLen: Int): Column = {
     val sections = split(c, "\n", -1)
     val joined = when(size(sections) > 1,
       aggregate(

@@ -24,6 +24,52 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(4) == "uuber caf")
   }
 
+  test("CleanTextFold kernel equals the declarative Column chain on arbitrary inputs") {
+    import org.scalacheck.{Gen, rng}
+    // every char class the kernel special-cases, drawn from the kernel's
+    // OWN tables (1:1 folds, deletions incl. astral pairs) plus the
+    // &/ellipsis expansions, newlines, spaces, and plain words
+    import graft.expressions.CleanTextKernel
+    def cpStrings(s: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.toSeq
+    }
+    val special = cpStrings(CleanTextKernel.ONE2ONE_FROM) ++
+      cpStrings(CleanTextKernel.DELETE_CHARS) ++
+      Seq("&", "\u2026", "\n", " ", "word", "ab", "\n\n")
+    val gen = Gen.listOfN(250,
+      Gen.chooseNum(0, 24).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(special.toIndexedSeq)).map(_.mkString)))
+    val samples = (Seq("", "tiny", "exactly5", ("long " * 40).trim) ++
+      gen.apply(Gen.Parameters.default, rng.Seed(7L)).get).distinct
+    for (maxLen <- Seq(5, 10, 80)) {
+      val rows = samples.toDF("t")
+        .select(TextFunctions.cleanText(col("t"), maxLen).as("k"),
+          TextFunctions.cleanTextColumnForm(col("t"), maxLen).as("c"))
+        .collect()
+      rows.zip(samples).foreach { case (r, s) =>
+        assert(r.getString(0) == r.getString(1),
+          s"maxLen=$maxLen diverged on ${s.take(40).replace("\n", "\\n")}: " +
+            s"kernel=${r.getString(0)} column=${r.getString(1)}")
+      }
+    }
+    // interpreted path too (no codegen)
+    samples.take(30).foreach { s =>
+      val got = graft.expressions.CleanTextFold(
+        org.apache.spark.sql.catalyst.expressions.Literal(s), 80).eval(null).toString
+      val want = Seq(s).toDF("t")
+        .select(TextFunctions.cleanTextColumnForm(col("t"), 80))
+        .collect().head.getString(0)
+      assert(got == want, s"interpreted diverged on ${s.take(40)}")
+    }
+  }
+
   test("t13 gopher rules: pass is the conjunction of its reported measures; both classes occur") {
     val rows = TextOps.gopherRules(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
