@@ -171,6 +171,19 @@ class ScalePatternsSpec extends SparkSpec {
       s"scattered layout unexpectedly skipped: $scatteredRows of $total")
     assert(sortedRows * 4 < total,
       s"sorted layout did not skip row groups: $sortedRows of $total")
+    // CANARY for the TIMESTAMP_NTZ pushdown gap: the same sorted layout
+    // written as NTZ shows the filter as pushed but prunes NOTHING in
+    // Spark 4.1 (no parquet FilterPredicate conversion for NTZ). If a
+    // Spark upgrade makes this assertion fail, the gap is FIXED — delete
+    // the LTZ cast advice in PLANS.md and this canary together.
+    val liNtz = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+    ScalePatterns.writeSorted(liNtz, s"$tmp/sorted-ntz", "l_shipdate")
+    val (ntzAns, ntzRows) = run(s"$tmp/sorted-ntz")
+    assert(ntzAns == sortedAns, "NTZ layout changed the answer")
+    assert(ntzRows == total,
+      s"NTZ sorted layout PRUNED ($ntzRows of $total) — Spark now " +
+        "converts NTZ filters; retire this canary and the LTZ-cast advice")
   }
 
   test("q58 plan replicates the build side across salts; result equals the plain join") {
