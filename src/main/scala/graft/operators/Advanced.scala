@@ -257,7 +257,10 @@ object Advanced {
   def gapsIslands(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // events.ts is µs TIMESTAMP_NTZ (Tables.load); session tz is UTC, so
-    // the date floor matches DuckDB's naive CAST(ts AS DATE)
+    // the date floor matches DuckDB's naive CAST(ts AS DATE). (An integer
+    // `unix_micros div 86400000000 - 8035` form benched identical —
+    // datediff/to_date are already codegen'd; the cost is the
+    // distinct+window, so the readable calendar form stays.)
     val days = Tables.events(s, d)
       .select(col("user_id"),
         datediff(to_date(TimeWindows.eventTime),
