@@ -69,10 +69,22 @@ object Bench {
     val results = queries.map { case (name, _) =>
       name -> median(passes.map(_(name)))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$REPS,"agg":"median"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$REPS,"agg":"median"}"""
+    println(line)
+    // The driver captures stdout with a truncated tail (BENCH_r0x.json has
+    // carried `parsed: null` since round 8, hiding ~half the per-query
+    // numbers from round-over-round comparison) — ALSO write the full JSON
+    // to a file the driver/judge can pick up whole.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full per-query JSON written to ${out.toAbsolutePath}")
+    } catch { case e: Throwable => System.err.println(s"[bench] bench_out write failed: $e") }
     spark.stop()
   }
 }

@@ -13,11 +13,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries µs TIMESTAMP_NTZ as of the current testdata
     // generation (earlier generations wrote TIMESTAMP(NANOS)); consumers
-    // cast through TimeWindows.eventTime under the session-wide UTC pin.
+    // cast through TimeWindows.eventTime, which is value-stable ONLY under
+    // a UTC session — make that invariant explicit instead of implicit.
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "graft requires spark.sql.session.timeZone=UTC (NTZ event-time casts " +
+        "and DuckDB-oracle comparisons assume it)")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

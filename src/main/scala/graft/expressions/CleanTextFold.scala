@@ -94,9 +94,11 @@ object CleanTextKernel {
     }
     // 3. min-length gate on the ORIGINAL string (code points)
     if (str.codePointCount(0, str.length) < 5) return UTF8String.EMPTY_UTF8
-    // 4. truncate to maxLen-3 + "..." (code points)
+    // 4. truncate to maxLen-3 + "..." (code points); clamp the keep-length
+    //    at 0 so maxLen < 3 degenerates to "..." exactly like the Column
+    //    form's substring(gated, 1, maxLen - 3) (negative length -> "")
     if (outCps > maxLen) {
-      val end = out.offsetByCodePoints(0, maxLen - 3)
+      val end = out.offsetByCodePoints(0, math.max(0, maxLen - 3))
       UTF8String.fromString(out.substring(0, end) + "...")
     } else UTF8String.fromString(out.toString)
   }

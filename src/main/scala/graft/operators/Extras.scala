@@ -74,7 +74,11 @@ object Extras {
       .select(col("l_returnflag"), col("l_partkey")).distinct()
       .groupBy(col("l_returnflag"))
       .agg(
-        count(lit(1)).as("exact_parts"),
+        // count(l_partkey), not count(*): over the pre-distincted pairs the
+        // two differ only on NULL partkeys, and countDistinct (the replaced
+        // form whose bit-identity the spec pins) excludes NULLs — match its
+        // null semantics by construction instead of by testdata accident
+        count(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy("l_returnflag")
 

@@ -1177,14 +1177,52 @@ object Similarity {
     * code MEANS; the quantization scale decides what the stored model
     * vectors mean relative to a caller's query frame.
     */
-  private[graft] val ivfPqLayout: String =
-    // store=flat marks the vectors-table format version: an index written
-    // before the refine store existed must refuse (and rebuild) rather
-    // than let an append CREATE a delta-only vectors table the refined
-    // probe would silently treat as the whole corpus
-    s"cells=$N_CELLS,m=$PQ_M,subdim=$PQ_SUBDIM,k=$PQ_K,quant=${QUANT.toLong},store=flat"
+  // store=flat marks the vectors-table format version: an index written
+  // before the refine store existed must refuse (and rebuild) rather
+  // than let an append CREATE a delta-only vectors table the refined
+  // probe would silently treat as the whole corpus
+  private[graft] def ivfPqLayoutFor(nCells: Int, k: Int): String =
+    s"cells=$nCells,m=$PQ_M,subdim=$PQ_SUBDIM,k=$k,quant=${QUANT.toLong},store=flat"
 
-  def writeIvfPqIndex(corpus: DataFrame, dir: String): Unit = {
+  private[graft] val ivfPqLayout: String = ivfPqLayoutFor(N_CELLS, PQ_K)
+
+  /** Read and validate an IVF-PQ index's layout stamp, returning its
+    * (nCells, k). The cell and codebook cardinalities are INDEX properties
+    * (a production store runs k ≈ 256+ while the fixtures run 16 — both
+    * are valid indexes of this format), but the subspace geometry, the
+    * quantization constant, and the store version are COMPILED-IN: a stamp
+    * that disagrees on any of those was written by a different build and
+    * probing it would silently mis-score, so refuse exactly like
+    * [[Dedup.requireLayout]] (same message shape — the tamper spec pins
+    * both the found layout and the "rebuild" pointer appearing).
+    */
+  private[graft] def ivfPqLayoutParams(dir: String, what: String): (Int, Int) = {
+    val p = java.nio.file.Paths.get(dir, "index.meta")
+    require(java.nio.file.Files.exists(p),
+      s"$what: no layout manifest at $p — rebuild the index with this library version")
+    val found = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val re = ("""cells=(\d+),m=""" + PQ_M + """,subdim=""" + PQ_SUBDIM +
+      """,k=(\d+),quant=""" + QUANT.toLong + """,store=flat""").r
+    found match {
+      case re(c, k) => (c.toInt, k.toInt)
+      case _ => throw new IllegalArgumentException(
+        s"requirement failed: $what: index layout [$found] does not match this " +
+          s"library's [${ivfPqLayoutFor(N_CELLS, PQ_K)} (any cells/k)] — " +
+          "probing across layouts silently misses matches; rebuild the index")
+    }
+  }
+
+  /** Build (or rebuild) a complete IVF-PQ index at `dir`. `nCells`/`k`
+    * size the model — fixtures run the 16/16 defaults, a production store
+    * runs 256+/256 (the stamp records the choice; probes read it back
+    * rather than assuming the compiled default). `centroidStride`/
+    * `centroidResidue` pick the deterministic seed sample and must be
+    * chosen so the corpus yields `nCells` candidates (checked loudly
+    * below).
+    */
+  def writeIvfPqIndex(corpus: DataFrame, dir: String,
+      nCells: Int = N_CELLS, k: Int = PQ_K,
+      centroidStride: Long = 31L, centroidResidue: Long = 6L): Unit = {
     // an empty overwrite would land an unreadable partitioned parquet and
     // a null model — refuse loudly, touching nothing (writeExactIndex)
     require(!corpus.isEmpty,
@@ -1195,15 +1233,27 @@ object Similarity {
     // rankings. Dropping codes first turns every torn window into a
     // missing-table read: loud (the writeMinhashIndex discipline)
     Dedup.deleteTreeIfExists(java.nio.file.Paths.get(dir, "codes"))
-    seedCentroids(corpus).coalesce(1)
+    seedCentroids(corpus, nCells, centroidStride, centroidResidue).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    pqCodebook(corpus).coalesce(1)
+    pqCodebook(corpus, k).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/codebook")
+    // a thin corpus (or a too-coarse stride) yields FEWER model rows than
+    // requested (seedCentroids/pqCodebook are limit-bounded) — legal, but
+    // the stamp must record the ACTUAL geometry, not the ask: probes and
+    // compaction read their cell/code cardinalities from the stamp, and a
+    // stamp that lies about them is the exact torn-index class the layout
+    // check exists to refuse. Tiny single-file reads, write-time-only cost.
+    val spark = corpus.sparkSession
+    val nc = spark.read.parquet(s"$dir/centroids").count().toInt
+    require(nc > 0, s"writeIvfPqIndex: corpus yielded no centroids " +
+      s"(stride=$centroidStride residue=$centroidResidue selects nothing)")
+    val nk = spark.read.parquet(s"$dir/codebook").count().toInt
+    require(nk > 0, s"writeIvfPqIndex: corpus yielded no codebook rows")
     writeCodes(corpus, dir, "overwrite")
     // the layout stamp lands LAST: a torn rebuild leaves the OLD stamp
-    // (or none) next to new tables, so requireLayout refuses loudly
+    // (or none) next to new tables, so the layout check refuses loudly
     // instead of blessing old-layout tables with a new-layout stamp
-    Dedup.stampLayout(dir, ivfPqLayout)
+    Dedup.stampLayout(dir, ivfPqLayoutFor(nc, nk))
   }
 
   /** Absorb a delta batch: assign + encode against the PERSISTED model,
@@ -1225,7 +1275,7 @@ object Similarity {
     require(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "codes")) &&
       java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "vectors")),
       s"appendToIvfPqIndex: no complete index at $dir — write one first")
-    Dedup.requireLayout(dir, ivfPqLayout, "appendToIvfPqIndex")
+    ivfPqLayoutParams(dir, "appendToIvfPqIndex")
     writeCodes(delta, dir, "append")
   }
 
@@ -1254,8 +1304,9 @@ object Similarity {
     * by construction.
     */
   def compactIvfPqIndex(s: SparkSession, dir: String): Unit = {
-    Dedup.compactBucketedTable(s, s"$dir/codes", "cell", N_CELLS)
-    Dedup.compactBucketedTable(s, s"$dir/vectors", "cell", N_CELLS)
+    val (nCells, _) = ivfPqLayoutParams(dir, "compactIvfPqIndex")
+    Dedup.compactBucketedTable(s, s"$dir/codes", "cell", nCells)
+    Dedup.compactBucketedTable(s, s"$dir/vectors", "cell", nCells)
   }
 
   /** Probe the persisted index with a (query_id, qv) batch: assign the
@@ -1271,7 +1322,7 @@ object Similarity {
     */
   def probeIvfPqIndex(s: SparkSession, dir: String, queries: DataFrame,
       k: Int = 10): DataFrame = {
-    Dedup.requireLayout(dir, ivfPqLayout, "probeIvfPqIndex")
+    ivfPqLayoutParams(dir, "probeIvfPqIndex")
     val (ranked, _) = probeAdcRanked(s, dir, queries, k)
     ranked
   }
@@ -1327,7 +1378,7 @@ object Similarity {
     */
   def probeIvfPqIndexRefined(s: SparkSession, dir: String, queries: DataFrame,
       k: Int = 10, c: Int = RERANK_C): DataFrame = {
-    Dedup.requireLayout(dir, ivfPqLayout, "probeIvfPqIndexRefined")
+    ivfPqLayoutParams(dir, "probeIvfPqIndexRefined")
     val (shortlist, cells) = probeAdcRanked(s, dir, queries, c)
     val vectors = s.read.parquet(s"$dir/vectors")
       .filter(col("cell").isin(cells.map(Integer.valueOf): _*))

@@ -13,7 +13,8 @@ import graft.Tables
   *
   * events.ts arrives as µs TIMESTAMP_NTZ (see Tables.load); the cast to
   * session-local TIMESTAMP is value-stable because every graft session
-  * pins spark.sql.session.timeZone=UTC.
+  * pins spark.sql.session.timeZone=UTC — an invariant Tables.load now
+  * asserts (require) rather than assumes.
   */
 object TimeWindows {
 

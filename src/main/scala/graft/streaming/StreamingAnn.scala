@@ -1,10 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnShim
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.Similarity
 
 /** Streaming ANN serving against the persisted IVF-PQ index — the online
   * face of the batch [[Similarity.probeIvfPqIndex]]: a continuous stream
@@ -16,16 +17,23 @@ import graft.operators.{Dedup, Similarity}
   * both illegal on an unbounded frame. The streaming shape re-derives the
   * same numbers with stateless row-level work plus one stream-static join:
   *
-  *   1. the index MODEL (≤ [[Similarity.N_CELLS]] centroids,
-  *      [[Similarity.PQ_K]]×[[Similarity.PQ_M]] codebook entries) is
-  *      collected ONCE at query build into literal arrays — it rides the
-  *      codegen'd plan exactly like the d17 Bloom filter literal;
-  *   2. per query row: cosine against each centroid literal
-  *      ([[Similarity.qdot]] — codegen), `array_sort` by (score DESC,
-  *      cell) — the [[Similarity.assignToCells]] tie-break — and a slice
-  *      explodes the top [[Similarity.N_PROBE]] cells; the per-subspace
-  *      ADC lookup tables are computed as PQ_M literal-codebook array
-  *      columns on the same row;
+  *   1. the index MODEL (nCells centroids, k×[[Similarity.PQ_M]]
+  *      codebook entries — tiny by the layout contract) is collected ONCE
+  *      at query build and rides the codegen'd plan as REFERENCE OBJECTS
+  *      inside two compact expressions ([[graft.expressions.IvfCellProbe]],
+  *      [[graft.expressions.PqAdcLuts]]). An earlier form inlined the
+  *      model as per-centroid literal expression trees — fine at the
+  *      fixture's 16 cells, but at a production store's 256 cells the
+  *      generated `processNext()` exceeds the JVM 64KB method limit and
+  *      janino refuses the class (StreamingAnnSpec's production-k pin
+  *      reproduced it; the LshBucketTables lesson). Reference objects keep
+  *      the generated code CONSTANT-size in nCells and k;
+  *   2. per query row: [[graft.expressions.IvfCellProbe]] ranks the
+  *      centroids by (cosine DESC, cell) — the
+  *      [[Similarity.assignToCells]] tie-break — and returns the top
+  *      [[Similarity.N_PROBE]] cells to explode; the per-subspace ADC
+  *      lookup tables are one array<array<bigint>> column
+  *      ([[graft.expressions.PqAdcLuts]]) on the same row;
   *   3. ONE stream-static equi-join on `cell` against the code table
   *      (pivoted to one row per vector at query build — a static-side
   *      transform, re-executed per micro-batch exactly like
@@ -46,50 +54,37 @@ object StreamingAnn {
     */
   def indexScores(queries: DataFrame, dir: String,
       nProbe: Int = Similarity.N_PROBE): DataFrame = {
-    Dedup.requireLayout(dir, Similarity.ivfPqLayout, "StreamingAnn.indexScores")
+    Similarity.ivfPqLayoutParams(dir, "StreamingAnn.indexScores")
     val spark = queries.sparkSession
     val M = Similarity.PQ_M
-    val SUB = Similarity.PQ_SUBDIM
 
-    // ---- model as literals (tiny by construction: N_CELLS + PQ_K rows)
-    val cents: Array[(Int, Seq[Long])] = spark.read.parquet(s"$dir/centroids")
-      .collect().map(r => (r.getAs[Int]("cell"), r.getSeq[Long](r.fieldIndex("centroid"))))
-    val cb: Array[(Long, Seq[Long], Seq[Long])] = spark.read.parquet(s"$dir/codebook")
-      .collect().map(r => (r.getAs[Long]("j"), r.getSeq[Long](r.fieldIndex("cv")),
-        (0 until M).map(m => r.getAs[Long](s"cc$m")): Seq[Long]))
+    // ---- model as reference objects (tiny by construction: nCells + k
+    // rows — the layout contract bounds both)
+    val cents: Array[(Int, Array[Long])] = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getAs[Int]("cell"),
+        r.getSeq[Long](r.fieldIndex("centroid")).toArray))
+    val cb: Array[(Long, Array[Long], Array[Long])] = spark.read.parquet(s"$dir/codebook")
+      .collect().map(r => (r.getAs[Long]("j"),
+        r.getSeq[Long](r.fieldIndex("cv")).toArray,
+        (0 until M).map(m => r.getAs[Long](s"cc$m")).toArray))
       .sortBy(_._1)
     require(cb.map(_._1).toSeq == cb.indices.map(_.toLong),
       s"codebook ids not dense 0..${cb.length - 1} — index at $dir is torn")
 
-    def subQ(m: Int): Column = slice(col("qv"), m * SUB + 1, SUB)
-
-    // ---- per-row cell probe: assignToCells' (score DESC, cell) order
-    val cand = array(cents.map { case (cell, cv) =>
-      val cnorm = math.sqrt(cv.map(x => x.toDouble * x).sum)
-      struct(
-        (Similarity.qdot(col("qv"), typedlit(cv)).cast("double") / cnorm).as("score"),
-        lit(cell).as("cell"))
-    }.toIndexedSeq: _*)
-    val ordered = array_sort(cand, (l, r) =>
-      when(l.getField("score") > r.getField("score"), -1)
-        .when(l.getField("score") < r.getField("score"), 1)
-        .otherwise(l.getField("cell") - r.getField("cell")))
-
-    // ---- per-row ADC lookup tables: lut_m[j+1] = ||q_m - c_mj||² exactly
-    // as pqLut's sqd (exact integers, so ranking ties break identically)
-    val luts = (0 until M).map { m =>
-      array(cb.map { case (_, cv, cc) =>
-        val csub = cv.slice(m * SUB, (m + 1) * SUB)
-        Similarity.qdot(subQ(m), subQ(m)) -
-          lit(2L) * Similarity.qdot(subQ(m), typedlit(csub)) + lit(cc(m))
-      }.toIndexedSeq: _*).as(s"lut$m")
+    // ---- per-row cell probe + ADC lookup tables, one compact kernel each
+    // (exact same scores/ties as the batch probe — see IvfServingKernels)
+    val cnorms = cents.map { case (_, cv) =>
+      math.sqrt(cv.map(x => x.toDouble * x).sum)
     }
+    val probedCells = ColumnShim.column(graft.expressions.IvfCellProbe(
+      ColumnShim.expression(col("qv")), cents.map(_._1), cents.map(_._2),
+      cnorms, nProbe))
+    val luts = ColumnShim.column(graft.expressions.PqAdcLuts(
+      ColumnShim.expression(col("qv")), cb.map(_._2), cb.map(_._3),
+      M, Similarity.PQ_SUBDIM))
 
     val probe = queries
-      .select(Seq(col("query_id"),
-        explode(slice(ordered, 1, nProbe)).as("pc")) ++ luts: _*)
-      .select(Seq(col("query_id"), col("pc.cell").as("cell")) ++
-        (0 until M).map(m => col(s"lut$m")): _*)
+      .select(col("query_id"), explode(probedCells).as("cell"), luts.as("luts"))
 
     // ---- static code table, one row per vector (codes carry exactly one
     // row per (vec, m) by the writer's contract)
@@ -100,7 +95,8 @@ object StreamingAnn {
           max(when(col("m") === m, col("code"))).as(s"code$m")): _*)
 
     val adc = (0 until M).map(m =>
-      element_at(col(s"lut$m"), col(s"code$m").cast("int") + 1)).reduce(_ + _)
+      element_at(element_at(col("luts"), m + 1), col(s"code$m").cast("int") + 1))
+      .reduce(_ + _)
     probe.join(codesWide, "cell")
       .withColumn("adc", adc)
       .select("query_id", "vec_id", "cell", "adc")
