@@ -71,15 +71,24 @@ object Multimodal {
   /** Batch feature extraction: mapPartitions (iterator-in/iterator-out, the
     * Scala analogue of mapInPandas) so a real decoder can amortize codec
     * init per partition, not per row.
+    *
+    * `decoderFactory` IS the codec seam: invoked ONCE per partition (the
+    * codec-init slot), it returns the per-payload decode function. The
+    * default wires [[stubDecode]]; MultimodalSpec drops a genuinely
+    * external library (java.util.zip's Inflater, stateful and reused
+    * across the partition's rows) into the same slot to prove the
+    * iterator/schema contract holds beyond the stub.
     */
-  def extractFeatures(s: SparkSession, assets: DataFrame): DataFrame = {
+  def extractFeatures(s: SparkSession, assets: DataFrame,
+      decoderFactory: () => Array[Byte] => (Int, Int, Long) =
+        () => stubDecode): DataFrame = {
     val enc = RowEncoder.encoderFor(featureSchema)
     assets.select("asset_id", "payload").mapPartitions { it =>
-      // per-partition: real impl would init the codec once here
+      val decode = decoderFactory() // codec init, once per partition
       it.map { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
-        val (w, h, dur) = stubDecode(payload)
+        val (w, h, dur) = decode(payload)
         Row(id, if (payload == null) 0 else payload.length, w, h, dur)
       }
     }(enc)

@@ -113,6 +113,42 @@ object ScalePatterns {
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
 
+  /** NTZ-safe [[writeSorted]] for event-time layout keys. Spark 4.1 builds
+    * no parquet FilterPredicate for a TIMESTAMP_NTZ predicate: the filter
+    * SHOWS as pushed in the scan but skips no row groups (canary-pinned in
+    * ScalePatternsSpec), so an event-time layout keyed on an NTZ column —
+    * which events.ts now is — reads EVERY row group of a 100 TB table no
+    * matter how well it was sorted. Until Spark converts NTZ, the
+    * executable pattern is: convert the key to session-local TIMESTAMP
+    * (µs) at write. Under the UTC session [[graft.Tables.load]] asserts,
+    * the conversion is value-stable (same µs instants, same row order,
+    * same aggregate results — spec-pinned oracle-identical), and readers
+    * filter the SAME column name with plain timestamp literals and get
+    * row-group skipping. The write also pins TIMESTAMP_MICROS physical
+    * type: INT96, Spark's compatibility default, carries no usable
+    * min/max stats (the other half of the canary).
+    */
+  def writeSortedEventTime(df: DataFrame, path: String, tsCol: String,
+      nFiles: Int = 8): Unit = {
+    val spark = df.sparkSession
+    // the NTZ->LTZ cast reinterprets wall-clock fields in the session
+    // zone; only UTC makes that a value-identity on µs epochs
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "writeSortedEventTime requires spark.sql.session.timeZone=UTC")
+    val converted = df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      case _ => df
+    }
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try writeSorted(converted, path, tsCol, nFiles)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+  }
+
   /** q58: the salted skew join as a registered, oracled query. events has
     * five distinct event_type values at any SF — the pathological shape
     * where a plain hash join funnels ~1/5 of the fact table through one

@@ -134,6 +134,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(funnel.collect().toSeq == Curation.curationFunnel(spark, d).collect().toSeq)
   }
 
+  test("p11 unified report sections equal the registered p01/p05 outputs") {
+    // the composed key must be a pure repackaging: its 'stats' section is
+    // p01 row-for-row (item = source/lang), its 'funnel' section p05
+    // (item = stageNo_stage) — no third computation path to drift
+    val d = "/root/testdata/sf0.001"
+    val unified = Curation.curationReportUnified(spark, d).collect()
+    val stats = unified.filter(_.getString(0) == "stats")
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val funnel = unified.filter(_.getString(0) == "funnel")
+      .map(r => (r.getString(1), r.getLong(2), r.isNullAt(3))).toSeq
+    assert(stats.size + funnel.size == unified.length)
+    val p01 = Curation.curate(spark, d).collect()
+      .map(r => (s"${r.getString(0)}/${r.getString(1)}", r.getLong(2), r.getLong(3))).toSeq
+    assert(stats == p01)
+    val p05 = Curation.curationFunnel(spark, d).collect()
+      .map(r => (s"${r.getInt(0)}_${r.getString(1)}", r.getLong(2), true)).toSeq
+    assert(funnel == p05)
+  }
+
   test("p09 distributed curriculum rank equals the single-window total order") {
     val d = "/root/testdata/sf0.001"
     val w = org.apache.spark.sql.expressions.Window

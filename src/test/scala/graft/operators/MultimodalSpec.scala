@@ -35,6 +35,48 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("a real external codec (java.util.zip) drops into the mapPartitions decode seam") {
+    // The stub kernels are documented stand-ins; the claim they stand in
+    // FOR is that the seam — per-partition codec init, per-payload decode,
+    // fixed output schema — holds for a genuinely external library. Prove
+    // it with a real one available in the JRE: payloads are DEFLATE-
+    // compressed, and the decoder is a STATEFUL java.util.zip.Inflater
+    // created once per partition (the factory slot) and reset per row —
+    // exactly how a JNI image/audio codec would ride here. Features from
+    // inflate-then-measure over the compressed corpus must equal the stub
+    // features over the original corpus (dims/duration are functions of
+    // the decoded bytes), while n_bytes prices the stored (compressed)
+    // payload.
+    val deflate = udf { (b: Array[Byte]) =>
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    val orig = Multimodal.assets(spark, sf)
+    val compressed = orig.withColumn("payload", deflate(col("payload")))
+    val got = Multimodal.extractFeatures(spark, compressed,
+      ZipCodecSeam.inflaterDecoder _)
+      .orderBy("asset_id").collect()
+    val expect = Multimodal.extractFeatures(spark, orig)
+      .orderBy("asset_id").collect()
+    assert(got.length == expect.length && got.nonEmpty)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g.getLong(0) == e.getLong(0))
+      // decoded-byte features identical; stored size is the compressed one
+      assert(g.getInt(2) == e.getInt(2), s"width diverged for asset ${g.getLong(0)}")
+      assert(g.getInt(3) == e.getInt(3))
+      assert(g.getLong(4) == e.getLong(4))
+    }
+    // compression genuinely changed the stored bytes (the decode was real,
+    // not an identity pass-through)
+    assert(got.count(g => g.getInt(1) !=
+      expect.find(_.getLong(0) == g.getLong(0)).get.getInt(1)) > got.length / 2)
+  }
+
   test("sampleFrames emits exact payload slices at the sampling stride") {
     val frames = Multimodal.sampleFrames(spark, Multimodal.assets(spark, sf))
       .collect().groupBy(_.getLong(0))
@@ -112,5 +154,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.stubResize(0, 10, 256) == (0, 0))
     val (w, h) = Multimodal.stubResize(4000, 3000, 512)
     assert(math.max(w, h) == 512 && math.abs(w * 3000 - h * 4000) <= 4000)
+  }
+}
+
+/** A REAL external codec for the extractFeatures seam test: top-level
+  * object (not an inner class of the suite) so the closure serializes
+  * without dragging the ScalaTest instance along — the same constraint a
+  * production JNI codec wrapper lives under.
+  */
+object ZipCodecSeam extends Serializable {
+  /** Per-partition factory: one stateful Inflater, reset per payload. */
+  def inflaterDecoder(): Array[Byte] => (Int, Int, Long) = {
+    val inf = new java.util.zip.Inflater()
+    payload =>
+      if (payload == null) (0, 0, 0L)
+      else {
+        inf.reset()
+        inf.setInput(payload)
+        val out = new java.io.ByteArrayOutputStream(payload.length * 2)
+        val buf = new Array[Byte](4096)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          // a truncated/corrupt stream would spin: fail loudly instead
+          require(n > 0 || inf.finished() || !inf.needsInput(),
+            "inflater stalled — corrupt payload")
+          out.write(buf, 0, n)
+        }
+        Multimodal.stubDecode(out.toByteArray)
+      }
   }
 }

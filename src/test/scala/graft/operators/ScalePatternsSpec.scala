@@ -186,6 +186,65 @@ class ScalePatternsSpec extends SparkSpec {
         "converts NTZ filters; retire this canary and the LTZ-cast advice")
   }
 
+  test("writeSortedEventTime: the NTZ event-time key prunes row groups after the LTZ-at-write conversion, oracle-identical") {
+    // The executable form of the NTZ canary's advice: events.ts IS
+    // TIMESTAMP_NTZ in the current testdata, so a plain writeSorted layout
+    // on it reads every row group at any scale. writeSortedEventTime
+    // converts the key to session-UTC TIMESTAMP at write — this pins that
+    // (a) the converted layout actually SKIPS on a pushed range filter,
+    // (b) results are oracle-identical to the NTZ frame, value for value.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val d = "/root/testdata/sf0.01"
+    val tmp = java.nio.file.Files.createTempDirectory("evt-layout").toString
+    val ev = Tables.events(spark, d).select("event_id", "ts", "value")
+    assert(ev.schema("ts").dataType == TimestampNTZType,
+      "events.ts is no longer NTZ — testdata generation changed; revisit " +
+        "this pattern and the canary together")
+    ScalePatterns.writeSorted(ev, s"$tmp/ntz", "ts")
+    ScalePatterns.writeSortedEventTime(ev, s"$tmp/ltz", "ts")
+    assert(spark.read.parquet(s"$tmp/ltz").schema("ts").dataType == TimestampType)
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan): Option[Long] = p match {
+      case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => findScan(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Some(s.metrics("numOutputRows").value)
+      case other => other.children.iterator.flatMap(findScan).nextOption()
+    }
+    def run(path: String): (Long, Double, Long) = {
+      val df = spark.read.parquet(path)
+        .filter(col("ts").between("2024-01-10 00:00:00", "2024-01-12 00:00:00"))
+        .agg(count(lit(1)).cast("long"), sum("value"))
+      val row = df.collect().head
+      (row.getLong(0), row.getDouble(1),
+        findScan(df.queryExecution.executedPlan)
+          .getOrElse(sys.error("no FileSourceScanExec in plan")))
+    }
+    val (nNtz, sumNtz, scanNtz) = run(s"$tmp/ntz")
+    val (nLtz, sumLtz, scanLtz) = run(s"$tmp/ltz")
+    // value-identity first: the 2-day window agrees row-count and sum
+    assert(nNtz == nLtz && sumNtz == sumLtz,
+      s"conversion changed results: ($nNtz, $sumNtz) vs ($nLtz, $sumLtz)")
+    assert(nNtz > 0, "filter window matched nothing — fixture drifted")
+    val total = ev.count()
+    // the gap: NTZ layout reads everything despite the pushed filter
+    assert(scanNtz == total,
+      s"NTZ sorted layout PRUNED ($scanNtz of $total) — Spark now converts " +
+        "NTZ filters; retire writeSortedEventTime's cast and the canary")
+    // the pattern: converted layout skips (2 days of 30, 8 range files —
+    // at least 3/4 of the table must never leave the parquet reader)
+    assert(scanLtz * 4 < total,
+      s"converted layout did not skip row groups: $scanLtz of $total")
+    // and the FULL row set (not just the aggregate) survives conversion:
+    // the NTZ frame cast on read equals the converted table row-for-row
+    val fromLtz = spark.read.parquet(s"$tmp/ltz")
+      .select("event_id", "ts", "value").orderBy("event_id")
+      .collect().map(_.toSeq)
+    val fromNtz = spark.read.parquet(s"$tmp/ntz")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+      .orderBy("event_id").collect().map(_.toSeq)
+    assert(fromLtz.sameElements(fromNtz), "converted table diverged from the NTZ rows")
+  }
+
   test("q58 plan replicates the build side across salts; result equals the plain join") {
     val d = "/root/testdata/sf0.001"
     val q = ScalePatterns.saltedSkewJoin(spark, d)
