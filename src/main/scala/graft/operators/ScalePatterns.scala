@@ -149,6 +149,91 @@ object ScalePatterns {
     }
   }
 
+  /** Z-ORDER (bit-interleaved) two-dimension clustered layout — what
+    * [[writeSorted]] cannot do: a 1-D sort serves range predicates on its
+    * ONE key; any other column's values scatter across every file and its
+    * filters read the whole table. Interleaving the bits of both keys'
+    * quantized ranks into one `z` value and range-partitioning + sorting
+    * on it gives every file a bounded min/max box in BOTH dimensions, so
+    * row-group stats prune on either column — the standard lakehouse
+    * multi-dimension clustering (Delta/Iceberg OPTIMIZE ZORDER BY), here
+    * as plain Spark arithmetic: per-column affine bucketing to
+    * [0, 2^bits) + a fixed 2·bits-term shift/mask interleave, all
+    * codegen'd built-ins (no UDF at any width).
+    *
+    * The z column is layout-only: dropped before the write, it never
+    * reaches the table schema — readers filter their natural columns and
+    * the parquet reader skips via each file's per-column stats.
+    *
+    * Scale shape: one bounds aggregate (4 scalars to the driver) + one
+    * range exchange — identical cost profile to [[writeSorted]]. At 100 TB
+    * the bounds come from table stats instead, and `nFiles` scales with
+    * the data so each file stays a tight z-box; pruning power is
+    * ~quadrant-hierarchical: restricting either dimension to 1/2^d of its
+    * range reads ~1/2^d of the files (ScalePatternsSpec pins both
+    * dimensions pruning on the same layout, and the 1-D layout failing the
+    * second dimension).
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      nFiles: Int = 16, bits: Int = 16): Unit = {
+    require(bits > 0 && bits <= 30, "bits must be in (0, 30]")
+    val b = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    require(!b.anyNull, s"writeZOrdered: empty input or all-null key column")
+    val hi = (1L << bits) - 1
+    def bucket(c: String, lo: Double, up: Double): Column = {
+      val span = math.max(up - lo, java.lang.Double.MIN_NORMAL)
+      // nulls sort first (bucket 0), like a NULLS FIRST sort key
+      least(greatest(
+        floor((coalesce(col(c).cast("double"), lit(lo)) - lit(lo)) /
+          lit(span) * lit(hi.toDouble)).cast("long"),
+        lit(0L)), lit(hi))
+    }
+    val xa = bucket(colA, b.getDouble(0), b.getDouble(1))
+    val xb = bucket(colB, b.getDouble(2), b.getDouble(3))
+    val z = (0 until bits).map { i =>
+      shiftleft(shiftright(xa, i).bitwiseAND(lit(1L)), 2 * i).bitwiseOR(
+        shiftleft(shiftright(xb, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+    df.withColumn("_z", z)
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Event-time layout as DAILY PARTITIONS — the listing-level complement
+    * to [[writeSortedEventTime]]'s row-group skipping, and the one layout
+    * the TIMESTAMP_NTZ pushdown gap cannot touch: partition pruning
+    * happens on the directory values during file LISTING, before any
+    * parquet footer is read, so it works identically for NTZ, LTZ, or any
+    * key type. This is the standard lakehouse event-table layout (one
+    * `day=YYYY-MM-DD` directory per day); at 100 TB it also bounds
+    * compaction and retention to day granularity.
+    *
+    * The partition column is DERIVED (a date string of the event time), so
+    * a reader filtering only `ts` scans every partition — the pruning
+    * predicate must mention `day`. [[eventRange]] is that rewrite: it adds
+    * the redundant day-range conjunct a lakehouse query engine derives
+    * automatically, keeping the ts predicate for exact row selection.
+    */
+  def writeDailyPartitioned(df: DataFrame, path: String, tsCol: String): Unit =
+    df.withColumn("day", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+
+  /** Exact event-time range over a [[writeDailyPartitioned]] table: the ts
+    * predicate selects rows; the derived day predicate (inclusive on both
+    * ends — a day partially covered still holds matching rows) prunes
+    * partitions at listing time. Bounds are 'yyyy-MM-dd HH:mm:ss[.S]'
+    * literals interpreted in the session zone, matching the written
+    * day strings under the asserted UTC pin.
+    */
+  def eventRange(table: DataFrame, tsCol: String,
+      from: String, to: String): DataFrame =
+    table.filter(col(tsCol).between(from, to) &&
+      col("day").between(from.take(10), to.take(10)))
+
   /** q58: the salted skew join as a registered, oracled query. events has
     * five distinct event_type values at any SF — the pathological shape
     * where a plain hash join funnels ~1/5 of the fact table through one
