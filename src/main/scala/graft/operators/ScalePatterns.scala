@@ -192,16 +192,23 @@ object ScalePatterns {
     }
     val xa = bucket(colA, b.getDouble(0), b.getDouble(1))
     val xb = bucket(colB, b.getDouble(2), b.getDouble(3))
-    val z = (0 until bits).map { i =>
-      shiftleft(shiftright(xa, i).bitwiseAND(lit(1L)), 2 * i).bitwiseOR(
-        shiftleft(shiftright(xb, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_.bitwiseOR(_))
-    df.withColumn("_z", z)
+    df.withColumn("_z", interleaveBits(xa, xb, bits))
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Morton (z-curve) interleave of two bucketed long columns: bit i of
+    * `a` lands at z bit 2i, bit i of `b` at 2i+1. Fixed 2·bits shift/mask
+    * terms — codegen'd built-ins at any width (property-pinned against a
+    * plain-Scala reference in ScalePatternsSpec).
+    */
+  private[graft] def interleaveBits(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i).bitwiseOR(
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
 
   /** Event-time layout as DAILY PARTITIONS — the listing-level complement
     * to [[writeSortedEventTime]]'s row-group skipping, and the one layout

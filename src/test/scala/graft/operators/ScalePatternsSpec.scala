@@ -301,6 +301,25 @@ class ScalePatternsSpec extends SparkSpec {
     assert(yZScan * 2 < total, s"z layout did not prune dim B: $yZScan of $total")
   }
 
+  test("interleaveBits equals a plain-Scala Morton reference (property)") {
+    // the bit-twiddling is the one place writeZOrdered could silently
+    // misroute a bit and still "work" (layout degrades, nothing fails) —
+    // pin it against an independently written reference
+    import spark.implicits._
+    val bits = 16
+    val rnd = new scala.util.Random(3)
+    val pairs = Seq.fill(300)((rnd.nextInt(1 << bits).toLong,
+      rnd.nextInt(1 << bits).toLong)) ++
+      Seq((0L, 0L), ((1L << bits) - 1, (1L << bits) - 1), (0L, (1L << bits) - 1))
+    def ref(a: Long, b: Long): Long =
+      (0 until bits).foldLeft(0L)((acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+    val got = pairs.toDF("a", "b")
+      .select(ScalePatterns.interleaveBits(col("a"), col("b"), bits).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == pairs.map { case (a, b) => ref(a, b) })
+  }
+
   test("daily-partitioned event layout prunes at LISTING time — partition pruning is NTZ-immune") {
     // The third event-time layout, and the one the NTZ FilterPredicate gap
     // cannot touch: pruning happens on the day=YYYY-MM-DD directory values
