@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.ColumnShim
 
-import graft.expressions.{FloatArrayQuantize, LongArrayDot, LshBucketTables}
+import graft.expressions.{CleanTextFold, FloatArrayQuantize, LongArrayDot, LshBucketTables, Md5Prefix60}
 import graft.operators.Similarity
 
 /** SparkSessionExtensions entry point: registers the engine's custom
@@ -86,6 +86,30 @@ object GraftExtensions {
         require(args.length == 2, "might_contain takes 2 arguments")
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           args(0), args(1))
+      }),
+    // the C8 single-pass text normalizer and the dedup family's base
+    // hash, for SQL-only users of the same codegen kernels
+    (FunctionIdentifier("clean_text"),
+      info("clean_text",
+        "clean_text(s, maxLen) - the reference C8 CleanText normalization " +
+          "(char fold, emoji/quote strip, '&'->'and', newline join, " +
+          "truncate to maxLen); maxLen must be an int literal"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "clean_text takes 2 arguments")
+        val maxLen = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"clean_text maxLen must be an int literal, got $other")
+        }
+        CleanTextFold(args(0), maxLen)
+      }),
+    (FunctionIdentifier("md5_prefix60"),
+      info("md5_prefix60",
+        "md5_prefix60(s) - first 60 bits of md5(s) as a non-negative bigint " +
+          "(= CAST(CONV(SUBSTRING(MD5(s),1,15),16,10) AS BIGINT), one pass)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "md5_prefix60 takes 1 argument")
+        Md5Prefix60(args(0))
       }))
 
   /** Register into an already-running session (tests, notebooks). */

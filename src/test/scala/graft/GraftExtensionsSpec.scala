@@ -32,4 +32,28 @@ class GraftExtensionsSpec extends SparkSpec {
       Similarity.lshBuckets(Similarity.quantize(col("embedding"))).as("b"))
     assert(sqlSide.exceptAll(dfSide).isEmpty && dfSide.exceptAll(sqlSide).isEmpty)
   }
+
+  test("SQL surface: clean_text / md5_prefix60 equal their DataFrame forms") {
+    GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.createOrReplaceTempView("ext_docs")
+    // clean_text == TextFunctions.cleanText (same CleanTextFold kernel)
+    val sqlClean = spark.sql(
+      "SELECT doc_id, clean_text(text, 200) AS c FROM ext_docs")
+    val dfClean = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.cleanText(col("text"), 200).as("c"))
+    assert(sqlClean.exceptAll(dfClean).isEmpty && dfClean.exceptAll(sqlClean).isEmpty)
+    // md5_prefix60 == the replaced conv(substring(md5)) chain
+    val mismatch = spark.sql(
+      """SELECT count(*) AS n FROM ext_docs
+        |WHERE md5_prefix60(text) !=
+        |      CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)""".stripMargin)
+      .collect().head.getLong(0)
+    assert(mismatch == 0L)
+    // maxLen must be a literal — a column there is a loud error, not a
+    // silent misread
+    val ex = intercept[Exception](spark.sql(
+      "SELECT clean_text(text, doc_id) FROM ext_docs").collect())
+    assert(ex.getMessage.contains("literal"), ex.getMessage)
+  }
 }
