@@ -241,6 +241,59 @@ object ScalePatterns {
     table.filter(col(tsCol).between(from, to) &&
       col("day").between(from.take(10), to.take(10)))
 
+  /** Transition a STREAMING-landed daily table (graft.streaming
+    * EventIngest) to plain directory-listing semantics by dropping the
+    * parquet sink's `_spark_metadata` manifest. Required before any
+    * layout rewrite: batch readers of a manifest-bearing path list files
+    * FROM THE MANIFEST, so compacted files would be invisible and removed
+    * ones would error. One-way by design — run it with the stream STOPPED
+    * and decommissioned (a restarted sink would resume manifest numbering
+    * the readers no longer consult).
+    */
+  def finalizeStreamTable(path: String): Unit =
+    Dedup.deleteTreeIfExists(java.nio.file.Paths.get(path, "_spark_metadata"))
+
+  /** Compact ONE closed day partition of a daily table into a single file
+    * — the per-day form of the index compactor, folding the
+    * one-file-per-micro-batch (plus late-arrival) debris a day
+    * accumulates. Day-granularity is the point: the ingest keeps landing
+    * TODAY's partition while yesterday compacts, and retention later
+    * drops whole day directories.
+    *
+    * Same swap discipline and crash story as Dedup.compactBucketedTable:
+    * compacted copy fully written BESIDE the live day dir, two renames, a
+    * crash between them leaves the day missing (loud) with `__old` as the
+    * named recovery, stale debris reconciled on entry. Refuses a
+    * manifest-bearing table — [[finalizeStreamTable]] first.
+    */
+  def compactDay(s: SparkSession, path: String, day: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(!Files.exists(Paths.get(path, "_spark_metadata")),
+      s"compactDay: $path still carries a _spark_metadata manifest — " +
+        "manifest readers would not see compacted files; finalizeStreamTable first")
+    val live = Paths.get(s"$path/day=$day")
+    // underscore-prefixed siblings: invisible to Spark's file listing, so
+    // a concurrent reader of the table never sees a half-written copy or
+    // a bogus `day=...__compact` partition value
+    val tmp = Paths.get(s"$path/_compact_$day")
+    val old = Paths.get(s"$path/_old_$day")
+    if (Files.exists(old)) {
+      require(Files.exists(live),
+        s"compactDay: $old exists but $live is missing — a prior compaction " +
+          s"crashed mid-swap; restore by renaming $old back to $live")
+      Dedup.deleteTreeIfExists(old)
+    }
+    Dedup.deleteTreeIfExists(tmp)
+    require(Files.exists(live), s"compactDay: no partition at $live")
+    // a partition dir read yields the file schema (day lives only in the
+    // directory name), so the rewrite lands schema-identical files
+    s.read.parquet(live.toString).coalesce(1)
+      .write.parquet(tmp.toString)
+    Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+    Dedup.deleteTreeIfExists(old)
+  }
+
   /** q58: the salted skew join as a registered, oracled query. events has
     * five distinct event_type values at any SF — the pathological shape
     * where a plain hash join funnels ~1/5 of the fact table through one

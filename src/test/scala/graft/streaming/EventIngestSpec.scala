@@ -79,5 +79,28 @@ class EventIngestSpec extends SparkSpec {
     // whole-table read sees every event exactly once (no double-append)
     assert(table.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 2L, 3L, 4L, 5L))
+
+    // ---- lifecycle tail: finalize -> compact the closed day-1
+    // day-1 holds the original file PLUS the late-arrival file
+    def dayFiles(day: String) = parquetListing(s"$out/day=$day")
+    assert(dayFiles("2024-01-01").size >= 2,
+      "late arrival did not add a second day-1 file — premise broken")
+    val day2Before = dayFiles("2024-01-02")
+    // compaction refuses while the sink manifest still governs reads
+    val ex = intercept[IllegalArgumentException](
+      ScalePatterns.compactDay(spark, out, "2024-01-01"))
+    assert(ex.getMessage.contains("finalizeStreamTable"), ex.getMessage)
+    ScalePatterns.finalizeStreamTable(out)
+    ScalePatterns.compactDay(spark, out, "2024-01-01")
+    assert(dayFiles("2024-01-01").size == 1, "day-1 did not fold to one file")
+    assert(dayFiles("2024-01-02") == day2Before, "compaction touched day-2")
+    // content identical, pruning intact, post-finalize listing semantics
+    val compacted = spark.read.parquet(out)
+    assert(compacted.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+    val q2 = ScalePatterns.eventRange(compacted, "ts",
+      "2024-01-01 00:00:00", "2024-01-01 23:59:59")
+    assert(q2.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 5L))
   }
 }
