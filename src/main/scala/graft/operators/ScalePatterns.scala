@@ -294,6 +294,32 @@ object ScalePatterns {
     Dedup.deleteTreeIfExists(old)
   }
 
+  /** Retention for the daily layout — the third lifecycle verb (land →
+    * compact → EXPIRE): drop every `day=` partition strictly older than
+    * `keepFrom` (yyyy-MM-dd, inclusive cutoff). Day granularity is what
+    * makes 100 TB retention O(days-dropped) directory removals instead
+    * of a rewrite; the string comparison IS the date comparison for
+    * zero-padded ISO dates. Same manifest guard as [[compactDay]]: a
+    * streaming-managed table must be finalized first, or manifest
+    * readers would keep listing deleted files. Returns the dropped day
+    * values (the audit record a production run logs).
+    */
+  def expireDays(path: String, keepFrom: String): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    require(keepFrom.matches("""\d{4}-\d{2}-\d{2}"""),
+      s"expireDays: keepFrom must be yyyy-MM-dd, got [$keepFrom]")
+    require(!Files.exists(Paths.get(path, "_spark_metadata")),
+      s"expireDays: $path still carries a _spark_metadata manifest — " +
+        "manifest readers would keep listing dropped files; finalizeStreamTable first")
+    import scala.jdk.CollectionConverters._
+    val dropped = Files.list(Paths.get(path)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("day=") &&
+        p.getFileName.toString.stripPrefix("day=") < keepFrom)
+      .toSeq
+    dropped.foreach(Dedup.deleteTreeIfExists)
+    dropped.map(_.getFileName.toString.stripPrefix("day="))
+  }
+
   /** q58: the salted skew join as a registered, oracled query. events has
     * five distinct event_type values at any SF — the pathological shape
     * where a plain hash join funnels ~1/5 of the fact table through one

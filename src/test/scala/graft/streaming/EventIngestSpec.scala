@@ -102,5 +102,19 @@ class EventIngestSpec extends SparkSpec {
       "2024-01-01 00:00:00", "2024-01-01 23:59:59")
     assert(q2.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 2L, 5L))
+
+    // ---- retention: expire days before the cutoff; keep the rest
+    val dropped = ScalePatterns.expireDays(out, "2024-01-02")
+    assert(dropped == Seq("2024-01-01"), dropped)
+    assert(!Files.exists(Paths.get(s"$out/day=2024-01-01")))
+    assert(spark.read.parquet(out).select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L),
+      "retention dropped or kept the wrong rows")
+    // idempotent: nothing older remains
+    assert(ScalePatterns.expireDays(out, "2024-01-02").isEmpty)
+    // malformed cutoff refuses before touching anything
+    val bad = intercept[IllegalArgumentException](
+      ScalePatterns.expireDays(out, "Jan 2, 2024"))
+    assert(bad.getMessage.contains("yyyy-MM-dd"))
   }
 }
