@@ -241,6 +241,64 @@ object ScalePatterns {
     table.filter(col(tsCol).between(from, to) &&
       col("day").between(from.take(10), to.take(10)))
 
+  /** Star join against a [[writeDailyPartitioned]] fact table with DYNAMIC
+    * partition pruning — the runtime complement to [[eventRange]]'s static
+    * rewrite. eventRange works when the day bounds are literals in the
+    * query; it cannot express "the days in THIS campaign" when the day set
+    * lives in a dimension table. Joining the fact's `day` partition column
+    * to a FILTERED broadcast dim lets Catalyst's PartitionPruning rule
+    * plant a DynamicPruningExpression in the fact scan's PartitionFilters:
+    * the dim's surviving day values prune the fact's file LISTING at
+    * runtime, before any parquet footer is read — at 100 TB the difference
+    * between scanning the campaign's days and scanning years of history.
+    *
+    * Conditions for the rule to fire, pinned in ScalePatternsSpec:
+    * the join key IS the partition column; the dim side carries a
+    * selective predicate that is not the join key (otherwise pruning
+    * cannot narrow anything); and the dim broadcasts — under the default
+    * `dynamicPartitionPruning.reuseBroadcastOnly=true` the pruning
+    * subquery REUSES the join's own broadcast, so the day-set computation
+    * costs nothing beyond the join itself. The explicit broadcast hint
+    * keeps that guarantee when size estimates would otherwise demote the
+    * dim to a shuffle join (and with it, silently drop the pruning).
+    */
+  def dynPrunedDays(fact: DataFrame, dim: DataFrame,
+      dayCol: String = "day"): DataFrame =
+    fact.join(broadcast(dim), dayCol)
+
+  /** Hash-scattered layout with PARQUET BLOOM FILTERS on a point-lookup
+    * key — the third row-group-skipping lever after min/max stats
+    * ([[writeSorted]]: serves RANGE predicates on the sort key) and
+    * z-order ([[writeZOrdered]]: ranges on two keys). Neither helps a
+    * point lookup on a key the layout was NOT sorted by: every file's
+    * min/max spans ~the full key range, so stats prune nothing. A bloom
+    * filter per row group answers "might this row group contain k?" for
+    * EQUALITY predicates regardless of layout order.
+    *
+    * Dictionary pages can answer the same question exactly — but only
+    * while the column stays dictionary-encoded. At 100 TB a
+    * high-cardinality key overflows parquet's dictionary page and the
+    * writer silently falls back to plain encoding, taking
+    * dictionary-level skipping with it; bloom filters are sized for
+    * exactly that regime. The write models it by disabling dictionary
+    * encoding for the key column (`ndvPerFile` sizes each filter; ~1%
+    * false-positive row groups are harmless — they are read and their
+    * rows fail the pushed predicate).
+    *
+    * Read side needs no code: parquet-mr's row-group filter consults
+    * bloom filters for pushed equality predicates by default
+    * (`parquet.filter.bloom.enabled`); ScalePatternsSpec pins the scan
+    * reading ~1/nFiles of the rows vs a no-bloom control reading all.
+    */
+  def writeBloomFiltered(df: DataFrame, path: String, keyCol: String,
+      ndvPerFile: Long, nFiles: Int = 8): Unit =
+    df.repartition(nFiles, col(keyCol))
+      .write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$keyCol", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$keyCol", ndvPerFile.toString)
+      .option(s"parquet.enable.dictionary#$keyCol", "false")
+      .parquet(path)
+
   /** Transition a STREAMING-landed daily table (graft.streaming
     * EventIngest) to plain directory-listing semantics by dropping the
     * parquet sink's `_spark_metadata` manifest. Required before any

@@ -362,6 +362,118 @@ class ScalePatternsSpec extends SparkSpec {
       s"no day partition filter in scan:\n$scanLine")
   }
 
+  test("dynPrunedDays: a filtered broadcast dim prunes fact partitions at RUNTIME (DPP)") {
+    // The campaign-days shape: which days to scan is data (a filtered dim),
+    // not a literal range — eventRange's static rewrite can't express it.
+    // Catalyst's PartitionPruning must plant a DynamicPruningExpression in
+    // the fact scan so the dim's surviving days prune the file listing.
+    val d = "/root/testdata/sf0.01"
+    val tmp = java.nio.file.Files.createTempDirectory("dpp").toString
+    val ev = Tables.events(spark, d).select("event_id", "ts", "value")
+    ScalePatterns.writeDailyPartitioned(ev, s"$tmp/daily", "ts")
+    val fact = spark.read.parquet(s"$tmp/daily")
+    // partition inference types `day` as DATE; the dim's key must match it
+    // exactly — a string key would coerce through a cast and the cast
+    // target, not the partition attribute, would anchor the join
+    val allDays = fact.select(col("day").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(allDays.length >= 10, s"fixture drifted: ${allDays.length} days")
+    val campaignDays = allDays.slice(2, 5)
+    // dim: every day tagged with a campaign name; the equality filter on
+    // it is the selective NON-join predicate the PartitionPruning rule
+    // requires (isLikelySelective wants a comparison/IN/LIKE — a bare
+    // boolean flag column does not qualify, and `flag === true` would be
+    // simplified back to the bare attribute). The dim must also be a real
+    // datasource: over a local Seq, ConvertToLocalRelation folds the
+    // filter into the relation and the rule sees no predicate at all.
+    allDays.toSeq.toDF("d")
+      .select(to_date(col("d")).as("day"),
+        when(col("d").isin(campaignDays: _*), "summer-sale")
+          .otherwise("none").as("campaign"))
+      .write.mode("overwrite").parquet(s"$tmp/dim")
+    val dim = spark.read.parquet(s"$tmp/dim")
+    import org.apache.spark.sql.types.DecimalType
+    val exactSum = sum(col("value").cast(DecimalType(18, 2)))
+    def run(): (Long, java.math.BigDecimal, Long, String) = {
+      val q = ScalePatterns.dynPrunedDays(fact,
+          dim.filter(col("campaign") === "summer-sale"))
+        .agg(count(lit(1)).cast("long"), exactSum)
+      val row = q.collect().head
+      val scanned = scanRows(q.queryExecution.executedPlan)
+        .getOrElse(sys.error("no FileSourceScanExec in plan"))
+      (row.getLong(0), row.getDecimal(1), scanned,
+        q.queryExecution.executedPlan.toString)
+    }
+    val (n, s, scanned, plan) = run()
+    // ground truth from the unpartitioned frame
+    val expect = ev.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .filter(col("day").isin(campaignDays: _*))
+      .agg(count(lit(1)).cast("long"), exactSum).collect().head
+    assert(n == expect.getLong(0) && s == expect.getDecimal(1))
+    assert(n > 0, "campaign days matched nothing — fixture drifted")
+    // the pruning is DYNAMIC: the scan's PartitionFilters name a
+    // dynamicpruningexpression, and only the campaign partitions were read
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no DynamicPruningExpression in fact scan:\n${plan.take(3000)}")
+    assert(scanned == n,
+      s"DPP did not prune to the campaign partitions: scanned $scanned, expected $n")
+    // control: with the rule disabled the same join scans the whole table
+    val total = ev.count()
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    try {
+      val (n2, s2, scanned2, _) = run()
+      assert(n2 == n && s2 == s, "disabling DPP changed the answer")
+      assert(scanned2 == total,
+        s"control unexpectedly pruned: $scanned2 of $total")
+    } finally spark.conf
+      .set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+  }
+
+  test("writeBloomFiltered: parquet bloom filters skip row groups on a point lookup stats cannot serve") {
+    // Point lookup on a key the layout is NOT sorted by: hash scatter makes
+    // every file's min/max span ~the full key range (stats prune nothing)
+    // and the write disables dictionary encoding for the key — modeling the
+    // 100 TB regime where high-cardinality keys overflow the dictionary
+    // page. Only the per-row-group bloom filter can skip.
+    val d = "/root/testdata/sf0.01"
+    val tmp = java.nio.file.Files.createTempDirectory("bloom-layout").toString
+    val li = Tables.lineitem(spark, d).select("l_orderkey", "l_quantity")
+    val nFiles = 8
+    val ndv = li.select("l_orderkey").distinct().count()
+    ScalePatterns.writeBloomFiltered(li, s"$tmp/bloom", "l_orderkey",
+      ndvPerFile = math.max(ndv / nFiles, 1L), nFiles = nFiles)
+    // control: same scatter, same no-dictionary key, NO bloom filter
+    li.repartition(nFiles, col("l_orderkey"))
+      .write.mode("overwrite")
+      .option("parquet.enable.dictionary#l_orderkey", "false")
+      .parquet(s"$tmp/plain")
+    val probeKey = li.select(max("l_orderkey")).head().getLong(0) / 2
+    val expect = li.filter(col("l_orderkey") === probeKey)
+      .agg(count(lit(1)).cast("long")).head().getLong(0)
+    assert(expect > 0, s"probe key $probeKey matches nothing — pick another")
+    def run(path: String): (Long, Long) = {
+      val q = spark.read.parquet(path)
+        .filter(col("l_orderkey") === probeKey)
+        .agg(count(lit(1)).cast("long"))
+      val n = q.collect().head.getLong(0)
+      (n, scanRows(q.queryExecution.executedPlan)
+        .getOrElse(sys.error("no FileSourceScanExec in plan")))
+    }
+    val total = li.count()
+    val (plainN, plainScanned) = run(s"$tmp/plain")
+    val (bloomN, bloomScanned) = run(s"$tmp/bloom")
+    assert(plainN == expect && bloomN == expect,
+      "layout changed the point-lookup answer")
+    // control reads everything: hash scatter defeats min/max, no
+    // dictionary, no bloom — nothing can skip
+    assert(plainScanned == total,
+      s"control unexpectedly skipped: $plainScanned of $total")
+    // bloom layout reads only the row groups that might hold the key:
+    // the one true file plus at most a false-positive straggler
+    assert(bloomScanned * 2 < total,
+      s"bloom filter skipped nothing: $bloomScanned of $total")
+  }
+
   test("q58 plan replicates the build side across salts; result equals the plain join") {
     val d = "/root/testdata/sf0.001"
     val q = ScalePatterns.saltedSkewJoin(spark, d)
