@@ -110,6 +110,26 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "md5_prefix60 takes 1 argument")
         Md5Prefix60(args(0))
+      }),
+    // the read half of Spark's write-only count_min_sketch aggregate
+    // (TextOps.heavyShingles is the DataFrame face of the two-pass
+    // heavy-hitter pattern); the sketch must fold at analysis time — a
+    // hex literal (X'..') or a pre-materialized literal, NOT a subquery
+    (FunctionIdentifier("cms_probe"),
+      info("cms_probe",
+        "cms_probe(sketch, key) - estimated occurrence count (>= true " +
+          "count) of a bigint key against a count_min_sketch binary; " +
+          "sketch must be a foldable binary literal"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cms_probe takes 2 arguments")
+        require(args(0).foldable &&
+          args(0).dataType == org.apache.spark.sql.types.BinaryType,
+          "cms_probe sketch must be a foldable binary")
+        args(0).eval() match {
+          case b: Array[Byte] => graft.expressions.CountMinProbe(args(1), b)
+          case other => throw new IllegalArgumentException(
+            s"cms_probe sketch evaluated to $other")
+        }
       }))
 
   /** Register into an already-running session (tests, notebooks). */

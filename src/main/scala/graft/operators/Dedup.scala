@@ -1901,10 +1901,96 @@ object Dedup {
       |FROM b LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------- LSH recall evaluation
+  /** d19: recall curve of the d04 MinHash-LSH candidate generation against
+    * EXACT Jaccard ground truth — the dedup analog of s10's ANN recall
+    * eval, i.e. the measurement every LSH deployment runs before trusting
+    * a (BANDS, ROWS_PER_BAND) choice at 100 TB. Per true-similarity decile
+    * `floor(jaccard*10)`, reports how many truly-overlapping pairs exist
+    * and how many the banding surfaced — the observed S-curve to hold
+    * against the theoretical 1-(1-j^r)^b.
+    *
+    * Ground truth is exact but BOUNDED: only pairs touching a
+    * deterministic 1-in-[[RECALL_SAMPLE_MOD]] query sample are scored
+    * (the s10 discipline — ground truth cost is sample-proportional, not
+    * corpus²), and candidate partners come from the shingle inverted
+    * index, so only pairs sharing ≥ 1 shingle ever materialize (a
+    * zero-overlap pair has Jaccard 0 and cannot be a recall denominator).
+    * Jaccard is computed over distinct HASHED shingles — same collision
+    * semantics as every d-family operator, so the oracle hash-matches.
+    *
+    * Scale shape: the sample filter lands on the scan; the intersection
+    * join carries (doc_id, hash) longs; sizes fold from the same distinct
+    * shingle frame; the LSH side reuses the d04 band pipeline with the
+    * sample restriction pushed into the self-join's left side. Exact
+    * integer counts cross the engine boundary; the only doubles are
+    * single IEEE divides both engines reproduce bit-identically.
+    */
+  val RECALL_SAMPLE_MOD = 13L
+
+  def lshRecallCurve(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpusSh = shingleTable(docs, hashed = true)  // distinct (doc_id, sh)
+    val sizes = corpusSh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val sampleSh = corpusSh.filter(col("doc_id") % RECALL_SAMPLE_MOD === 0)
+    val inter = sampleSh.as("a")
+      .join(corpusSh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_q"), col("b.doc_id").as("id_c"))
+      .agg(count(lit(1)).as("i"))
+    val truth = inter
+      .join(sizes.toDF("id_q", "sz_q"), "id_q")
+      .join(sizes.toDF("id_c", "sz_c"), "id_c")
+      .withColumn("j",
+        col("i").cast("double") / (col("sz_q") + col("sz_c") - col("i")))
+      .select(col("id_q"), col("id_c"),
+        floor(col("j") * 10).cast("long").as("bucket"))
+    val banded = bandedKeys(minhashSignatures(docs))
+    val cand = banded.filter(col("doc_id") % RECALL_SAMPLE_MOD === 0).as("q")
+      .join(banded.as("x"),
+        col("q.band_idx") === col("x.band_idx") &&
+          col("q.band_key") === col("x.band_key") &&
+          col("q.doc_id") =!= col("x.doc_id"))
+      .select(col("q.doc_id").as("id_q"), col("x.doc_id").as("id_c"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    truth.join(cand, Seq("id_q", "id_c"), "left")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_lsh_hit"))
+      .orderBy("bucket")
+  }
+
+  /** d19 oracle — shares [[minhashCtePrefixSql]] (shingles → signatures →
+    * bands), so a seed/band change cannot desynchronize eval and subject.
+    */
+  lazy val lshRecallCurveSql: String =
+    s"""$minhashCtePrefixSql,
+       |hs AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) AS h
+       |       FROM g),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM hs GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_q, b.doc_id AS id_c, count(*) AS i
+       |          FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id <> b.doc_id
+       |          WHERE a.doc_id % $RECALL_SAMPLE_MOD = 0
+       |          GROUP BY 1, 2),
+       |truth AS (SELECT id_q, id_c,
+       |            CAST(floor(CAST(i AS DOUBLE) / (q.sz + c.sz - i) * 10) AS BIGINT) AS bucket
+       |          FROM inter JOIN sz q ON q.doc_id = id_q JOIN sz c ON c.doc_id = id_c),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_q, b.doc_id AS id_c
+       |         FROM bands a JOIN bands b
+       |           ON a.band_idx = b.band_idx AND a.bkey = b.bkey
+       |          AND a.doc_id <> b.doc_id
+       |         WHERE a.doc_id % $RECALL_SAMPLE_MOD = 0)
+       |SELECT bucket, count(*) AS n_true,
+       |  CAST(count(c.id_q) AS BIGINT) AS n_lsh_hit
+       |FROM truth t LEFT JOIN cand c ON t.id_q = c.id_q AND t.id_c = c.id_c
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** All dedup queries keyed for SparkEntry (oracle-checked where SQL can
     * express them; minhash/simhash are verified by scalatest instead).
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d19_lsh_recall" -> (lshRecallCurve _),
     "d01_dedup_exact" -> (dedupExactSurvivors _),
     "d02_dedup_stats" -> (dedupExactStats _),
     "d03_ngram_jaccard" -> (ngramJaccardPairs _),
@@ -1924,6 +2010,7 @@ object Dedup {
     "d18_exact_then_near" -> (exactThenNear _))
 
   val oracles: Map[String, String] = Map(
+    "d19_lsh_recall" -> lshRecallCurveSql,
     "d18_exact_then_near" -> exactThenNearSql,
     "d17_incremental_exact" -> incrementalExactSql,
     "d16_incremental_neardup" -> incrementalNearDupSql,

@@ -529,7 +529,144 @@ object TextOps {
       |    AND stop_hits >= $G_MIN_STOP_HITS AS INT) AS gopher_pass
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- CMS heavy hitters
+  /** t14: corpus heavy-hitter n-grams — the exact occurrence count of
+    * every word-3-gram (60-bit hash) appearing more than once per
+    * [[CMS_HH_DENOM]] shingle instances, i.e. the boilerplate-candidate
+    * report a corpus engineer eyeballs before tuning t12's removal rule.
+    * The threshold is `N div DENOM + 1` — pure integer arithmetic over
+    * the exact instance count, so both engines derive the identical cut
+    * and the φ-fraction semantics (Manku/Motwani-style) hold at any
+    * corpus size, unlike an absolute count.
+    *
+    * Scale shape — the two-pass count-min heavy hitter: the naive form
+    * shuffles the ENTIRE n-gram stream into a vocabulary-sized aggregate
+    * (n-gram vocabularies run to billions at 100 TB). Pass 1 here folds
+    * one corpus scan into a single eps-bounded count-min sketch via
+    * partial aggregation (map-side sketches, tree merge — the only bytes
+    * that reach the driver are one ~4.5 MB sketch + one count, CONSTANT
+    * in corpus size; it then rides the stage-broadcast serialized plan
+    * back out). Pass 2 probes the sketch per instance with the codegen
+    * [[graft.expressions.CountMinProbe]] and kills the long tail BEFORE
+    * the exact confirming aggregate — CMS never under-counts, so no true
+    * heavy key is lost (the spec pins result ≡ sketch-free exact form and
+    * the tail-kill rate). eps = 1/(2·DENOM): the expected estimate error
+    * stays well under the threshold, so count-1 tail instances are
+    * filtered with high probability while the bound guarantees
+    * completeness regardless.
+    */
+  val CMS_HH_DENOM = 20000L
+  val CMS_EPS: Double = 1.0 / (2.0 * CMS_HH_DENOM)
+  val CMS_CONF = 0.99
+  val CMS_SEED = 42
+
+  def heavyShingles(s: SparkSession, d: String): DataFrame =
+    heavyShinglesAt(s, d, CMS_HH_DENOM)
+
+  /** t14 with the fraction denominator as a parameter (the spec drops it
+    * to exercise a higher threshold on the tiny fixture corpus).
+    */
+  def heavyShinglesAt(s: SparkSession, d: String, denom: Long): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnShim
+    val sh = Dedup.shingleTable(Tables.documents(s, d), distinct = false, hashed = true)
+      .select(col("sh").as("h"))
+    // Pass 1: bounded driver action — exactly one row carrying the merged
+    // sketch and the instance total (see Scaladoc: size is (eps, conf)-
+    // determined, independent of corpus size).
+    val row = sh.agg(
+      expr(s"count_min_sketch(h, CAST($CMS_EPS AS DOUBLE), " +
+        s"CAST($CMS_CONF AS DOUBLE), $CMS_SEED)").as("cms"),
+      count(lit(1)).as("n")).head()
+    // empty corpus -> null sketch; refuse loudly instead of NPE-ing in
+    // CountMinSketch.readFrom (the index-writer discipline)
+    require(!row.isNullAt(0) && row.getAs[Long]("n") > 0L,
+      s"heavyShingles: no shingle instances under $d/documents.parquet")
+    val threshold = row.getAs[Long]("n") / denom + 1L
+    val probe = ColumnShim.column(graft.expressions.CountMinProbe(
+      ColumnShim.expression(col("h")), row.getAs[Array[Byte]]("cms")))
+    // Pass 2: probe-filter (codegen, no shuffle) -> exact confirm on the
+    // survivors only. The exact >= threshold re-check drops CMS false
+    // positives, so the sketch never influences the RESULT — only the
+    // bytes shuffled.
+    sh.filter(probe >= threshold)
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= threshold)
+      .orderBy(col("n_occurrences").desc, col("h"))
+  }
+
+  val heavyShinglesSql: String =
+    s"""WITH t AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+      |           FROM documents),
+      |g AS (SELECT CAST(concat('0x', substr(md5(sh0), 1, 15)) AS BIGINT) AS h
+      |      FROM (SELECT unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |                          ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                                FOR i IN range(1, len(toks)-1)] END) AS sh0
+      |            FROM t)),
+      |c AS (SELECT h, count(*) AS n_occurrences FROM g GROUP BY h),
+      |tot AS (SELECT count(*) AS n FROM g)
+      |SELECT h, n_occurrences FROM c, tot
+      |WHERE n_occurrences >= n // $CMS_HH_DENOM + 1
+      |ORDER BY n_occurrences DESC, h""".stripMargin
+
+  // ------------------------------------------------------- bigram LM
+  /** t15: bigram-LM typicality — the conditional-probability upgrade of
+    * t11's unigram marginal, i.e. the corpus-self-trained stand-in for
+    * the CCNet/C4 KenLM perplexity gate: per ordered token pair (a,b),
+    * P(b|a) = C2(a,b) / C1(a) with C1(a) = Σ_b C2(a,b) (the bigram-PREFIX
+    * count, so each conditional sums to exactly 1). Per-instance surprise
+    * is quantized to floor(1e9·P) — one IEEE divide+multiply+floor over
+    * exact integers — and the per-doc mean floors again, so every value
+    * crossing the engine boundary is integer-exact (the t11 discipline;
+    * the interim double sums are integer-valued and < 2^53, hence
+    * order-independent). log-probability would pull in libm, which
+    * differs across engines in the last ulp; the RANKING is the same
+    * monotone family.
+    *
+    * Scale shape: pairs assemble with element_at in the explode's codegen
+    * stage (no window sort, the shingleTable discipline); C2 is one hash
+    * aggregate (map-side combined) and C1 folds FROM C2, never rescanning
+    * the corpus. The scoring join shuffles (a,b) pairs against the count
+    * tables — vocabulary² is unbounded in general so the shuffle-join
+    * form is kept; AQE demotes it to broadcast whenever the realized
+    * bigram table is small (as here).
+    */
+  def bigramLm(s: SparkSession, d: String): DataFrame = {
+    val toked = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val pairs = toked
+      .withColumn("i", explode(sequence(lit(0), size(col("tk")) - 2)))
+      .select(col("doc_id"),
+        element_at(col("tk"), col("i") + 1).as("a"),
+        element_at(col("tk"), col("i") + 2).as("b"))
+    val c2 = pairs.groupBy("a", "b").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("a").agg(sum(col("c2")).as("c1"))
+    pairs.join(c2, Seq("a", "b")).join(c1, Seq("a"))
+      .withColumn("q", floor(col("c2").cast("double") / col("c1") * lit(1.0e9)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        floor(sum(col("q")).cast("double") / count(lit(1))).cast("long").as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  val bigramLmSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+      |           FROM documents),
+      |d2 AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 2),
+      |p AS (SELECT doc_id, tk[i] AS a, tk[i+1] AS b
+      |      FROM d2, unnest(range(1, len(tk))) AS r(i)),
+      |c2 AS (SELECT a, b, count(*) AS c2 FROM p GROUP BY a, b),
+      |c1 AS (SELECT a, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY a),
+      |sc AS (SELECT doc_id, floor(CAST(c2 AS DOUBLE) / c1 * 1000000000.0) AS q
+      |       FROM p JOIN c2 USING (a, b) JOIN c1 USING (a))
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(floor(sum(q) / count(*)) AS BIGINT) AS lm_score
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_bigram_lm" -> (bigramLm _),
+    "t14_heavy_ngrams" -> (heavyShingles _),
     "t13_gopher_rules" -> (gopherRules _),
     "t12_boilerplate" -> (boilerplateRemoval _),
     "t11_typicality" -> (typicality _),
@@ -544,6 +681,8 @@ object TextOps {
     "t05_cleantext" -> (cleanedDocs _))
 
   val oracles: Map[String, String] = Map(
+    "t15_bigram_lm" -> bigramLmSql,
+    "t14_heavy_ngrams" -> heavyShinglesSql,
     "t13_gopher_rules" -> gopherRulesSql,
     "t12_boilerplate" -> boilerplateRemovalSql,
     "t11_typicality" -> typicalitySql,

@@ -90,4 +90,39 @@ object FileSources {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
+
+  /** XML reader (Spark 4 bundles the former spark-xml as a native source):
+    * one record per `rowTag` element, explicit schema, FAILFAST by
+    * default; PERMISSIVE appends `_corrupt_record` (see [[readCsv]]).
+    * XML is interchange-only at scale: records span lines, so parsing is
+    * effectively per-file like multiLine CSV/JSON — never the at-rest
+    * format, but feeds/config exports still arrive in it.
+    */
+  def readXml(spark: SparkSession, path: String, schema: StructType,
+      rowTag: String, mode: String = "FAILFAST"): DataFrame =
+    spark.read
+      .schema(withCorrupt(schema, mode))
+      .option("rowTag", rowTag)
+      .option("mode", mode)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .xml(path)
+
+  def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("rowTag", rowTag).xml(path)
+
+  /** Binary-file ingest — the multimodal asset LOADER: each matching file
+    * becomes one row `(path, modificationTime, length, content binary)`,
+    * the raw-bytes shape `graft.operators.Multimodal`'s kernels consume
+    * (decode happens in the mapPartitions seam, never here). Two scan
+    * savers matter at 100 TB of media files: `pathGlobFilter` prunes at
+    * LISTING time (non-matching files are never opened), and the source
+    * pushes filters on `length`/`modificationTime` down to file metadata,
+    * so a `length < threshold` guard skips oversized payloads without
+    * reading a byte of content (spec-pinned).
+    */
+  def readBinaryFiles(spark: SparkSession, dir: String,
+      glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(dir)
+  }
 }

@@ -56,4 +56,28 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT clean_text(text, doc_id) FROM ext_docs").collect())
     assert(ex.getMessage.contains("literal"), ex.getMessage)
   }
+
+  test("SQL surface: cms_probe reads a count_min_sketch binary (est >= true)") {
+    GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.createOrReplaceTempView("ext_cms_docs")
+    // build the sketch with the BUILT-IN aggregate, probe it with ours:
+    // write-only SQL value becomes readable through the extension
+    val bytes = spark.sql(
+      """SELECT count_min_sketch(md5_prefix60(source),
+        |  CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 7) AS s
+        |FROM ext_cms_docs""".stripMargin).collect().head.getAs[Array[Byte]](0)
+    val hex = bytes.map(b => f"$b%02x").mkString
+    val under = spark.sql(
+      s"""SELECT count(*) AS n FROM (
+         |  SELECT md5_prefix60(source) AS h, count(*) AS true_n
+         |  FROM ext_cms_docs GROUP BY 1)
+         |WHERE cms_probe(X'$hex', h) < true_n""".stripMargin)
+      .collect().head.getLong(0)
+    assert(under == 0L)
+    // a non-foldable sketch argument is a loud error
+    val ex2 = intercept[Exception](spark.sql(
+      "SELECT cms_probe(CAST(text AS BINARY), doc_id) FROM ext_cms_docs").collect())
+    assert(ex2.getMessage.contains("foldable"), ex2.getMessage)
+  }
 }

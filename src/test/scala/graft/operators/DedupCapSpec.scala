@@ -97,6 +97,22 @@ class DedupCapSpec extends SparkSpec {
     assert(kept == Dedup.MAX_HASH_SOURCES.toLong * (Dedup.MAX_HASH_SOURCES - 1) / 2)
   }
 
+  test("d19 recall curve: banding catches every high-similarity pair, near-none of the noise floor") {
+    // the semantic pin behind the oracle's engine-equality: on the fixture
+    // corpus the planted near-dups (j >= 0.8) must ALL surface as LSH
+    // candidates, while the j < 0.1 noise floor stays essentially dark —
+    // the observed ends of the 1-(1-j^r)^b S-curve
+    val rows = Dedup.lshRecallCurve(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val high = rows.filter(_._1 >= 8)
+    assert(high.nonEmpty, "fixture has no high-similarity pairs to score")
+    assert(high.forall { case (_, t, h) => h == t },
+      s"missed high-similarity pairs: ${high.mkString(", ")}")
+    val noise = rows.filter(_._1 == 0)
+    assert(noise.forall { case (_, t, h) => h.toDouble / t < 0.05 },
+      s"noise floor lit up: ${noise.mkString(", ")}")
+  }
+
   test("posting pipeline runs on ONE exchange: dedup, cap and groups share it") {
     // the per-doc dedup (lag), the plen cap window and the posting-group
     // aggregate all hash-partition on the same (lang, pband, sh) keys, so

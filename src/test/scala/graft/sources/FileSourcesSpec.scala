@@ -87,4 +87,42 @@ class FileSourcesSpec extends SparkSpec {
     val back = FileSources.readCsv(spark, dir, df.schema, multiLine = true)
     assert(asSet(back) == asSet(df))
   }
+
+  test("xml round-trip preserves rows via rowTag records, escaping included") {
+    import spark.implicits._
+    val dir = tmp("xml")
+    // markup characters must survive the writer's escaping
+    val df = docs.withColumn("text",
+      concat(col("text"), lit(" <a & \"b\"> 'c'")))
+    FileSources.writeXml(df, dir, rowTag = "doc")
+    val back = FileSources.readXml(spark, dir, df.schema, rowTag = "doc")
+    assert(asSet(back) == asSet(df))
+  }
+
+  test("binaryFile ingests raw files; glob prunes at listing; metadata filters work") {
+    val dir = tmp("bin")
+    for (i <- 1 to 3)
+      Files.write(java.nio.file.Paths.get(dir, s"a$i.bin"),
+        Array.fill[Byte](10 * i)(i.toByte))
+    Files.write(java.nio.file.Paths.get(dir, "skip.txt"), Array[Byte](1, 2, 3))
+
+    assert(FileSources.readBinaryFiles(spark, dir).count() == 4)
+    val bins = FileSources.readBinaryFiles(spark, dir, glob = Some("*.bin"))
+    assert(bins.count() == 3)
+
+    // content arrives as the exact raw bytes, length as file size — the
+    // (binary, metadata) shape Multimodal's kernels consume
+    val row = bins.filter(col("path").endsWith("a2.bin")).head()
+    assert(row.getAs[Long]("length") == 20L)
+    assert(row.getAs[Array[Byte]]("content").toSeq ==
+      Array.fill[Byte](20)(2.toByte).toSeq)
+
+    // size guard evaluates against file METADATA (BinaryFileFormat pushes
+    // length/modificationTime filters, skipping oversized payload reads)
+    val small = bins.filter(col("length") < 15)
+    assert(small.count() == 1)
+    val p = small.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"length filter not pushed to the binaryFile scan:\n${p.take(1500)}")
+  }
 }
