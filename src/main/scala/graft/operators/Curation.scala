@@ -762,7 +762,95 @@ object Curation {
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM x GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
+  // --------------------------------------------------- dataset profile
+  /** p12: the dataset card — the one-page corpus profile every published
+    * training set ships (HuggingFace dataset cards, Dolma/FineWeb stats
+    * blocks): corpus totals, per-language composition, exact-duplicate
+    * rate, and the Gopher-gate pass count, as one (metric, value) table.
+    * Composes the already-verified measures (t13's gopherFrame, t04's
+    * normalization fingerprint) rather than re-deriving them.
+    *
+    * All values are exact longs (counts, sums, an integer-div mean), so
+    * the oracle hash-matches with no float discipline needed. Scale
+    * shape: four independent partial-aggregated passes over the narrow
+    * columns each needs (no joins except two 1-row broadcasts for the
+    * derived dup-count), union of tiny frames, one sort of ~tens of
+    * rows. Every pass is the map-side-combined aggregate shape that
+    * parallelizes by partition count.
+    */
+  def datasetProfile(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val basic = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_chars")).as("total_chars"),
+      sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"))
+    val basicKv = basic.selectExpr(
+      "stack(6, " +
+        "'n_docs', n_docs, 'n_sources', n_sources, 'n_langs', n_langs, " +
+        "'total_chars', total_chars, 'total_tokens', total_tokens, " +
+        "'mean_doc_tokens_x1000', (total_tokens * 1000) div n_docs" +
+        ") AS (metric, value)")
+    // t04's normalization fingerprint = the d01 exact-dup identity
+    val distinctDocs = docs
+      .select(md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+      .agg(countDistinct(col("fp")).as("v"))
+    val dupKv = basic.crossJoin(broadcast(distinctDocs)).select(
+      lit("exact_dup_docs").as("metric"), (col("n_docs") - col("v")).as("value"))
+    val distinctKv = distinctDocs
+      .select(lit("distinct_docs").as("metric"), col("v").as("value"))
+    val gopherKv = TextOps.gopherFrame(s, d)
+      .agg(sum(col("gopher_pass").cast("long")).as("value"))
+      .select(lit("gopher_pass_docs").as("metric"), col("value"))
+    val perLangKv = docs.groupBy("lang").agg(count(lit(1)).as("value"))
+      .select(concat(lit("docs_lang_"), col("lang")).as("metric"), col("value"))
+    basicKv.unionByName(distinctKv).unionByName(dupKv)
+      .unionByName(gopherKv).unionByName(perLangKv)
+      .orderBy("metric")
+  }
+
+  lazy val datasetProfileSql: String =
+    s"""WITH tc AS (SELECT doc_id, lang, source, n_chars,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+      |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |g AS (SELECT doc_id, text,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words
+      |  FROM documents),
+      |gm AS (SELECT
+      |    CAST(n_words AS BIGINT) AS n_words,
+      |    (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) * 1000)
+      |      // greatest(n_words, 1) AS mean_wlen_permille,
+      |    (CAST(len(regexp_extract_all(trim(text), '(?:^|\\s)[^\\s]*[a-z]')) AS BIGINT) * 1000)
+      |      // greatest(n_words, 1) AS alpha_permille,
+      |    CAST(len(list_filter(['the','a','and','of','to','is','in'],
+      |      s -> regexp_matches(lower(text), '(^|\\s)' || s || '(\\s|$$)'))) AS BIGINT) AS stop_hits
+      |  FROM g)
+      |SELECT metric, value FROM (
+      |  SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM tc
+      |  UNION ALL SELECT 'n_sources', CAST(count(DISTINCT source) AS BIGINT) FROM tc
+      |  UNION ALL SELECT 'n_langs', CAST(count(DISTINCT lang) AS BIGINT) FROM tc
+      |  UNION ALL SELECT 'total_chars', CAST(sum(n_chars) AS BIGINT) FROM tc
+      |  UNION ALL SELECT 'total_tokens', CAST(sum(n_tokens) AS BIGINT) FROM tc
+      |  UNION ALL SELECT 'mean_doc_tokens_x1000',
+      |    (CAST(sum(n_tokens) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT) FROM tc
+      |  UNION ALL SELECT 'distinct_docs', CAST(count(DISTINCT fp) AS BIGINT) FROM tc
+      |  UNION ALL SELECT 'exact_dup_docs',
+      |    CAST(count(*) AS BIGINT) - CAST(count(DISTINCT fp) AS BIGINT) FROM tc
+      |  UNION ALL SELECT 'gopher_pass_docs', CAST(count(*) FILTER (
+      |      n_words >= ${TextOps.G_MIN_WORDS}
+      |      AND mean_wlen_permille BETWEEN ${TextOps.G_MEAN_WLEN_MIN} AND ${TextOps.G_MEAN_WLEN_MAX}
+      |      AND alpha_permille >= ${TextOps.G_MIN_ALPHA_PERMILLE}
+      |      AND stop_hits >= ${TextOps.G_MIN_STOP_HITS}) AS BIGINT) FROM gm
+      |  UNION ALL SELECT concat('docs_lang_', lang), CAST(count(*) AS BIGINT)
+      |    FROM tc GROUP BY lang)
+      |ORDER BY metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p12_dataset_profile" -> (datasetProfile _),
     "p10_gopher_curation" -> (gopherCuration _),
     "p09_curriculum" -> (curriculumOrder _),
     "p08_quality_gate" -> (qualityGate _),
@@ -776,6 +864,7 @@ object Curation {
     "p11_curation_report" -> (curationReportUnified _))
 
   val oracles: Map[String, String] = Map(
+    "p12_dataset_profile" -> datasetProfileSql,
     "p10_gopher_curation" -> gopherCurationSql,
     "p09_curriculum" -> curriculumOrderSql,
     "p08_quality_gate" -> qualityGateSql,

@@ -1929,8 +1929,19 @@ object Dedup {
   val RECALL_SAMPLE_MOD = 13L
 
   def lshRecallCurve(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
+    // same stop-shingle cap as the d03 posting pipeline: without it one
+    // viral shingle makes partner generation corpus-proportional (a
+    // sample doc containing it would pair with every holder). Jaccard is
+    // then over the CAPPED shingle universe on both sides of the ratio —
+    // consistent, d03-matching semantics; a no-op on this corpus (max
+    // posting 25 « 500) but the bound the 100 TB run needs. The cap
+    // window partitions on sh — the same hash partitioning the
+    // intersection join reuses.
     val corpusSh = shingleTable(docs, hashed = true)  // distinct (doc_id, sh)
+      .withColumn("plen", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("plen") <= MAX_POSTING_LEN).drop("plen")
     val sizes = corpusSh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val sampleSh = corpusSh.filter(col("doc_id") % RECALL_SAMPLE_MOD === 0)
     val inter = sampleSh.as("a")
@@ -1966,8 +1977,11 @@ object Dedup {
     */
   lazy val lshRecallCurveSql: String =
     s"""$minhashCtePrefixSql,
-       |hs AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) AS h
-       |       FROM g),
+       |hs0 AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) AS h
+       |        FROM g),
+       |hs AS (SELECT doc_id, h FROM (
+       |         SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS plen FROM hs0)
+       |       WHERE plen <= $MAX_POSTING_LEN),
        |sz AS (SELECT doc_id, count(*) AS sz FROM hs GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS id_q, b.doc_id AS id_c, count(*) AS i
        |          FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id <> b.doc_id

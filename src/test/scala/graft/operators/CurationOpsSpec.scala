@@ -214,6 +214,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.map(_._4).distinct.length > 5, "thresholds collapsed to a global cutoff")
   }
 
+  test("p12 dataset profile is internally consistent with its source measures") {
+    val kv = Curation.datasetProfile(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-language composition partitions the corpus
+    assert(kv.filter(_._1.startsWith("docs_lang_")).values.sum == kv("n_docs"))
+    // the dup split partitions the corpus too, and the card's headline
+    // numbers agree with the measures they were composed from
+    assert(kv("distinct_docs") + kv("exact_dup_docs") == kv("n_docs"))
+    assert(kv("gopher_pass_docs") ==
+      TextOps.gopherFrame(spark, "/root/testdata/sf0.001")
+        .agg(sum(col("gopher_pass"))).collect().head.getLong(0))
+    assert(kv("mean_doc_tokens_x1000") ==
+      kv("total_tokens") * 1000 / kv("n_docs"))
+  }
+
   test("repetition stats: a self-repeating doc scores high, distinct text scores zero") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam"), // one distinct 3-gram, 8 total
