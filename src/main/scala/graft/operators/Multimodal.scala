@@ -46,6 +46,25 @@ object Multimodal {
       lit(null).cast(IntegerType).as("meta_height"),
       lit(null).cast(LongType).as("meta_duration_ms"))
 
+  /** The REAL file-ingest face the Scaladoc above stands in for: a
+    * directory of raw media files → the canonical asset frame, via the
+    * binaryFile source ([[graft.sources.FileSources.readBinaryFiles]] —
+    * listing-time glob pruning, metadata filter pushdown, content never
+    * decoded in the source). asset_id is the 60-bit md5 of the file path
+    * — stable across re-listings and join-safe as a long; media_type is
+    * the lowercased extension; metadata stays null until a codec fills it
+    * through [[extractFeatures]]'s decoder seam.
+    */
+  def assetsFromFiles(s: SparkSession, dir: String,
+      glob: Option[String] = None): DataFrame =
+    graft.sources.FileSources.readBinaryFiles(s, dir, glob).select(
+      Dedup.baseHash(col("path")).as("asset_id"),
+      lower(element_at(split(col("path"), "\\."), -1)).as("media_type"),
+      col("content").as("payload"),
+      lit(null).cast(IntegerType).as("meta_width"),
+      lit(null).cast(IntegerType).as("meta_height"),
+      lit(null).cast(LongType).as("meta_duration_ms"))
+
   /** STUB decode kernel — deterministic fake standing in for an image/audio
     * decoder. Real implementation would decode `payload` (JPEG/PNG/WAV…)
     * and emit true dimensions; this derives them from byte statistics so

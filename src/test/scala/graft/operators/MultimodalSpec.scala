@@ -148,6 +148,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("assetsFromFiles: raw files flow through the binaryFile source into the feature kernel") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val payloads = Map("clip1.mp4" -> Array.fill[Byte](64)(3),
+      "clip2.MP4" -> Array.fill[Byte](128)(5), "img.png" -> Array.fill[Byte](32)(7))
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), bytes) }
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "notes.txt"), Array[Byte](1))
+
+    // glob prunes to the media files; the frame carries the canonical schema
+    val a = Multimodal.assetsFromFiles(spark, dir, glob = Some("*.{mp4,MP4,png}"))
+    assert(a.schema.fieldNames.toSeq == Multimodal.assetSchema.fieldNames.toSeq)
+    val rows = a.collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(0)).distinct.length == 3)     // path-hash ids unique
+    assert(rows.map(_.getString(1)).toSet == Set("mp4", "png")) // extension lowercased
+
+    // and the SAME frame feeds extractFeatures' decoder seam end-to-end:
+    // n_bytes prices the raw file sizes the loader delivered
+    val feat = Multimodal.extractFeatures(spark, a).collect()
+      .map(r => r.getInt(1)).sorted.toSeq
+    assert(feat == Seq(32, 64, 128))
+  }
+
   test("stubResize preserves aspect and bounds the long side") {
     assert(Multimodal.stubResize(1920, 1080, 256) == (256, 144))
     assert(Multimodal.stubResize(100, 50, 256) == (100, 50))
