@@ -738,23 +738,8 @@ object Curation {
   }
 
   lazy val gopherCurationSql: String =
-    s"""WITH t AS (SELECT doc_id, text,
-      |    CASE WHEN length(trim(text)) = 0 THEN 0
-      |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words
-      |  FROM documents),
-      |m AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-      |    (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) * 1000)
-      |      // greatest(n_words, 1) AS mean_wlen_permille,
-      |    (CAST(len(regexp_extract_all(trim(text), '(?:^|\\s)[^\\s]*[a-z]')) AS BIGINT) * 1000)
-      |      // greatest(n_words, 1) AS alpha_permille,
-      |    CAST(len(list_filter(['the','a','and','of','to','is','in'],
-      |      s -> regexp_matches(lower(text), '(^|\\s)' || s || '(\\s|$$)'))) AS BIGINT) AS stop_hits
-      |  FROM t),
-      |g AS (SELECT doc_id FROM m
-      |  WHERE n_words >= ${TextOps.G_MIN_WORDS}
-      |    AND mean_wlen_permille BETWEEN ${TextOps.G_MEAN_WLEN_MIN} AND ${TextOps.G_MEAN_WLEN_MAX}
-      |    AND alpha_permille >= ${TextOps.G_MIN_ALPHA_PERMILLE}
-      |    AND stop_hits >= ${TextOps.G_MIN_STOP_HITS}),
+    s"""WITH ${TextOps.gopherMeasuresCteSql},
+      |g AS (SELECT doc_id FROM gop_m WHERE ${TextOps.gopherPassSql}),
       |dd AS (SELECT documents.* FROM documents JOIN g USING (doc_id)),
       |keep AS (SELECT min(doc_id) AS doc_id FROM dd GROUP BY md5(text)),
       |x AS (SELECT dd.* FROM dd JOIN keep USING (doc_id))
@@ -803,49 +788,36 @@ object Curation {
     val gopherKv = TextOps.gopherFrame(s, d)
       .agg(sum(col("gopher_pass").cast("long")).as("value"))
       .select(lit("gopher_pass_docs").as("metric"), col("value"))
+    // coalesce matches DuckDB's NULL-ignoring concat: a NULL lang becomes
+    // the literal 'docs_lang_' row on BOTH engines instead of Spark
+    // null-propagating to a NULL metric key
     val perLangKv = docs.groupBy("lang").agg(count(lit(1)).as("value"))
-      .select(concat(lit("docs_lang_"), col("lang")).as("metric"), col("value"))
+      .select(concat(lit("docs_lang_"), coalesce(col("lang"), lit(""))).as("metric"),
+        col("value"))
     basicKv.unionByName(distinctKv).unionByName(dupKv)
       .unionByName(gopherKv).unionByName(perLangKv)
       .orderBy("metric")
   }
 
   lazy val datasetProfileSql: String =
-    s"""WITH tc AS (SELECT doc_id, lang, source, n_chars,
-      |    CASE WHEN length(trim(text)) = 0 THEN 0
-      |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+    s"""WITH ${TextOps.gopherMeasuresCteSql},
+      |tc AS (SELECT doc_id, lang, source, n_chars,
       |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
-      |  FROM documents),
-      |g AS (SELECT doc_id, text,
-      |    CASE WHEN length(trim(text)) = 0 THEN 0
-      |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words
-      |  FROM documents),
-      |gm AS (SELECT
-      |    CAST(n_words AS BIGINT) AS n_words,
-      |    (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) * 1000)
-      |      // greatest(n_words, 1) AS mean_wlen_permille,
-      |    (CAST(len(regexp_extract_all(trim(text), '(?:^|\\s)[^\\s]*[a-z]')) AS BIGINT) * 1000)
-      |      // greatest(n_words, 1) AS alpha_permille,
-      |    CAST(len(list_filter(['the','a','and','of','to','is','in'],
-      |      s -> regexp_matches(lower(text), '(^|\\s)' || s || '(\\s|$$)'))) AS BIGINT) AS stop_hits
-      |  FROM g)
+      |  FROM documents)
       |SELECT metric, value FROM (
       |  SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM tc
       |  UNION ALL SELECT 'n_sources', CAST(count(DISTINCT source) AS BIGINT) FROM tc
       |  UNION ALL SELECT 'n_langs', CAST(count(DISTINCT lang) AS BIGINT) FROM tc
       |  UNION ALL SELECT 'total_chars', CAST(sum(n_chars) AS BIGINT) FROM tc
-      |  UNION ALL SELECT 'total_tokens', CAST(sum(n_tokens) AS BIGINT) FROM tc
+      |  UNION ALL SELECT 'total_tokens', CAST(sum(n_words) AS BIGINT) FROM gop_m
       |  UNION ALL SELECT 'mean_doc_tokens_x1000',
-      |    (CAST(sum(n_tokens) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT) FROM tc
+      |    (CAST(sum(n_words) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT) FROM gop_m
       |  UNION ALL SELECT 'distinct_docs', CAST(count(DISTINCT fp) AS BIGINT) FROM tc
       |  UNION ALL SELECT 'exact_dup_docs',
       |    CAST(count(*) AS BIGINT) - CAST(count(DISTINCT fp) AS BIGINT) FROM tc
-      |  UNION ALL SELECT 'gopher_pass_docs', CAST(count(*) FILTER (
-      |      n_words >= ${TextOps.G_MIN_WORDS}
-      |      AND mean_wlen_permille BETWEEN ${TextOps.G_MEAN_WLEN_MIN} AND ${TextOps.G_MEAN_WLEN_MAX}
-      |      AND alpha_permille >= ${TextOps.G_MIN_ALPHA_PERMILLE}
-      |      AND stop_hits >= ${TextOps.G_MIN_STOP_HITS}) AS BIGINT) FROM gm
-      |  UNION ALL SELECT concat('docs_lang_', lang), CAST(count(*) AS BIGINT)
+      |  UNION ALL SELECT 'gopher_pass_docs',
+      |    CAST(count(*) FILTER (${TextOps.gopherPassSql}) AS BIGINT) FROM gop_m
+      |  UNION ALL SELECT concat('docs_lang_', coalesce(lang, '')), CAST(count(*) AS BIGINT)
       |    FROM tc GROUP BY lang)
       |ORDER BY metric""".stripMargin
 

@@ -56,14 +56,20 @@ object Multimodal {
     * through [[extractFeatures]]'s decoder seam.
     */
   def assetsFromFiles(s: SparkSession, dir: String,
-      glob: Option[String] = None): DataFrame =
+      glob: Option[String] = None): DataFrame = {
+    // extension = trailing dot-run of the LAST path segment only — a
+    // naive split('.').last would surface directory fragments for
+    // dotted dirs (/data.v2/clip) or the whole URI for extensionless
+    // files; no match falls back to "bin"
+    val ext = lower(regexp_extract(col("path"), "\\.([^./\\\\]+)$", 1))
     graft.sources.FileSources.readBinaryFiles(s, dir, glob).select(
       Dedup.baseHash(col("path")).as("asset_id"),
-      lower(element_at(split(col("path"), "\\."), -1)).as("media_type"),
+      when(ext === "", lit("bin")).otherwise(ext).as("media_type"),
       col("content").as("payload"),
       lit(null).cast(IntegerType).as("meta_width"),
       lit(null).cast(IntegerType).as("meta_height"),
       lit(null).cast(LongType).as("meta_duration_ms"))
+  }
 
   /** STUB decode kernel — deterministic fake standing in for an image/audio
     * decoder. Real implementation would decode `payload` (JPEG/PNG/WAV…)

@@ -509,25 +509,42 @@ object TextOps {
           col("stop_hits") >= G_MIN_STOP_HITS).cast("int"))
   }
 
-  lazy val gopherRulesSql: String =
-    s"""WITH t AS (SELECT doc_id, text,
+  /** Shared DuckDB CTE fragment for the per-doc Gopher measures — CTEs
+    * `gop_t`/`gop_m`(doc_id, n_words, mean_wlen_permille, alpha_permille,
+    * stop_hits). Generated ONCE (stopword list included, from
+    * [[stopwords]]) and consumed by [[gopherRulesSql]],
+    * `Curation.gopherCurationSql` and `Curation.datasetProfileSql`, so a
+    * measure change cannot silently desynchronize the three oracles (the
+    * minhashCtePrefixSql discipline).
+    */
+  lazy val gopherMeasuresCteSql: String =
+    s"""gop_t AS (SELECT doc_id, text,
       |    CASE WHEN length(trim(text)) = 0 THEN 0
       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words
       |  FROM documents),
-      |m AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |gop_m AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
       |    (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) * 1000)
       |      // greatest(n_words, 1) AS mean_wlen_permille,
       |    (CAST(len(regexp_extract_all(trim(text), '(?:^|\\s)[^\\s]*[a-z]')) AS BIGINT) * 1000)
       |      // greatest(n_words, 1) AS alpha_permille,
-      |    CAST(len(list_filter(['the','a','and','of','to','is','in'],
+      |    CAST(len(list_filter(${stopwords.map("'" + _ + "'").mkString("[", ",", "]")},
       |      s -> regexp_matches(lower(text), '(^|\\s)' || s || '(\\s|$$)'))) AS BIGINT) AS stop_hits
-      |  FROM t)
+      |  FROM gop_t)""".stripMargin
+
+  /** The t13 gate conjunction over `gop_m`'s columns — shared with the
+    * same three consumers as [[gopherMeasuresCteSql]].
+    */
+  lazy val gopherPassSql: String =
+    s"n_words >= $G_MIN_WORDS " +
+      s"AND mean_wlen_permille BETWEEN $G_MEAN_WLEN_MIN AND $G_MEAN_WLEN_MAX " +
+      s"AND alpha_permille >= $G_MIN_ALPHA_PERMILLE " +
+      s"AND stop_hits >= $G_MIN_STOP_HITS"
+
+  lazy val gopherRulesSql: String =
+    s"""WITH $gopherMeasuresCteSql
       |SELECT doc_id, n_words, mean_wlen_permille, alpha_permille, stop_hits,
-      |  CAST(n_words >= $G_MIN_WORDS
-      |    AND mean_wlen_permille BETWEEN $G_MEAN_WLEN_MIN AND $G_MEAN_WLEN_MAX
-      |    AND alpha_permille >= $G_MIN_ALPHA_PERMILLE
-      |    AND stop_hits >= $G_MIN_STOP_HITS AS INT) AS gopher_pass
-      |FROM m ORDER BY doc_id""".stripMargin
+      |  CAST($gopherPassSql AS INT) AS gopher_pass
+      |FROM gop_m ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------- CMS heavy hitters
   /** t14: corpus heavy-hitter n-grams — the exact occurrence count of

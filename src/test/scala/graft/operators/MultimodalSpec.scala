@@ -169,6 +169,13 @@ class MultimodalSpec extends SparkSpec {
     val feat = Multimodal.extractFeatures(spark, a).collect()
       .map(r => r.getInt(1)).sorted.toSeq
     assert(feat == Seq(32, 64, 128))
+
+    // extension parsing anchors to the LAST path segment: extensionless
+    // files fall back to "bin" instead of surfacing a path fragment
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "noext"), Array[Byte](9))
+    val types = Multimodal.assetsFromFiles(spark, dir).collect()
+      .map(_.getString(1)).toSet
+    assert(types == Set("mp4", "png", "txt", "bin"))
   }
 
   test("stubResize preserves aspect and bounds the long side") {
