@@ -585,6 +585,7 @@ object TextOps {
     */
   def heavyShinglesAt(s: SparkSession, d: String, denom: Long): DataFrame = {
     import org.apache.spark.sql.graft.ColumnShim
+    require(denom > 0, s"heavyShingles denominator must be positive, got $denom")
     val sh = Dedup.shingleTable(Tables.documents(s, d), distinct = false, hashed = true)
       .select(col("sh").as("h"))
     // Pass 1: bounded driver action — exactly one row carrying the merged

@@ -78,6 +78,27 @@ class CmsHeavyHitterSpec extends SparkSpec {
       s"prefilter killed too little: $survivors of $n instances survived")
   }
 
+  test("CMS sketches merge EXACTLY: split-and-merge equals one whole-corpus pass") {
+    // the property that makes incremental daily-ingest heavy hitters
+    // possible without rescanning the base corpus: a count-min table is a
+    // pure sum, so sketch(base) + sketch(delta) is BIT-IDENTICAL to
+    // sketch(base ∪ delta) under the same (eps, conf, seed) — merge the
+    // persisted sketch with each day's delta sketch and the φN threshold
+    // recomputes from the merged totalCount. Pin it bit-for-bit.
+    import org.apache.spark.util.sketch.CountMinSketch
+    val sh = hashedInstances
+    def sketchOf(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+      df.agg(expr(s"count_min_sketch(h, CAST(${TextOps.CMS_EPS} AS DOUBLE), " +
+        s"CAST(${TextOps.CMS_CONF} AS DOUBLE), ${TextOps.CMS_SEED})"))
+        .head().getAs[Array[Byte]](0)
+    val whole = sketchOf(sh)
+    val base = CountMinSketch.readFrom(sketchOf(sh.filter(col("h") % 2 === 0)))
+    val delta = CountMinSketch.readFrom(sketchOf(sh.filter(col("h") % 2 =!= 0)))
+    base.mergeInPlace(delta)
+    assert(base.totalCount() == CountMinSketch.readFrom(whole).totalCount())
+    assert(java.util.Arrays.equals(base.toByteArray, whole))
+  }
+
   test("t15 bigram conditional-probability scoring on a hand-computed corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bigram").toString
     import spark.implicits._
