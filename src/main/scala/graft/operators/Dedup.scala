@@ -342,9 +342,18 @@ object Dedup {
     * Band keys are the comma-joined band minhashes (identical string form
     * both engines).
     */
-  def bandedKeys(sigs: DataFrame): DataFrame = {
-    val bandKeys = (0 until BANDS).map { b =>
-      val cols = (b * ROWS_PER_BAND until (b + 1) * ROWS_PER_BAND).map(i => col(s"m$i"))
+  def bandedKeys(sigs: DataFrame): DataFrame = bandedKeysAt(sigs, BANDS)
+
+  /** [[bandedKeys]] at an arbitrary band count dividing [[SIG_N]] — the
+    * d20 parameter sweep re-bands the SAME signatures (more bands =
+    * shorter rows = recall shifted toward lower similarity).
+    */
+  def bandedKeysAt(sigs: DataFrame, bands: Int): DataFrame = {
+    require(bands > 0 && SIG_N % bands == 0,
+      s"band count must divide SIG_N=$SIG_N, got $bands")
+    val rpb = SIG_N / bands
+    val bandKeys = (0 until bands).map { b =>
+      val cols = (b * rpb until (b + 1) * rpb).map(i => col(s"m$i"))
       concat_ws(",", cols: _*)
     }
     sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)))
@@ -384,15 +393,23 @@ object Dedup {
     * d16 oracles so a seed/band/hash change cannot silently
     * desynchronize them.
     */
+  /** Per-band `SELECT ... FROM sig` union for an arbitrary band count —
+    * the SQL mirror of [[bandedKeysAt]], shared by the default prefix's
+    * `bands` CTE and the d20 sweep's per-config CTEs.
+    */
+  private def bandSelectsSqlAt(bands: Int): String = {
+    val rpb = SIG_N / bands
+    (0 until bands).map { b =>
+      val key = (b * rpb until (b + 1) * rpb).map(i => s"m$i").mkString(", ',', ")
+      s"SELECT doc_id, $b AS band_idx, concat($key) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+  }
+
   private lazy val minhashCtePrefixSql: String = {
     val p = HASH_P
     val sigCols = (0 until SIG_N).map(i =>
       s"min((${seedA(i)}*hm + ${seedB(i)}) % $p) AS m$i").mkString(",\n  ")
-    val bandSelects = (0 until BANDS).map { b =>
-      val key = (b * ROWS_PER_BAND until (b + 1) * ROWS_PER_BAND)
-        .map(i => s"m$i").mkString(", ',', ")
-      s"SELECT doc_id, $b AS band_idx, concat($key) AS bkey FROM sig"
-    }.mkString("\n  UNION ALL ")
+    val bandSelects = bandSelectsSqlAt(BANDS)
     s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
        |g AS (SELECT doc_id,
        |        unnest(list_distinct(
@@ -1928,7 +1945,11 @@ object Dedup {
     */
   val RECALL_SAMPLE_MOD = 13L
 
-  def lshRecallCurve(s: SparkSession, d: String): DataFrame = {
+  /** Exact-Jaccard ground truth for the recall evals: (id_q, id_c,
+    * bucket=floor(j·10)) over pairs touching the query sample. Shared by
+    * d19 and the d20 sweep (truth is banding-independent).
+    */
+  private def recallTruth(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     // same stop-shingle cap as the d03 posting pipeline: without it one
@@ -1949,15 +1970,20 @@ object Dedup {
         col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_q"), col("b.doc_id").as("id_c"))
       .agg(count(lit(1)).as("i"))
-    val truth = inter
+    inter
       .join(sizes.toDF("id_q", "sz_q"), "id_q")
       .join(sizes.toDF("id_c", "sz_c"), "id_c")
       .withColumn("j",
         col("i").cast("double") / (col("sz_q") + col("sz_c") - col("i")))
       .select(col("id_q"), col("id_c"),
         floor(col("j") * 10).cast("long").as("bucket"))
-    val banded = bandedKeys(minhashSignatures(docs))
-    val cand = banded.filter(col("doc_id") % RECALL_SAMPLE_MOD === 0).as("q")
+  }
+
+  /** Sample-restricted LSH candidate pairs of a banded-key frame, with a
+    * constant hit marker for the left join against [[recallTruth]].
+    */
+  private def recallCandidates(banded: DataFrame): DataFrame =
+    banded.filter(col("doc_id") % RECALL_SAMPLE_MOD === 0).as("q")
       .join(banded.as("x"),
         col("q.band_idx") === col("x.band_idx") &&
           col("q.band_key") === col("x.band_key") &&
@@ -1965,19 +1991,52 @@ object Dedup {
       .select(col("q.doc_id").as("id_q"), col("x.doc_id").as("id_c"))
       .distinct()
       .withColumn("hit", lit(1L))
-    truth.join(cand, Seq("id_q", "id_c"), "left")
+
+  def lshRecallCurve(s: SparkSession, d: String): DataFrame = {
+    val cand = recallCandidates(
+      bandedKeys(minhashSignatures(Tables.documents(s, d))))
+    recallTruth(s, d).join(cand, Seq("id_q", "id_c"), "left")
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_true"),
         sum(coalesce(col("hit"), lit(0L))).as("n_lsh_hit"))
       .orderBy("bucket")
   }
 
-  /** d19 oracle — shares [[minhashCtePrefixSql]] (shingles → signatures →
-    * bands), so a seed/band change cannot desynchronize eval and subject.
+  // ------------------------------------------------ LSH parameter sweep
+  /** d20: the (bands × rows) parameter sweep — d19's recall curve at every
+    * banding of the SAME [[SIG_N]]-minhash signatures (4×8, 8×4, 16×2),
+    * one curve per config. This is the tuning artifact: the S-curve
+    * 1-(1-j^r)^b steepens toward high similarity as rows-per-band grow,
+    * and the sweep shows the measured trade (16 bands light up the noise
+    * floor, 4 bands go dark below j≈0.9) so the production (b, r) choice
+    * is made on evidence, not the formula alone. Signatures and ground
+    * truth are computed once and re-banded per config — banding is a
+    * projection, so the sweep costs one signature pipeline plus three
+    * thin band self-joins, not three full runs.
     */
-  lazy val lshRecallCurveSql: String =
-    s"""$minhashCtePrefixSql,
-       |hs0 AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) AS h
+  val SWEEP_BANDS: Seq[Int] = Seq(4, 8, 16)
+
+  def lshBandSweep(s: SparkSession, d: String): DataFrame = {
+    val truth = recallTruth(s, d)
+    val sigs = minhashSignatures(Tables.documents(s, d))
+    SWEEP_BANDS.map { b =>
+      val cand = recallCandidates(bandedKeysAt(sigs, b))
+      truth.join(cand, Seq("id_q", "id_c"), "left")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_lsh_hit"))
+        .withColumn("bands", lit(b.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("bands"), col("bucket"), col("n_true"), col("n_lsh_hit"))
+      .orderBy("bands", "bucket")
+  }
+
+  /** Shared truth CTE chain (capped postings → sizes → intersections →
+    * similarity deciles) for the d19/d20 oracles — generated once, like
+    * [[minhashCtePrefixSql]], so the eval oracles cannot drift apart.
+    */
+  private lazy val recallTruthCtesSql: String =
+    s"""hs0 AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(sh),1,15)) AS BIGINT) AS h
        |        FROM g),
        |hs AS (SELECT doc_id, h FROM (
        |         SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS plen FROM hs0)
@@ -1989,7 +2048,15 @@ object Dedup {
        |          GROUP BY 1, 2),
        |truth AS (SELECT id_q, id_c,
        |            CAST(floor(CAST(i AS DOUBLE) / (q.sz + c.sz - i) * 10) AS BIGINT) AS bucket
-       |          FROM inter JOIN sz q ON q.doc_id = id_q JOIN sz c ON c.doc_id = id_c),
+       |          FROM inter JOIN sz q ON q.doc_id = id_q JOIN sz c ON c.doc_id = id_c)""".stripMargin
+
+  /** d19 oracle — shares [[minhashCtePrefixSql]] (shingles → signatures →
+    * bands) and [[recallTruthCtesSql]], so a seed/band/cap change cannot
+    * desynchronize eval and subject.
+    */
+  lazy val lshRecallCurveSql: String =
+    s"""$minhashCtePrefixSql,
+       |$recallTruthCtesSql,
        |cand AS (SELECT DISTINCT a.doc_id AS id_q, b.doc_id AS id_c
        |         FROM bands a JOIN bands b
        |           ON a.band_idx = b.band_idx AND a.bkey = b.bkey
@@ -2000,10 +2067,37 @@ object Dedup {
        |FROM truth t LEFT JOIN cand c ON t.id_q = c.id_q AND t.id_c = c.id_c
        |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** d20 oracle — the same prefix/truth fragments, one band CTE + curve
+    * per sweep config ([[bandSelectsSqlAt]] mirrors [[bandedKeysAt]]).
+    */
+  lazy val lshBandSweepSql: String = {
+    val candCtes = SWEEP_BANDS.map { b =>
+      s"""bands$b AS (
+         |  ${bandSelectsSqlAt(b)}),
+         |cand$b AS (SELECT DISTINCT a.doc_id AS id_q, b.doc_id AS id_c
+         |  FROM bands$b a JOIN bands$b b
+         |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
+         |  WHERE a.doc_id % $RECALL_SAMPLE_MOD = 0)""".stripMargin
+    }.mkString(",\n")
+    val curves = SWEEP_BANDS.map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS bands, bucket, count(*) AS n_true,
+         |    CAST(count(c.id_q) AS BIGINT) AS n_lsh_hit
+         |  FROM truth t LEFT JOIN cand$b c ON t.id_q = c.id_q AND t.id_c = c.id_c
+         |  GROUP BY bucket""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""$minhashCtePrefixSql,
+       |$recallTruthCtesSql,
+       |$candCtes
+       |SELECT bands, bucket, n_true, n_lsh_hit FROM (
+       |  $curves)
+       |ORDER BY bands, bucket""".stripMargin
+  }
+
   /** All dedup queries keyed for SparkEntry (oracle-checked where SQL can
     * express them; minhash/simhash are verified by scalatest instead).
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d20_lsh_band_sweep" -> (lshBandSweep _),
     "d19_lsh_recall" -> (lshRecallCurve _),
     "d01_dedup_exact" -> (dedupExactSurvivors _),
     "d02_dedup_stats" -> (dedupExactStats _),
@@ -2024,6 +2118,7 @@ object Dedup {
     "d18_exact_then_near" -> (exactThenNear _))
 
   val oracles: Map[String, String] = Map(
+    "d20_lsh_band_sweep" -> lshBandSweepSql,
     "d19_lsh_recall" -> lshRecallCurveSql,
     "d18_exact_then_near" -> exactThenNearSql,
     "d17_incremental_exact" -> incrementalExactSql,

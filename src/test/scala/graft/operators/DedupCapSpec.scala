@@ -113,6 +113,26 @@ class DedupCapSpec extends SparkSpec {
       s"noise floor lit up: ${noise.mkString(", ")}")
   }
 
+  test("d20 band sweep: candidate sets grow monotonically with band count; 8-band row ≡ d19") {
+    val sweep = Dedup.lshBandSweep(spark, "/root/testdata/sf0.001").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // more bands = shorter rows = a superset of candidate pairs, so per
+    // decile hits can only grow in band count (the S-curve shifting left)
+    val buckets = sweep.keys.map(_._2).toSet
+    for (bk <- buckets; Seq(lo, hi) <- Dedup.SWEEP_BANDS.map(_.toLong).sliding(2)) {
+      (sweep.get((lo, bk)), sweep.get((hi, bk))) match {
+        case (Some((tLo, hLo)), Some((tHi, hHi))) =>
+          assert(tLo == tHi, s"truth differs across configs at bucket $bk")
+          assert(hLo <= hHi, s"hits shrank from $lo to $hi bands at bucket $bk")
+        case _ => fail(s"missing sweep row for bucket $bk")
+      }
+    }
+    // the sweep's 8-band curve IS d19's registered curve
+    val d19 = Dedup.lshRecallCurve(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(d19 == sweep.collect { case ((8L, bk), v) => bk -> v })
+  }
+
   test("posting pipeline runs on ONE exchange: dedup, cap and groups share it") {
     // the per-doc dedup (lag), the plen cap window and the posting-group
     // aggregate all hash-partition on the same (lang, pband, sh) keys, so
