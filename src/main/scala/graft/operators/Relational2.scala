@@ -536,7 +536,41 @@ object Relational2 {
       |HAVING count(DISTINCT o_orderpriority) = (SELECT n_all FROM t)
       |ORDER BY o_custkey""".stripMargin
 
+  // ------------------------------------------------- SQL pipe syntax
+  /** q60: Spark 4's SQL pipe syntax (`|>`) — the FROM-first linear query
+    * dialect (the ZetaSQL/BigQuery pipe form Spark 4.0 adopted): each
+    * `|>` stage applies one operator to the running table, so the text
+    * reads top-to-bottom like the DataFrame API, including a
+    * post-aggregation WHERE on an aggregate alias with no HAVING
+    * keyword. Same Catalyst plan as the nested form — this registers the
+    * dialect surface a migrating SQL user will reach for; the oracle is
+    * the standard nested-SQL equivalent (DuckDB has no pipe syntax).
+    * l_quantity values are integer-valued doubles, so the sum is exact
+    * and the BIGINT cast is deterministic.
+    */
+  def pipeSyntax(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """FROM lineitem
+        ||> WHERE l_quantity > 10
+        ||> AGGREGATE CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |            count(*) AS n_items
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> WHERE n_items > 100
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  val pipeSyntaxSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_quantity > 10
+      |GROUP BY l_returnflag, l_linestatus
+      |HAVING count(*) > 100
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_pipe_syntax" -> (pipeSyntax _),
     "q59_division" -> (divisionAllPriorities _),
     "q57_market_share" -> (marketShare _),
     "q47_null_ordering" -> (nullOrdering _),
@@ -555,6 +589,7 @@ object Relational2 {
     "q41_conditional_scalars" -> (conditionalScalars _))
 
   val oracles: Map[String, String] = Map(
+    "q60_pipe_syntax" -> pipeSyntaxSql,
     "q59_division" -> divisionAllPrioritiesSql,
     "q57_market_share" -> marketShareSql,
     "q47_null_ordering" -> nullOrderingSql,
