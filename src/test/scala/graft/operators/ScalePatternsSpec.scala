@@ -242,8 +242,11 @@ class ScalePatternsSpec extends SparkSpec {
       s"NTZ sorted layout PRUNED ($scanNtz of $total) — Spark now converts " +
         "NTZ filters; retire writeSortedEventTime's cast and the canary")
     // the pattern: converted layout skips (2 days of 30, 8 range files —
-    // at least 3/4 of the table must never leave the parquet reader)
-    assert(scanLtz * 4 < total,
+    // the bulk of the table must never leave the parquet reader). Bound
+    // is 1/3, not the ~1/4 typically observed: repartitionByRange SAMPLES
+    // its boundaries, so the window's file overlap jitters by a few
+    // percent run-to-run (an exact-4x bound flaked at 2557/10000 in-suite)
+    assert(scanLtz * 3 < total,
       s"converted layout did not skip row groups: $scanLtz of $total")
     // and the FULL row set (not just the aggregate) survives conversion:
     // the NTZ frame cast on read equals the converted table row-for-row
