@@ -398,6 +398,11 @@ object Dedup {
     * `bands` CTE and the d20 sweep's per-config CTEs.
     */
   private def bandSelectsSqlAt(bands: Int): String = {
+    // same guard as bandedKeysAt: a non-dividing band count would
+    // silently drop trailing minhashes from the oracle instead of
+    // failing loudly like the Scala side
+    require(bands > 0 && SIG_N % bands == 0,
+      s"band count must divide SIG_N=$SIG_N, got $bands")
     val rpb = SIG_N / bands
     (0 until bands).map { b =>
       val key = (b * rpb until (b + 1) * rpb).map(i => s"m$i").mkString(", ',', ")
@@ -2009,10 +2014,14 @@ object Dedup {
     * 1-(1-j^r)^b steepens toward high similarity as rows-per-band grow,
     * and the sweep shows the measured trade (16 bands light up the noise
     * floor, 4 bands go dark below j≈0.9) so the production (b, r) choice
-    * is made on evidence, not the formula alone. Signatures and ground
-    * truth are computed once and re-banded per config — banding is a
-    * projection, so the sweep costs one signature pipeline plus three
-    * thin band self-joins, not three full runs.
+    * is made on evidence, not the formula alone. Banding is a projection
+    * of the SAME signature frame, so the marginal cost per config is one
+    * thin band self-join; the registered query leaves the shared truth/
+    * signature subtrees uncached (the d14/d15 per-query-isolation
+    * discipline — no persist leaks into a long-lived session), so
+    * whether they recompute per branch is Spark's exchange-reuse call. A
+    * production sweep over many configs would checkpoint `truth` and the
+    * signature frame once and bound the cost structurally.
     */
   val SWEEP_BANDS: Seq[Int] = Seq(4, 8, 16)
 
@@ -2072,10 +2081,15 @@ object Dedup {
     */
   lazy val lshBandSweepSql: String = {
     val candCtes = SWEEP_BANDS.map { b =>
-      s"""bands$b AS (
-         |  ${bandSelectsSqlAt(b)}),
-         |cand$b AS (SELECT DISTINCT a.doc_id AS id_q, b.doc_id AS id_c
-         |  FROM bands$b a JOIN bands$b b
+      // the default banding's CTE already exists in the prefix — reuse
+      // it instead of emitting a textually identical bands$BANDS block
+      val src = if (b == BANDS) "bands" else s"bands$b"
+      val bandCte = if (b == BANDS) ""
+        else s"""bands$b AS (
+           |  ${bandSelectsSqlAt(b)}),
+           |""".stripMargin
+      s"""${bandCte}cand$b AS (SELECT DISTINCT a.doc_id AS id_q, b.doc_id AS id_c
+         |  FROM $src a JOIN $src b
          |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
          |  WHERE a.doc_id % $RECALL_SAMPLE_MOD = 0)""".stripMargin
     }.mkString(",\n")
