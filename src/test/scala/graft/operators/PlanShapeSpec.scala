@@ -258,6 +258,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "probe/LUT joins not broadcast")
   }
 
+  test("t14: the CMS probe filters BEFORE the first exchange, in the shingle codegen stage") {
+    // the two-pass heavy hitter's whole point: the sketch probe must kill
+    // the long tail map-side. Walk the confirm-pass plan to the Filter
+    // carrying cms_probe and assert no Exchange sits BELOW it — the tail
+    // dies before anything shuffles
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val df = SparkEntry.queries("t14_heavy_ngrams")(spark, sf)
+    def expand(p: SparkPlan): Seq[SparkPlan] = (p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case q: QueryStageExec => expand(q.plan)
+      case other => other.children.flatMap(expand)
+    }) :+ p
+    val nodes = expand(df.queryExecution.executedPlan)
+    // match on the node's OWN line (toString includes the subtree, which
+    // would also catch the exact-confirm filter sitting above the probe)
+    val probeFilters = nodes.filter(n =>
+      n.nodeName.contains("Filter") &&
+        n.simpleString(Int.MaxValue).contains("cms_probe"))
+    assert(probeFilters.nonEmpty, "no cms_probe filter in the t14 plan")
+    probeFilters.foreach { f =>
+      val below = expand(f).filterNot(_ eq f)
+      assert(!below.exists(_.isInstanceOf[Exchange]),
+        s"cms_probe filter runs AFTER an exchange:\n$f")
+    }
+  }
+
   test("s04: semantic-dedup candidates come from a (cell, bucket) equi-join, never all-pairs") {
     val p = plan("s04_semantic_dedup")
     // the only nested-loop member allowed is the broadcast 16-row
