@@ -130,7 +130,73 @@ object GraftExtensions {
           case other => throw new IllegalArgumentException(
             s"cms_probe sketch evaluated to $other")
         }
+      }),
+    // the IVF-PQ serving pair (StreamingAnn.indexScores is the DataFrame
+    // face). Like cms_probe, the model must fold at analysis time — the
+    // centroid matrix / codebook ride as foldable array literals and
+    // become codegen reference objects; derived model parts (centroid
+    // norms, per-subspace self-dots) are computed here through the SAME
+    // IvfServingKernels helpers the DataFrame path uses, so the two
+    // surfaces cannot drift.
+    (FunctionIdentifier("ivf_cell_probe"),
+      info("ivf_cell_probe",
+        "ivf_cell_probe(qv, cells, cents, nProbe) - top-nProbe IVF cell ids " +
+          "of a quantized query; cells (array<int>) and cents " +
+          "(array<array<bigint>>, parallel to cells) must be foldable; " +
+          "nProbe an int literal"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "ivf_cell_probe takes 4 arguments")
+        val cells = foldableArray(args(1), "ivf_cell_probe cells").toIntArray()
+        val cents = foldableNestedLongs(args(2), "ivf_cell_probe cents")
+        val nProbe = intLiteral(args(3), "ivf_cell_probe nProbe")
+        require(cells.length == cents.length,
+          s"ivf_cell_probe: ${cells.length} cells vs ${cents.length} centroids")
+        graft.expressions.IvfCellProbe(args(0), cells, cents,
+          cents.map(graft.expressions.IvfServingKernels.centroidNorm), nProbe)
+      }),
+    (FunctionIdentifier("pq_adc_luts"),
+      info("pq_adc_luts",
+        "pq_adc_luts(qv, codebook, nSub, subDim) - per-subspace ADC lookup " +
+          "tables (exact squared-L2 longs) of a quantized query against a " +
+          "foldable array<array<bigint>> codebook (row j = full quantized " +
+          "centroid j); nSub/subDim int literals"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "pq_adc_luts takes 4 arguments")
+        val cb = foldableNestedLongs(args(1), "pq_adc_luts codebook")
+        val nSub = intLiteral(args(2), "pq_adc_luts nSub")
+        val subDim = intLiteral(args(3), "pq_adc_luts subDim")
+        require(cb.nonEmpty, "pq_adc_luts codebook must be non-empty")
+        graft.expressions.PqAdcLuts(args(0), cb,
+          cb.map(graft.expressions.IvfServingKernels.subspaceSelfDots(_, nSub, subDim)),
+          nSub, subDim)
       }))
+
+  // ---- foldable-model argument extraction (the cms_probe discipline:
+  // the model is plan data, so it must be known at analysis time)
+  private def foldableArray(e: Expression, what: String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    require(e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+      s"$what must be a foldable array literal, got ${e.dataType.catalogString}")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a
+      case other => throw new IllegalArgumentException(
+        s"$what evaluated to $other")
+    }
+  }
+
+  private def foldableNestedLongs(e: Expression, what: String): Array[Array[Long]] = {
+    val outer = foldableArray(e, what)
+    Array.tabulate(outer.numElements()) { i =>
+      require(!outer.isNullAt(i), s"$what row $i is null")
+      outer.getArray(i).toLongArray()
+    }
+  }
+
+  private def intLiteral(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an int literal, got $other")
+  }
 
   /** Register into an already-running session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

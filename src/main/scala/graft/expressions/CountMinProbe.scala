@@ -61,5 +61,18 @@ case class CountMinProbe(child: Expression, bytes: Array[Byte])
   override protected def withNewChildInternal(newChild: Expression): CountMinProbe =
     copy(child = newChild)
 
+  // content equality over the sketch bytes (see ModelEquality) — the
+  // synthesized case-class equals is referential on Array[Byte], which
+  // would defeat subexpression elimination and exchange reuse whenever
+  // the same sketch is probed twice in one plan
+  override def equals(o: Any): Boolean = o match {
+    case that: CountMinProbe =>
+      child == that.child && java.util.Arrays.equals(bytes, that.bytes)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bytes)
+
   override def prettyName: String = "cms_probe"
 }

@@ -12,6 +12,35 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   */
 object IvfServingKernels {
 
+  /** The centroid norm [[probeCells]] divides by — defined HERE so every
+    * model builder (StreamingAnn's parquet loader, GraftExtensions' SQL
+    * literal path) produces bit-identical cnorms: a sequential left-fold
+    * double sum over the squared components, then one sqrt.
+    */
+  def centroidNorm(cv: Array[Long]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < cv.length) { s += cv(i).toDouble * cv(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Per-subspace self-dots of one codebook row (`ccm(j)(m)` of
+    * [[PqAdcLuts]]) — exact long arithmetic, shared by every builder.
+    */
+  def subspaceSelfDots(row: Array[Long], nSub: Int, subDim: Int): Array[Long] = {
+    val out = new Array[Long](nSub)
+    var m = 0
+    while (m < nSub) {
+      var s = 0L
+      var i = m * subDim
+      val lim = math.min((m + 1) * subDim, row.length)
+      while (i < lim) { s += row(i) * row(i); i += 1 }
+      out(m) = s
+      m += 1
+    }
+    out
+  }
+
   /** Top-`nProbe` cell ids of a quantized query against the centroid
     * matrix, ordered by (cosine score DESC, cell ASC) — exactly
     * `Similarity.assignToCells`' ranking: score is the exact long dot cast
@@ -121,6 +150,20 @@ case class IvfCellProbe(child: Expression, cells: Array[Int],
   override protected def withNewChildInternal(newChild: Expression): IvfCellProbe =
     copy(child = newChild)
 
+  // content equality over the model arrays (see ModelEquality)
+  override def equals(o: Any): Boolean = o match {
+    case that: IvfCellProbe =>
+      child == that.child && nProbe == that.nProbe &&
+        java.util.Arrays.equals(cells, that.cells) &&
+        ModelEquality.deepEq(cents, that.cents) &&
+        java.util.Arrays.equals(cnorms, that.cnorms)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    ((31 * child.hashCode() + nProbe) * 31 +
+      java.util.Arrays.hashCode(cells)) * 31 + ModelEquality.deepHash(cents)
+
   override def prettyName: String = "ivf_cell_probe"
 }
 
@@ -160,6 +203,18 @@ case class PqAdcLuts(child: Expression, cb: Array[Array[Long]],
 
   override protected def withNewChildInternal(newChild: Expression): PqAdcLuts =
     copy(child = newChild)
+
+  // content equality over the codebook arrays (see ModelEquality)
+  override def equals(o: Any): Boolean = o match {
+    case that: PqAdcLuts =>
+      child == that.child && nSub == that.nSub && subDim == that.subDim &&
+        ModelEquality.deepEq(cb, that.cb) && ModelEquality.deepEq(ccm, that.ccm)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    ((31 * child.hashCode() + nSub) * 31 + subDim) * 31 +
+      ModelEquality.deepHash(cb)
 
   override def prettyName: String = "pq_adc_luts"
 }

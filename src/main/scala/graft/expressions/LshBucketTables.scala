@@ -97,5 +97,16 @@ case class LshBucketTables(child: Expression, planes: Array[Array[Long]],
   override protected def withNewChildInternal(newChild: Expression): LshBucketTables =
     copy(child = newChild)
 
+  // content equality over the plane matrix (see ModelEquality)
+  override def equals(o: Any): Boolean = o match {
+    case that: LshBucketTables =>
+      child == that.child && planesPerTable == that.planesPerTable &&
+        ModelEquality.deepEq(planes, that.planes)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    (31 * child.hashCode() + planesPerTable) * 31 + ModelEquality.deepHash(planes)
+
   override def prettyName: String = "lsh_bucket_tables"
 }

@@ -789,10 +789,13 @@ object Curation {
       .agg(sum(col("gopher_pass").cast("long")).as("value"))
       .select(lit("gopher_pass_docs").as("metric"), col("value"))
     // coalesce matches DuckDB's NULL-ignoring concat: a NULL lang becomes
-    // the literal 'docs_lang_' row on BOTH engines instead of Spark
-    // null-propagating to a NULL metric key
+    // one deterministic literal row on BOTH engines instead of Spark
+    // null-propagating to a NULL metric key. The sentinel is '<null>'
+    // (angle brackets cannot appear in a lang code), NOT '' — with ''
+    // a NULL lang and an empty-string lang would collide on the same
+    // metric key and ORDER BY metric would no longer be a total order.
     val perLangKv = docs.groupBy("lang").agg(count(lit(1)).as("value"))
-      .select(concat(lit("docs_lang_"), coalesce(col("lang"), lit(""))).as("metric"),
+      .select(concat(lit("docs_lang_"), coalesce(col("lang"), lit("<null>"))).as("metric"),
         col("value"))
     basicKv.unionByName(distinctKv).unionByName(dupKv)
       .unionByName(gopherKv).unionByName(perLangKv)
@@ -817,7 +820,7 @@ object Curation {
       |    CAST(count(*) AS BIGINT) - CAST(count(DISTINCT fp) AS BIGINT) FROM tc
       |  UNION ALL SELECT 'gopher_pass_docs',
       |    CAST(count(*) FILTER (${TextOps.gopherPassSql}) AS BIGINT) FROM gop_m
-      |  UNION ALL SELECT concat('docs_lang_', coalesce(lang, '')), CAST(count(*) AS BIGINT)
+      |  UNION ALL SELECT concat('docs_lang_', coalesce(lang, '<null>')), CAST(count(*) AS BIGINT)
       |    FROM tc GROUP BY lang)
       |ORDER BY metric""".stripMargin
 

@@ -577,6 +577,14 @@ object TextOps {
   val CMS_CONF = 0.99
   val CMS_SEED = 42
 
+  /** NOTE (runner contract): unlike every other registered query, merely
+    * CONSTRUCTING this frame runs pass 1 (one eager job folding the corpus
+    * into the CMS — the `.head()` below) because the sketch must exist
+    * before the pass-2 probe expression can be built. Plan-only tooling
+    * (Explain sweeps, dry builds) therefore pays a full corpus scan on
+    * t14; attribute that cost to pass 1 of the two-pass design, not to
+    * the displayed pass-2 plan.
+    */
   def heavyShingles(s: SparkSession, d: String): DataFrame =
     heavyShinglesAt(s, d, CMS_HH_DENOM)
 

@@ -74,7 +74,7 @@ object StreamingAnn {
     // ---- per-row cell probe + ADC lookup tables, one compact kernel each
     // (exact same scores/ties as the batch probe — see IvfServingKernels)
     val cnorms = cents.map { case (_, cv) =>
-      math.sqrt(cv.map(x => x.toDouble * x).sum)
+      graft.expressions.IvfServingKernels.centroidNorm(cv)
     }
     val probedCells = ColumnShim.column(graft.expressions.IvfCellProbe(
       ColumnShim.expression(col("qv")), cents.map(_._1), cents.map(_._2),

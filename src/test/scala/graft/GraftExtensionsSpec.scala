@@ -80,4 +80,96 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT cms_probe(CAST(text AS BINARY), doc_id) FROM ext_cms_docs").collect())
     assert(ex2.getMessage.contains("foldable"), ex2.getMessage)
   }
+
+  test("SQL surface: ivf_cell_probe / pq_adc_luts equal their expression forms") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.graft.ColumnShim
+    import graft.expressions.{IvfCellProbe, IvfServingKernels, PqAdcLuts}
+
+    // a small inline model: 4 cells / codebook rows over 6-dim vectors
+    // (2 subspaces x 3) — non-zero, non-orthogonal so ranking ties and
+    // norms are exercised
+    val cells = Array(10, 11, 12, 13)
+    val cents: Array[Array[Long]] = Array(
+      Array(1L, 2L, 3L, 4L, 5L, 6L),
+      Array(-1L, 2L, -3L, 4L, -5L, 6L),
+      Array(6L, 5L, 4L, 3L, 2L, 1L),
+      Array(2L, 2L, 2L, 2L, 2L, 2L))
+    val sqlArr = cents.map(_.mkString("array(", "L,", "L)"))
+      .mkString("array(", ",", ")")
+    val sqlCells = cells.mkString("array(", ",", ")")
+
+    val qs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      .limit(32)
+    qs.createOrReplaceTempView("ext_ivf_q")
+
+    val sqlSide = spark.sql(
+      s"""SELECT vec_id,
+         |  ivf_cell_probe(qv, $sqlCells, $sqlArr, 2) AS probed,
+         |  pq_adc_luts(qv, $sqlArr, 2, 3) AS luts
+         |FROM ext_ivf_q""".stripMargin)
+    val dfSide = qs.select(col("vec_id"),
+      ColumnShim.column(IvfCellProbe(ColumnShim.expression(col("qv")),
+        cells, cents, cents.map(IvfServingKernels.centroidNorm), 2)).as("probed"),
+      ColumnShim.column(PqAdcLuts(ColumnShim.expression(col("qv")),
+        cents, cents.map(IvfServingKernels.subspaceSelfDots(_, 2, 3)), 2, 3)).as("luts"))
+    assert(sqlSide.exceptAll(dfSide).isEmpty && dfSide.exceptAll(sqlSide).isEmpty)
+
+    // the probe really ranks: a query equal to centroid 2 probes cell 12 first
+    val top = spark.sql(
+      s"SELECT ivf_cell_probe(array(6L,5L,4L,3L,2L,1L), $sqlCells, $sqlArr, 2) AS p")
+      .collect().head.getSeq[Int](0)
+    assert(top.head == 12, s"expected cell 12 first, got $top")
+    // and the LUT against the matching codebook row is exactly zero
+    val lut2 = spark.sql(
+      s"SELECT pq_adc_luts(array(6L,5L,4L,3L,2L,1L), $sqlArr, 2, 3) AS l")
+      .collect().head.getSeq[Seq[Long]](0)
+    assert(lut2(0)(2) == 0L && lut2(1)(2) == 0L, s"got $lut2")
+
+    // a non-foldable model argument is a loud error
+    val ex = intercept[Exception](spark.sql(
+      "SELECT ivf_cell_probe(qv, array(CAST(vec_id AS INT)), array(qv), 1) FROM ext_ivf_q")
+      .collect())
+    assert(ex.getMessage.contains("foldable"), ex.getMessage)
+  }
+
+  test("reference-object expressions compare by model CONTENT, not allocation") {
+    import graft.expressions.{CountMinProbe, IvfCellProbe, IvfServingKernels, LshBucketTables, PqAdcLuts}
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val childL = BoundReference(0, LongType, nullable = false)
+    val childA = BoundReference(0, ArrayType(LongType, containsNull = false), nullable = false)
+
+    // two independently-allocated but identical models must be equal —
+    // otherwise CSE / exchange reuse / canonicalized comparison all miss
+    val sk1 = org.apache.spark.util.sketch.CountMinSketch.create(0.01, 0.9, 7)
+    sk1.addLong(42L)
+    val bytes = { val bo = new java.io.ByteArrayOutputStream(); sk1.writeTo(bo); bo.toByteArray }
+    assert(CountMinProbe(childL, bytes.clone()) == CountMinProbe(childL, bytes.clone()))
+    assert(CountMinProbe(childL, bytes.clone()).hashCode ==
+      CountMinProbe(childL, bytes.clone()).hashCode)
+    assert(CountMinProbe(childL, bytes) != CountMinProbe(childL, bytes.drop(1)))
+
+    def cents() = Array(Array(1L, 2L), Array(3L, 4L))
+    def norms() = cents().map(IvfServingKernels.centroidNorm)
+    assert(IvfCellProbe(childA, Array(0, 1), cents(), norms(), 1) ==
+      IvfCellProbe(childA, Array(0, 1), cents(), norms(), 1))
+    assert(IvfCellProbe(childA, Array(0, 1), cents(), norms(), 1) !=
+      IvfCellProbe(childA, Array(0, 2), cents(), norms(), 1))
+
+    def ccm() = cents().map(IvfServingKernels.subspaceSelfDots(_, 1, 2))
+    assert(PqAdcLuts(childA, cents(), ccm(), 1, 2) ==
+      PqAdcLuts(childA, cents(), ccm(), 1, 2))
+    assert(PqAdcLuts(childA, cents(), ccm(), 1, 2) !=
+      PqAdcLuts(childA, cents().map(_.map(_ + 1L)), ccm(), 1, 2))
+
+    assert(LshBucketTables(childA, cents(), 2) == LshBucketTables(childA, cents(), 2))
+    assert(LshBucketTables(childA, cents(), 2) != LshBucketTables(childA, cents(), 1))
+
+    // semanticEquals (canonicalized comparison) rides the same equality
+    assert(CountMinProbe(childL, bytes.clone())
+      .semanticEquals(CountMinProbe(childL, bytes.clone())))
+  }
 }
