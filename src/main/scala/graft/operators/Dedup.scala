@@ -1567,12 +1567,12 @@ object Dedup {
       |  CAST(CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS INT) AS is_survivor
       |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin
 
-  /** d14 oracle: the shared component labels joined to the t03 quality
-    * expression; keeper = rank-1 by (quality DESC, doc_id).
+  /** Keeper CTE chain (labels → quality → ranked members) appended to
+    * [[ccCtes]] — shared by the d14 oracle and the d21 unified-report
+    * oracle so the keeper semantics cannot drift between them.
     */
-  lazy val qualitySurvivorsSql: String =
-    s"""$ccCtes,
-      |labels AS (SELECT id, min(lbl) AS lbl FROM cc GROUP BY id),
+  private lazy val keeperCtesSql: String =
+    s"""labels AS (SELECT id, min(lbl) AS lbl FROM cc GROUP BY id),
       |qm AS (SELECT doc_id, text,
       |    string_split(trim(lower(text)), ' ') AS ltoks,
       |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
@@ -1588,10 +1588,81 @@ object Dedup {
       |r AS (SELECT *,
       |    row_number() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) AS rn,
       |    count(*) OVER (PARTITION BY component) AS cnt
-      |  FROM j)
+      |  FROM j)""".stripMargin
+
+  /** d14 oracle: the shared component labels joined to the t03 quality
+    * expression; keeper = rank-1 by (quality DESC, doc_id).
+    */
+  lazy val qualitySurvivorsSql: String =
+    s"""$ccCtes,
+      |$keeperCtesSql
       |SELECT component, CAST(cnt AS BIGINT) AS n_members,
       |  doc_id AS keeper_id, quality AS keeper_quality
       |FROM r WHERE rn = 1 ORDER BY component""".stripMargin
+
+  /** d21: [[neardupReport]] as ONE registered, oracled query — the
+    * PRODUCTION face of the d07/d14/d15 triple, the exact rationale that
+    * produced p11: the driver harness prices those three keys as isolated
+    * runs, each paying the (dominant) capped pair pipeline — and d07/d14
+    * additionally each paying connected components — while a real dedup
+    * batch calls [[neardupReport]] and pays pairs + CC once. This key
+    * exposes that amortized shape to the bench; NeardupReportSpec pins
+    * section-equality with the registered d07/d14/d15 outputs.
+    *
+    * Schema: (section, id_a, id_b, val1, val2, quality) — 'component'
+    * rows carry (doc_id, component, is_survivor); 'keeper' rows
+    * (component, keeper_id, n_members, –, keeper_quality); 'confirm'
+    * rows (id_a, id_b, edit_dist, sim_permille). (section, id_a, id_b)
+    * is unique per section by construction, so the global ORDER BY is a
+    * total order.
+    */
+  def neardupReportUnified(s: SparkSession, d: String): DataFrame = {
+    val (_, components, keepers, confirms) = neardupReport(s, d)
+    val nullLong = lit(null).cast("long")
+    val nullDouble = lit(null).cast("double")
+    val compRows = components.select(lit("component").as("section"),
+      col("doc_id").as("id_a"), col("component").as("id_b"),
+      col("is_survivor").cast("long").as("val1"),
+      nullLong.as("val2"), nullDouble.as("quality"))
+    val keeperRows = keepers.select(lit("keeper").as("section"),
+      col("component").as("id_a"), col("keeper_id").as("id_b"),
+      col("n_members").cast("long").as("val1"),
+      nullLong.as("val2"), col("keeper_quality").as("quality"))
+    val confirmRows = confirms.select(lit("confirm").as("section"),
+      col("id_a"), col("id_b"), col("edit_dist").as("val1"),
+      col("sim_permille").as("val2"), nullDouble.as("quality"))
+    compRows.unionByName(keeperRows).unionByName(confirmRows)
+      .orderBy("section", "id_a", "id_b")
+  }
+
+  /** d21 oracle: the d07/d14/d15 oracle fragments over ONE shared CTE
+    * chain, unified exactly like the Spark face.
+    */
+  lazy val neardupReportUnifiedSql: String =
+    s"""$ccCtes,
+      |$keeperCtesSql,
+      |conf AS (SELECT id_a, id_b,
+      |    CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
+      |    CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT) AS maxlen
+      |  FROM pairs JOIN documents ta ON ta.doc_id = id_a
+      |             JOIN documents tb ON tb.doc_id = id_b)
+      |SELECT section, id_a, id_b, val1, val2, quality FROM (
+      |  SELECT 'component' AS section, id AS id_a, min(lbl) AS id_b,
+      |      CAST(CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS BIGINT) AS val1,
+      |      CAST(NULL AS BIGINT) AS val2, CAST(NULL AS DOUBLE) AS quality
+      |    FROM cc GROUP BY id
+      |  UNION ALL
+      |  SELECT 'keeper', component, doc_id, CAST(cnt AS BIGINT),
+      |      CAST(NULL AS BIGINT), quality
+      |    FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT 'confirm', id_a, id_b, edit_dist,
+      |      (1000 * (maxlen - edit_dist)) // greatest(maxlen, 1),
+      |      CAST(NULL AS DOUBLE)
+      |    FROM conf
+      |    WHERE (1000 * (maxlen - edit_dist)) // greatest(maxlen, 1)
+      |          >= $EDIT_SIM_MIN_PERMILLE)
+      |ORDER BY section, id_a, id_b""".stripMargin
 
   // ------------------------------------------------------ paragraph dedup
   /** d10: paragraph-level exact dedup (the CCNet / RefinedWeb pass that
@@ -2025,9 +2096,36 @@ object Dedup {
     */
   val SWEEP_BANDS: Seq[Int] = Seq(4, 8, 16)
 
-  def lshBandSweep(s: SparkSession, d: String): DataFrame = {
-    val truth = recallTruth(s, d)
-    val sigs = minhashSignatures(Tables.documents(s, d))
+  def lshBandSweep(s: SparkSession, d: String): DataFrame =
+    sweepCurvesOver(recallTruth(s, d), minhashSignatures(Tables.documents(s, d)))
+
+  /** d22: [[lshBandSweep]] with the two shared subtrees — the exact-
+    * Jaccard truth and the [[SIG_N]]-minhash signature frame — eagerly
+    * checkpointed ONCE, so each sweep branch reads materialized rows
+    * instead of leaving recomputation to Spark's exchange-reuse call.
+    * This is the PRODUCTION sweep face (the p11/curationReport
+    * amortization discipline applied to the d20 eval): the registered
+    * d20 key deliberately forgoes caching (per-query isolation — no
+    * persist leaks into a long-lived session), which makes it the
+    * slowest bench key; a real tuning run over many (b, r) configs pays
+    * truth + signatures once and one thin band self-join per config.
+    * Oracled by the SAME SQL as d20 (the whole point: identical rows,
+    * amortized cost); DedupCapSpec pins frame-equality with d20.
+    *
+    * localCheckpoint(eager) rather than cache: the sweep branches run in
+    * ONE action here, and checkpoint truncates lineage so the branch
+    * plans don't each re-plan the full posting pipeline at optimization
+    * time either.
+    */
+  def lshBandSweepAmortized(s: SparkSession, d: String): DataFrame =
+    sweepCurvesOver(recallTruth(s, d).localCheckpoint(true),
+      minhashSignatures(Tables.documents(s, d)).localCheckpoint(true))
+
+  /** One recall curve per [[SWEEP_BANDS]] config over given truth/
+    * signature frames — shared by d20 (isolated) and d22 (amortized) so
+    * the sweep semantics cannot drift between the two faces.
+    */
+  private def sweepCurvesOver(truth: DataFrame, sigs: DataFrame): DataFrame =
     SWEEP_BANDS.map { b =>
       val cand = recallCandidates(bandedKeysAt(sigs, b))
       truth.join(cand, Seq("id_q", "id_c"), "left")
@@ -2038,7 +2136,6 @@ object Dedup {
     }.reduce(_ unionByName _)
       .select(col("bands"), col("bucket"), col("n_true"), col("n_lsh_hit"))
       .orderBy("bands", "bucket")
-  }
 
   /** Shared truth CTE chain (capped postings → sizes → intersections →
     * similarity deciles) for the d19/d20 oracles — generated once, like
@@ -2111,6 +2208,8 @@ object Dedup {
     * express them; minhash/simhash are verified by scalatest instead).
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d22_band_sweep_amortized" -> (lshBandSweepAmortized _),
+    "d21_neardup_report" -> (neardupReportUnified _),
     "d20_lsh_band_sweep" -> (lshBandSweep _),
     "d19_lsh_recall" -> (lshRecallCurve _),
     "d01_dedup_exact" -> (dedupExactSurvivors _),
@@ -2132,6 +2231,8 @@ object Dedup {
     "d18_exact_then_near" -> (exactThenNear _))
 
   val oracles: Map[String, String] = Map(
+    "d22_band_sweep_amortized" -> lshBandSweepSql,
+    "d21_neardup_report" -> neardupReportUnifiedSql,
     "d20_lsh_band_sweep" -> lshBandSweepSql,
     "d19_lsh_recall" -> lshRecallCurveSql,
     "d18_exact_then_near" -> exactThenNearSql,

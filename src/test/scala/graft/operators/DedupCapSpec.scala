@@ -133,6 +133,12 @@ class DedupCapSpec extends SparkSpec {
     assert(d19 == sweep.collect { case ((8L, bk), v) => bk -> v })
   }
 
+  test("d22 amortized sweep ≡ d20 row-for-row (checkpointing changes cost, not rows)") {
+    val d = "/root/testdata/sf0.001"
+    assert(Dedup.lshBandSweepAmortized(spark, d).collect().toSeq ==
+      Dedup.lshBandSweep(spark, d).collect().toSeq)
+  }
+
   test("posting pipeline runs on ONE exchange: dedup, cap and groups share it") {
     // the per-doc dedup (lag), the plen cap window and the posting-group
     // aggregate all hash-partition on the same (lang, pband, sh) keys, so

@@ -1306,6 +1306,31 @@ class SimilaritySpec extends SparkSpec {
       Dedup.editDistancePairs(spark, d).collect().toSeq)
   }
 
+  test("d21 unified report sections ≡ the registered d07/d14/d15 outputs") {
+    val d = "/root/testdata/sf0.01"
+    val rows = Dedup.neardupReportUnified(spark, d).collect()
+    assert(rows.map(_.getString(0)).distinct.sorted.toSeq ==
+      Seq("component", "confirm", "keeper"))
+    // component section = d07 (doc_id, component, is_survivor)
+    val comp = rows.filter(_.getString(0) == "component")
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(comp == Dedup.neardupSurvivors(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSeq)
+    // keeper section = d14 (component, keeper_id, n_members, quality)
+    val keep = rows.filter(_.getString(0) == "keeper")
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5))).toSeq
+    assert(keep == Dedup.qualitySurvivors(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(1), r.getDouble(3))).toSeq)
+    // confirm section = d15 (id_a, id_b, edit_dist, sim_permille)
+    val conf = rows.filter(_.getString(0) == "confirm")
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(conf == Dedup.editDistancePairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq)
+    // null shape: quality only on keeper rows, val2 only on confirm rows
+    assert(rows.forall(r => r.isNullAt(5) == (r.getString(0) != "keeper")))
+    assert(rows.forall(r => r.isNullAt(4) == (r.getString(0) != "confirm")))
+  }
+
   test("d15 confirmed pairs: independent DP recompute matches; threshold holds") {
     val d = "/root/testdata/sf0.01"
     def lev(a: String, b: String): Int = {
