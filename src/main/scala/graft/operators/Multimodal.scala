@@ -75,6 +75,10 @@ object Multimodal {
     * decoder. Real implementation would decode `payload` (JPEG/PNG/WAV…)
     * and emit true dimensions; this derives them from byte statistics so
     * tests pin the plumbing. Marked prominently per the build contract.
+    * A REAL decoder for the same seam exists: [[imageIoDecoderFactory]]
+    * (JDK javax.imageio, true dimensions from actual PNG/BMP/GIF/JPEG
+    * payloads); the stub stays the default because the synthetic corpus
+    * payloads are UTF-8 text, which only the fake can "decode".
     */
   def stubDecode(payload: Array[Byte]): (Int, Int, Long) = {
     // ??? real codec goes here — deterministic fake below
@@ -268,12 +272,22 @@ object Multimodal {
 
   /** (asset_id, phash) via the mapPartitions batch kernel — blobs are
     * consumed where they sit and only 2 longs per asset ever move.
+    *
+    * `pixelsFactory` is the same once-per-partition codec seam as
+    * [[extractFeatures]]' decoderFactory, here producing the byte array
+    * the aHash actually folds: the default identity hashes the raw
+    * payload (the registered m04 byte-form, oracle-reproducible);
+    * [[imageIoGrayPixels]] drops a REAL decoder into the slot so the
+    * SAME kernel folds true luminance pixels instead.
     */
-  def perceptualHashes(assets: DataFrame): DataFrame = {
+  def perceptualHashes(assets: DataFrame,
+      pixelsFactory: () => Array[Byte] => Array[Byte] =
+        () => (b: Array[Byte]) => b): DataFrame = {
     val enc = RowEncoder.encoderFor(phashSchema)
     assets.select("asset_id", "payload").mapPartitions { it =>
+      val pixels = pixelsFactory() // codec init, once per partition
       it.map { r =>
-        Row(r.getLong(0), perceptualHash(r.getAs[Array[Byte]](1)))
+        Row(r.getLong(0), perceptualHash(pixels(r.getAs[Array[Byte]](1))))
       }
     }(enc)
   }
@@ -320,9 +334,16 @@ object Multimodal {
     base.unionByName(planted)
   }
 
-  def phashNearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val fp = perceptualHashes(
-      assetsWithPlants(s, d).filter(octet_length(col("payload")) > 0))
+  def phashNearDupPairs(s: SparkSession, d: String): DataFrame =
+    phashPairsOf(perceptualHashes(
+      assetsWithPlants(s, d).filter(octet_length(col("payload")) > 0)))
+
+  /** The band/join/confirm chain over an arbitrary (asset_id, phash)
+    * frame — shared by the registered m04 (byte-form aHash) and the
+    * real-decode pipeline (true-pixel aHash from [[imageIoGrayPixels]]),
+    * so swapping the codec cannot change the dedup semantics.
+    */
+  def phashPairsOf(fp: DataFrame): DataFrame = {
     val banded = fp.select(col("asset_id"), col("phash"),
         explode(sequence(lit(0), lit(PHASH_BANDS - 1))).as("b"))
       .withColumn("key",
@@ -342,6 +363,68 @@ object Multimodal {
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
   }
+
+  // ------------------------------------------- real-codec seam: ImageIO
+  /** REAL image decode through the codec seam — `javax.imageio` is an
+    * actual image library shipped with the JDK (PNG/BMP/GIF/JPEG), so
+    * this instantiates [[extractFeatures]]' decoderFactory contract with
+    * a true codec at zero external dependencies: per-partition init
+    * disables ImageIO's temp-file cache (the codec-init slot the factory
+    * exists for), then each payload decodes to its REAL dimensions.
+    * Undecodable/empty payloads yield (0, 0, 0) rather than throwing —
+    * a corpus-scale decode never dies on one corrupt blob; the caller
+    * filters the (0, 0) rows into its quarantine path.
+    */
+  def imageIoDecoderFactory(): Array[Byte] => (Int, Int, Long) = {
+    javax.imageio.ImageIO.setUseCache(false)
+    (payload: Array[Byte]) => {
+      val img = decodeImage(payload)
+      if (img == null) (0, 0, 0L) else (img.getWidth, img.getHeight, 0L)
+    }
+  }
+
+  /** Decoded row-major grayscale pixels (one byte per pixel, integer
+    * BT.601 luminance (299r + 587g + 114b)/1000) — the TRUE-pixel input
+    * that turns [[perceptualHash]]'s byte-block aHash into honest image
+    * aHash: block mean vs global mean over actual luminance. Plugs into
+    * [[perceptualHashes]]' pixelsFactory seam; undecodable payloads
+    * yield an empty array (phash 0, filtered upstream like empty
+    * payloads in m04).
+    */
+  def imageIoGrayPixels(): Array[Byte] => Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    (payload: Array[Byte]) => {
+      val img = decodeImage(payload)
+      if (img == null) Array.emptyByteArray
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Byte](w * h)
+        var y = 0
+        var i = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            out(i) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+            i += 1
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    }
+  }
+
+  private def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage =
+    if (payload == null || payload.isEmpty) null
+    else
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
 
   /** m04 oracle: per-byte block sums from hex pairs (the m02 technique),
     * the same exact-integer bit rule, the same bands and popcount.

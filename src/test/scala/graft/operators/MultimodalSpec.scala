@@ -35,6 +35,76 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real ImageIO decode: true dimensions + m04 near-dup recovery on decoded pixels") {
+    import spark.implicits._
+    // Deterministic per-id pseudo-random 24x24 RGB images, encoded as
+    // REAL byte streams (ImageIO.write) — the payloads a production
+    // asset table would hold. Every id % 5 == 0 gets a near-duplicate
+    // copy re-hosted the way mirrors actually re-host: ONE pixel's red
+    // channel nudged by +8 AND the container changed (PNG -> BMP).
+    // Visually identical, byte-stream structurally unrelated
+    // (compressed DEFLATE vs raw bitmap) — the case byte-form aHash
+    // CANNOT catch and decoded-pixel aHash must.
+    val side = 24
+    def pix(id: Long, x: Int, y: Int): Int = {
+      var z = id * 1000003L + y * 131L + x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      ((z ^ (z >>> 31)) & 0xffffffL).toInt
+    }
+    def encoded(id: Long, perturb: Boolean, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(side, side,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until side; x <- 0 until side) img.setRGB(x, y, pix(id, x, y))
+      if (perturb) {
+        val rgb = img.getRGB(3, 3)
+        val r = math.min(255, ((rgb >> 16) & 0xff) + 8)
+        img.setRGB(3, 3, (r << 16) | (rgb & 0xffff))
+      }
+      val bo = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bo), s"no JDK $fmt writer")
+      bo.toByteArray
+    }
+    val n = 30L
+    val offset = 1000000L
+    val plantedIds = (0L until n).filter(_ % 5 == 0)
+    val assets = ((0L until n).map(id => (id, encoded(id, perturb = false, "png"))) ++
+      plantedIds.map(id => (id + offset, encoded(id, perturb = true, "bmp"))))
+      .toDF("asset_id", "payload")
+
+    // 1) the decoderFactory seam with the REAL codec: true dimensions out
+    val feats = Multimodal.extractFeatures(spark, assets,
+      Multimodal.imageIoDecoderFactory _).collect()
+    assert(feats.nonEmpty && feats.forall(r =>
+      r.getInt(2) == side && r.getInt(3) == side))
+    // the stored bytes are a real compressed PNG stream, not raw pixels
+    assert(feats.forall(r => r.getInt(1) != side * side * 3))
+    // an undecodable payload degrades to (0,0), never throws
+    val junk = Seq((99L, "not a png".getBytes("UTF-8"))).toDF("asset_id", "payload")
+    val jf = Multimodal.extractFeatures(spark, junk,
+      Multimodal.imageIoDecoderFactory _).collect().head
+    assert(jf.getInt(2) == 0 && jf.getInt(3) == 0)
+
+    // 2) the EXISTING m04 band/join/confirm chain over TRUE pixels: the
+    // perturbed re-encodes land within the Hamming gate, nothing else does
+    val fp = Multimodal.perceptualHashes(assets, Multimodal.imageIoGrayPixels _)
+    val pairs = Multimodal.phashPairsOf(fp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = plantedIds.map(id => (id, id + offset)).toSet
+    planted.foreach(p => assert(pairs.contains(p), s"missed planted near-dup $p"))
+    assert(pairs == planted, s"false positives: ${pairs -- planted}")
+
+    // 3) and the byte-form aHash over the SAME assets genuinely cannot
+    // see them (a PNG stream and a BMP stream of the same pixels share
+    // nothing structurally) — the measured justification for decoding
+    // before hashing
+    val bytePairs = Multimodal.phashPairsOf(
+      Multimodal.perceptualHashes(assets)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.forall(!bytePairs.contains(_)),
+      "byte-form aHash saw a re-encoded pair — perturbation too weak to prove the decode matters")
+  }
+
   test("a real external codec (java.util.zip) drops into the mapPartitions decode seam") {
     // The stub kernels are documented stand-ins; the claim they stand in
     // FOR is that the seam — per-partition codec init, per-payload decode,
