@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-sweep corpus builder: writes an N× replica of an existing SF
+  * directory so the bench can measure SCALING EXPONENTS (sf0.1 → sf1.0
+  * per-key ratios), not just absolute times at one size.
+  *
+  * Replication model — N independent shards, NOT N raw copies. A raw
+  * copy would be a degenerate corpus: every document would gain N−1
+  * exact duplicates, so pair-emitting operators (LSH postings, phash
+  * bands, semantic dedup cells) would see pair DENSITY grow ~N× per key
+  * and the sweep would measure the degeneracy, not the engine. Instead
+  * each shard i applies a BIJECTION that keeps within-shard structure
+  * identical and makes shards pairwise disjoint:
+  *
+  *  - documents: ids shift by i·stride; text goes through a per-shard
+  *    alphabet rotation (a→b→c…, case-preserving, non-letters fixed).
+  *    A bijection on letters preserves token boundaries, token/char
+  *    counts, and within-shard Jaccard/edit structure EXACTLY (so each
+  *    shard carries the same dup/near-dup density as the original),
+  *    while rotated shingles/fingerprints almost never collide across
+  *    shards. Shard 0 is the identity — the scaled corpus contains the
+  *    original verbatim. `lang`/`source` stay fixed: sources don't
+  *    multiply when a corpus grows, so group-by-source cardinality
+  *    holding constant at N× rows is the realistic shape.
+  *  - embeddings: ids shift; vectors rotate by i positions — norm- and
+  *    distribution-preserving, within-shard geometry identical,
+  *    cross-shard near-collisions gone.
+  *  - lineitem/orders: orderkeys shift by i·stride (consistently, so
+  *    within-shard joins still match); custkeys stay — a customer with
+  *    10× the orders is exactly what 10× the history looks like.
+  *  - everything else copies unchanged (dimension tables don't scale).
+  *
+  * This models "N independent crawls at the same source mix": rows,
+  * pairs, and components all grow ~linearly in N, which is the regime
+  * the 100 TB plan-shape arguments claim — precisely what the sweep is
+  * supposed to test. Usage:
+  *
+  *   runMain graft.ScaleData /root/testdata/sf0.1 /tmp/sf1 10
+  */
+object ScaleData {
+
+  private val LOWER = "abcdefghijklmnopqrstuvwxyz"
+  private val UPPER = LOWER.toUpperCase
+
+  private def rot(s: String, i: Int): String = {
+    val k = ((i % 26) + 26) % 26
+    s.drop(k) + s.take(k)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, factorStr) = args.take(3)
+    val factor = factorStr.toInt
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val DOC_STRIDE = 1000000L      // well clear of sf0.1 doc_id range,
+    val VEC_STRIDE = 1000000L      // well under m04's 1e12 plant offset
+    val ORD_STRIDE = 100000000L    // clear of TPC-H orderkey range at any local SF
+
+    def shards(base: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => f(base, i)).reduce(_ unionByName _)
+
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scale] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
+    }
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    write(shards(docs) { (d, i) =>
+      d.select(
+        (col("doc_id") + lit(i * DOC_STRIDE)).as("doc_id"),
+        translate(col("text"), LOWER + UPPER, rot(LOWER, i) + rot(UPPER, i)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }, "documents")
+
+    val embs = spark.read.parquet(s"$src/embeddings.parquet")
+    write(shards(embs) { (e, i) =>
+      val rotated =
+        if (i == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
+          s"slice(embedding, 1, $i))")
+      e.select((col("vec_id") + lit(i * VEC_STRIDE)).as("vec_id"),
+        rotated.as("embedding"), col("label"))
+    }, "embeddings")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    write(shards(li) { (l, i) =>
+      l.withColumn("l_orderkey", col("l_orderkey") + lit(i * ORD_STRIDE))
+    }, "lineitem")
+
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    write(shards(ord) { (o, i) =>
+      o.withColumn("o_orderkey", col("o_orderkey") + lit(i * ORD_STRIDE))
+    }, "orders")
+
+    Seq("region", "nation", "customer", "supplier", "part", "events")
+      .foreach(n => write(spark.read.parquet(s"$src/$n.parquet"), n))
+
+    spark.stop()
+  }
+}

@@ -2090,9 +2090,11 @@ object Dedup {
     * thin band self-join; the registered query leaves the shared truth/
     * signature subtrees uncached (the d14/d15 per-query-isolation
     * discipline — no persist leaks into a long-lived session), so
-    * whether they recompute per branch is Spark's exchange-reuse call. A
-    * production sweep over many configs would checkpoint `truth` and the
-    * signature frame once and bound the cost structurally.
+    * whether they recompute per branch is Spark's exchange-reuse call —
+    * which, measured (round 11, PLANS.md), absorbs most of it within
+    * this one action: the checkpointed variant ([[lshBandSweepAmortized]],
+    * registered as d22) prices at parity here and wins only when sweep
+    * branches span actions.
     */
   val SWEEP_BANDS: Seq[Int] = Seq(4, 8, 16)
 
@@ -2102,20 +2104,22 @@ object Dedup {
   /** d22: [[lshBandSweep]] with the two shared subtrees — the exact-
     * Jaccard truth and the [[SIG_N]]-minhash signature frame — eagerly
     * checkpointed ONCE, so each sweep branch reads materialized rows
-    * instead of leaving recomputation to Spark's exchange-reuse call.
-    * This is the PRODUCTION sweep face (the p11/curationReport
-    * amortization discipline applied to the d20 eval): the registered
-    * d20 key deliberately forgoes caching (per-query isolation — no
-    * persist leaks into a long-lived session), which makes it the
-    * slowest bench key; a real tuning run over many (b, r) configs pays
-    * truth + signatures once and one thin band self-join per config.
-    * Oracled by the SAME SQL as d20 (the whole point: identical rows,
-    * amortized cost); DedupCapSpec pins frame-equality with d20.
+    * regardless of how many ACTIONS consume them. Oracled by the SAME
+    * SQL as d20 (identical rows by construction); DedupCapSpec pins
+    * frame-equality with d20.
     *
-    * localCheckpoint(eager) rather than cache: the sweep branches run in
-    * ONE action here, and checkpoint truncates lineage so the branch
-    * plans don't each re-plan the full posting pipeline at optimization
-    * time either.
+    * MEASURED (round 11, PLANS.md scaling sweep): within the single
+    * action the registered key runs, this is a WASH vs d20 — 3.1 vs
+    * 3.0 s at sf0.1, 7.9 vs 7.0 s at 10× — because Spark's runtime
+    * exchange reuse already absorbs most shared-subtree recomputation
+    * inside one action, while the eager localCheckpoint pays its
+    * materialization up front. The amortized face earns its keep when
+    * sweep branches span actions: interactive tuning that evaluates
+    * (b, r) configs one at a time, resumable sweeps, or any session
+    * that re-reads the truth/signature frames — there each extra
+    * config costs one thin band self-join instead of the full posting
+    * pipeline. Registered so the bench PRICES the checkpoint variant
+    * honestly next to d20 rather than asserting the win.
     */
   def lshBandSweepAmortized(s: SparkSession, d: String): DataFrame =
     sweepCurvesOver(recallTruth(s, d).localCheckpoint(true),
