@@ -17,6 +17,7 @@ import datetime
 import glob
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -56,7 +57,11 @@ def canon(v):
 def main(sfdir, outdir):
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # driver testdata ships single-file tables; Spark-written corpora
+        # (e.g. graft.ScaleData output) are part-file DIRECTORIES
+        path = f"{sfdir}/{t}.parquet"
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     results = {}
     for name, sql in sorted(oracle.items()):
