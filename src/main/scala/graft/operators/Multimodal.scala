@@ -426,6 +426,34 @@ object Multimodal {
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case _: java.io.IOException => null }
 
+  /** REAL audio decode through the same seam — `javax.sound.sampled` is
+    * the JDK's actual audio library (WAV/AIFF/AU containers): width=
+    * channels, height=sample rate (Hz), duration from the frame count —
+    * the three numbers an audio curation gate (mono/stereo split,
+    * sample-rate floor, length window) filters on. Same degrade-to-zero
+    * contract as [[imageIoDecoderFactory]] for undecodable blobs.
+    */
+  def audioWavDecoderFactory(): Array[Byte] => (Int, Int, Long) = {
+    payload =>
+      if (payload == null || payload.isEmpty) (0, 0, 0L)
+      else {
+        var in: javax.sound.sampled.AudioInputStream = null
+        try {
+          in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(payload)))
+          val fmt = in.getFormat
+          val frames = in.getFrameLength
+          val rate = fmt.getFrameRate
+          val durMs =
+            if (frames >= 0 && rate > 0) (frames * 1000.0 / rate).toLong else 0L
+          (fmt.getChannels, fmt.getSampleRate.toInt, durMs)
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => (0, 0, 0L)
+          case _: java.io.IOException => (0, 0, 0L)
+        } finally if (in != null) in.close()
+      }
+  }
+
   /** m04 oracle: per-byte block sums from hex pairs (the m02 technique),
     * the same exact-integer bit rule, the same bands and popcount.
     */

@@ -105,6 +105,47 @@ class MultimodalSpec extends SparkSpec {
       "byte-form aHash saw a re-encoded pair — perturbation too weak to prove the decode matters")
   }
 
+  test("real audio decode (javax.sound.sampled): true channels/rate/duration from WAV bytes") {
+    import spark.implicits._
+    // real PCM WAV streams via the JDK's own encoder (AudioSystem.write),
+    // varied in the three dimensions a curation gate filters on
+    def wav(id: Long): Array[Byte] = {
+      val channels = if (id % 2 == 0) 1 else 2
+      val rate = if (id % 3 == 0) 8000f else 16000f
+      val nFrames = 200 + (id * 37 % 400).toInt
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+      val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+      var i = 0
+      while (i < pcm.length) { pcm(i) = ((id * 131 + i * 7) % 256 - 128).toByte; i += 1 }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val bo = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bo)
+      bo.toByteArray
+    }
+    val ids = 0L until 12L
+    val assets = ids.map(id => (id, wav(id))).toDF("asset_id", "payload")
+    val feats = Multimodal.extractFeatures(spark, assets,
+      Multimodal.audioWavDecoderFactory _)
+      .orderBy("asset_id").collect()
+    assert(feats.length == ids.length)
+    feats.zip(ids).foreach { case (r, id) =>
+      val expChannels = if (id % 2 == 0) 1 else 2
+      val expRate = if (id % 3 == 0) 8000 else 16000
+      val nFrames = 200 + (id * 37 % 400).toInt
+      assert(r.getInt(2) == expChannels, s"channels wrong for $id")
+      assert(r.getInt(3) == expRate, s"rate wrong for $id")
+      assert(r.getLong(4) == (nFrames * 1000L) / expRate,
+        s"duration wrong for $id: ${r.getLong(4)}")
+    }
+    // undecodable payload degrades to zeros, never throws
+    val junk = Seq((99L, Array.fill[Byte](64)(3))).toDF("asset_id", "payload")
+    val jf = Multimodal.extractFeatures(spark, junk,
+      Multimodal.audioWavDecoderFactory _).collect().head
+    assert(jf.getInt(2) == 0 && jf.getInt(3) == 0 && jf.getLong(4) == 0L)
+  }
+
   test("a real external codec (java.util.zip) drops into the mapPartitions decode seam") {
     // The stub kernels are documented stand-ins; the claim they stand in
     // FOR is that the seam — per-partition codec init, per-payload decode,
