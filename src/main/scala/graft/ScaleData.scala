@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * identical and makes shards pairwise disjoint:
   *
   *  - documents: ids shift by i·stride; text goes through a per-shard
-  *    alphabet rotation (a→b→c…, case-preserving, non-letters fixed).
+  *    affine alphabet bijection (σ_i(j) = a·j+b mod 26, case-preserving,
+  *    non-letters fixed — 312 distinct shards; see [[affine]]).
   *    A bijection on letters preserves token boundaries, token/char
   *    counts, and within-shard Jaccard/edit structure EXACTLY (so each
   *    shard carries the same dup/near-dup density as the original),
@@ -45,9 +46,22 @@ object ScaleData {
   private val LOWER = "abcdefghijklmnopqrstuvwxyz"
   private val UPPER = LOWER.toUpperCase
 
-  private def rot(s: String, i: Int): String = {
-    val k = ((i % 26) + 26) % 26
-    s.drop(k) + s.take(k)
+  // Per-shard alphabet bijection σ_i(j) = a·j + b (mod 26) with a coprime
+  // to 26 — an AFFINE map, not a bare rotation: rotations alone give only
+  // 26 distinct shards, so a factor ≥ 27 would silently replay shard 0's
+  // text under new ids and re-create exactly the degenerate
+  // cross-shard-exact-dup corpus this builder exists to avoid (caught
+  // live: the first 30× build produced 23,116 d03 pairs where the linear
+  // model predicts 2,460 — shards 26–29 colliding with 0–3). 12 units ×
+  // 26 shifts = 312 distinct bijections; shard 0 (a=1, b=0) is the
+  // identity.
+  private val UNITS = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+  private def affine(i: Int): String = {
+    val a = UNITS((i / 26) % UNITS.length)
+    val b = i % 26
+    require(i < UNITS.length * 26, s"shard $i exceeds the ${UNITS.length * 26} distinct bijections")
+    (0 until 26).map(j => LOWER((a * j + b) % 26)).mkString
   }
 
   def main(args: Array[String]): Unit = {
@@ -79,7 +93,8 @@ object ScaleData {
     write(shards(docs) { (d, i) =>
       d.select(
         (col("doc_id") + lit(i * DOC_STRIDE)).as("doc_id"),
-        translate(col("text"), LOWER + UPPER, rot(LOWER, i) + rot(UPPER, i)).as("text"),
+        translate(col("text"), LOWER + UPPER,
+          affine(i) + affine(i).toUpperCase).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }, "documents")
 
