@@ -99,11 +99,26 @@ object ScaleData {
     }, "documents")
 
     val embs = spark.read.parquet(s"$src/embeddings.parquet")
+    val dim = embs.selectExpr("size(embedding)").head().getInt(0)
+    require(factor <= 2 * dim,
+      s"embedding bijection family has 2·dim = ${2 * dim} distinct members " +
+        s"(rotation × sign), factor $factor would replay shard 0's vectors")
     write(shards(embs) { (e, i) =>
+      // shard transform = rotate by (i mod dim), negate every dim-th
+      // wrap — both norm- and within-shard-geometry-preserving; a raw
+      // rotation alone caps out at dim shards (and a shift ≥ dim is a
+      // NEGATIVE slice length — caught live on the first 100× build).
+      // All index arithmetic rides size(embedding) in SQL, so the tool
+      // never assumes the dim it just validated against.
       val rotated =
         if (i == 0) col("embedding")
-        else expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
-          s"slice(embedding, 1, $i))")
+        else expr(
+          s"transform(concat(" +
+            s"slice(embedding, ($i % size(embedding)) + 1, " +
+            s"      size(embedding) - ($i % size(embedding))), " +
+            s"slice(embedding, 1, $i % size(embedding))), " +
+            s"x -> x * (CASE WHEN ($i div size(embedding)) % 2 = 0 " +
+            s"THEN CAST(1 AS FLOAT) ELSE CAST(-1 AS FLOAT) END))")
       e.select((col("vec_id") + lit(i * VEC_STRIDE)).as("vec_id"),
         rotated.as("embedding"), col("label"))
     }, "embeddings")
