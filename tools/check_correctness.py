@@ -65,6 +65,12 @@ def main(sfdir, outdir):
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     results = {}
     for name, sql in sorted(oracle.items()):
+        # partial dumps (SPARK_GRAFT_ONLY) leave most keys without an
+        # output dir — don't burn oracle time on queries that were never
+        # dumped (the full-dump path checks everything as before)
+        if not os.path.isdir(f"{outdir}/{name}"):
+            print(f"SKIP  {name:24s} (not dumped)")
+            continue
         try:
             exp = con.sql(sql)
             exp_cols = exp.columns
