@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.cdc.CdcQueries
-import graft.operators.{Advanced, Curation, Dedup, Extras, Multimodal, Relational, Relational2, ScalePatterns, Similarity, TextOps, TimeWindows}
+import graft.operators.{Advanced, Curation, Dedup, Extras, Graph, Multimodal, Relational, Relational2, ScalePatterns, Similarity, TextOps, TimeWindows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++ Dedup.queries ++
       Similarity.queries ++ TextOps.queries ++ Multimodal.queries ++
       CdcQueries.queries ++ Extras.queries ++ TimeWindows.queries ++
-      Advanced.queries ++ Curation.queries ++ ScalePatterns.queries
+      Advanced.queries ++ Curation.queries ++ ScalePatterns.queries ++
+      Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
     Relational.oracles ++ Relational2.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TextOps.oracles ++ Multimodal.oracles ++
       CdcQueries.oracles ++ Extras.oracles ++ TimeWindows.oracles ++
-      Advanced.oracles ++ Curation.oracles ++ ScalePatterns.oracles
+      Advanced.oracles ++ Curation.oracles ++ ScalePatterns.oracles ++
+      Graph.oracles
 }

@@ -824,7 +824,92 @@ object Curation {
       |    FROM tc GROUP BY lang)
       |ORDER BY metric""".stripMargin
 
+  // --------------------------------------------------- DSIR resampling
+  /** Hashed-feature buckets for the DSIR importance estimate. 8192 buckets
+    * keeps both n-gram tables broadcast-size (≤ 8192 longs each) at ANY
+    * corpus scale — the hashing is exactly what makes DSIR tractable at
+    * 100 TB: the target/background distributions are fixed-size sketches,
+    * not vocabularies.
+    */
+  val DSIR_BUCKETS = 8192L
+
+  /** Admit the top 1/DSIR_KEEP_FRACTION of documents by importance. */
+  val DSIR_KEEP_FRACTION = 5L
+
+  /** p13: data selection via importance resampling (DSIR, Xie et al. 2023,
+    * arXiv:2302.03169): score every document by how much more likely its
+    * hashed-unigram profile is under a TARGET distribution (here: the
+    * English-language slice — the "domain we want more of") than under the
+    * whole-corpus background, and admit the top 20%.
+    *
+    * Published DSIR sums log-ratios of hashed n-gram probabilities; logs
+    * pull in libm (engine-divergent in the last ulp — the t15 lesson), so
+    * each bucket's weight is the Laplace-smoothed likelihood ratio
+    * quantized to floor(10^6·(t+1)/(s+1)) — one IEEE multiply+divide+floor
+    * per DISTINCT bucket (≤ 8192 of them), after which every per-document
+    * score is an exact integer sum ÷ token count in 64-bit fixed point:
+    * order-independent, hash-stable, and rank-equivalent to the ratio form
+    * for the gate's purpose.
+    *
+    * Scale shape: one token explode (the same pass t01/t07 price), a
+    * groupBy onto ≤ 8192 buckets (partial-agg collapses it map-side), a
+    * BROADCAST join of the 8192-row weight table back onto the token
+    * stream, one (doc_id) aggregation of longs, and a global top-n via
+    * orderBy+limit (TakeOrderedAndProject — per-partition heaps + one
+    * driver merge of n rows, never a global sort). The only driver scalar
+    * is the corpus count that sizes the cut.
+    */
+  def dsirResample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .withColumn("b", Dedup.baseHash(col("tok")) % DSIR_BUCKETS)
+    val bg = toks.groupBy(col("b")).agg(count(lit(1)).as("s_n"))
+    val tg = toks.filter(col("lang") === "en")
+      .groupBy(col("b").as("tb")).agg(count(lit(1)).as("t_n"))
+    val w = bg.join(tg, col("b") === col("tb"), "left")
+      .select(col("b"),
+        floor(lit(1000000.0) * (coalesce(col("t_n"), lit(0L)) + lit(1L)) /
+          (col("s_n") + lit(1L))).cast("long").as("w"))
+    val scored = toks.join(broadcast(w), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("wsum"), count(lit(1)).as("n_tok"))
+      .select(col("doc_id"), expr("(1000 * wsum) div n_tok").as("score_fp"))
+    val nAdmit = (docs.count() / DSIR_KEEP_FRACTION).toInt // bounded scalar
+    scored.join(docs.select(col("doc_id"), col("source"), col("lang")), "doc_id")
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(nAdmit)
+      .select(col("doc_id"), col("source"), col("lang"), col("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+  }
+
+  /** p13 oracle: identical buckets, smoothing, quantization, and cut. */
+  val dsirResampleSql: String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |           FROM documents),
+       |h AS (SELECT doc_id, lang,
+       |        CAST(concat('0x', substr(md5(tok),1,15)) AS BIGINT)
+       |          % $DSIR_BUCKETS AS b FROM t),
+       |bg AS (SELECT b, CAST(count(*) AS BIGINT) AS s_n FROM h GROUP BY b),
+       |tg AS (SELECT b, CAST(count(*) AS BIGINT) AS t_n FROM h
+       |       WHERE lang = 'en' GROUP BY b),
+       |w AS (SELECT bg.b,
+       |        CAST(floor(1000000.0 * (coalesce(tg.t_n, 0) + 1) /
+       |          (bg.s_n + 1)) AS BIGINT) AS w
+       |      FROM bg LEFT JOIN tg ON tg.b = bg.b),
+       |sc AS (SELECT h.doc_id,
+       |         (1000 * CAST(sum(w.w) AS BIGINT)) //
+       |           CAST(count(*) AS BIGINT) AS score_fp
+       |       FROM h JOIN w ON w.b = h.b GROUP BY h.doc_id)
+       |SELECT d.doc_id, d.source, d.lang, sc.score_fp
+       |FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+       |QUALIFY row_number() OVER (ORDER BY sc.score_fp DESC, sc.doc_id) <=
+       |  (SELECT count(*) // $DSIR_KEEP_FRACTION FROM documents)
+       |ORDER BY sc.score_fp DESC, sc.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p13_dsir_resample" -> (dsirResample _),
     "p12_dataset_profile" -> (datasetProfile _),
     "p10_gopher_curation" -> (gopherCuration _),
     "p09_curriculum" -> (curriculumOrder _),
@@ -839,6 +924,7 @@ object Curation {
     "p11_curation_report" -> (curationReportUnified _))
 
   val oracles: Map[String, String] = Map(
+    "p13_dsir_resample" -> dsirResampleSql,
     "p12_dataset_profile" -> datasetProfileSql,
     "p10_gopher_curation" -> gopherCurationSql,
     "p09_curriculum" -> curriculumOrderSql,

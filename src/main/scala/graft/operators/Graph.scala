@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over relation-derived edge lists — the missing family a
+  * training-data platform leans on for source-quality scoring (PageRank over
+  * a citation/link graph) and community structure (triangle census).
+  *
+  * The reference delegates everything relational to its MySQL sink (SURVEY
+  * §2.6); a graph surface does not exist there at all, so these are Layer-B
+  * additions in the same spirit as the dedup connected-components pass
+  * (Dedup.scala alternating-star CC): expressed as DataFrame joins +
+  * aggregations so Catalyst plans the shuffles, with the iteration count
+  * fixed and the arithmetic integer-exact so a DuckDB oracle can replay it
+  * hash-identically.
+  *
+  * Numeric determinism (the t15/s01 discipline): PageRank is computed in
+  * 64-bit fixed point — start mass 10^9 per node, per-edge contribution
+  * `rank div degree` (integer division), damping 0.85 applied as
+  * `(85·Σ) div 100`. Sums of longs are order-independent, so shuffle
+  * nondeterminism cannot move a hash. Production engines run this in
+  * doubles; the fixed-point form changes ranks by < 1e-9 relative and is
+  * what makes the result provable against a second engine.
+  *
+  * Scale design:
+  *   - the edge list is derived once, localCheckpoint'ed, and re-read from
+  *     cached blocks by every iteration (lineage stays O(1) per round, the
+  *     CC/d22 discipline);
+  *   - each PageRank round is one shuffle (join on src + groupBy dst) over
+  *     `(node, rank)` longs — never bodies; 100 TB of documents reduce to
+  *     O(|edges|) longs before the first iteration;
+  *   - the triangle census orients every edge from its lower-(degree, id)
+  *     endpoint to the higher one, bounding per-node out-degree by
+  *     O(√m) — the standard guarantee that the wedge join is O(m^1.5)
+  *     worst-case instead of Σ deg² (hub-quadratic);
+  *   - the co-order graph is support-thresholded (≥ [[MIN_SUPPORT]]
+  *     co-occurrences) BEFORE the wedge join, so hub density is bounded at
+  *     the aggregation, not discovered at the join.
+  */
+object Graph {
+
+  /** Fixed-point start mass per node (10^9): at 10^7 nodes the total mass
+    * is 10^16 and the damped sum `85·Σ` stays under 2^63 (overflow at
+    * ~10^17 nodes-worth of mass, far beyond any real graph's node count).
+    */
+  private val START_FP = 1000000000L
+  private val DAMP_NUM = 85L // damping 0.85 as an exact rational 85/100
+  private val ITERS    = 4
+  /** Per-iteration teleport mass: floor(0.15 · START_FP). */
+  private val BASE_FP  = START_FP * (100L - DAMP_NUM) / 100L
+
+  /** g01: PageRank over the undirected customer↔supplier trade graph
+    * (edge ⇔ the customer ever ordered a part from the supplier).
+    *
+    * Undirected (both directions materialized) so every node has out-degree
+    * ≥ 1 — no dangling-mass correction term, which would need a global
+    * scalar per round. Node ids are namespaced strings (`c:123` / `s:45`)
+    * because the two key spaces overlap.
+    */
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val eraw = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey").cast("string")).as("src"),
+              concat(lit("s:"), col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
+    val edges = eraw.union(eraw.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    // (src, dst, outdeg(src)) — the only frame the iterations touch; eager
+    // checkpoint so four rounds scan cached blocks instead of re-deriving
+    // the join+distinct four times.
+    val adj = edges.join(deg, edges("src") === deg("node"))
+      .select(edges("src"), edges("dst"), deg("outdeg"))
+      .localCheckpoint(true)
+
+    // node set = adj's src side (every node has degree ≥ 1 by construction)
+    var ranks = adj.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(START_FP))
+    for (_ <- 1 to ITERS) {
+      ranks = adj.join(ranks, adj("src") === ranks("node"))
+        .select(adj("dst"), expr("r div outdeg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("csum"))
+        .select(col("dst").as("node"),
+          (lit(BASE_FP) + expr(s"($DAMP_NUM * csum) div 100")).as("r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("node"))
+  }
+
+  /** g01 oracle: the same four rounds unrolled as chained CTEs. `//` is
+    * DuckDB's integer division (floor; identical to Spark's `div` on the
+    * non-negative operands here); sums are cast back to BIGINT before the
+    * damping multiply because DuckDB widens sum(BIGINT) to HUGEINT.
+    */
+  val pagerankSql: String = {
+    val round = (prev: String, cur: String) =>
+      s"""$cur AS (SELECT a.dst AS node,
+         |  CAST($BASE_FP AS BIGINT) +
+         |    ($DAMP_NUM * CAST(sum(r.r // a.outdeg) AS BIGINT)) // 100 AS r
+         |FROM adj a JOIN $prev r ON r.node = a.src GROUP BY a.dst)""".stripMargin
+    s"""WITH eraw AS (
+       |  SELECT DISTINCT concat('c:', CAST(o_custkey AS VARCHAR)) AS src,
+       |                  concat('s:', CAST(l_suppkey AS VARCHAR)) AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (SELECT src, dst FROM eraw
+       |          UNION ALL SELECT dst AS src, src AS dst FROM eraw),
+       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+       |        FROM edges GROUP BY src),
+       |adj AS (SELECT e.src, e.dst, d.outdeg
+       |        FROM edges e JOIN deg d ON d.node = e.src),
+       |r0 AS (SELECT node, CAST($START_FP AS BIGINT) AS r FROM deg),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")},
+       |${round("r3", "r4")}
+       |SELECT node, r AS rank_fp FROM r4 ORDER BY rank_fp DESC, node""".stripMargin
+  }
+
+  /** Minimum co-occurrence count for a supplier pair to become an edge —
+    * the market-basket support threshold that bounds graph density BEFORE
+    * the wedge join (at sf0.1 it trims ~500k raw pairs to ~50k edges).
+    */
+  private val MIN_SUPPORT = 4L
+
+  /** g02: triangle census of the supplier co-order graph (edge ⇔ two
+    * suppliers appear in the same order ≥ [[MIN_SUPPORT]] times), reported
+    * as the top-100 suppliers by triangle participation.
+    *
+    * Degree-ordered orientation: each undirected edge points from its
+    * lower-(degree, id) endpoint to the higher, so per-node out-degree is
+    * O(√m) and the wedge enumeration cannot go hub-quadratic. Every
+    * triangle then has exactly one apex with two out-edges inside it, so
+    * the wedge⋈closing-edge join counts each triangle exactly once.
+    */
+  def triangleCensus(s: SparkSession, d: String): DataFrame = {
+    val so = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val a = so.select(col("ok"), col("sk").as("u"))
+    val b = so.select(col("ok").as("ok2"), col("sk").as("v"))
+    val pairs = a.join(b, col("ok") === col("ok2") && col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+      .filter(col("support") >= MIN_SUPPORT)
+      .select(col("u"), col("v"))
+    val deg = pairs.select(col("u").as("node"))
+      .union(pairs.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    val du = deg.select(col("node").as("u"), col("dg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("dg").as("dv"))
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = pairs.join(du, "u").join(dv, "v")
+      .select(when(lowFirst, col("u")).otherwise(col("v")).as("es"),
+              when(lowFirst, col("v")).otherwise(col("u")).as("et"))
+      .localCheckpoint(true) // three self-join arms share one computation
+    val e1 = oriented.select(col("es").as("a1"), col("et").as("b1"))
+    val e2 = oriented.select(col("es").as("a2"), col("et").as("c2"))
+    val e3 = oriented.select(col("es").as("b3"), col("et").as("c3"))
+    val tri = e1.join(e2, col("a1") === col("a2") && col("b1") =!= col("c2"))
+      .join(e3, col("b3") === col("b1") && col("c3") === col("c2"))
+      .select(col("a1").as("x"), col("b1").as("y"), col("c2").as("z"))
+    tri.select(col("x").as("node"))
+      .union(tri.select(col("y").as("node")))
+      .union(tri.select(col("z").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("node"))
+      .limit(100)
+  }
+
+  /** g02 oracle: identical support threshold, orientation, and wedge join. */
+  val triangleCensusSql: String =
+    s"""WITH so AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+       |            FROM lineitem),
+       |pairs AS (SELECT a.sk AS u, b.sk AS v
+       |          FROM so a JOIN so b ON a.ok = b.ok AND a.sk < b.sk
+       |          GROUP BY a.sk, b.sk HAVING count(*) >= $MIN_SUPPORT),
+       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+       |          SELECT u AS node FROM pairs
+       |          UNION ALL SELECT v AS node FROM pairs)
+       |        GROUP BY node),
+       |o AS (SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND p.u < p.v)
+       |               THEN p.u ELSE p.v END AS es,
+       |             CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND p.u < p.v)
+       |               THEN p.v ELSE p.u END AS et
+       |      FROM pairs p JOIN deg du ON du.node = p.u
+       |                   JOIN deg dv ON dv.node = p.v),
+       |tri AS (SELECT e1.es AS x, e1.et AS y, e2.et AS z
+       |        FROM o e1 JOIN o e2 ON e2.es = e1.es AND e1.et <> e2.et
+       |                  JOIN o e3 ON e3.es = e1.et AND e3.et = e2.et)
+       |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+       |  SELECT x AS node FROM tri
+       |  UNION ALL SELECT y AS node FROM tri
+       |  UNION ALL SELECT z AS node FROM tri)
+       |GROUP BY node ORDER BY n_tri DESC, node LIMIT 100""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g01_pagerank" -> (pagerank _),
+    "g02_triangle_census" -> (triangleCensus _))
+
+  def oracles: Map[String, String] = Map(
+    "g01_pagerank" -> pagerankSql,
+    "g02_triangle_census" -> triangleCensusSql)
+}

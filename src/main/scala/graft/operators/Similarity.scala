@@ -1399,7 +1399,67 @@ object Similarity {
     res
   }
 
+  // --------------------------------------------------- hard negatives
+  /** s12: hard-negative mining — for each anchor vector, the k nearest
+    * neighbors whose LABEL DIFFERS from the anchor's (contrastive /
+    * metric-learning training pairs: "looks closest but isn't the same
+    * class"). The standard mining pass behind dense-retriever training
+    * (DPR/Contriever-style in-collection negatives).
+    *
+    * Same determinism contract as s01 (quantized integer dots, one IEEE
+    * division) and the same scale shape: the small anchor sample is
+    * broadcast against one corpus scan — never corpus×corpus — and the
+    * per-anchor top-k is a window over a k·|anchors|-bounded frame. At
+    * index scale the corpus scan swaps for the s09 IVF-PQ probe
+    * unchanged: the label-exclusion predicate composes with any candidate
+    * generator.
+    */
+  def hardNegatives(s: SparkSession, d: String,
+                    nAnchors: Int = 8, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        quantize(col("embedding")).as("qv"))
+      .withColumn("qnorm", sqrt(qdot(col("qv"), col("qv")).cast("double")))
+    val corpus = e.filter(col("vec_id") >= nAnchors)
+      .select(col("vec_id"), col("label").as("neg_label"),
+        quantize(col("embedding")).as("cv"))
+      .withColumn("cnorm", sqrt(qdot(col("cv"), col("cv")).cast("double")))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(q))
+      .filter(col("neg_label") =!= col("anchor_label"))
+      .withColumn("cosine",
+        qdot(col("qv"), col("cv")).cast("double") / (col("qnorm") * col("cnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("vec_id"),
+        col("neg_label"), col("cosine"))
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
+  /** s12 oracle: s01's quantized-cosine CTE chain plus the label filter. */
+  val hardNegativesSql: String =
+    """WITH q AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+      |             [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS qv
+      |           FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id, label AS neg_label,
+      |        [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS cv
+      |      FROM embeddings WHERE vec_id >= 8),
+      |dots AS (SELECT anchor_id, vec_id, neg_label,
+      |           CAST(list_sum([qv[i] * cv[i] FOR i IN range(1, 65)]) AS DOUBLE) /
+      |             (sqrt(CAST(list_sum([qv[i] * qv[i] FOR i IN range(1, 65)]) AS DOUBLE)) *
+      |              sqrt(CAST(list_sum([cv[i] * cv[i] FOR i IN range(1, 65)]) AS DOUBLE))) AS cosine
+      |         FROM c CROSS JOIN q WHERE c.neg_label <> q.anchor_label),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+      |                       ORDER BY cosine DESC, vec_id) AS rank
+      |           FROM dots)
+      |SELECT anchor_id, CAST(rank AS INT) AS rank, vec_id, neg_label, cosine
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY anchor_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(s, d)),
     "s11_pq_rerank" -> ((s: SparkSession, d: String) => ivfPqRerank(s, d)),
     "s10_ivfpq_recall" -> ((s: SparkSession, d: String) => ivfPqRecall(s, d)),
     "s09_ivfpq_ann" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d)),
@@ -1414,6 +1474,7 @@ object Similarity {
     "d06_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDupPairsSeeded(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "s12_hard_negatives" -> hardNegativesSql,
     "s11_pq_rerank" -> ivfPqRerankSql,
     "s10_ivfpq_recall" -> ivfPqRecallSql,
     "s09_ivfpq_ann" -> ivfPqTopKSql,

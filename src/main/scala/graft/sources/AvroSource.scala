@@ -1,0 +1,247 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+import java.time.{LocalDateTime, ZoneOffset}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema}
+import org.apache.avro.file.DataFileStream
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord, GenericRecordBuilder}
+import org.apache.avro.mapred.AvroKey
+import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.io.NullWritable
+import org.apache.hadoop.mapreduce.Job
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Avro container-file source — the interchange format the warehouse world
+  * around a CDC consumer actually speaks (Debezium's wire format outside
+  * JSON mode is Avro; reference client/debezium.go consumes the JSON
+  * rendering of the same envelopes).
+  *
+  * The sandbox's /opt/spark/jars carries Apache Avro itself (avro,
+  * avro-mapred) but NOT the spark-avro connector, so `spark.read
+  * .format("avro")` is unavailable; this implements the same surface on
+  * the public avro-mapreduce InputFormat/OutputFormat:
+  *
+  *   - **splittable reads**: Avro container files have sync markers every
+  *     block, so `AvroKeyInputFormat` splits one 10 GB file across
+  *     executors exactly like the bundled sources — the property that makes
+  *     the format usable at 100 TB (one-task-per-file formats are not);
+  *   - **schema from the header**, read once on the driver from the first
+  *     matching file (an O(KB) header read, not a scan), then every task
+  *     decodes with the writer schema embedded in its own file;
+  *   - **record→Row conversion inside the scan stage**: Hadoop record
+  *     objects are container-reused and non-serializable, so rows are
+  *     materialized immediately, before any shuffle can see them;
+  *   - **Avro `Schema` is not java-serializable**: closures carry the
+  *     schema as its canonical JSON string and re-parse per partition.
+  *
+  * Type surface (enough for every graft table): null-union nullability,
+  * boolean/int/long/float/double/string/bytes, arrays of those, and the
+  * timestamp-micros / local-timestamp-micros logical types (mapping to
+  * TimestampType / TimestampNTZType — events.ts round-trips NTZ-exactly,
+  * the invariant ScalePatternsSpec pins for parquet).
+  */
+object AvroSource {
+
+  // ------------------------------------------------------ schema mapping
+
+  /** Catalyst → Avro (field schemas; nullable becomes [null, T]). */
+  def toAvroSchema(st: StructType, name: String): Schema = {
+    val fields = st.fields.map { f =>
+      val base = toAvroType(f.dataType)
+      val sch =
+        if (f.nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+        else base
+      new Schema.Field(f.name, sch, null.asInstanceOf[String])
+    }
+    Schema.createRecord(name, null, "graft.avro", false, fields.toList.asJava)
+  }
+
+  private def toAvroType(dt: DataType): Schema = dt match {
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case LongType    => Schema.create(Schema.Type.LONG)
+    case FloatType   => Schema.create(Schema.Type.FLOAT)
+    case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+    case StringType  => Schema.create(Schema.Type.STRING)
+    case BinaryType  => Schema.create(Schema.Type.BYTES)
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case TimestampNTZType =>
+      LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case ArrayType(et, containsNull) =>
+      val elem = toAvroType(et)
+      Schema.createArray(
+        if (containsNull) Schema.createUnion(Schema.create(Schema.Type.NULL), elem)
+        else elem)
+    case other =>
+      throw new IllegalArgumentException(
+        s"AvroSource does not map Catalyst type $other (supported: primitives, " +
+          "timestamps, binary, arrays)")
+  }
+
+  /** Avro → Catalyst. Unions other than [null, T] are rejected loudly. */
+  def toStructType(s: Schema): StructType = {
+    require(s.getType == Schema.Type.RECORD, s"expected an Avro record, got $s")
+    StructType(s.getFields.asScala.map { f =>
+      val (dt, nullable) = fromAvroType(f.schema())
+      StructField(f.name(), dt, nullable)
+    }.toArray)
+  }
+
+  private def fromAvroType(s: Schema): (DataType, Boolean) = s.getType match {
+    case Schema.Type.UNION =>
+      val branches = s.getTypes.asScala
+      val nonNull = branches.filter(_.getType != Schema.Type.NULL)
+      require(nonNull.size == 1 && branches.size == nonNull.size + 1,
+        s"AvroSource supports only [null, T] unions, got $s")
+      val (dt, _) = fromAvroType(nonNull.head)
+      (dt, true)
+    case Schema.Type.BOOLEAN => (BooleanType, false)
+    case Schema.Type.INT     => (IntegerType, false)
+    case Schema.Type.LONG =>
+      Option(s.getLogicalType).map(_.getName) match {
+        case Some("timestamp-micros")       => (TimestampType, false)
+        case Some("local-timestamp-micros") => (TimestampNTZType, false)
+        case _                              => (LongType, false)
+      }
+    case Schema.Type.FLOAT  => (FloatType, false)
+    case Schema.Type.DOUBLE => (DoubleType, false)
+    case Schema.Type.STRING => (StringType, false)
+    case Schema.Type.BYTES  => (BinaryType, false)
+    case Schema.Type.ARRAY =>
+      val (et, elemNullable) = fromAvroType(s.getElementType)
+      (ArrayType(et, elemNullable), false)
+    case other =>
+      throw new IllegalArgumentException(s"AvroSource does not map Avro type $other")
+  }
+
+  // ------------------------------------------------------ value mapping
+
+  private def fromAvroValue(v: Any, dt: DataType): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case s: CharSequence if dt == StringType => s.toString
+    case l: java.lang.Long if dt == TimestampType =>
+      val micros = l.longValue()
+      val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+      ts
+    case l: java.lang.Long if dt == TimestampNTZType =>
+      val micros = l.longValue()
+      LocalDateTime.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+        (Math.floorMod(micros, 1000000L) * 1000L).toInt, ZoneOffset.UTC)
+    case b: ByteBuffer =>
+      val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
+    case c: java.util.Collection[_] =>
+      val et = dt.asInstanceOf[ArrayType].elementType
+      c.asScala.map(fromAvroValue(_, et)).toVector
+    case other => other
+  }
+
+  private def toAvroValue(v: Any, dt: DataType): Any = v match {
+    case null => null
+    case t: java.sql.Timestamp =>
+      t.getTime * 1000L + (t.getNanos.toLong / 1000L) % 1000L
+    case ldt: LocalDateTime =>
+      ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+    case bytes: Array[Byte] => ByteBuffer.wrap(bytes)
+    case seq: scala.collection.Seq[_] =>
+      val et = dt.asInstanceOf[ArrayType].elementType
+      seq.map(toAvroValue(_, et)).asJava
+    case other => other
+  }
+
+  // ------------------------------------------------------ read / write
+
+  /** Read every container file under `path` (a directory of part files or
+    * one file). Schema comes from the first file's header — one small
+    * driver-side read, never a scan.
+    */
+  def readAvro(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val first = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).iterator
+          .map(_.getPath)
+          .filter(_.getName.endsWith(".avro"))
+          .minBy(_.getName.toString)
+      else p
+    }
+    val writerSchema = {
+      val in = fs.open(first)
+      try {
+        val stream = new DataFileStream[GenericRecord](
+          in, new GenericDatumReader[GenericRecord]())
+        try stream.getSchema finally stream.close()
+      } finally in.close()
+    }
+    val structType = toStructType(writerSchema)
+    val fieldTypes = structType.fields.map(_.dataType)
+    val fieldNames = structType.fieldNames
+
+    val job = Job.getInstance(conf)
+    AvroJob.setInputKeySchema(job, writerSchema)
+    val glob = if (fs.getFileStatus(p).isDirectory) s"$path/*.avro" else path
+    val raw = spark.sparkContext.newAPIHadoopFile(
+      glob,
+      classOf[AvroKeyInputFormat[GenericRecord]],
+      classOf[AvroKey[GenericRecord]],
+      classOf[NullWritable],
+      job.getConfiguration)
+    // materialize Rows INSIDE the scan stage: the Hadoop key object is
+    // container-reused and not serializable
+    val rows = raw.mapPartitions { it =>
+      it.map { case (k, _) =>
+        val rec = k.datum()
+        val vals = new Array[Any](fieldNames.length)
+        var i = 0
+        while (i < fieldNames.length) {
+          vals(i) = fromAvroValue(rec.get(fieldNames(i)), fieldTypes(i))
+          i += 1
+        }
+        Row.fromSeq(vals.toIndexedSeq)
+      }
+    }
+    spark.createDataFrame(rows, structType)
+  }
+
+  /** Write `df` as a directory of Avro container part-files (one per
+    * partition — the parallel write path; block size/sync markers keep the
+    * output splittable for the next reader).
+    */
+  def writeAvro(df: DataFrame, path: String): Unit = {
+    val avroSchema = toAvroSchema(df.schema, "row")
+    val schemaJson = avroSchema.toString // Schema is not serializable
+    val fieldTypes = df.schema.fields.map(_.dataType)
+    val fieldNames = df.schema.fieldNames
+    val spark = df.sparkSession
+    val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputKeySchema(job, avroSchema)
+    val pairs = df.rdd.mapPartitions { it =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      it.map { row =>
+        val b = new GenericRecordBuilder(schema)
+        var i = 0
+        while (i < fieldNames.length) {
+          b.set(fieldNames(i), toAvroValue(row.get(i), fieldTypes(i)))
+          i += 1
+        }
+        (new AvroKey[GenericRecord](b.build()), NullWritable.get())
+      }
+    }
+    pairs.saveAsNewAPIHadoopFile(
+      path,
+      classOf[AvroKey[GenericRecord]],
+      classOf[NullWritable],
+      classOf[AvroKeyOutputFormat[GenericRecord]],
+      job.getConfiguration)
+  }
+}
