@@ -57,23 +57,40 @@ object Graph {
     *
     * Undirected (both directions materialized) so every node has out-degree
     * ≥ 1 — no dangling-mass correction term, which would need a global
-    * scalar per round. Node ids are namespaced strings (`c:123` / `s:45`)
-    * because the two key spaces overlap.
+    * scalar per round. The customer/supplier key spaces overlap, so nodes
+    * are disambiguated by parity-packing into longs internally and labeled
+    * `c:123` / `s:45` on output.
     */
   def pagerank(s: SparkSession, d: String): DataFrame = {
+    // node ids are PACKED LONGS (customer k → 2k, supplier k → 2k+1):
+    // the per-iteration aggregate hashes |edges| keys four times, and long
+    // keys more than halve its cost vs "c:123" strings (profiled:
+    // avgHashProbe 160 → 6); labels are restored in the final
+    // O(|nodes|)-row projection only.
     val eraw = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c:"), col("o_custkey").cast("string")).as("src"),
-              concat(lit("s:"), col("l_suppkey").cast("string")).as("dst"))
+      .select((col("o_custkey") * 2).as("src"),
+              (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    val edges = eraw.union(eraw.select(col("dst").as("src"), col("src").as("dst")))
+    // both directions via one explode — NOT union(eraw, eraw.reversed),
+    // which would execute the join+distinct subtree twice (profiled)
+    // hash-partition by src at full shuffle parallelism BEFORE the
+    // checkpoint: AQE coalesces the tiny post-distinct stage (8 partitions
+    // at sf0.1) and localCheckpoint would freeze that coalescing into
+    // every iteration's parallelism (profiled: 4× the iteration cost).
+    // Partitioning by src also lets deg's groupBy aggregate in place.
+    val edges = eraw.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("t")),
+        struct(col("dst").as("s"), col("src").as("t")))).as("e"))
+      .select(col("e.s").as("src"), col("e.t").as("dst"))
+      .repartition(col("src"))
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
     // (src, dst, outdeg(src)) — the only frame the iterations touch; eager
     // checkpoint so four rounds scan cached blocks instead of re-deriving
     // the join+distinct four times.
-    val adj = edges.join(deg, edges("src") === deg("node"))
+    val adj = edges.join(broadcast(deg), edges("src") === deg("node"))
       .select(edges("src"), edges("dst"), deg("outdeg"))
       .localCheckpoint(true)
 
@@ -81,14 +98,24 @@ object Graph {
     var ranks = adj.select(col("src").as("node")).distinct()
       .withColumn("r", lit(START_FP))
     for (_ <- 1 to ITERS) {
-      ranks = adj.join(ranks, adj("src") === ranks("node"))
+      // the rank side is broadcast EXPLICITLY: planned from an ExistingRDD,
+      // the join has no stats, plans as SMJ, and AQE's runtime demotion to
+      // broadcast leaves the probe-side exchange of adj in the plan — one
+      // wasted full-edge shuffle per iteration (profiled at sf0.1). With
+      // the hint each round is: scan cached adj → broadcast join → partial
+      // agg → one exchange of O(|nodes|) partial sums. Beyond ~100M nodes
+      // swap the hint for src/node co-hash-partitioning and SMJ.
+      ranks = adj.join(broadcast(ranks), adj("src") === ranks("node"))
         .select(adj("dst"), expr("r div outdeg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("csum"))
         .select(col("dst").as("node"),
           (lit(BASE_FP) + expr(s"($DAMP_NUM * csum) div 100")).as("r"))
     }
-    ranks.select(col("node"), col("r").as("rank_fp"))
+    ranks.select(
+        expr("CASE WHEN node % 2 = 0 THEN concat('c:', CAST(node div 2 AS STRING)) " +
+          "ELSE concat('s:', CAST((node - 1) div 2 AS STRING)) END").as("node"),
+        col("r").as("rank_fp"))
       .orderBy(col("rank_fp").desc, col("node"))
   }
 
@@ -104,8 +131,7 @@ object Graph {
          |    ($DAMP_NUM * CAST(sum(r.r // a.outdeg) AS BIGINT)) // 100 AS r
          |FROM adj a JOIN $prev r ON r.node = a.src GROUP BY a.dst)""".stripMargin
     s"""WITH eraw AS (
-       |  SELECT DISTINCT concat('c:', CAST(o_custkey AS VARCHAR)) AS src,
-       |                  concat('s:', CAST(l_suppkey AS VARCHAR)) AS dst
+       |  SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
        |edges AS (SELECT src, dst FROM eraw
        |          UNION ALL SELECT dst AS src, src AS dst FROM eraw),
@@ -118,7 +144,10 @@ object Graph {
        |${round("r1", "r2")},
        |${round("r2", "r3")},
        |${round("r3", "r4")}
-       |SELECT node, r AS rank_fp FROM r4 ORDER BY rank_fp DESC, node""".stripMargin
+       |SELECT CASE WHEN node % 2 = 0 THEN concat('c:', CAST(node // 2 AS VARCHAR))
+       |  ELSE concat('s:', CAST((node - 1) // 2 AS VARCHAR)) END AS node,
+       |  r AS rank_fp
+       |FROM r4 ORDER BY rank_fp DESC, node""".stripMargin
   }
 
   /** Minimum co-occurrence count for a supplier pair to become an edge —
@@ -147,8 +176,10 @@ object Graph {
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
       .filter(col("support") >= MIN_SUPPORT)
       .select(col("u"), col("v"))
-    val deg = pairs.select(col("u").as("node"))
-      .union(pairs.select(col("v").as("node")))
+    // explode, not union(u-side, v-side): a union would execute the whole
+    // pair-support pipeline once per branch (no exchange to reuse above
+    // the broadcast joins); the Generate touches it once
+    val deg = pairs.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("dg"))
     val du = deg.select(col("node").as("u"), col("dg").as("du"))
     val dv = deg.select(col("node").as("v"), col("dg").as("dv"))
@@ -164,9 +195,10 @@ object Graph {
     val tri = e1.join(e2, col("a1") === col("a2") && col("b1") =!= col("c2"))
       .join(e3, col("b3") === col("b1") && col("c3") === col("c2"))
       .select(col("a1").as("x"), col("b1").as("y"), col("c2").as("z"))
-    tri.select(col("x").as("node"))
-      .union(tri.select(col("y").as("node")))
-      .union(tri.select(col("z").as("node")))
+    // one Generate over the single wedge-join execution — a 3-way union
+    // would re-enumerate all wedges once per branch (profiled: 3× the
+    // dominant cost at sf0.1's 14.6M wedges / 1.8M triangles)
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
       .orderBy(col("n_tri").desc, col("node"))
       .limit(100)
