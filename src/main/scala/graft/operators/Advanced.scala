@@ -289,7 +289,104 @@ object Advanced {
       |FROM g GROUP BY user_id, grp
       |ORDER BY user_id, start_day""".stripMargin
 
+  /** q61: ordered conversion funnel (view → click → purchase) — the
+    * product-analytics staple (Amplitude/Mixpanel-style): a user advances
+    * a stage only with an event STRICTLY AFTER their previous stage's
+    * first event, so out-of-order arrivals (click before any view) don't
+    * count. Reported as per-stage converted-user counts.
+    *
+    * Scale shape: one exchange total — both window passes and the final
+    * per-user fold share the user_id partitioning, so stages 2/3 and the
+    * per-user collapse add no shuffle (the q56 discipline); the stage
+    * report is a constant-width conditional aggregate of |users| rows.
+    * Never a per-stage self-join of events (the naive form: 3 scans + 2
+    * joins of the full log).
+    */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    val staged = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), TimeWindows.eventTime.as("t"))
+      .withColumn("fv", min(when(col("event_type") === "view", col("t"))).over(w))
+      .withColumn("fc", min(when(col("event_type") === "click" && col("t") > col("fv"), col("t"))).over(w))
+      .withColumn("fp", min(when(col("event_type") === "purchase" && col("t") > col("fc"), col("t"))).over(w))
+    val perUser = staged.groupBy(col("user_id"))
+      .agg(max(col("fv")).as("fv"), max(col("fc")).as("fc"), max(col("fp")).as("fp"))
+    perUser.agg(
+        count(col("fv")).as("viewed"),
+        count(col("fc")).as("clicked_after_view"),
+        count(col("fp")).as("purchased_after_click"))
+      .select(explode(array(
+          struct(lit("1_viewed").as("stage"), col("viewed").as("n_users")),
+          struct(lit("2_clicked_after_view").as("stage"), col("clicked_after_view").as("n_users")),
+          struct(lit("3_purchased_after_click").as("stage"), col("purchased_after_click").as("n_users")))).as("e"))
+      .select(col("e.stage").as("stage"), col("e.n_users").as("n_users"))
+      .orderBy("stage")
+  }
+
+  val funnelSql: String =
+    """WITH w1 AS (SELECT user_id, event_type, ts,
+      |    min(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS fv FROM events),
+      |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > fv THEN ts END)
+      |    OVER (PARTITION BY user_id) AS fc FROM w1),
+      |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > fc THEN ts END)
+      |    OVER (PARTITION BY user_id) AS fp FROM w2),
+      |u AS (SELECT user_id, max(fv) AS fv, max(fc) AS fc, max(fp) AS fp
+      |      FROM w3 GROUP BY user_id),
+      |agg AS (SELECT CAST(count(fv) AS BIGINT) AS viewed,
+      |          CAST(count(fc) AS BIGINT) AS clicked_after_view,
+      |          CAST(count(fp) AS BIGINT) AS purchased_after_click FROM u)
+      |SELECT stage, n_users FROM (
+      |  SELECT '1_viewed' AS stage, viewed AS n_users FROM agg
+      |  UNION ALL SELECT '2_clicked_after_view', clicked_after_view FROM agg
+      |  UNION ALL SELECT '3_purchased_after_click', purchased_after_click FROM agg)
+      |ORDER BY stage""".stripMargin
+
+  /** q62: cohort retention — users grouped by first-activity day (the
+    * cohort), counted by how many are active again k days later. The
+    * growth-analytics table every event warehouse serves.
+    *
+    * Day arithmetic is integer day-indexes from a fixed epoch (the q56
+    * NTZ discipline — no DATE columns in the output contract). Scale
+    * shape: the events log is scanned once and immediately reduced to
+    * distinct (user, day) pairs (partial-agg collapses the log map-side);
+    * everything after moves only those narrow pairs — a per-user window
+    * min, then a (cohort, offset) aggregate a few thousand rows wide.
+    */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(TimeWindows.eventTime),
+          lit("1992-01-01").cast("date")).cast("long").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id")
+    days
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .filter(col("day_offset") <= 14)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_diff('day', DATE '1992-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+      |  FROM events),
+      |c AS (SELECT user_id, day,
+      |    min(day) OVER (PARTITION BY user_id) AS cohort_day FROM days)
+      |SELECT cohort_day, day - cohort_day AS day_offset,
+      |  CAST(count(*) AS BIGINT) AS n_active
+      |FROM c WHERE day - cohort_day <= 14
+      |GROUP BY cohort_day, day - cohort_day
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_funnel" -> (funnel _),
+    "q62_cohort_retention" -> (cohortRetention _),
     "q56_gaps_islands" -> (gapsIslands _),
     "q54_variant" -> (variantJson _),
     "q53_ignore_nulls_windows" -> (ignoreNullsWindows _),
@@ -301,6 +398,8 @@ object Advanced {
     "q35_percentiles" -> (percentiles _))
 
   val oracles: Map[String, String] = Map(
+    "q61_funnel" -> funnelSql,
+    "q62_cohort_retention" -> cohortRetentionSql,
     "q56_gaps_islands" -> gapsIslandsSql,
     "q54_variant" -> variantJsonSql,
     "q53_ignore_nulls_windows" -> ignoreNullsWindowsSql,

@@ -36,9 +36,9 @@ import graft.Tables
   *     endpoint to the higher one, bounding per-node out-degree by
   *     O(√m) — the standard guarantee that the wedge join is O(m^1.5)
   *     worst-case instead of Σ deg² (hub-quadratic);
-  *   - the co-order graph is support-thresholded (≥ [[MIN_SUPPORT]]
-  *     co-occurrences) BEFORE the wedge join, so hub density is bounded at
-  *     the aggregation, not discovered at the join.
+  *   - the co-order graph is support-thresholded (a corpus-RELATIVE
+  *     cutoff, [[SUPPORT_PPM]]) BEFORE the wedge join, so hub density is
+  *     bounded at the aggregation, not discovered at the join.
   */
 object Graph {
 
@@ -150,14 +150,21 @@ object Graph {
        |FROM r4 ORDER BY rank_fp DESC, node""".stripMargin
   }
 
-  /** Minimum co-occurrence count for a supplier pair to become an edge —
-    * the market-basket support threshold that bounds graph density BEFORE
-    * the wedge join (at sf0.1 it trims ~500k raw pairs to ~50k edges).
+  /** Market-basket support threshold for a supplier pair to become an
+    * edge, as parts-per-million of the order count (floor, min 4): support
+    * in the frequent-itemset literature is RELATIVE — with a fixed entity
+    * vocabulary, an absolute cutoff saturates to the complete graph as the
+    * corpus grows (at 10× orders every pair co-occurs ≥4 times and the
+    * wedge join goes O(|V|³)); a corpus-proportional cutoff keeps edge
+    * density a property of the DATA, not the corpus size. 27 ppm ⇒ the
+    * floor of 4 at every local SF (150k orders × 27ppm = 4.05), so small
+    * SFs are unchanged while 10×+ corpora sparsify correctly.
     */
-  private val MIN_SUPPORT = 4L
+  private val SUPPORT_PPM  = 27L
+  private val MIN_SUPPORT_FLOOR = 4L
 
   /** g02: triangle census of the supplier co-order graph (edge ⇔ two
-    * suppliers appear in the same order ≥ [[MIN_SUPPORT]] times), reported
+    * suppliers co-order at corpus-relative [[SUPPORT_PPM]] support), reported
     * as the top-100 suppliers by triangle participation.
     *
     * Degree-ordered orientation: each undirected edge points from its
@@ -167,6 +174,10 @@ object Graph {
     * the wedge⋈closing-edge join counts each triangle exactly once.
     */
   def triangleCensus(s: SparkSession, d: String): DataFrame = {
+    // one bounded driver scalar (the p13 discipline): the relative-support
+    // cutoff needs the corpus size before the plan is built
+    val minSupport = math.max(MIN_SUPPORT_FLOOR,
+      Tables.orders(s, d).count() * SUPPORT_PPM / 1000000L)
     val so = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
       .distinct()
@@ -174,7 +185,7 @@ object Graph {
     val b = so.select(col("ok").as("ok2"), col("sk").as("v"))
     val pairs = a.join(b, col("ok") === col("ok2") && col("u") < col("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
-      .filter(col("support") >= MIN_SUPPORT)
+      .filter(col("support") >= minSupport)
       .select(col("u"), col("v"))
     // explode, not union(u-side, v-side): a union would execute the whole
     // pair-support pipeline once per branch (no exchange to reuse above
@@ -204,18 +215,29 @@ object Graph {
       .limit(100)
   }
 
-  /** g02 oracle: identical support threshold, orientation, and wedge join. */
+  /** g02 oracle: identical support threshold, orientation, and wedge join.
+    * The multiply-referenced CTEs are pinned MATERIALIZED: DuckDB's
+    * default inlining re-expands `o` per wedge-join arm and `pairs` per
+    * degree-union branch — at 10× corpus that re-executes the 20M-row
+    * support join ~9 times and spills tens of GB; materialization executes
+    * each CTE once, like the Spark side's localCheckpoint.
+    */
   val triangleCensusSql: String =
-    s"""WITH so AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
-       |            FROM lineitem),
-       |pairs AS (SELECT a.sk AS u, b.sk AS v
+    s"""WITH so AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+       |pairs AS MATERIALIZED (
+       |          SELECT a.sk AS u, b.sk AS v
        |          FROM so a JOIN so b ON a.ok = b.ok AND a.sk < b.sk
-       |          GROUP BY a.sk, b.sk HAVING count(*) >= $MIN_SUPPORT),
-       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+       |          GROUP BY a.sk, b.sk
+       |          HAVING count(*) >= greatest($MIN_SUPPORT_FLOOR,
+       |            (SELECT count(*) FROM orders) * $SUPPORT_PPM // 1000000)),
+       |deg AS MATERIALIZED (
+       |        SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
        |          SELECT u AS node FROM pairs
        |          UNION ALL SELECT v AS node FROM pairs)
        |        GROUP BY node),
-       |o AS (SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND p.u < p.v)
+       |o AS MATERIALIZED (
+       |      SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND p.u < p.v)
        |               THEN p.u ELSE p.v END AS es,
        |             CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND p.u < p.v)
        |               THEN p.v ELSE p.u END AS et

@@ -58,7 +58,11 @@ class GraphSpec extends SparkSpec {
     val support = mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
     for (grp <- byOrder; a <- grp; b <- grp if a._2 < b._2)
       support((a._2, b._2)) += 1L
-    val pairs = support.filter(_._2 >= 4L).keys.toSet
+    // corpus-relative support, mirroring Graph.SUPPORT_PPM (floor 4; at
+    // sf0.001's ~1.5k orders the relative term is 0 so the floor binds)
+    val nOrders = Tables.orders(spark, d).count()
+    val minSupport = math.max(4L, nOrders * 27L / 1000000L)
+    val pairs = support.filter(_._2 >= minSupport).keys.toSet
     val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
     val triCount = mutable.Map[Long, Long]().withDefaultValue(0L)
     for {
