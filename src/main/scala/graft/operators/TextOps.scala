@@ -690,7 +690,118 @@ object TextOps {
       |  CAST(floor(sum(q) / count(*)) AS BIGINT) AS lm_score
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- BPE merge learning
+  /** Number of byte-pair merges t16 learns. */
+  val BPE_MERGES = 6
+
+  /** Symbol separator for the t16 segmentation encoding — U+001F (unit
+    * separator), below every printable character, so (a) corpus text never
+    * contains it (filtered defensively anyway) and (b) concatenated pair
+    * keys sort in the same order as (left, right) tuples.
+    */
+  private val SEP = "\u001F"
+
+  /** t16: BPE merge learning (Sennrich et al. 2016) — learn the first
+    * [[BPE_MERGES]] byte-pair merges of a subword tokenizer from the
+    * corpus, returning the merge table (step, lhs, rhs, merged, pair
+    * count). This is the TRAINING pass of every BPE/WordPiece-family
+    * tokenizer; t01's `bpeishTokenCount` is the budget-estimation
+    * approximation of its inference side.
+    *
+    * Scale design — the two ideas that make BPE training 100 TB-viable:
+    *  1. Everything after one tokenize+count pass runs on the DISTINCT-WORD
+    *     table (vocabulary-proportional, not corpus-proportional — the
+    *     standard trainer trick). The vocab frame is localCheckpoint'ed
+    *     once; each round adds only a narrow per-word string rewrite.
+    *  2. Greedy leftmost merge application is a LITERAL STRING REPLACE on
+    *     a separator-encoded segmentation: a word's state is
+    *     `␟s1␟␟s2␟…␟sn␟` (each symbol ␟-wrapped), so the pair (a,b) is the
+    *     substring `␟a␟␟b␟` — it can only match at true symbol boundaries
+    *     (symbols never contain ␟), and replace's leftmost-non-overlapping
+    *     scan IS greedy BPE order (for a≠b occurrences never overlap; for
+    *     a=b it merges run pairs left to right exactly like the reference
+    *     implementation). No per-row fold, no UDF, and the DuckDB oracle
+    *     replays it with the same `replace`.
+    *
+    * Each round's argmax pair is one bounded driver scalar (orderBy+limit 1
+    * = TakeOrderedAndProject); ties break on the pair key, whose
+    * separator-concatenated form preserves (lhs, rhs) lexicographic order
+    * because U+001F sorts below every corpus character.
+    */
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    import java.util.regex.{Matcher, Pattern}
+    val sep2 = SEP + SEP
+    val toks = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 1 && !col("tok").contains(SEP))
+    // vocabulary-proportional from here on; one corpus pass total
+    var words = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .select(concat(lit(SEP),
+        array_join(expr("transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"), sep2),
+        lit(SEP)).as("state"), col("c"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    for (k <- 1 to BPE_MERGES) {
+      val sy = split(expr(s"trim(BOTH '$SEP' FROM state)"), sep2)
+      val best = words
+        .select(col("c"), sy.as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("c"), explode(expr(
+          s"transform(sequence(1, size(sy) - 1), i -> concat(element_at(sy, i), '$SEP$SEP', element_at(sy, i + 1)))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("c")).as("total"))
+        .orderBy(col("total").desc, col("pair"))
+        .limit(1).collect()(0) // bounded driver scalar: the round's argmax
+      val pair = best.getString(0)
+      merges += ((k.toLong, pair, best.getLong(1)))
+      val pattern = SEP + pair + SEP
+      val replacement = SEP + pair.replace(sep2, "") + SEP
+      words = words.withColumn("state",
+        regexp_replace(col("state"),
+          lit(Pattern.quote(pattern)), lit(Matcher.quoteReplacement(replacement))))
+    }
+    val spark = s
+    import spark.implicits._
+    merges.toSeq.map { case (step, pair, total) =>
+      val Array(l, r) = pair.split(sep2, 2)
+      (step, l, r, l + r, total)
+    }.toDF("step", "lhs", "rhs", "merged", "total")
+      .orderBy("step")
+  }
+
+  /** t16 oracle: the same rounds unrolled as CTEs — per round, pair counts
+    * off the separator-encoded vocab, a 1-row argmax CTE, and the literal
+    * `replace` rewrite cross-joined back onto the vocab.
+    */
+  val bpeMergesSql: String = {
+    val round = (prev: String, k: Int) =>
+      s"""p$k AS (SELECT pair, CAST(sum(c) AS BIGINT) AS total FROM (
+         |  SELECT c, unnest([sy[i] || '$SEP$SEP' || sy[i+1] FOR i IN range(1, len(sy))]) AS pair
+         |  FROM (SELECT c, string_split(trim(state, '$SEP'), '$SEP$SEP') AS sy FROM $prev))
+         |GROUP BY pair),
+         |b$k AS (SELECT pair, total FROM p$k ORDER BY total DESC, pair LIMIT 1),
+         |w$k AS (SELECT replace(w.state, '$SEP' || b.pair || '$SEP',
+         |    '$SEP' || replace(b.pair, '$SEP$SEP', '') || '$SEP') AS state, w.c
+         |  FROM $prev w CROSS JOIN b$k b)""".stripMargin
+    val rounds = (1 to BPE_MERGES).map(k => round(s"w${k - 1}", k)).mkString(",\n")
+    val out = (1 to BPE_MERGES).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS step, split_part(pair, '$SEP$SEP', 1) AS lhs,
+         |  split_part(pair, '$SEP$SEP', 2) AS rhs,
+         |  replace(pair, '$SEP$SEP', '') AS merged, total FROM b$k""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |           FROM documents),
+       |w0 AS (SELECT '$SEP' || array_to_string(
+       |           [substr(tok, i, 1) FOR i IN range(1, len(tok) + 1)], '$SEP$SEP')
+       |         || '$SEP' AS state, CAST(count(*) AS BIGINT) AS c
+       |       FROM t WHERE len(tok) >= 1 AND tok NOT LIKE '%$SEP%'
+       |       GROUP BY tok),
+       |$rounds
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_bpe_merges" -> (bpeMerges _),
     "t15_bigram_lm" -> (bigramLm _),
     "t14_heavy_ngrams" -> (heavyShingles _),
     "t13_gopher_rules" -> (gopherRules _),
@@ -707,6 +818,7 @@ object TextOps {
     "t05_cleantext" -> (cleanedDocs _))
 
   val oracles: Map[String, String] = Map(
+    "t16_bpe_merges" -> bpeMergesSql,
     "t15_bigram_lm" -> bigramLmSql,
     "t14_heavy_ngrams" -> heavyShinglesSql,
     "t13_gopher_rules" -> gopherRulesSql,
