@@ -61,30 +61,46 @@ object Graph {
     * are disambiguated by parity-packing into longs internally and labeled
     * `c:123` / `s:45` on output.
     */
-  def pagerank(s: SparkSession, d: String): DataFrame = {
-    // node ids are PACKED LONGS (customer k → 2k, supplier k → 2k+1):
-    // the per-iteration aggregate hashes |edges| keys four times, and long
-    // keys more than halve its cost vs "c:123" strings (profiled:
-    // avgHashProbe 160 → 6); labels are restored in the final
-    // O(|nodes|)-row projection only.
+  /** Undirected customer↔supplier trade edges in packed-long node ids
+    * (customer k → 2k, supplier k → 2k+1), both directions materialized,
+    * hash-partitioned by src at full shuffle parallelism — shared by the
+    * iterative ops (g01 PageRank, g03 label propagation).
+    *
+    * Long ids: the per-iteration aggregates hash |edges| keys every round,
+    * and long keys more than halve that cost vs "c:123" strings (profiled:
+    * avgHashProbe 160 → 6); display labels are restored only in final
+    * O(|nodes|)-row projections. Both directions come from one explode —
+    * NOT union(eraw, eraw.reversed), which would execute the join+distinct
+    * subtree twice (profiled). The pre-checkpoint repartition matters:
+    * AQE coalesces the tiny post-distinct stage (8 partitions at sf0.1)
+    * and localCheckpoint would freeze that coalescing into every
+    * iteration's parallelism (profiled: 4× the iteration cost).
+    */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
     val eraw = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
               (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    // both directions via one explode — NOT union(eraw, eraw.reversed),
-    // which would execute the join+distinct subtree twice (profiled)
-    // hash-partition by src at full shuffle parallelism BEFORE the
-    // checkpoint: AQE coalesces the tiny post-distinct stage (8 partitions
-    // at sf0.1) and localCheckpoint would freeze that coalescing into
-    // every iteration's parallelism (profiled: 4× the iteration cost).
-    // Partitioning by src also lets deg's groupBy aggregate in place.
-    val edges = eraw.select(explode(array(
+    eraw.select(explode(array(
         struct(col("src").as("s"), col("dst").as("t")),
         struct(col("dst").as("s"), col("src").as("t")))).as("e"))
       .select(col("e.s").as("src"), col("e.t").as("dst"))
       .repartition(col("src"))
+  }
+
+  /** SQL mirror of [[tradeEdges]] (eraw + edges CTE bodies). */
+  private val tradeEdgesCte: String =
+    """eraw AS MATERIALIZED (
+      |  SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |edges AS MATERIALIZED (
+      |  SELECT src, dst FROM eraw
+      |  UNION ALL SELECT dst AS src, src AS dst FROM eraw)""".stripMargin
+
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val edges = tradeEdges(s, d)
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
     // (src, dst, outdeg(src)) — the only frame the iterations touch; eager
@@ -130,14 +146,11 @@ object Graph {
          |  CAST($BASE_FP AS BIGINT) +
          |    ($DAMP_NUM * CAST(sum(r.r // a.outdeg) AS BIGINT)) // 100 AS r
          |FROM adj a JOIN $prev r ON r.node = a.src GROUP BY a.dst)""".stripMargin
-    s"""WITH eraw AS (
-       |  SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
-       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-       |edges AS (SELECT src, dst FROM eraw
-       |          UNION ALL SELECT dst AS src, src AS dst FROM eraw),
+    s"""WITH $tradeEdgesCte,
        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
        |        FROM edges GROUP BY src),
-       |adj AS (SELECT e.src, e.dst, d.outdeg
+       |adj AS MATERIALIZED (
+       |        SELECT e.src, e.dst, d.outdeg
        |        FROM edges e JOIN deg d ON d.node = e.src),
        |r0 AS (SELECT node, CAST($START_FP AS BIGINT) AS r FROM deg),
        |${round("r0", "r1")},
@@ -252,11 +265,85 @@ object Graph {
        |  UNION ALL SELECT z AS node FROM tri)
        |GROUP BY node ORDER BY n_tri DESC, node LIMIT 100""".stripMargin
 
+  /** Seed-nation cutoff for g03: suppliers in nations < this are seeds. */
+  private val LPA_SEED_NATIONS = 5L
+  private val LPA_ROUNDS = 3
+
+  /** g03: semi-supervised label propagation (the classic LPA, Zhu &
+    * Ghahramani 2002 / Raghavan et al. 2007) over the trade graph:
+    * suppliers from the first [[LPA_SEED_NATIONS]] nations are fixed
+    * seeds carrying their nation as the label; every other node takes,
+    * each synchronous round, the MAJORITY label among its neighbors
+    * (ties → smallest label; nodes with no labeled neighbor stay
+    * unlabeled). Three rounds reach customers (hop 1), unseeded
+    * suppliers (hop 2), and their customers (hop 3) — the market-segment
+    * discovery / entity-canonicalization pass.
+    *
+    * Entirely integer (labels + counts), so the oracle replays it
+    * hash-exactly with zero float discipline. Scale shape per round: one
+    * join of the checkpointed edge list against the (node, label) frame,
+    * a (dst, label) count, and an argmax via max(struct(cnt, -label)) —
+    * single aggregation, no window; the label frame never exceeds
+    * |nodes| rows. Seeds stay fixed via anti-join + union.
+    */
+  def labelPropagation(s: SparkSession, d: String): DataFrame = {
+    val edges = tradeEdges(s, d).localCheckpoint(true)
+    val seeds = Tables.supplier(s, d)
+      .filter(col("s_nationkey") < LPA_SEED_NATIONS)
+      .select((col("s_suppkey") * 2 + 1).as("node"),
+        col("s_nationkey").cast("long").as("label"))
+    var labels = seeds
+    for (_ <- 1 to LPA_ROUNDS) {
+      // same explicit broadcast rationale as the g01 iteration join (the
+      // ExistingRDD side has no stats; AQE's runtime demotion would strand
+      // a full-edge exchange per round); same ≥100M-node co-partition note
+      val voted = edges.join(broadcast(labels), labels("node") === edges("src"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("label"))
+      labels = voted.join(seeds.select(col("node").as("snode")),
+          voted("node") === col("snode"), "left_anti")
+        .unionByName(seeds)
+    }
+    labels.groupBy(col("label"))
+      .agg(count(when(col("node") % 2 === 0, 1)).as("n_customers"),
+        count(when(col("node") % 2 === 1, 1)).as("n_suppliers"))
+      .orderBy(col("label"))
+  }
+
+  /** g03 oracle: the same synchronous rounds unrolled. */
+  val labelPropagationSql: String = {
+    val round = (prev: String, k: Int) =>
+      s"""n$k AS (SELECT e.dst AS node, l.label, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM edges e JOIN $prev l ON l.node = e.src GROUP BY e.dst, l.label),
+         |v$k AS (SELECT node, label FROM n$k
+         |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) = 1),
+         |l$k AS MATERIALIZED (
+         |  SELECT v.node, v.label FROM v$k v
+         |    LEFT JOIN seeds s ON s.node = v.node WHERE s.node IS NULL
+         |  UNION ALL SELECT node, label FROM seeds)""".stripMargin
+    val rounds = (1 to LPA_ROUNDS).map(k =>
+      round(if (k == 1) "l0" else s"l${k - 1}", k)).mkString(",\n")
+    s"""WITH $tradeEdgesCte,
+       |seeds AS MATERIALIZED (
+       |  SELECT 2 * s_suppkey + 1 AS node, CAST(s_nationkey AS BIGINT) AS label
+       |  FROM supplier WHERE s_nationkey < $LPA_SEED_NATIONS),
+       |l0 AS (SELECT node, label FROM seeds),
+       |$rounds
+       |SELECT label,
+       |  CAST(count(*) FILTER (node % 2 = 0) AS BIGINT) AS n_customers,
+       |  CAST(count(*) FILTER (node % 2 = 1) AS BIGINT) AS n_suppliers
+       |FROM l$LPA_ROUNDS GROUP BY label ORDER BY label""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank" -> (pagerank _),
-    "g02_triangle_census" -> (triangleCensus _))
+    "g02_triangle_census" -> (triangleCensus _),
+    "g03_label_propagation" -> (labelPropagation _))
 
   def oracles: Map[String, String] = Map(
     "g01_pagerank" -> pagerankSql,
-    "g02_triangle_census" -> triangleCensusSql)
+    "g02_triangle_census" -> triangleCensusSql,
+    "g03_label_propagation" -> labelPropagationSql)
 }

@@ -50,6 +50,42 @@ class GraphSpec extends SparkSpec {
     assert(deg(top) > deg(bottom))
   }
 
+  test("g03 label propagation matches a sequential synchronous reference") {
+    // packed-long edges, mirroring tradeEdges
+    val custOf = Tables.orders(spark, d).select("o_orderkey", "o_custkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val eset = Tables.lineitem(spark, d).select("l_orderkey", "l_suppkey")
+      .collect()
+      .flatMap(r => custOf.get(r.getLong(0)).map(c => (2 * c, 2 * r.getLong(1) + 1)))
+      .toSet
+    val edges = eset.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val bySrc = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val seeds = Tables.supplier(spark, d).select("s_suppkey", "s_nationkey")
+      .collect().filter(_.getInt(1) < 5)
+      .map(r => (2 * r.getLong(0) + 1) -> r.getInt(1).toLong).toMap
+
+    var labels: Map[Long, Long] = seeds
+    for (_ <- 1 to 3) {
+      val voted = bySrc.keys.flatMap { dst =>
+        // neighbors of dst = nodes whose edge points INTO dst; the graph
+        // is symmetric so bySrc(dst) is exactly that set
+        val counts = bySrc(dst).flatMap(labels.get)
+          .groupBy(identity).map { case (l, ls) => l -> ls.size.toLong }
+        if (counts.isEmpty) None
+        else Some(dst -> counts.minBy { case (l, c) => (-c, l) }._1)
+      }.toMap
+      labels = voted ++ seeds
+    }
+    val expect = labels.toSeq.groupBy(_._2).map { case (l, g) =>
+      (l, g.count(_._1 % 2 == 0).toLong, g.count(_._1 % 2 == 1).toLong)
+    }.toSeq.sortBy(_._1)
+
+    val got = Graph.labelPropagation(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    assert(got.map(_._1).forall(l => l >= 0 && l < 5))
+  }
+
   test("g02 triangle census matches brute-force enumeration") {
     // local support-thresholded supplier co-order graph
     val so = Tables.lineitem(spark, d).select("l_orderkey", "l_suppkey")
