@@ -233,7 +233,62 @@ object Extras {
       |    / CAST(n AS DOUBLE) AS intercept_yx
       |FROM s ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** lgConfigK for the q63 sketches: 2^14 registers ⇒ ~0.41% RSE, so the
+    * 2% output contract sits ~5σ out — the booleans are stable, not lucky.
+    */
+  private val HLL_LG_K = 14
+
+  /** q63: re-aggregatable HLL rollup — the materialized-view pattern that
+    * makes distinct-count dashboards 100 TB-viable: persist one Datasketches
+    * HLL sketch per group (here: distinct users per event_type), then
+    * answer ANY coarser rollup by UNIONING sketches — never rescanning the
+    * fact table. HLL union is a per-register max, so it is
+    * order/partitioning-independent and loses no accuracy vs sketching the
+    * raw data directly (pinned in ExtrasSpec).
+    *
+    * Approximate values can't hash-match a second engine, so the output is
+    * the CONTRACT, not the estimate (the q26 lesson, made oracle-checkable):
+    * exact per-group distincts plus a `within_2pct` boolean comparing each
+    * sketch estimate — and the union-derived global estimate — against the
+    * exact count. The oracle computes the exact counts and asserts the
+    * booleans TRUE; a sketch regression flips a boolean and fails the hash.
+    * (The exact countDistincts exist for verification; production keeps
+    * only the sketches.)
+    */
+  def hllRollup(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+    val perType = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(HLL_LG_K)).as("sk"),
+        countDistinct(col("user_id")).as("n_exact"))
+    def within(est: Column, exact: Column): Column =
+      abs(est.cast("double") - exact.cast("double")) <= lit(0.02) * exact.cast("double")
+    val typed = perType.select(lit("type").as("level"),
+      col("event_type").as("key"), col("n_exact").cast("long").as("n_exact"),
+      within(hll_sketch_estimate(col("sk")), col("n_exact")).as("within_2pct"))
+    // global = union of the five per-type sketches; the fact table is NOT
+    // rescanned for the estimate (only for the exact verification count)
+    val unionEst = perType.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val global = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+      .crossJoin(unionEst)
+      .select(lit("total").as("level"), lit("all").as("key"),
+        col("n_exact").cast("long").as("n_exact"),
+        within(col("est"), col("n_exact")).as("within_2pct"))
+    typed.unionByName(global).orderBy("level", "key")
+  }
+
+  val hllRollupSql: String =
+    """SELECT level, key, n_exact, within_2pct FROM (
+      |  SELECT 'type' AS level, event_type AS key,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, TRUE AS within_2pct
+      |  FROM events GROUP BY event_type
+      |  UNION ALL
+      |  SELECT 'total', 'all', CAST(count(DISTINCT user_id) AS BIGINT), TRUE
+      |  FROM events)
+      |ORDER BY level, key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_hll_rollup" -> (hllRollup _),
     "q25_pivot" -> (pivotEvents _),
     "q51_unpivot" -> (unpivotStats _),
     "q26_approx_distinct" -> (approxDistinct _),
@@ -244,6 +299,7 @@ object Extras {
     "t06_top_tokens" -> (topTokens _))
 
   val oracles: Map[String, String] = Map(
+    "q63_hll_rollup" -> hllRollupSql,
     "q25_pivot" -> pivotEventsSql,
     "q51_unpivot" -> unpivotStatsSql,
     "q27_weighted_avg_udaf" -> weightedAvgPriceSql,

@@ -118,4 +118,29 @@ class ExtrasSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(udafRes == sqlRes)
   }
+
+  test("q63: union of per-group HLL sketches ≡ direct global sketch (re-aggregatability)") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, d).select(col("event_type"), col("user_id"))
+    // union-of-parts: the materialized-view path (no fact rescan)
+    val viaUnion = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect()(0).getLong(0)
+    // direct: sketch the raw column in one pass
+    val direct = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14))))
+      .collect()(0).getLong(0)
+    assert(viaUnion == direct,
+      "HLL union must lose nothing vs sketching raw data (register-max merge)")
+    // and the estimate honors the 2% output contract vs exact
+    val exact = ev.agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(math.abs(viaUnion.toDouble - exact) <= 0.02 * exact)
+  }
+
+  test("q63 output booleans are all true and levels complete") {
+    val rows = Extras.hllRollup(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getString(0)).count(_ == "total") == 1)
+    assert(rows.forall(_.getBoolean(3)))
+  }
 }
