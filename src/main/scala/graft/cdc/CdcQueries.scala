@@ -134,7 +134,55 @@ object CdcQueries {
       |) AS t(id, amount, paid_on, created_at, active)
       |ORDER BY id""".stripMargin
 
+  /** c06: SCD2 (type-2 slowly-changing dimension) history materialized
+    * from the CDC stream — the analytical upgrade the reference's
+    * latest-state-only MySQL sink cannot provide: every insert/update
+    * becomes a numbered version of the entity, deletes close the entity,
+    * and `is_current` marks the one open version (the reference's
+    * latest-state = exactly the is_current slice, minus deleted entities).
+    *
+    * Version boundaries come from the same binlog (file, pos, row) total
+    * order ST3 pins. Scale shape: one exchange on (db, tbl, id); both
+    * windows and the final sort reuse that partitioning.
+    */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("db"), col("tbl"), col("id"))
+      .orderBy(col("file"), col("pos"), col("row"))
+    CdcPipeline.changes(s)
+      .withColumn("next_op", lead(col("op"), 1).over(w))
+      .filter(col("op") =!= "D")
+      .withColumn("ver", row_number().over(w).cast("long"))
+      .select(col("db"), col("tbl"), col("id"), col("ver"),
+        element_at(col("after"), "name").as("name"),
+        element_at(col("after"), "amount").cast("long").as("amount"),
+        (col("next_op").isNull).as("is_current"))
+      .orderBy("db", "tbl", "id", "ver")
+  }
+
+  val scd2HistorySql: String =
+    s"""WITH e AS (
+       |  SELECT payload.source.db AS db, payload.source."table" AS tbl,
+       |         coalesce(payload.after.id, payload.before.id) AS id,
+       |         CASE WHEN payload.before IS NULL AND payload.after IS NOT NULL THEN 'I'
+       |              WHEN payload.before IS NOT NULL AND payload.after IS NOT NULL THEN 'U'
+       |              WHEN payload.before IS NOT NULL AND payload.after IS NULL THEN 'D'
+       |              ELSE 'X' END AS op,
+       |         payload.after.name AS name, payload.after.amount AS amount,
+       |         payload.source.file AS f, payload.source.pos AS p,
+       |         payload.source."row" AS r
+       |  FROM read_json_auto('${CdcPipeline.eventsPath}')),
+       |x AS (SELECT *, lead(op) OVER (
+       |        PARTITION BY db, tbl, id ORDER BY f, p, r) AS next_op FROM e),
+       |v AS (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY db, tbl, id ORDER BY f, p, r) AS BIGINT) AS ver
+       |      FROM x WHERE op <> 'D')
+       |SELECT db, tbl, id, ver, name, CAST(amount AS BIGINT) AS amount,
+       |  next_op IS NULL AS is_current
+       |FROM v ORDER BY db, tbl, id, ver""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c06_scd2_history" -> (scd2History _),
     "c01_cdc_latest_state" -> (latestState _),
     "c02_cdc_op_counts" -> (opCounts _),
     "c03_ddl_decisions" -> (ddlDecisions _),
@@ -142,6 +190,7 @@ object CdcQueries {
     "c05_typed_latest_state" -> (typedLatestState _))
 
   val oracles: Map[String, String] = Map(
+    "c06_scd2_history" -> scd2HistorySql,
     "c01_cdc_latest_state" -> latestStateSql,
     "c02_cdc_op_counts" -> opCountsSql,
     "c03_ddl_decisions" -> ddlDecisionsSql,

@@ -569,7 +569,89 @@ object Relational2 {
       |HAVING count(*) > 100
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** q64: referential-integrity audit — the dbt-test / data-contract sweep
+    * every warehouse runs on landing: for each declared foreign key, the
+    * child row count and the count of orphans (child keys with no parent).
+    * One row per relationship, so the report is constant-width regardless
+    * of corpus size.
+    *
+    * Scale shape: each check is a LEFT ANTI join aggregated to one long —
+    * dimension parents (customer/part/supplier/nation/region) broadcast;
+    * the one fact-fact check (lineitem→orders) is a shuffled anti join on
+    * the order key whose output is counted map-side. Null FKs count as
+    * orphans (a null reference violates the contract too).
+    */
+  def fkAudit(s: SparkSession, d: String): DataFrame = {
+    def check(name: String, child: DataFrame, key: String,
+              parent: DataFrame, pkey: String, bcast: Boolean): DataFrame = {
+      val p = parent.select(col(pkey).as("__pk")).distinct()
+      val orphans = child
+        .join(if (bcast) broadcast(p) else p, col(key) === col("__pk"), "left_anti")
+      child.agg(count(lit(1)).as("n_rows")).crossJoin(
+          orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"))
+    }
+    val li = Tables.lineitem(s, d)
+    Seq(
+      check("customer.c_nationkey->nation", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey", bcast = true),
+      check("lineitem.l_orderkey->orders", li, "l_orderkey",
+        Tables.orders(s, d), "o_orderkey", bcast = false),
+      check("lineitem.l_partkey->part", li, "l_partkey",
+        Tables.part(s, d), "p_partkey", bcast = true),
+      check("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey", bcast = true),
+      check("nation.n_regionkey->region", Tables.nation(s, d), "n_regionkey",
+        Tables.region(s, d), "r_regionkey", bcast = true),
+      check("orders.o_custkey->customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey", bcast = true),
+      check("supplier.s_nationkey->nation", Tables.supplier(s, d), "s_nationkey",
+        Tables.nation(s, d), "n_nationkey", bcast = true))
+      .reduce(_ unionByName _)
+      .orderBy("fk")
+  }
+
+  val fkAuditSql: String =
+    """SELECT fk, n_rows, n_orphans FROM (
+      |  SELECT 'customer.c_nationkey->nation' AS fk,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_rows,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM customer
+      |      WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL)
+      |         OR c_nationkey IS NULL) AS n_orphans
+      |  UNION ALL SELECT 'lineitem.l_orderkey->orders',
+      |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+      |      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
+      |         OR l_orderkey IS NULL)
+      |  UNION ALL SELECT 'lineitem.l_partkey->part',
+      |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+      |      WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL)
+      |         OR l_partkey IS NULL)
+      |  UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+      |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+      |      WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey IS NOT NULL)
+      |         OR l_suppkey IS NULL)
+      |  UNION ALL SELECT 'nation.n_regionkey->region',
+      |    (SELECT CAST(count(*) AS BIGINT) FROM nation),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM nation
+      |      WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region WHERE r_regionkey IS NOT NULL)
+      |         OR n_regionkey IS NULL)
+      |  UNION ALL SELECT 'orders.o_custkey->customer',
+      |    (SELECT CAST(count(*) AS BIGINT) FROM orders),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+      |      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+      |         OR o_custkey IS NULL)
+      |  UNION ALL SELECT 'supplier.s_nationkey->nation',
+      |    (SELECT CAST(count(*) AS BIGINT) FROM supplier),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM supplier
+      |      WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL)
+      |         OR s_nationkey IS NULL))
+      |ORDER BY fk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_fk_audit" -> (fkAudit _),
     "q60_pipe_syntax" -> (pipeSyntax _),
     "q59_division" -> (divisionAllPriorities _),
     "q57_market_share" -> (marketShare _),
@@ -589,6 +671,7 @@ object Relational2 {
     "q41_conditional_scalars" -> (conditionalScalars _))
 
   val oracles: Map[String, String] = Map(
+    "q64_fk_audit" -> fkAuditSql,
     "q60_pipe_syntax" -> pipeSyntaxSql,
     "q59_division" -> divisionAllPrioritiesSql,
     "q57_market_share" -> marketShareSql,

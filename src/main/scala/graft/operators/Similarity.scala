@@ -1458,7 +1458,65 @@ object Similarity {
       |FROM ranked WHERE rank <= 5
       |ORDER BY anchor_id, rank""".stripMargin
 
+  // --------------------------------------------- semantic decontamination
+  /** p14: embedding-based benchmark decontamination — p02 catches verbatim
+    * n-gram leaks; this catches PARAPHRASED leakage: for every corpus
+    * vector, its maximum cosine against the benchmark (eval-set) vectors,
+    * reported as the top-n ranked contamination candidates a reviewer
+    * would triage (threshold-free: the cutoff is a policy decision, the
+    * ranking is the engine's job).
+    *
+    * Scale shape: the benchmark sample is broadcast into ONE corpus scan
+    * (same contract as s01/s12); the per-vector max is a constant-width
+    * aggregate, and the global top-n is TakeOrderedAndProject. At index
+    * scale the scan swaps for the s09 IVF-PQ probe with max-aggregation
+    * unchanged. Quantized-integer cosine, so the oracle is bit-exact.
+    */
+  def semanticDecontam(s: SparkSession, d: String,
+                       nBench: Int = 16, topN: Int = 50): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val bench = e.filter(col("vec_id") < nBench)
+      .select(col("vec_id").as("bench_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qnorm", sqrt(qdot(col("qv"), col("qv")).cast("double")))
+    val corpus = e.filter(col("vec_id") >= nBench)
+      .select(col("vec_id"), quantize(col("embedding")).as("cv"))
+      .withColumn("cnorm", sqrt(qdot(col("cv"), col("cv")).cast("double")))
+    corpus.crossJoin(broadcast(bench))
+      .withColumn("cosine",
+        qdot(col("qv"), col("cv")).cast("double") / (col("qnorm") * col("cnorm")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cosine"), (-col("bench_id")).as("nb"))).as("m"))
+      .select(col("vec_id"), (-col("m.nb")).as("bench_id"),
+        col("m.cosine").as("max_cosine"))
+      .orderBy(col("max_cosine").desc, col("vec_id"))
+      .limit(topN)
+      .orderBy(col("max_cosine").desc, col("vec_id"))
+  }
+
+  /** p14 oracle: s01's CTE chain + an argmax per corpus vector + top-n.
+    * The arg-bench tiebreak (smallest bench_id at equal cosine) mirrors
+    * the max(struct(cosine, -bench_id)) form.
+    */
+  val semanticDecontamSql: String =
+    """WITH q AS (SELECT vec_id AS bench_id,
+      |             [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS qv
+      |           FROM embeddings WHERE vec_id < 16),
+      |c AS (SELECT vec_id,
+      |        [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS cv
+      |      FROM embeddings WHERE vec_id >= 16),
+      |dots AS (SELECT c.vec_id, q.bench_id,
+      |           CAST(list_sum([qv[i] * cv[i] FOR i IN range(1, 65)]) AS DOUBLE) /
+      |             (sqrt(CAST(list_sum([qv[i] * qv[i] FOR i IN range(1, 65)]) AS DOUBLE)) *
+      |              sqrt(CAST(list_sum([cv[i] * cv[i] FOR i IN range(1, 65)]) AS DOUBLE))) AS cosine
+      |         FROM c CROSS JOIN q),
+      |best AS (SELECT vec_id, bench_id, cosine AS max_cosine FROM dots
+      |         QUALIFY row_number() OVER (PARTITION BY vec_id
+      |                   ORDER BY cosine DESC, bench_id) = 1)
+      |SELECT vec_id, bench_id, max_cosine FROM best
+      |ORDER BY max_cosine DESC, vec_id LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p14_semantic_decontam" -> ((s: SparkSession, d: String) => semanticDecontam(s, d)),
     "s12_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(s, d)),
     "s11_pq_rerank" -> ((s: SparkSession, d: String) => ivfPqRerank(s, d)),
     "s10_ivfpq_recall" -> ((s: SparkSession, d: String) => ivfPqRecall(s, d)),
@@ -1474,6 +1532,7 @@ object Similarity {
     "d06_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDupPairsSeeded(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "p14_semantic_decontam" -> semanticDecontamSql,
     "s12_hard_negatives" -> hardNegativesSql,
     "s11_pq_rerank" -> ivfPqRerankSql,
     "s10_ivfpq_recall" -> ivfPqRecallSql,
