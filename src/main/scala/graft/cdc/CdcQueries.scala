@@ -150,6 +150,10 @@ object CdcQueries {
     val w = Window.partitionBy(col("db"), col("tbl"), col("id"))
       .orderBy(col("file"), col("pos"), col("row"))
     CdcPipeline.changes(s)
+      // F8: a redelivered event carries the SAME binlog coordinate — it is
+      // the same event, not a new version (c01 absorbs these via rank
+      // ties; a history table must absorb them explicitly)
+      .dropDuplicates(Seq("db", "tbl", "id", "file", "pos", "row"))
       .withColumn("next_op", lead(col("op"), 1).over(w))
       .filter(col("op") =!= "D")
       .withColumn("ver", row_number().over(w).cast("long"))
@@ -162,7 +166,7 @@ object CdcQueries {
 
   val scd2HistorySql: String =
     s"""WITH e AS (
-       |  SELECT payload.source.db AS db, payload.source."table" AS tbl,
+       |  SELECT DISTINCT payload.source.db AS db, payload.source."table" AS tbl,
        |         coalesce(payload.after.id, payload.before.id) AS id,
        |         CASE WHEN payload.before IS NULL AND payload.after IS NOT NULL THEN 'I'
        |              WHEN payload.before IS NOT NULL AND payload.after IS NOT NULL THEN 'U'

@@ -248,6 +248,28 @@ object CdcStreaming {
       }
       .start()
 
+  /** Streaming SCD2 sink: like [[startJdbc]] but each micro-batch appends
+    * to a type-2 HISTORY table ([[JdbcSink.applyScd2]]) instead of
+    * maintaining latest state — the Debezium→warehouse history-table
+    * consumer mode. (id, src_seq) keying makes micro-batch replay after a
+    * checkpoint rollback a no-op, so the history is exactly-once-effective
+    * under at-least-once delivery.
+    */
+  def startJdbcScd2(spark: SparkSession, source: DataFrame, url: String,
+      cdcTable: String, histTable: String, paths: SinkPaths,
+      republishLimit: Int = 3, checkpoint: String): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (valid, invalid) = parseBatch(batch.cache())
+        val forTable = valid.filter(col("tbl") === cdcTable)
+        if (!forTable.isEmpty) JdbcSink.applyScd2(forTable, url, histTable)
+        if (!invalid.isEmpty) routeFailures(spark, invalid, paths, republishLimit)
+        batch.unpersist()
+        ()
+      }
+      .start()
+
   /** Wire a streaming source of (value, loop) records into the
     * parse/upsert/retry sinks via foreachBatch.
     */

@@ -97,4 +97,86 @@ object JdbcSink {
       st.executeUpdate()
     } finally st.close()
   }
+
+  // ------------------------------------------------------------ SCD2 sink
+  /** Apply a batch of parsed changes as a TYPE-2 history table (the
+    * warehouse-side upgrade of the latest-state sink; batch analytics
+    * counterpart: CdcQueries.scd2History / c06): every I/U closes the
+    * entity's open version and appends a new numbered one; D closes the
+    * open version and appends a closed tombstone row (op = 'D').
+    *
+    * Exactly-once effect under at-least-once delivery WITHOUT coordinator
+    * state: every event writes exactly one row keyed PRIMARY KEY
+    * (id, src_seq) where src_seq is the binlog coordinate — a redelivered
+    * event is detected by one indexed point-lookup and skipped wholesale,
+    * so close/append never double-applies (spec: full replay is a no-op).
+    *
+    * Expected DDL:
+    * {{{
+    * CREATE TABLE t (id BIGINT, ver INT, name VARCHAR(64), amount BIGINT,
+    *                 op CHAR(1), src_seq VARCHAR(64), is_current BOOLEAN,
+    *                 PRIMARY KEY (id, src_seq))
+    * }}}
+    *
+    * Same distribution contract as [[applyChanges]]: repartition by id,
+    * sortWithinPartitions by binlog (file, pos, row) — per-key apply
+    * order holds on any number of executors.
+    */
+  def applyScd2(valid: DataFrame, url: String, table: String): Unit = {
+    val projected = valid.select(
+      col("id"),
+      element_at(col("after"), "name").as("name"),
+      element_at(col("after"), "amount").cast("long").as("amount"),
+      col("op"),
+      concat_ws(":", col("file"), col("pos"), col("row")).as("src_seq"),
+      col("file"), col("pos"), col("row"))
+    projected
+      .repartition(col("id"))
+      .sortWithinPartitions(col("file"), col("pos"), col("row"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.nonEmpty) {
+          val conn = DriverManager.getConnection(url)
+          try rows.foreach(r => applyScd2One(conn, table, r))
+          finally conn.close()
+        }
+      }
+  }
+
+  private def applyScd2One(conn: Connection, table: String,
+      r: org.apache.spark.sql.Row): Unit = {
+    val id = r.getLong(r.fieldIndex("id"))
+    val seq = r.getString(r.fieldIndex("src_seq"))
+    val op = r.getString(r.fieldIndex("op"))
+    // redelivery gate: this event already left its row
+    val seen = conn.prepareStatement(
+      s"SELECT 1 FROM $table WHERE id = ? AND src_seq = ?")
+    val already = try {
+      seen.setLong(1, id); seen.setString(2, seq)
+      val rs = seen.executeQuery(); try rs.next() finally rs.close()
+    } finally seen.close()
+    if (!already) {
+      val close = conn.prepareStatement(
+        s"UPDATE $table SET is_current = false WHERE id = ? AND is_current = true")
+      try { close.setLong(1, id); close.executeUpdate() } finally close.close()
+      val verSt = conn.prepareStatement(
+        s"SELECT COALESCE(MAX(ver), 0) + 1 FROM $table WHERE id = ?")
+      val ver = try {
+        verSt.setLong(1, id)
+        val rs = verSt.executeQuery(); try { rs.next(); rs.getInt(1) } finally rs.close()
+      } finally verSt.close()
+      val ins = conn.prepareStatement(
+        s"INSERT INTO $table (id, ver, name, amount, op, src_seq, is_current)" +
+          " VALUES (?, ?, ?, ?, ?, ?, ?)")
+      try {
+        ins.setLong(1, id)
+        ins.setInt(2, ver)
+        setName(ins, 3, r)
+        setAmount(ins, 4, r)
+        ins.setString(5, op)
+        ins.setString(6, seq)
+        ins.setBoolean(7, op != "D")
+        ins.executeUpdate()
+      } finally ins.close()
+    }
+  }
 }

@@ -150,4 +150,66 @@ class CdcStreamingSpec extends SparkSpec {
       assert(rows.toList == List((1L, "alice2", 150L)))
     } finally c2.close()
   }
+
+  test("streaming SCD2 sink: history versions across micro-batches, replay is a no-op") {
+    val url = "jdbc:derby:memory:graftscd2;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      try conn.createStatement().execute("DROP TABLE hist")
+      catch { case _: java.sql.SQLException => () }
+      conn.createStatement().execute(
+        "CREATE TABLE hist (id BIGINT, ver INT, name VARCHAR(64), amount BIGINT, " +
+          "op CHAR(1), src_seq VARCHAR(64), is_current BOOLEAN, PRIMARY KEY (id, src_seq))")
+    } finally conn.close()
+
+    def dump(): List[(Long, Int, String, String, Boolean)] = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT id, ver, name, op, is_current FROM hist ORDER BY id, ver")
+        val rows = scala.collection.mutable.ListBuffer[(Long, Int, String, String, Boolean)]()
+        while (rs.next())
+          rows += ((rs.getLong(1), rs.getInt(2), rs.getString(3),
+            rs.getString(4).trim, rs.getBoolean(5)))
+        rows.toList
+      } finally c.close()
+    }
+
+    val paths = tmpPaths()
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int)]
+    val q = CdcStreaming.startJdbcScd2(spark, mem.toDF().toDF("value", "loop"),
+      url, cdcTable = "acct", histTable = "hist", paths,
+      republishLimit = 3, checkpoint = ckpt)
+
+    mem.addData((ev(1, "alice", 100, "b1", 10), 0), (ev(2, "bob", 200, "b1", 20), 0))
+    q.processAllAvailable()
+    mem.addData(
+      (ev(1, "alice2", 150, "b1", 30, op = "U"), 0),
+      (ev(2, "bob", 200, "b1", 40, op = "D"), 0),
+      (ev(1, "alice", 100, "b1", 10), 0)) // redelivered insert: (id, src_seq) gate
+    q.processAllAvailable()
+    q.stop()
+
+    val expected = List(
+      (1L, 1, "alice", "I", false),  // closed by the update
+      (1L, 2, "alice2", "U", true),  // the open version
+      (2L, 1, "bob", "I", false),    // closed by the delete
+      (2L, 2, null.asInstanceOf[String], "D", false)) // delete tombstone, nothing open
+    assert(dump() == expected)
+
+    // replay BOTH batches wholesale: every (id, src_seq) already present
+    val mem2 = MemoryStream[(String, Int)]
+    val q2 = CdcStreaming.startJdbcScd2(spark, mem2.toDF().toDF("value", "loop"),
+      url, cdcTable = "acct", histTable = "hist", paths, republishLimit = 3,
+      checkpoint = Files.createTempDirectory("ckpt2").toString)
+    mem2.addData(
+      (ev(1, "alice", 100, "b1", 10), 0), (ev(2, "bob", 200, "b1", 20), 0),
+      (ev(1, "alice2", 150, "b1", 30, op = "U"), 0),
+      (ev(2, "bob", 200, "b1", 40, op = "D"), 0))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(dump() == expected, "full replay must leave the history unchanged")
+  }
 }

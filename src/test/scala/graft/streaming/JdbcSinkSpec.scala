@@ -56,4 +56,53 @@ class JdbcSinkSpec extends SparkSpec {
     JdbcSink.applyChanges(acct, url, "acct")
     assert(fetchAll("acct") == expected)
   }
+
+  test("SCD2 sink over the fixture agrees with the c06 batch materialization; replay no-op") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      try conn.createStatement().execute("DROP TABLE acct_hist")
+      catch { case _: java.sql.SQLException => () }
+      conn.createStatement().execute(
+        "CREATE TABLE acct_hist (id BIGINT, ver INT, name VARCHAR(64), amount BIGINT, " +
+          "op CHAR(1), src_seq VARCHAR(64), is_current BOOLEAN, PRIMARY KEY (id, src_seq))")
+    } finally conn.close()
+
+    val raw = spark.read.text(CdcPipeline.eventsPath)
+      .select(col("value"), lit(0).as("loop"))
+    val (valid, _) = CdcStreaming.parseBatch(raw)
+    val acct = valid.filter(col("db") === "shop" && col("tbl") === "acct")
+    JdbcSink.applyScd2(acct, url, "acct_hist")
+
+    def dumpHist(): List[(Long, Int, String, Long, Boolean)] = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT id, ver, name, amount, is_current FROM acct_hist " +
+            "WHERE op <> 'D' ORDER BY id, ver")
+        val rows = scala.collection.mutable.ListBuffer[(Long, Int, String, Long, Boolean)]()
+        while (rs.next())
+          rows += ((rs.getLong(1), rs.getInt(2), rs.getString(3),
+            rs.getLong(4), rs.getBoolean(5)))
+        rows.toList
+      } finally c.close()
+    }
+
+    // the non-tombstone history rows must agree with c06's batch SCD2
+    // materialization (modulo c06's pre-tombstone version numbering: the
+    // sink numbers ALL events while c06 numbers non-deletes, so compare
+    // per-entity ORDER and payloads, not raw version integers)
+    val batchScd2 = graft.cdc.CdcQueries.scd2History(spark, "")
+      .filter(col("db") === "shop" && col("tbl") === "acct")
+      .select("id", "name", "amount", "is_current")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .toList
+    val sinkRows = dumpHist().map { case (id, _, name, amount, cur) =>
+      (id, name, amount, cur)
+    }
+    assert(sinkRows == batchScd2)
+
+    // replay: every (id, src_seq) already present — no version inflation
+    JdbcSink.applyScd2(acct, url, "acct_hist")
+    assert(dumpHist().map { case (id, _, n, a, c0) => (id, n, a, c0) } == batchScd2)
+  }
 }
