@@ -362,6 +362,59 @@ object ScalePatterns {
     * readers would keep listing deleted files. Returns the dropped day
     * values (the audit record a production run logs).
     */
+  /** Restate (backfill) ONE event-day of a [[writeDailyPartitioned]] table
+    * with corrected rows — the lifecycle op every pipeline needs when an
+    * upstream correction lands after the day closed. Completes the table's
+    * land → compact → expire lifecycle with restatement.
+    *
+    * Same crash-ordered underscore-sibling swap as [[compactDay]]:
+    * the replacement is written to an underscore-prefixed sibling
+    * (invisible to Spark's listing), then swapped in with two atomic
+    * renames — a concurrent reader sees the old day or the new day, never
+    * a mix or a half-write, and every crash point is recoverable (the
+    * `_old_` sibling survives until the swap completes). Day granularity
+    * is what makes restatement 100 TB-viable: the rewrite is proportional
+    * to ONE day, not the table.
+    *
+    * Guards: every replacement row must fall inside the restated day (a
+    * row landing in another partition would silently vanish), and the
+    * replacement schema must match the partition files' schema (which
+    * excludes the derived `day` column).
+    */
+  def restateDay(s: SparkSession, path: String, day: String,
+      replacement: DataFrame, tsCol: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(day.matches("""\d{4}-\d{2}-\d{2}"""),
+      s"restateDay: day must be yyyy-MM-dd, got [$day]")
+    require(!Files.exists(Paths.get(path, "_spark_metadata")),
+      s"restateDay: $path still carries a _spark_metadata manifest — " +
+        "manifest readers would not see the swapped files; finalizeStreamTable first")
+    val strays = replacement
+      .filter(date_format(col(tsCol), "yyyy-MM-dd") =!= day).count()
+    require(strays == 0,
+      s"restateDay: $strays replacement rows fall outside day=$day")
+    val live = Paths.get(s"$path/day=$day")
+    val tmp = Paths.get(s"$path/_restate_$day")
+    val old = Paths.get(s"$path/_old_$day")
+    if (Files.exists(old)) {
+      require(Files.exists(live),
+        s"restateDay: $old exists but $live is missing — a prior swap " +
+          s"crashed mid-rename; restore by renaming $old back to $live")
+      Dedup.deleteTreeIfExists(old)
+    }
+    Dedup.deleteTreeIfExists(tmp)
+    require(Files.exists(live), s"restateDay: no partition at $live")
+    val partitionSchema = s.read.parquet(live.toString).schema
+    require(replacement.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      partitionSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"restateDay: replacement schema ${replacement.schema.simpleString} != " +
+        s"partition schema ${partitionSchema.simpleString}")
+    replacement.write.parquet(tmp.toString)
+    Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+    Dedup.deleteTreeIfExists(old)
+  }
+
   def expireDays(path: String, keepFrom: String): Seq[String] = {
     import java.nio.file.{Files, Paths}
     require(keepFrom.matches("""\d{4}-\d{2}-\d{2}"""),

@@ -514,4 +514,41 @@ class ScalePatternsSpec extends SparkSpec {
     assert(surviving >= 100 && surviving < 600, s"bloom pruned to $surviving rows")
   }
 
+  test("restateDay: one day swapped atomically with corrected rows, other days untouched") {
+    val d = "/root/testdata/sf0.01"
+    val tmp = java.nio.file.Files.createTempDirectory("restate").toString
+    val ev = Tables.events(spark, d).select("event_id", "ts", "value")
+    ScalePatterns.writeDailyPartitioned(ev, s"$tmp/daily", "ts")
+    val day = "2024-01-05"
+    val before = spark.read.parquet(s"$tmp/daily")
+    val othersBefore = before.filter(col("day").cast("string") =!= day)
+      .select("event_id", "value").collect().map(_.toSeq).toSet
+
+    // the correction: that day's values were off by 10x upstream
+    val corrected = ev
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === day)
+      .withColumn("value", col("value") * 10)
+    assert(corrected.count() > 0, "fixture drifted: empty restatement day")
+    ScalePatterns.restateDay(spark, s"$tmp/daily", day, corrected, "ts")
+
+    val after = spark.read.parquet(s"$tmp/daily")
+    val dayRows = after.filter(col("day").cast("string") === day)
+    // the day now carries exactly the corrected rows
+    assert(dayRows.select("event_id", "value").collect().map(_.toSeq).toSet ==
+      corrected.select("event_id", "value").collect().map(_.toSeq).toSet)
+    // every other day byte-identical
+    assert(after.filter(col("day").cast("string") =!= day)
+      .select("event_id", "value").collect().map(_.toSeq).toSet == othersBefore)
+    // no underscore debris left behind
+    val leftovers = new java.io.File(s"$tmp/daily").listFiles()
+      .map(_.getName).filter(n => n.startsWith("_restate_") || n.startsWith("_old_"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+
+    // guard: rows outside the day are refused before any file is touched
+    val stray = ev.filter(date_format(col("ts"), "yyyy-MM-dd") =!= day).limit(1)
+    intercept[IllegalArgumentException] {
+      ScalePatterns.restateDay(spark, s"$tmp/daily", day,
+        corrected.unionByName(stray), "ts")
+    }
+  }
 }
