@@ -297,7 +297,13 @@ object Graph {
       // same explicit broadcast rationale as the g01 iteration join (the
       // ExistingRDD side has no stats; AQE's runtime demotion would strand
       // a full-edge exchange per round); same ≥100M-node co-partition note
+      // one exchange per round: hash-partitioning by dst alone satisfies
+      // the clustering requirement of BOTH aggregations ((dst, label)
+      // count and the per-dst argmax — subset rule), where letting each
+      // groupBy plan its own exchange costs two
       val voted = edges.join(broadcast(labels), labels("node") === edges("src"))
+        .select(col("dst"), col("label"))
+        .repartition(col("dst"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))

@@ -296,4 +296,34 @@ class PlanShapeSpec extends SparkSpec {
       "BroadcastHashJoin".r.findAllIn(p).nonEmpty,
       "no equi-join found for candidate generation")
   }
+
+  test("g01/g03: every iteration joins BROADCAST (no stranded SMJ probe-side shuffles)") {
+    // the profiled round-11 defect: a statless ExistingRDD join plans as
+    // SMJ, AQE demotes it to broadcast at runtime, and the planned
+    // full-edge exchange still executes — once per iteration. The explicit
+    // hint pins the static plan; this pins the hint.
+    for (q <- Seq("g01_pagerank", "g03_label_propagation")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q iteration join regressed off broadcast:\n${p.take(3000)}")
+      assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+        s"$q lost its per-round broadcast joins:\n${p.take(3000)}")
+      // per-round cost bound: one partial-sum/count exchange per round
+      // (+1 slack for the label seed side); the stranded-exchange bug
+      // DOUBLES this count, so the cap detects it
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges <= 5, s"$q: $exchanges hash exchanges (stranded shuffles?)")
+    }
+  }
+
+  test("g02: wedge enumeration is equi-join only and unpivots via Generate, not Union") {
+    val p = plan("g02_triangle_census")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle join degenerated to all-pairs:\n${p.take(3000)}")
+    // the profiled round-11 defect: a 3-way union re-executed the whole
+    // wedge join per branch (broadcast joins expose no exchange to reuse)
+    assert(!p.contains("Union"), s"g02 unpivot regressed to Union:\n${p.take(3000)}")
+    assert("Generate explode".r.findAllIn(p).nonEmpty,
+      s"g02 lost the Generate-based unpivot:\n${p.take(3000)}")
+  }
 }
