@@ -864,12 +864,14 @@ object Curation {
     val toks = docs.select(col("doc_id"), col("lang"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
       .withColumn("b", Dedup.baseHash(col("tok")) % DSIR_BUCKETS)
-    val bg = toks.groupBy(col("b")).agg(count(lit(1)).as("s_n"))
-    val tg = toks.filter(col("lang") === "en")
-      .groupBy(col("b").as("tb")).agg(count(lit(1)).as("t_n"))
-    val w = bg.join(tg, col("b") === col("tb"), "left")
+    // BOTH distributions from one conditional aggregation over one token
+    // pass (a separate filtered groupBy would re-execute the corpus
+    // explode; conditional count 0 ≡ the left-join's coalesce(t_n, 0))
+    val w = toks.groupBy(col("b"))
+      .agg(count(lit(1)).as("s_n"),
+        count(when(col("lang") === "en", 1)).as("t_n"))
       .select(col("b"),
-        floor(lit(1000000.0) * (coalesce(col("t_n"), lit(0L)) + lit(1L)) /
+        floor(lit(1000000.0) * (col("t_n") + lit(1L)) /
           (col("s_n") + lit(1L))).cast("long").as("w"))
     val scored = toks.join(broadcast(w), "b")
       .groupBy(col("doc_id"))

@@ -88,6 +88,11 @@ object Graph {
         struct(col("dst").as("s"), col("src").as("t")))).as("e"))
       .select(col("e.s").as("src"), col("e.t").as("dst"))
       .repartition(col("src"))
+      // checkpoint HERE, not only downstream: deg's broadcast build side
+      // and the probe side are separate executions of this subtree (no
+      // exchange to reuse under a broadcast join), so an uncheckpointed
+      // edge list runs the join+distinct twice per consumer
+      .localCheckpoint(true)
   }
 
   /** SQL mirror of [[tradeEdges]] (eraw + edges CTE bodies). */
@@ -200,6 +205,10 @@ object Graph {
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
       .select(col("u"), col("v"))
+      // the deg build side and the orientation probe are separate
+      // executions of the support join without this (the oracle's
+      // MATERIALIZED pairs CTE mirrors it)
+      .localCheckpoint(true)
     // explode, not union(u-side, v-side): a union would execute the whole
     // pair-support pipeline once per branch (no exchange to reuse above
     // the broadcast joins); the Generate touches it once
@@ -287,7 +296,7 @@ object Graph {
     * |nodes| rows. Seeds stay fixed via anti-join + union.
     */
   def labelPropagation(s: SparkSession, d: String): DataFrame = {
-    val edges = tradeEdges(s, d).localCheckpoint(true)
+    val edges = tradeEdges(s, d) // checkpointed by construction
     val seeds = Tables.supplier(s, d)
       .filter(col("s_nationkey") < LPA_SEED_NATIONS)
       .select((col("s_suppkey") * 2 + 1).as("node"),

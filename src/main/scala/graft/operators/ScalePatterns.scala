@@ -370,11 +370,15 @@ object ScalePatterns {
     * Same crash-ordered underscore-sibling swap as [[compactDay]]:
     * the replacement is written to an underscore-prefixed sibling
     * (invisible to Spark's listing), then swapped in with two atomic
-    * renames — a concurrent reader sees the old day or the new day, never
-    * a mix or a half-write, and every crash point is recoverable (the
-    * `_old_` sibling survives until the swap completes). Day granularity
-    * is what makes restatement 100 TB-viable: the rewrite is proportional
-    * to ONE day, not the table.
+    * renames — a concurrent reader never sees a mix of old and new rows
+    * or a half-written file. (Between the two renames there IS a brief
+    * window where the day directory is absent — a reader in that instant
+    * sees an empty day, the same contract as [[compactDay]]; a
+    * table-format manifest would close it, plain directories cannot.)
+    * Every crash point is recoverable: the `_old_` sibling survives until
+    * the swap completes. Day granularity is what makes restatement
+    * 100 TB-viable: the rewrite is proportional to ONE day, not the
+    * table.
     *
     * Guards: every replacement row must fall inside the restated day (a
     * row landing in another partition would silently vanish), and the
@@ -389,10 +393,13 @@ object ScalePatterns {
     require(!Files.exists(Paths.get(path, "_spark_metadata")),
       s"restateDay: $path still carries a _spark_metadata manifest — " +
         "manifest readers would not see the swapped files; finalizeStreamTable first")
+    // null-safe: a NULL event time is a stray too (writeDailyPartitioned
+    // would route it to the default partition, not this day)
     val strays = replacement
-      .filter(date_format(col(tsCol), "yyyy-MM-dd") =!= day).count()
+      .filter(!(date_format(col(tsCol), "yyyy-MM-dd") <=> day)).count()
     require(strays == 0,
-      s"restateDay: $strays replacement rows fall outside day=$day")
+      s"restateDay: $strays replacement rows fall outside day=$day " +
+        "(or carry a NULL event time)")
     val live = Paths.get(s"$path/day=$day")
     val tmp = Paths.get(s"$path/_restate_$day")
     val old = Paths.get(s"$path/_old_$day")

@@ -741,7 +741,9 @@ object TextOps {
         lit(SEP)).as("state"), col("c"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
-    for (k <- 1 to BPE_MERGES) {
+    var k = 1
+    var exhausted = false
+    while (k <= BPE_MERGES && !exhausted) {
       val sy = split(expr(s"trim(BOTH '$SEP' FROM state)"), sep2)
       val best = words
         .select(col("c"), sy.as("sy"))
@@ -750,14 +752,23 @@ object TextOps {
           s"transform(sequence(1, size(sy) - 1), i -> concat(element_at(sy, i), '$SEP$SEP', element_at(sy, i + 1)))")).as("pair"))
         .groupBy(col("pair")).agg(sum(col("c")).as("total"))
         .orderBy(col("total").desc, col("pair"))
-        .limit(1).collect()(0) // bounded driver scalar: the round's argmax
-      val pair = best.getString(0)
-      merges += ((k.toLong, pair, best.getLong(1)))
-      val pattern = SEP + pair + SEP
-      val replacement = SEP + pair.replace(sep2, "") + SEP
-      words = words.withColumn("state",
-        regexp_replace(col("state"),
-          lit(Pattern.quote(pattern)), lit(Matcher.quoteReplacement(replacement))))
+        .limit(1).collect().headOption // bounded driver scalar: the argmax
+      best match {
+        case None =>
+          // no word has ≥2 symbols left — the corpus ran dry before
+          // BPE_MERGES rounds; stop (the oracle's empty b_k CTE omits the
+          // same trailing steps, so both engines emit ≤ BPE_MERGES rows)
+          exhausted = true
+        case Some(row) =>
+          val pair = row.getString(0)
+          merges += ((k.toLong, pair, row.getLong(1)))
+          val pattern = SEP + pair + SEP
+          val replacement = SEP + pair.replace(sep2, "") + SEP
+          words = words.withColumn("state",
+            regexp_replace(col("state"),
+              lit(Pattern.quote(pattern)), lit(Matcher.quoteReplacement(replacement))))
+          k += 1
+      }
     }
     val spark = s
     import spark.implicits._

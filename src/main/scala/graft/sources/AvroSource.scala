@@ -168,12 +168,15 @@ object AvroSource {
     val fs = p.getFileSystem(conf)
     val first = {
       val st = fs.getFileStatus(p)
-      if (st.isDirectory)
-        fs.listStatus(p).iterator
+      if (st.isDirectory) {
+        val parts = fs.listStatus(p).iterator
           .map(_.getPath)
           .filter(_.getName.endsWith(".avro"))
-          .minBy(_.getName.toString)
-      else p
+          .toSeq
+        require(parts.nonEmpty,
+          s"AvroSource.readAvro: no *.avro container files under $path")
+        parts.minBy(_.getName.toString)
+      } else p
     }
     val writerSchema = {
       val in = fs.open(first)
