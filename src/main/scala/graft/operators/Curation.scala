@@ -333,6 +333,62 @@ object Curation {
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // --------------------------------------------- leakage-safe split (p15)
+  /** p15: NEAR-DUP-SAFE train/val split. p03's content hash keeps exact
+    * duplicates on one side, but a near-duplicate (boilerplate variant,
+    * re-crawl with one edit) hashes differently and can straddle the
+    * split — the classic silent eval leak. Here the split is a pure
+    * function of the document's NEAR-DUP COMPONENT: the d07 pair pipeline
+    * + connected components assigns every doc a component label
+    * (singletons label themselves), and the component label — not the
+    * doc — is hashed against [[VAL_PCT]]. Whole clusters land on one
+    * side by construction, so no near-dup pair can cross the boundary.
+    *
+    * Scale shape: exactly d07's (capped posting lists, long-only pair
+    * exchanges, O(log n) CC rounds) plus one broadcast-joinable label
+    * frame and a rollup; the split decision itself is one md5 per GROUP,
+    * not per doc.
+    */
+  /** Per-document assignment face of [[leakageSafeSplit]]:
+    * (doc_id, source, component, split). LeakageSafeSplitSpec asserts the
+    * guarantee on THIS frame (every near-dup pair lands in one split).
+    */
+  def leakageSafeSplitAssign(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(s, d).select("id_a", "id_b")
+      .localCheckpoint(true)
+    val labels = Dedup.connectedComponentsAuto(pairs)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    docs.join(labels, docs("doc_id") === labels("id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("lbl"), col("doc_id")).as("component"))
+      .withColumn("split",
+        when(Dedup.baseHash(col("component").cast("string")) % 100 < VAL_PCT, "val")
+          .otherwise("train"))
+  }
+
+  def leakageSafeSplit(s: SparkSession, d: String): DataFrame =
+    leakageSafeSplitAssign(s, d)
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("component")).as("n_clusters"))
+      .orderBy("source", "split")
+
+  /** p15 oracle: the shared d07 CC chain, then the same component-hash
+    * split decision and rollup.
+    */
+  lazy val leakageSafeSplitSql: String =
+    s"""${Dedup.ccCtes},
+      |labels AS (SELECT id, min(lbl) AS lbl FROM cc GROUP BY id),
+      |a AS (SELECT d.doc_id, d.source, coalesce(l.lbl, d.doc_id) AS component
+      |      FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+      |b AS (SELECT source, component,
+      |  CASE WHEN CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)),1,15)) AS BIGINT)
+      |         % 100 < $VAL_PCT
+      |       THEN 'val' ELSE 'train' END AS split FROM a)
+      |SELECT source, split, count(*) AS n_docs,
+      |  count(DISTINCT component) AS n_clusters
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------- source downsampling
   /** p04: deterministic per-source downsampling — the mixture-rebalance
     * step that caps over-represented sources (a crawl dump 100x the size
@@ -911,6 +967,7 @@ object Curation {
        |ORDER BY sc.score_fp DESC, sc.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p15_leakage_safe_split" -> (leakageSafeSplit _),
     "p13_dsir_resample" -> (dsirResample _),
     "p12_dataset_profile" -> (datasetProfile _),
     "p10_gopher_curation" -> (gopherCuration _),
@@ -926,6 +983,7 @@ object Curation {
     "p11_curation_report" -> (curationReportUnified _))
 
   val oracles: Map[String, String] = Map(
+    "p15_leakage_safe_split" -> leakageSafeSplitSql,
     "p13_dsir_resample" -> dsirResampleSql,
     "p12_dataset_profile" -> datasetProfileSql,
     "p10_gopher_curation" -> gopherCurationSql,

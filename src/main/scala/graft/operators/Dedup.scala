@@ -1527,7 +1527,7 @@ object Dedup {
   /** Shared oracle prefix: the capped pair pipeline + recursive
     * transitive-closure component labels (d07/d14).
     */
-  private lazy val ccCtes: String =
+  private[operators] lazy val ccCtes: String =
     s"""WITH RECURSIVE
       |t AS (SELECT doc_id, lang, CAST(floor(n_chars/100.0) AS INT) AS band,
       |             regexp_split_to_array(trim(text), '\\s+') AS toks

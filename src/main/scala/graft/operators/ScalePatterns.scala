@@ -476,9 +476,55 @@ object ScalePatterns {
       |FROM events e JOIN dim d ON e.event_type = d.event_type
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------ incremental aggregation (q65)
+  /** q65: INCREMENTAL VIEW MAINTENANCE — merge the newest day's delta into
+    * the standing per-type aggregate instead of reaggregating history. At
+    * 100 TB the standing state (count, decimal sum, min/max event id per
+    * type — every piece a commutative monoid) is already materialized;
+    * each day costs one delta-proportional partial aggregate plus a
+    * state-sized merge, never a history scan. The registered face splits
+    * the table at its last event day, aggregates the two sides separately,
+    * and merges — so the DuckDB oracle (one direct aggregate over
+    * everything) is the exact algebraic-equivalence check: merge(state(H),
+    * state(Δ)) ≡ state(H ∪ Δ).
+    *
+    * The cut day comes from an exact 1-row bound broadcast back onto the
+    * scan (the sequencePacking discipline), not a driver collect; rows
+    * with a NULL event time fall into neither day and still merge
+    * correctly because the merge reaggregates ALL partial rows regardless
+    * of their delta tag.
+    */
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = graft.Tables.events(s, d).select(col("event_id"),
+      col("event_type"), to_date(TimeWindows.eventTime).as("day"), col("value"))
+    val bound = e.agg(max(col("day")).as("cutday"))
+    val partial = e.crossJoin(broadcast(bound))
+      .groupBy(col("event_type"), (col("day") <=> col("cutday")).as("is_delta"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sv"),
+        min(col("event_id")).as("fe"), max(col("event_id")).as("le"))
+    partial.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("sv")).cast(DecimalType(38, 2)).cast("string").as("sum_value"),
+        min(col("fe")).as("first_event"), max(col("le")).as("last_event"))
+      .orderBy("event_type")
+  }
+
+  /** q65 oracle: the direct single-pass aggregate the merged state must
+    * equal exactly.
+    */
+  val incrementalAggSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_value,
+      |  min(event_id) AS first_event, max(event_id) AS last_event
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_incremental_agg" -> (incrementalAgg _),
     "q58_salted_skew_join" -> (saltedSkewJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q65_incremental_agg" -> incrementalAggSql,
     "q58_salted_skew_join" -> saltedSkewJoinSql)
 }

@@ -729,6 +729,26 @@ object TextOps {
     * because U+001F sorts below every corpus character.
     */
   def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    val (merges, _) = bpeLearn(s, d)
+    val spark = s
+    import spark.implicits._
+    merges.map { case (step, pair, total) =>
+      val Array(l, r) = pair.split(SEP + SEP, 2)
+      (step, l, r, l + r, total)
+    }.toDF("step", "lhs", "rhs", "merged", "total")
+      .orderBy("step")
+  }
+
+  /** The shared BPE training loop behind t16 (merge table) and t17
+    * (corpus encoding): learns up to [[BPE_MERGES]] merges and returns
+    * both the merge list and the FINAL segmented vocabulary
+    * `(tok, state, c)` — the word-level encoder table. Carrying `tok`
+    * through the rewrite rounds costs nothing (the rewrites touch only
+    * `state`) and is what lets t17 encode the corpus with a vocab join
+    * instead of re-running merges per document.
+    */
+  private def bpeLearn(s: SparkSession, d: String)
+      : (Seq[(Long, String, Long)], DataFrame) = {
     import java.util.regex.{Matcher, Pattern}
     val sep2 = SEP + SEP
     val toks = Tables.documents(s, d)
@@ -736,7 +756,7 @@ object TextOps {
       .filter(length(col("tok")) >= 1 && !col("tok").contains(SEP))
     // vocabulary-proportional from here on; one corpus pass total
     var words = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .select(concat(lit(SEP),
+      .select(col("tok"), concat(lit(SEP),
         array_join(expr("transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"), sep2),
         lit(SEP)).as("state"), col("c"))
       .localCheckpoint(true)
@@ -770,13 +790,75 @@ object TextOps {
           k += 1
       }
     }
-    val spark = s
-    import spark.implicits._
-    merges.toSeq.map { case (step, pair, total) =>
-      val Array(l, r) = pair.split(sep2, 2)
-      (step, l, r, l + r, total)
-    }.toDF("step", "lhs", "rhs", "merged", "total")
-      .orderBy("step")
+    (merges.toSeq, words)
+  }
+
+  /** t17: BPE ENCODING — the inference side of t16. Applies the learned
+    * merge table to the corpus and reports, per document, the whitespace
+    * token count and the resulting BPE token count (the number a training
+    * pipeline budgets sequence packing and mixture sampling with; t01's
+    * `bpeishTokenCount` is the closed-form approximation of exactly this
+    * number).
+    *
+    * Scale design: encoding NEVER touches per-document text with the
+    * merge rules — [[bpeLearn]]'s final vocabulary (already segmented
+    * after all merges) IS the encoder, so the corpus-proportional work is
+    * one tokenize+explode and one join on the word key (vocab-sized build
+    * side; AQE broadcasts it at any realistic vocabulary), then a
+    * per-document count/sum. The merge rewrites stay vocabulary-
+    * proportional exactly as in training.
+    */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val sep2 = SEP + SEP
+    val (_, vocab) = bpeLearn(s, d)
+    val enc = vocab.select(col("tok"),
+      size(split(expr(s"trim(BOTH '$SEP' FROM state)"), sep2)).cast("long").as("n_sym"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 1 && !col("tok").contains(SEP))
+      .join(enc, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_sym")).as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
+  /** t17 oracle: the t16 rounds carrying `tok`, then the vocab join. The
+    * per-round rewrite uses LEFT JOIN ON TRUE + CASE (not CROSS JOIN) so
+    * an exhausted corpus (empty argmax) passes states through unchanged —
+    * the mirror of [[bpeLearn]]'s early stop.
+    */
+  val bpeEncodeSql: String = {
+    val round = (prev: String, k: Int) =>
+      s"""p$k AS (SELECT pair, CAST(sum(c) AS BIGINT) AS total FROM (
+         |  SELECT c, unnest([sy[i] || '$SEP$SEP' || sy[i+1] FOR i IN range(1, len(sy))]) AS pair
+         |  FROM (SELECT c, string_split(trim(state, '$SEP'), '$SEP$SEP') AS sy FROM $prev))
+         |GROUP BY pair),
+         |b$k AS (SELECT pair, total FROM p$k ORDER BY total DESC, pair LIMIT 1),
+         |w$k AS (SELECT w.tok,
+         |    CASE WHEN b.pair IS NULL THEN w.state
+         |         ELSE replace(w.state, '$SEP' || b.pair || '$SEP',
+         |           '$SEP' || replace(b.pair, '$SEP$SEP', '') || '$SEP') END AS state,
+         |    w.c
+         |  FROM $prev w LEFT JOIN b$k b ON TRUE)""".stripMargin
+    val rounds = (1 to BPE_MERGES).map(k => round(s"w${k - 1}", k)).mkString(",\n")
+    s"""WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |           FROM documents),
+       |w0 AS (SELECT tok, '$SEP' || array_to_string(
+       |           [substr(tok, i, 1) FOR i IN range(1, len(tok) + 1)], '$SEP$SEP')
+       |         || '$SEP' AS state, CAST(count(*) AS BIGINT) AS c
+       |       FROM t WHERE len(tok) >= 1 AND tok NOT LIKE '%$SEP%'
+       |       GROUP BY tok),
+       |$rounds,
+       |enc AS (SELECT tok,
+       |    CAST(len(string_split(trim(state, '$SEP'), '$SEP$SEP')) AS BIGINT) AS n_sym
+       |  FROM w$BPE_MERGES),
+       |dt AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents)
+       |SELECT doc_id, count(*) AS n_tokens, CAST(sum(n_sym) AS BIGINT) AS n_bpe
+       |FROM dt JOIN enc USING (tok)
+       |WHERE len(tok) >= 1 AND tok NOT LIKE '%$SEP%'
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** t16 oracle: the same rounds unrolled as CTEs — per round, pair counts
@@ -812,6 +894,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_bpe_encode" -> (bpeEncode _),
     "t16_bpe_merges" -> (bpeMerges _),
     "t15_bigram_lm" -> (bigramLm _),
     "t14_heavy_ngrams" -> (heavyShingles _),
@@ -829,6 +912,7 @@ object TextOps {
     "t05_cleantext" -> (cleanedDocs _))
 
   val oracles: Map[String, String] = Map(
+    "t17_bpe_encode" -> bpeEncodeSql,
     "t16_bpe_merges" -> bpeMergesSql,
     "t15_bigram_lm" -> bigramLmSql,
     "t14_heavy_ngrams" -> heavyShinglesSql,

@@ -24,7 +24,8 @@ class BpeSpec extends SparkSpec {
     out.toList
   }
 
-  test("t16 matches a sequential reference trainer merge-for-merge") {
+  /** The sequential reference trainer both tests compare against. */
+  private lazy val referenceMerges: Seq[(Long, String, String, String, Long)] = {
     val wordCounts = Tables.documents(spark, d).select("text").collect()
       .flatMap(_.getString(0).trim.split("\\s+"))
       .filter(_.nonEmpty)
@@ -42,11 +43,35 @@ class BpeSpec extends SparkSpec {
       vocab = vocab.groupBy { case (syms, _) => applyMerge(syms, a, b) }
         .map { case (m, g) => m -> g.values.sum }
     }
+    expect.toSeq
+  }
 
+  test("t16 matches a sequential reference trainer merge-for-merge") {
     val got = TextOps.bpeMerges(spark, d).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
       .toSeq
-    assert(got == expect.toSeq)
+    assert(got == referenceMerges)
+  }
+
+  test("t17 encodes the corpus exactly as a sequential reference encoder") {
+    // reference encode: apply the learned merges to each word in rank order
+    val encodeLen = mutable.Map[String, Long]()
+    def encode(w: String): Long = encodeLen.getOrElseUpdate(w, {
+      var syms = w.map(_.toString).toList
+      for ((_, a, b, _, _) <- referenceMerges) syms = applyMerge(syms, a, b)
+      syms.length.toLong
+    })
+    val expect = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").filter(_.nonEmpty))
+      .filter(_._2.nonEmpty)
+      .map { case (id, toks) => (id, toks.length.toLong, toks.map(encode).sum) }
+      .sortBy(_._1).toSeq
+
+    val got = TextOps.bpeEncode(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // BPE can only merge: every word is between 1 symbol and its length
+    got.zip(expect).foreach { case ((_, nTok, nBpe), _) => assert(nBpe >= nTok) }
   }
 
   test("greedy run semantics: the reference merge of (a,a) pairs runs left to right") {

@@ -240,4 +240,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows(1L) == (8L, 1L)) // 10 tokens -> 8 shingles, all identical
     assert(rows(2L) == (6L, 6L)) // 8 tokens -> 6 shingles, all distinct
   }
+
+  test("p15: no near-dup pair straddles the leakage-safe split") {
+    val d = "/root/testdata/sf0.001"
+    val splitOf = Curation.leakageSafeSplitAssign(spark, d)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.ngramJaccardPairs(spark, d).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "guarantee would be vacuous without near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b), s"pair ($a,$b) straddles the split")
+    }
+    // both sides exist, and the aggregate face is the rollup of this frame
+    assert(splitOf.values.toSet == Set("train", "val"))
+    val agg = Curation.leakageSafeSplit(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val fromAssign = Curation.leakageSafeSplitAssign(spark, d)
+      .groupBy("source", "split")
+      .agg(count(lit(1)), countDistinct(col("component")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(agg == fromAssign)
+  }
 }

@@ -551,4 +551,31 @@ class ScalePatternsSpec extends SparkSpec {
         corrected.unionByName(stray), "ts")
     }
   }
+
+  test("q65: merged incremental state equals the direct aggregate, and the delta is non-empty") {
+    import org.apache.spark.sql.types.DecimalType
+    val d = "/root/testdata/sf0.001"
+    val got = ScalePatterns.incrementalAgg(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val direct = Tables.events(spark, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2))
+          .cast("string").as("sum_value"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == direct)
+    // the split really exercised both sides: the last day holds rows, and
+    // so does history (otherwise the merge degenerates to a single branch)
+    val e = Tables.events(spark, d)
+      .select(to_date(TimeWindows.eventTime).as("day"))
+    val cut = e.agg(max(col("day"))).head.getDate(0)
+    val nDelta = e.filter(col("day") === lit(cut)).count()
+    val nHist = e.filter(col("day") < lit(cut)).count()
+    assert(nDelta > 0 && nHist > 0, s"delta=$nDelta hist=$nHist")
+  }
 }
