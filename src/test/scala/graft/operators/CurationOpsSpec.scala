@@ -252,6 +252,17 @@ class CurationOpsSpec extends SparkSpec {
     pairs.foreach { case (a, b) =>
       assert(splitOf(a) == splitOf(b), s"pair ($a,$b) straddles the split")
     }
+    // ...and the guarantee is not free: p03's content-hash split DOES
+    // leak on this corpus (deterministic — no RNG anywhere): of the 8
+    // near-dup pairs at sf0.001, exactly one straddles p03's boundary
+    val p03Of = graft.Tables.documents(spark, d)
+      .select(col("doc_id"),
+        when(Dedup.baseHash(col("text")) % 100 < Curation.VAL_PCT, "val")
+          .otherwise("train").as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val straddledP03 = pairs.count { case (a, b) => p03Of(a) != p03Of(b) }
+    assert(straddledP03 == 1,
+      s"expected p03 to straddle exactly 1 near-dup pair here, got $straddledP03")
     // both sides exist, and the aggregate face is the rollup of this frame
     assert(splitOf.values.toSet == Set("train", "val"))
     val agg = Curation.leakageSafeSplit(spark, d).collect()
