@@ -893,7 +893,67 @@ object TextOps {
        |ORDER BY step""".stripMargin
   }
 
+  // --------------------------------------------- vocabulary growth (t18)
+  /** t18: TYPE GROWTH CURVE (Heaps' law) — new distinct 3-gram shingle
+    * TYPES by the corpus decile of their first occurrence (doc_id as
+    * ingestion order), cumulated. The diversity diagnostic a curator
+    * reads before mixing: a healthy corpus keeps minting new types in
+    * its last deciles; a flattening tail means the tail data repeats the
+    * head — it adds tokens, not coverage. The unit is the shingle type,
+    * not the unigram (a bounded word vocabulary saturates in the first
+    * documents — Heaps exponent ~0 — exactly as this corpus's 31-word
+    * vocabulary does; n-gram types are what keep growing).
+    *
+    * Scale shape: the d03-family hashed shingle explode (types travel as
+    * 8-byte longs, never strings; hash collisions are mirrored by the
+    * oracle's identical md5-prefix family so grouping agrees even when
+    * they happen), one type-keyed min-aggregate (map-side partial min —
+    * the exchange carries one row per type per map task, not per
+    * occurrence), then a 10-row decile rollup; the cumulative window
+    * sorts 10 rows. The decile is exact int64 arithmetic with the
+    * division FIRST (`first_id div (max_id div 10 + 1)`) so arbitrary
+    * ids cannot overflow — the sequencePacking discipline.
+    */
+  def vocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    // distinct=false: min(doc_id) is idempotent under duplicate
+    // (doc, shingle) rows, so the dedup shuffle would be pure waste
+    val sh = Dedup.shingleTable(Tables.documents(s, d).select("doc_id", "text"),
+      distinct = false, hashed = true)
+    val bound = sh.agg(max(col("doc_id")).as("max_id"))
+    sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_id"))
+      .crossJoin(broadcast(bound))
+      .select(expr("first_id div (max_id div 10 + 1) + 1").as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("new_types"))
+      .withColumn("cum_types", sum(col("new_types"))
+        .over(W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .orderBy("decile")
+  }
+
+  /** t18 oracle: the d03-family shingle + hash mirror, then identical
+    * first-occurrence decile arithmetic.
+    */
+  val vocabGrowthSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |g AS (SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(sh0), 1, 15)) AS BIGINT) AS sh
+      |  FROM (SELECT doc_id,
+      |          unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |                 ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                       FOR i IN range(1, len(toks)-1)] END) AS sh0
+      |        FROM t)),
+      |f AS (SELECT sh, min(doc_id) AS first_id FROM g GROUP BY sh),
+      |m AS (SELECT max(doc_id) AS max_id FROM g),
+      |h AS (SELECT first_id // (max_id // 10 + 1) + 1 AS decile,
+      |        count(*) AS new_types
+      |      FROM f, m GROUP BY 1)
+      |SELECT decile, new_types,
+      |  CAST(sum(new_types) OVER (ORDER BY decile) AS BIGINT) AS cum_types
+      |FROM h ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_vocab_growth" -> (vocabGrowth _),
     "t17_bpe_encode" -> (bpeEncode _),
     "t16_bpe_merges" -> (bpeMerges _),
     "t15_bigram_lm" -> (bigramLm _),
@@ -912,6 +972,7 @@ object TextOps {
     "t05_cleantext" -> (cleanedDocs _))
 
   val oracles: Map[String, String] = Map(
+    "t18_vocab_growth" -> vocabGrowthSql,
     "t17_bpe_encode" -> bpeEncodeSql,
     "t16_bpe_merges" -> bpeMergesSql,
     "t15_bigram_lm" -> bigramLmSql,

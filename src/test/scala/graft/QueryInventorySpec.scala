@@ -79,9 +79,12 @@ class QueryInventorySpec extends SparkSpec {
     // bounded by a VALUE range, not the row count: p09's `slice` is
     // 10 quality deciles x CURR_HSLICES hash slices (≤40 values), q47's
     // `_sgr_*` are the null/NaN flags plus the clamped cent-quantized
-    // bin of slicedGlobalRanks. Grouping on anything else (doc_id, a
+    // bin of slicedGlobalRanks, t18's `decile` is
+    // `x div (max div 10 + 1) + 1` with 0 ≤ x ≤ max, whose quotient is
+    // in [0, 9] for any ids. Grouping on anything else (doc_id, a
     // text hash, ...) fails the census and needs its own bound argument.
-    val boundedDomainCols = Set("slice", "_sgr_nn", "_sgr_nan", "_sgr_bin")
+    val boundedDomainCols = Set("slice", "_sgr_nn", "_sgr_nan", "_sgr_bin",
+      "decile")
 
     // STRUCTURAL recursion down the window's input, not an exists() over
     // the whole subtree: a limit sitting on a JOIN'S BUILD SIDE (e.g.

@@ -241,6 +241,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows(2L) == (6L, 6L)) // 8 tokens -> 6 shingles, all distinct
   }
 
+  test("t18: shingle-type growth curve matches a sequential reference") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, d).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def shingles(t: String): Seq[String] = {
+      val toks = t.trim.split("\\s+").toSeq
+      if (toks.length < 3) Seq(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSeq
+    }
+    val first = scala.collection.mutable.Map[String, Long]()
+    for ((id, t) <- docs.sortBy(_._1); sh <- shingles(t))
+      if (!first.contains(sh)) first(sh) = id
+    val w = docs.map(_._1).max / 10 + 1
+    val expect = first.values.groupBy(_ / w + 1).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (dec, n)) => (dec, n, cum + n) }
+      .drop(1)
+    val got = TextOps.vocabGrowth(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // the curve is non-degenerate on this corpus: several deciles mint types
+    assert(got.length >= 5, s"degenerate growth curve: $got")
+  }
+
   test("p15: no near-dup pair straddles the leakage-safe split") {
     val d = "/root/testdata/sf0.001"
     val splitOf = Curation.leakageSafeSplitAssign(spark, d)
