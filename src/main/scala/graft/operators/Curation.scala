@@ -354,8 +354,10 @@ object Curation {
     * guarantee on THIS frame (every near-dup pair lands in one split).
     */
   def leakageSafeSplitAssign(s: SparkSession, d: String): DataFrame = {
+    // no checkpoint: connectedComponentsAuto is the ONLY consumer and
+    // cache()s/unpersists the edge frame itself (the d07/d14 shape);
+    // checkpointing here would strand the RDD for the session lifetime
     val pairs = Dedup.ngramJaccardPairs(s, d).select("id_a", "id_b")
-      .localCheckpoint(true)
     val labels = Dedup.connectedComponentsAuto(pairs)
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
     docs.join(labels, docs("doc_id") === labels("id"), "left")

@@ -920,7 +920,10 @@ object TextOps {
     // (doc, shingle) rows, so the dedup shuffle would be pure waste
     val sh = Dedup.shingleTable(Tables.documents(s, d).select("doc_id", "text"),
       distinct = false, hashed = true)
-    val bound = sh.agg(max(col("doc_id")).as("max_id"))
+    // max over documents, NOT over sh: the value is identical (every doc
+    // emits >=1 shingle row), but bounding off the explode would execute
+    // the corpus-proportional tokenize+explode+hash pipeline twice
+    val bound = Tables.documents(s, d).agg(max(col("doc_id")).as("max_id"))
     sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_id"))
       .crossJoin(broadcast(bound))
       .select(expr("first_id div (max_id div 10 + 1) + 1").as("decile"))
