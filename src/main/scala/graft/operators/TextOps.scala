@@ -748,10 +748,17 @@ object TextOps {
     * instead of re-running merges per document.
     */
   private def bpeLearn(s: SparkSession, d: String)
+      : (Seq[(Long, String, Long)], DataFrame) =
+    bpeLearnOn(Tables.documents(s, d))
+
+  /** [[bpeLearn]] over an arbitrary (doc_id, text) frame — the injectable
+    * face BpeSpec uses to drive the corpus-exhaustion early stop.
+    */
+  private[operators] def bpeLearnOn(docs: DataFrame)
       : (Seq[(Long, String, Long)], DataFrame) = {
     import java.util.regex.{Matcher, Pattern}
     val sep2 = SEP + SEP
-    val toks = Tables.documents(s, d)
+    val toks = docs
       .select(explode(tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) >= 1 && !col("tok").contains(SEP))
     // vocabulary-proportional from here on; one corpus pass total

@@ -74,6 +74,19 @@ class BpeSpec extends SparkSpec {
     got.zip(expect).foreach { case ((_, nTok, nBpe), _) => assert(nBpe >= nTok) }
   }
 
+  test("corpus exhaustion stops merge learning early, short of BPE_MERGES") {
+    import spark.implicits._
+    // 'ab' fully merges in round 1; every word is then a single symbol,
+    // so round 2's pair table is empty and the loop must stop at 1 merge
+    // (not fail, not emit null rows)
+    val degenerate = Seq((1L, "ab ab x y"), (2L, "ab x")).toDF("doc_id", "text")
+    val (merges, vocab) = TextOps.bpeLearnOn(degenerate)
+    assert(merges == Seq((1L, "ab", 3L)))
+    // the final vocabulary is fully merged: one symbol per word
+    val states = vocab.collect().map(r => r.getString(1)).toSet
+    assert(states == Set("ab", "x", "y"))
+  }
+
   test("greedy run semantics: the reference merge of (a,a) pairs runs left to right") {
     // sanity-pin the reference itself, which the distributed replace-based
     // rewrite is compared against above: "aaaa" -> [aa, aa], "aaa" -> [aa, a]
