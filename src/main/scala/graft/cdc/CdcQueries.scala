@@ -185,7 +185,67 @@ object CdcQueries {
        |  next_op IS NULL AS is_current
        |FROM v ORDER BY db, tbl, id, ver""".stripMargin
 
+  /** c07 recovery coordinate: mid-way through the second binlog file, so
+    * the predicate exercises all three levels of the (file, pos, row)
+    * lexicographic tuple order ST3 pins.
+    */
+  private val PITR_FILE = "mysql-bin.000002"
+  private val PITR_POS  = 40L
+  private val PITR_ROW  = 0L
+
+  /** c07: point-in-time recovery — reconstruct the table state AS OF a
+    * binlog coordinate, the operational capability behind "what did the
+    * sink hold before the bad deploy at pos X?". The reference's
+    * latest-state-only MySQL sink cannot answer this (replaying from the
+    * retained binlog is a full re-consume); over the same change events it
+    * is one predicate: keep changes with (file, pos, row) ≤ the recovery
+    * coordinate, then the c01 latest-state fold. The cutoff prunes BEFORE
+    * the per-entity window, so the exchange carries only the ≤-coordinate
+    * prefix of the stream — at scale, binlog-file-partitioned storage makes
+    * the cutoff a partition-pruning predicate, not a scan filter.
+    */
+  def pitrState(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cut = col("file") < PITR_FILE ||
+      (col("file") === PITR_FILE &&
+        (col("pos") < PITR_POS ||
+          (col("pos") === PITR_POS && col("row") <= PITR_ROW)))
+    val w = Window.partitionBy(col("db"), col("tbl"), col("id"))
+      .orderBy(col("file").desc, col("pos").desc, col("row").desc)
+    CdcPipeline.changes(s)
+      .filter(cut)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("db"), col("tbl"), col("id"),
+        element_at(col("after"), "name").as("name"),
+        element_at(col("after"), "amount").cast("long").as("amount"))
+      .orderBy("db", "tbl", "id")
+  }
+
+  val pitrStateSql: String =
+    s"""WITH e AS (
+       |  SELECT payload.source.db AS db, payload.source."table" AS tbl,
+       |         coalesce(payload.after.id, payload.before.id) AS id,
+       |         CASE WHEN payload.before IS NULL AND payload.after IS NOT NULL THEN 'I'
+       |              WHEN payload.before IS NOT NULL AND payload.after IS NOT NULL THEN 'U'
+       |              WHEN payload.before IS NOT NULL AND payload.after IS NULL THEN 'D'
+       |              ELSE 'X' END AS op,
+       |         payload.after.name AS name, payload.after.amount AS amount,
+       |         payload.source.file AS f, payload.source.pos AS p,
+       |         payload.source."row" AS r
+       |  FROM read_json_auto('${CdcPipeline.eventsPath}')),
+       |cut AS (SELECT * FROM e
+       |        WHERE f < '$PITR_FILE' OR (f = '$PITR_FILE'
+       |          AND (p < $PITR_POS OR (p = $PITR_POS AND r <= $PITR_ROW)))),
+       |ranked AS (SELECT *, row_number() OVER (
+       |             PARTITION BY db, tbl, id ORDER BY f DESC, p DESC, r DESC) AS rn
+       |           FROM cut)
+       |SELECT db, tbl, id, name, CAST(amount AS BIGINT) AS amount
+       |FROM ranked WHERE rn = 1 AND op <> 'D'
+       |ORDER BY db, tbl, id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c07_pitr_state" -> (pitrState _),
     "c06_scd2_history" -> (scd2History _),
     "c01_cdc_latest_state" -> (latestState _),
     "c02_cdc_op_counts" -> (opCounts _),
@@ -194,6 +254,7 @@ object CdcQueries {
     "c05_typed_latest_state" -> (typedLatestState _))
 
   val oracles: Map[String, String] = Map(
+    "c07_pitr_state" -> pitrStateSql,
     "c06_scd2_history" -> scd2HistorySql,
     "c01_cdc_latest_state" -> latestStateSql,
     "c02_cdc_op_counts" -> opCountsSql,

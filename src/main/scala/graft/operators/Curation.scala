@@ -968,7 +968,57 @@ object Curation {
        |  (SELECT count(*) // $DSIR_KEEP_FRACTION FROM documents)
        |ORDER BY sc.score_fp DESC, sc.doc_id""".stripMargin
 
+  // ----------------------------------------------- robust outlier gate
+  /** p16: MAD-based robust outlier gate — the anomaly screen a curation
+    * pipeline runs over numeric telemetry before trusting it (median ±
+    * k·MAD is the standard robust z-score; unlike mean/stddev gates, one
+    * corrupted batch cannot drag the threshold toward itself because both
+    * location and scale estimators have a 50% breakdown point). Values are
+    * quantized to integer cents first, so every derived quantity (medians
+    * interpolate on the ½-cent grid, deviations on the ¼-cent grid) is an
+    * exactly-representable double and the flag comparison `dev > 3·MAD`
+    * hash-matches the oracle — the q35 percentile discipline extended two
+    * derivation levels down.
+    *
+    * Plan shape: three thin aggregates over a two-column projection (med →
+    * MAD → flag counts), each per-type statistic broadcast back onto the
+    * scan — exact medians at 100 TB would swap in an approx/histogram
+    * percentile (q66) without touching the gate logic.
+    */
+  def robustOutlierGate(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      floor(col("value") * 100.0).cast("long").as("cents"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(cents, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
+        max(col("med")).as("med_cents"), max(col("mad")).as("mad_cents"))
+      .orderBy("event_type")
+  }
+
+  val robustOutlierGateSql: String =
+    """WITH ev AS (SELECT event_type,
+      |    CAST(floor(value * 100.0) AS BIGINT) AS cents FROM events),
+      |med AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+      |        FROM ev GROUP BY 1),
+      |dev AS (SELECT ev.event_type, abs(cents - med) AS dev, med
+      |        FROM ev JOIN med USING (event_type)),
+      |mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      |        FROM dev GROUP BY 1)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  max(med) AS med_cents, max(mad) AS mad_cents
+      |FROM dev JOIN mad USING (event_type)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p16_outlier_gate" -> (robustOutlierGate _),
     "p15_leakage_safe_split" -> (leakageSafeSplit _),
     "p13_dsir_resample" -> (dsirResample _),
     "p12_dataset_profile" -> (datasetProfile _),
@@ -985,6 +1035,7 @@ object Curation {
     "p11_curation_report" -> (curationReportUnified _))
 
   val oracles: Map[String, String] = Map(
+    "p16_outlier_gate" -> robustOutlierGateSql,
     "p15_leakage_safe_split" -> leakageSafeSplitSql,
     "p13_dsir_resample" -> dsirResampleSql,
     "p12_dataset_profile" -> datasetProfileSql,

@@ -287,7 +287,122 @@ object Extras {
       |  FROM events)
       |ORDER BY level, key""".stripMargin
 
+  /** q66 histogram geometry: 128 bins × 400 cents covers [0, 512.00] —
+    * events.value tops out ≈ 490 (and ScaleData's shard bijection preserves
+    * the value distribution), so the overflow-capped last bin stays empty
+    * and the within-bin bound below is provable, not empirical.
+    */
+  private val HIST_BIN_CENTS = 400L
+  private val HIST_NBINS     = 128L
+
+  /** q66: mergeable histogram-quantile rollup — q63's materialized-view
+    * pattern applied to percentile dashboards: persist one fixed-geometry
+    * 128-bin histogram per group (event_type × counts of floor(value·100)
+    * cents), then answer ANY coarser rollup's p50/p90 by SUMMING bin
+    * counts — the fact table is never rescanned for the rollup (`all` below
+    * is derived purely from the per-type histograms). Bin-count addition is
+    * associative/commutative, so the merge is partitioning-independent —
+    * the same reason HLL unions are (q63) — and a day's delta histogram
+    * absorbs into a running one by vector addition.
+    *
+    * Unlike HLL, every quantity here is exactly deterministic (integer
+    * bins, integer targets ceil(q·n) = (q·n + denom−1) div denom), so the
+    * whole output hash-matches the oracle — including the within-one-bin
+    * contract booleans, which compare the histogram estimate (upper edge of
+    * the target bin) against the true discrete quantile: the true quantile
+    * lies inside the target bin by construction, so 0 < est − exact ≤ bin
+    * width always; a binning/merge regression flips the boolean and fails
+    * the hash. (The exact quantiles exist for verification; production
+    * keeps only the 128-long histogram vectors.)
+    */
+  def histQuantileRollup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d).select(col("event_type"),
+      floor(col("value") * 100.0).cast("long").as("cents"))
+    // the persisted sketch: one 128-long vector per event_type. ONE scan of
+    // the fact table, then localCheckpoint (≤ |types|·128 rows — bounded by
+    // geometry, not data) so the rollup below provably derives from the
+    // sketch, not from a re-planned rescan of events.
+    val perType = ev
+      .withColumn("bin", least(expr(s"cents div $HIST_BIN_CENTS"), lit(HIST_NBINS - 1)))
+      .groupBy(col("event_type").as("key"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    // rollup = bin-wise sum of the per-type vectors; no fact-table rescan
+    val merged = perType.groupBy(col("bin")).agg(sum(col("n")).as("n"))
+      .select(lit("all").as("key"), col("bin"), col("n"))
+    val hist = perType.unionByName(merged)
+    val wcum = Window.partitionBy(col("key")).orderBy(col("bin"))
+    val wtot = Window.partitionBy(col("key"))
+    val est = hist
+      .withColumn("cum", sum(col("n")).over(wcum))
+      .withColumn("n_tot", sum(col("n")).over(wtot))
+      .groupBy(col("key"))
+      .agg(max(col("n_tot")).as("n"),
+        min(when(col("cum") >= expr("(n_tot + 1) div 2"), col("bin"))).as("b50"),
+        min(when(col("cum") >= expr("(9 * n_tot + 9) div 10"), col("bin"))).as("b90"))
+      .select(col("key"), col("n"),
+        ((col("b50") + 1) * HIST_BIN_CENTS).as("est_p50_cents"),
+        ((col("b90") + 1) * HIST_BIN_CENTS).as("est_p90_cents"))
+    // exact discrete quantiles (verification only): min cents with
+    // cum ≥ ceil(q·n). GROUPING SETS carries both levels through one scan +
+    // Expand; the per-key windows are bounded by the cents VALUE DOMAIN
+    // (≤ 51 200 distinct values), never by corpus size (the q47 discipline).
+    val vals = ev
+      .groupingSets(Seq(Seq(col("event_type"), col("cents")), Seq(col("cents"))),
+        col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("event_type"), lit("all")).as("key"), col("cents"), col("n"))
+    val wv = Window.partitionBy(col("key")).orderBy(col("cents"))
+    val wvt = Window.partitionBy(col("key"))
+    val exact = vals
+      .withColumn("cum", sum(col("n")).over(wv))
+      .withColumn("n_tot", sum(col("n")).over(wvt))
+      .groupBy(col("key"))
+      .agg(min(when(col("cum") >= expr("(n_tot + 1) div 2"), col("cents"))).as("x50"),
+        min(when(col("cum") >= expr("(9 * n_tot + 9) div 10"), col("cents"))).as("x90"))
+    est.join(exact, "key")
+      .select(col("key"), col("n"),
+        col("est_p50_cents"), col("est_p90_cents"),
+        (col("est_p50_cents") - col("x50")).between(1L, HIST_BIN_CENTS).as("p50_within_bin"),
+        (col("est_p90_cents") - col("x90")).between(1L, HIST_BIN_CENTS).as("p90_within_bin"))
+      .orderBy("key")
+  }
+
+  val histQuantileRollupSql: String =
+    s"""WITH ev AS (SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS cents
+      |            FROM events),
+      |pt AS (SELECT event_type AS key,
+      |         least(cents // $HIST_BIN_CENTS, ${HIST_NBINS - 1}) AS bin,
+      |         count(*) AS n
+      |       FROM ev GROUP BY 1, 2),
+      |hist AS (SELECT * FROM pt UNION ALL
+      |         SELECT 'all', bin, CAST(sum(n) AS BIGINT) FROM pt GROUP BY bin),
+      |cum AS (SELECT key, bin, sum(n) OVER (PARTITION BY key ORDER BY bin) AS cum,
+      |          sum(n) OVER (PARTITION BY key) AS n_tot FROM hist),
+      |est AS (SELECT key, CAST(max(n_tot) AS BIGINT) AS n,
+      |          (min(CASE WHEN cum >= (n_tot + 1) // 2 THEN bin END) + 1)
+      |            * $HIST_BIN_CENTS AS est_p50_cents,
+      |          (min(CASE WHEN cum >= (9 * n_tot + 9) // 10 THEN bin END) + 1)
+      |            * $HIST_BIN_CENTS AS est_p90_cents
+      |        FROM cum GROUP BY key),
+      |vals AS (SELECT key, cents, count(*) AS n FROM (
+      |           SELECT event_type AS key, cents FROM ev
+      |           UNION ALL SELECT 'all', cents FROM ev)
+      |         GROUP BY key, cents),
+      |vcum AS (SELECT key, cents, sum(n) OVER (PARTITION BY key ORDER BY cents) AS cum,
+      |           sum(n) OVER (PARTITION BY key) AS n_tot FROM vals),
+      |exact AS (SELECT key,
+      |            min(CASE WHEN cum >= (n_tot + 1) // 2 THEN cents END) AS x50,
+      |            min(CASE WHEN cum >= (9 * n_tot + 9) // 10 THEN cents END) AS x90
+      |          FROM vcum GROUP BY key)
+      |SELECT key, n, est_p50_cents, est_p90_cents,
+      |  est_p50_cents - x50 BETWEEN 1 AND $HIST_BIN_CENTS AS p50_within_bin,
+      |  est_p90_cents - x90 BETWEEN 1 AND $HIST_BIN_CENTS AS p90_within_bin
+      |FROM est JOIN exact USING (key) ORDER BY key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_hist_quantile_rollup" -> (histQuantileRollup _),
     "q63_hll_rollup" -> (hllRollup _),
     "q25_pivot" -> (pivotEvents _),
     "q51_unpivot" -> (unpivotStats _),
@@ -299,6 +414,7 @@ object Extras {
     "t06_top_tokens" -> (topTokens _))
 
   val oracles: Map[String, String] = Map(
+    "q66_hist_quantile_rollup" -> histQuantileRollupSql,
     "q63_hll_rollup" -> hllRollupSql,
     "q25_pivot" -> pivotEventsSql,
     "q51_unpivot" -> unpivotStatsSql,

@@ -520,11 +520,78 @@ object ScalePatterns {
       |  min(event_id) AS first_event, max(event_id) AS last_event
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------- snapshot diff (q67)
+  /** q67: SNAPSHOT RECONCILIATION — diff two versions of a keyed table
+    * into added / removed / changed / unchanged, the audit behind every
+    * "did the backfill change only what it should have?" and the sync
+    * check between a replicated table and its source. The operative scale
+    * decision: each side is projected to (key, md5-of-payload) BEFORE the
+    * join, so the full-outer exchange carries a key and a fixed 32-char
+    * digest — never row payloads — and `unchanged` (the dominant class at
+    * 100 TB) costs one hash equality per key. With both snapshots bucketed
+    * by key the diff is exchange-free entirely.
+    *
+    * Snapshot B is a deterministic mutation of orders (drops keys ≡ 0 mod
+    * 97, reprices keys ≡ 0 mod 101, adds a negative-keyspace row per key ≡
+    * 0 mod 103), so the oracle reconstructs the identical pair of
+    * snapshots and the expected class of every key is derivable by hand.
+    */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val a = graft.Tables.orders(s, d).select(
+      col("o_orderkey").as("key"), col("o_orderpriority").as("pri"),
+      col("o_orderstatus").as("status"),
+      floor(col("o_totalprice") * 100.0).cast("long").as("cents"))
+    val surviv = a.filter(col("key") % 97 =!= 0)
+    val b = surviv
+      .withColumn("cents", when(col("key") % 101 === 0, col("cents") + 500L)
+        .otherwise(col("cents")))
+      .unionByName(surviv.filter(col("key") % 103 === 0)
+        .withColumn("key", -col("key")))
+    def digest(df: DataFrame): DataFrame = df.select(col("key"), col("pri"),
+      md5(concat_ws("|", col("status"), col("cents"))).as("h"))
+    val da = digest(a).withColumnsRenamed(Map("pri" -> "pri_a", "h" -> "h_a"))
+    val db = digest(b).withColumnsRenamed(Map("pri" -> "pri_b", "h" -> "h_b"))
+    da.join(db, Seq("key"), "full_outer")
+      .select(coalesce(col("pri_a"), col("pri_b")).as("pri"),
+        when(col("h_a").isNull, "added")
+          .when(col("h_b").isNull, "removed")
+          .when(col("h_a") === col("h_b"), "unchanged")
+          .otherwise("changed").as("change_type"))
+      .groupBy(col("change_type"), col("pri"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("change_type", "pri")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH a AS (SELECT o_orderkey AS key, o_orderpriority AS pri,
+      |    o_orderstatus AS status,
+      |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents FROM orders),
+      |surviv AS (SELECT * FROM a WHERE key % 97 <> 0),
+      |b AS (SELECT key, pri, status,
+      |        CASE WHEN key % 101 = 0 THEN cents + 500 ELSE cents END AS cents
+      |      FROM surviv
+      |      UNION ALL
+      |      SELECT -key, pri, status, cents FROM surviv WHERE key % 103 = 0),
+      |da AS (SELECT key, pri AS pri_a,
+      |         md5(concat_ws('|', status, cents)) AS h_a FROM a),
+      |db AS (SELECT key, pri AS pri_b,
+      |         md5(concat_ws('|', status, cents)) AS h_b FROM b),
+      |j AS (SELECT coalesce(pri_a, pri_b) AS pri,
+      |        CASE WHEN h_a IS NULL THEN 'added'
+      |             WHEN h_b IS NULL THEN 'removed'
+      |             WHEN h_a = h_b THEN 'unchanged'
+      |             ELSE 'changed' END AS change_type
+      |      FROM da FULL OUTER JOIN db USING (key))
+      |SELECT change_type, pri, count(*) AS n FROM j
+      |GROUP BY change_type, pri ORDER BY change_type, pri""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_snapshot_diff" -> (snapshotDiff _),
     "q65_incremental_agg" -> (incrementalAgg _),
     "q58_salted_skew_join" -> (saltedSkewJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q67_snapshot_diff" -> snapshotDiffSql,
     "q65_incremental_agg" -> incrementalAggSql,
     "q58_salted_skew_join" -> saltedSkewJoinSql)
 }

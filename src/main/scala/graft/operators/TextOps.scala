@@ -962,7 +962,133 @@ object TextOps {
       |  CAST(sum(new_types) OVER (ORDER BY decile) AS BIGINT) AS cum_types
       |FROM h ORDER BY decile""".stripMargin
 
+  // ------------------------------------------------------ BM25 retrieval
+  /** Fixed literal retrieval queries for t19 — word bigrams, because the
+    * synthetic corpus draws from a ~31-word vocabulary whose unigram df is
+    * flat (~80% of docs contain every word ⇒ idf ≈ 0 for all of them);
+    * bigram df spans 1..~8% of the corpus, so the idf term actually ranks.
+    * Mixed-df terms per query make the idf weighting visible in the top-k.
+    */
+  val BM25_QUERIES: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark customer", "query merge"),
+    2 -> Seq("line query", "stream stream", "join row"),
+    3 -> Seq("filter order", "merge key"))
+  private val BM25_SCALE = 1024.0 // tf-saturation quantization grid
+  private val BM25_TOPK  = 5
+  private val BM25_SALT  = 64     // first-level top-k fan-in
+
+  /** t19: BM25 top-k retrieval — the ranked-search face of the inverted
+    * index (Robertson/Spärck Jones probabilistic relevance; the default
+    * scorer in Lucene/Elasticsearch and the standard first-stage retriever
+    * in RAG pipelines). Deterministic re-expression of BM25(k1=1.25,
+    * b=0.75):
+    *
+    *  - tf saturation: tf·(k1+1) / (tf + k1·(1−b+b·len/avg)) with k1=5/4,
+    *    b=3/4 and avg quantized to floor(Σlen/N) clears to the integer
+    *    rational 36·avg·tf / (16·avg·tf + 5·avg + 15·len); it is quantized
+    *    with ONE IEEE multiply+divide (floor(1024·num/den), identical op
+    *    order in DuckDB) — no float accumulation anywhere.
+    *  - idf: floor(log2(N div df)) computed EXACTLY as length(bin(ratio))−1
+    *    (a string length, not libm log — both engines agree bit-for-bit).
+    *    The log base only scales scores; ranking is the same monotone order
+    *    as ln-idf on the power-of-two grid.
+    *
+    * Scale shape: the literal IN-list probe kills every non-query bigram
+    * BEFORE the first exchange (the inverted-index posting-list read — the
+    * shuffle carries df-bounded (doc_id, term) pairs, never text); doc
+    * lengths are a thin two-column projection; df/idf frames are term-count
+    * sized and broadcast. Top-k is two-level (per-salt top-k, then global
+    * over ≤ SALT·k·|queries| survivors) so no single partition ever sees
+    * more than a salt-shard of one query's posting union.
+    */
+  def bm25TopK(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bm25Scores(s, d)
+    val w1 = Window.partitionBy(col("query_id"), pmod(col("doc_id"), lit(BM25_SALT)))
+      .orderBy(col("score").desc, col("doc_id"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= BM25_TOPK)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= BM25_TOPK)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Full (query_id, doc_id, score) frame before the top-k cut — shared by
+    * the registered key and the salted-vs-direct equivalence spec.
+    */
+  private[operators] def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val allTerms = BM25_QUERIES.flatMap(_._2).distinct
+    val qterms = s.createDataFrame(
+      BM25_QUERIES.flatMap { case (q, ts) => ts.map(t => (q, t)) })
+      .toDF("query_id", "term")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val lens = docs.select(col("doc_id"), (size(col("tk")) - 1).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val grams = docs
+      .withColumn("i", explode(sequence(lit(1), size(col("tk")) - 1)))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(col("tk"), col("i")),
+        element_at(col("tk"), col("i") + 1)).as("term"))
+      .filter(col("term").isin(allTerms: _*)) // posting-list probe, pre-shuffle
+    val tf = grams.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats.select(col("n_docs"))))
+      .withColumn("idf", (length(bin(expr("n_docs div df"))) - 1).cast("long"))
+      .select("term", "idf")
+    val avgq = stats.select(
+      expr("greatest(sum_dl div n_docs, CAST(1 AS BIGINT))").as("avg_dl"))
+    tf
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(avgq))
+      .join(broadcast(idf), "term")
+      .withColumn("wtf", floor(
+        lit(BM25_SCALE) * (lit(36L) * col("avg_dl") * col("tf")).cast("double") /
+          (lit(16L) * col("avg_dl") * col("tf") + lit(5L) * col("avg_dl") +
+            lit(15L) * col("dl")).cast("double")).cast("long"))
+      .join(broadcast(qterms), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("idf") * col("wtf")).as("score"))
+  }
+
+  /** t19 oracle: same arithmetic, single-level top-k (identical result —
+    * each global top-k row is its salt-group's top-k row by definition).
+    */
+  val bm25TopKSql: String = {
+    val termValues = BM25_QUERIES
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    s"""WITH qt(query_id, term) AS (VALUES $termValues),
+      |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+      |      FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2),
+      |lens AS (SELECT doc_id, CAST(len(a) - 1 AS BIGINT) AS dl FROM t),
+      |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens),
+      |g AS (SELECT doc_id, term FROM (
+      |        SELECT doc_id, unnest([a[i] || ' ' || a[i+1] FOR i IN range(1, len(a))]) AS term
+      |        FROM t)
+      |      WHERE term IN (SELECT term FROM qt)),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM g GROUP BY doc_id, term),
+      |idf AS (SELECT term, CAST(length(bin(n_docs // df)) - 1 AS BIGINT) AS idf
+      |        FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), stats),
+      |avgq AS (SELECT greatest(sum_dl // n_docs, 1) AS avg_dl FROM stats),
+      |sc AS (SELECT query_id, tf.doc_id,
+      |         CAST(sum(idf * CAST(floor(${BM25_SCALE} * CAST(36 * avg_dl * tf AS DOUBLE)
+      |           / CAST(16 * avg_dl * tf + 5 * avg_dl + 15 * dl AS DOUBLE)) AS BIGINT)) AS BIGINT) AS score
+      |       FROM tf JOIN lens ON lens.doc_id = tf.doc_id
+      |            JOIN idf USING (term) JOIN qt USING (term), avgq
+      |       GROUP BY query_id, tf.doc_id)
+      |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id) AS rank FROM sc)
+      |WHERE rank <= $BM25_TOPK ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_bm25_topk" -> (bm25TopK _),
     "t18_vocab_growth" -> (vocabGrowth _),
     "t17_bpe_encode" -> (bpeEncode _),
     "t16_bpe_merges" -> (bpeMerges _),
@@ -982,6 +1108,7 @@ object TextOps {
     "t05_cleantext" -> (cleanedDocs _))
 
   val oracles: Map[String, String] = Map(
+    "t19_bm25_topk" -> bm25TopKSql,
     "t18_vocab_growth" -> vocabGrowthSql,
     "t17_bpe_encode" -> bpeEncodeSql,
     "t16_bpe_merges" -> bpeMergesSql,
