@@ -1029,24 +1029,33 @@ object TextOps {
       .filter(size(col("tk")) >= 2)
     val lens = docs.select(col("doc_id"), (size(col("tk")) - 1).cast("long").as("dl"))
     val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // doc length rides along through the explode (functionally dependent on
+    // doc_id), so tf needs NO join back to a corpus-sized length frame — at
+    // 100 TB that join's build side is whichever of tf/lens AQE guesses
+    // smaller; carrying 8 bytes through the probe filter removes the guess
     val grams = docs
+      .withColumn("dl", (size(col("tk")) - 1).cast("long"))
       .withColumn("i", explode(sequence(lit(1), size(col("tk")) - 1)))
-      .select(col("doc_id"), concat_ws(" ",
+      .select(col("doc_id"), col("dl"), concat_ws(" ",
         element_at(col("tk"), col("i")),
         element_at(col("tk"), col("i") + 1)).as("term"))
       .filter(col("term").isin(allTerms: _*)) // posting-list probe, pre-shuffle
     val tf = grams.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(stats.select(col("n_docs"))))
-      .withColumn("idf", (length(bin(expr("n_docs div df"))) - 1).cast("long"))
-      .select("term", "idf")
-    val avgq = stats.select(
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // one corpus-stats row (n_docs + quantized avg length) referenced ONCE,
+    // so the thin lens projection is scanned a single time; df joins in as
+    // a term-count-sized broadcast and idf is computed where n_docs and df
+    // meet. (The df branch re-executes the pruned posting probe — Catalyst
+    // won't reuse an exchange across different prunings — which costs one
+    // extra corpus pass; the production shape for repeated queries is a
+    // persisted inverted index probed like d16's, not an ad-hoc rescan.)
+    val consts = stats.select(col("n_docs"),
       expr("greatest(sum_dl div n_docs, CAST(1 AS BIGINT))").as("avg_dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf
-      .join(lens, "doc_id")
-      .crossJoin(broadcast(avgq))
-      .join(broadcast(idf), "term")
+      .crossJoin(broadcast(consts))
+      .join(broadcast(dfreq), "term")
+      .withColumn("idf", (length(bin(expr("n_docs div df"))) - 1).cast("long"))
       .withColumn("wtf", floor(
         lit(BM25_SCALE) * (lit(36L) * col("avg_dl") * col("tf")).cast("double") /
           (lit(16L) * col("avg_dl") * col("tf") + lit(5L) * col("avg_dl") +
