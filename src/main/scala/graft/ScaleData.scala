@@ -32,6 +32,9 @@ import org.apache.spark.sql.functions._
   *  - lineitem/orders: orderkeys shift by i·stride (consistently, so
   *    within-shard joins still match); custkeys stay — a customer with
   *    10× the orders is exactly what 10× the history looks like.
+  *  - events: ids and user_ids shift by i·stride; ts/type/value copy —
+  *    N× traffic from N disjoint user populations inside the SAME time
+  *    window (clocks and type vocabularies don't grow with volume).
   *  - everything else copies unchanged (dimension tables don't scale).
   *
   * This models "N independent crawls at the same source mix": rows,
@@ -80,6 +83,8 @@ object ScaleData {
     val DOC_STRIDE = 1000000L      // well clear of sf0.1 doc_id range,
     val VEC_STRIDE = 1000000L      // well under m04's 1e12 plant offset
     val ORD_STRIDE = 100000000L    // clear of TPC-H orderkey range at any local SF
+    val EVT_STRIDE = 100000000L    // clear of the sf0.1 event_id range
+    val USER_STRIDE = 1000000L     // clear of the ~1k-user sf0.1 id space
 
     def shards(base: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(i => f(base, i)).reduce(_ unionByName _)
@@ -133,7 +138,22 @@ object ScaleData {
       o.withColumn("o_orderkey", col("o_orderkey") + lit(i * ORD_STRIDE))
     }, "orders")
 
-    Seq("region", "nation", "customer", "supplier", "part", "events")
+    // events: N× TRAFFIC in the same time window — ids/users shift per
+    // shard (disjoint user populations ⇒ funnels, cohorts, sessions and
+    // distinct-user counts grow linearly; no cross-shard session merges),
+    // while ts / event_type / value copy unchanged (the clock, the type
+    // vocabulary and the value distribution don't grow with traffic, so
+    // per-day volumes, histograms and quantile positions scale honestly).
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    write(shards(ev) { (e, i) =>
+      e.select(
+        (col("event_id") + lit(i * EVT_STRIDE)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i * USER_STRIDE)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }, "events")
+
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach(n => write(spark.read.parquet(s"$src/$n.parquet"), n))
 
     spark.stop()
