@@ -1001,58 +1001,56 @@ object TextOps {
     * over ≤ SALT·k·|queries| survivors) so no single partition ever sees
     * more than a salt-shard of one query's posting union.
     */
-  def bm25TopK(s: SparkSession, d: String): DataFrame = {
+  def bm25TopK(s: SparkSession, d: String): DataFrame =
+    bm25Cut(bm25Scores(s, d)).orderBy("query_id", "rank")
+
+  /** Salted two-level top-k over a (query_id, doc_id, score) frame — the
+    * shared rank kernel of the ad-hoc key and the index probe (no global
+    * sort: callers that hash-compare add their own terminal orderBy).
+    */
+  private[graft] def bm25Cut(scored: DataFrame, k: Int = BM25_TOPK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = bm25Scores(s, d)
     val w1 = Window.partitionBy(col("query_id"), pmod(col("doc_id"), lit(BM25_SALT)))
       .orderBy(col("score").desc, col("doc_id"))
     val w2 = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     scored
-      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= BM25_TOPK)
-      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= BM25_TOPK)
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("doc_id"), col("score"))
-      .orderBy("query_id", "rank")
   }
 
-  /** Full (query_id, doc_id, score) frame before the top-k cut — shared by
-    * the registered key and the salted-vs-direct equivalence spec.
+  /** Word-bigram postings (term, doc_id, tf, dl) for every doc with ≥ 2
+    * tokens; `onlyTerms` applies the literal posting-list probe BEFORE the
+    * aggregation exchange (the t19 shape). None indexes the full corpus
+    * (the [[Bm25Index]] build shape).
     */
-  private[operators] def bm25Scores(s: SparkSession, d: String): DataFrame = {
-    val allTerms = BM25_QUERIES.flatMap(_._2).distinct
-    val qterms = s.createDataFrame(
-      BM25_QUERIES.flatMap { case (q, ts) => ts.map(t => (q, t)) })
-      .toDF("query_id", "term")
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
+  private[graft] def bigramPostings(docs: DataFrame,
+      onlyTerms: Option[Seq[String]]): DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= 2)
-    val lens = docs.select(col("doc_id"), (size(col("tk")) - 1).cast("long").as("dl"))
-    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    // doc length rides along through the explode (functionally dependent on
-    // doc_id), so tf needs NO join back to a corpus-sized length frame — at
-    // 100 TB that join's build side is whichever of tf/lens AQE guesses
-    // smaller; carrying 8 bytes through the probe filter removes the guess
-    val grams = docs
       .withColumn("dl", (size(col("tk")) - 1).cast("long"))
+    val grams = t
       .withColumn("i", explode(sequence(lit(1), size(col("tk")) - 1)))
       .select(col("doc_id"), col("dl"), concat_ws(" ",
         element_at(col("tk"), col("i")),
         element_at(col("tk"), col("i") + 1)).as("term"))
-      .filter(col("term").isin(allTerms: _*)) // posting-list probe, pre-shuffle
-    val tf = grams.groupBy(col("doc_id"), col("term"))
+    val probed = onlyTerms.fold(grams)(ts => grams.filter(col("term").isin(ts: _*)))
+    probed.groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    // one corpus-stats row (n_docs + quantized avg length) referenced ONCE,
-    // so the thin lens projection is scanned a single time; df joins in as
-    // a term-count-sized broadcast and idf is computed where n_docs and df
-    // meet. (The df branch re-executes the pruned posting probe — Catalyst
-    // won't reuse an exchange across different prunings — which costs one
-    // extra corpus pass; the production shape for repeated queries is a
-    // persisted inverted index probed like d16's, not an ad-hoc rescan.)
-    val consts = stats.select(col("n_docs"),
-      expr("greatest(sum_dl div n_docs, CAST(1 AS BIGINT))").as("avg_dl"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf
+  }
+
+  /** The deterministic BM25 arithmetic over a postings frame: df from the
+    * postings themselves, integer-log2 idf, quantized tf saturation, summed
+    * per (query, doc). ONE kernel shared by the ad-hoc key, the persisted
+    * index probe, and the streaming server — the score paths cannot drift.
+    * `consts` is one broadcastable row (n_docs, avg_dl).
+    */
+  private[graft] def bm25ScorePostings(postings: DataFrame, consts: DataFrame,
+      qterms: DataFrame): DataFrame = {
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    postings
       .crossJoin(broadcast(consts))
       .join(broadcast(dfreq), "term")
       .withColumn("idf", (length(bin(expr("n_docs div df"))) - 1).cast("long"))
@@ -1063,6 +1061,37 @@ object TextOps {
       .join(broadcast(qterms), "term")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("idf") * col("wtf")).as("score"))
+  }
+
+  /** The literal (query_id, term) frame for the registered t19 queries. */
+  private[graft] def bm25QueryFrame(s: SparkSession): DataFrame =
+    s.createDataFrame(
+      BM25_QUERIES.flatMap { case (q, ts) => ts.map(t => (q, t)) })
+      .toDF("query_id", "term")
+
+  /** Full (query_id, doc_id, score) frame before the top-k cut — shared by
+    * the registered key and the salted-vs-direct equivalence spec.
+    */
+  private[operators] def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // corpus consts (n_docs + quantized avg length) in ONE broadcast row,
+    // off a thin two-column projection. Doc length rides the explode inside
+    // bigramPostings (functionally dependent on doc_id), so tf needs NO
+    // join back to a corpus-sized length frame — at 100 TB that join's
+    // build side is whichever side AQE guesses smaller; carrying 8 bytes
+    // through the probe filter removes the guess. (The df branch inside
+    // bm25ScorePostings re-executes the pruned posting probe — Catalyst
+    // won't reuse an exchange across different prunings — which costs one
+    // extra corpus pass; the production shape for repeated query workloads
+    // is the persisted [[Bm25Index]], not an ad-hoc rescan.)
+    val consts = docs
+      .select(col("doc_id"), (size(tokens(col("text"))) - 1).cast("long").as("dl"))
+      .filter(col("dl") >= 1)
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        expr("greatest(sum_dl div n_docs, CAST(1 AS BIGINT))").as("avg_dl"))
+    val postings = bigramPostings(docs, Some(BM25_QUERIES.flatMap(_._2).distinct))
+    bm25ScorePostings(postings, consts, bm25QueryFrame(s))
   }
 
   /** t19 oracle: same arithmetic, single-level top-k (identical result —
