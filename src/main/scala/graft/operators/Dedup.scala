@@ -1034,7 +1034,7 @@ object Dedup {
       .foreach(java.nio.file.Files.delete)
   }
 
-  private[operators] def deleteTreeIfExists(p: java.nio.file.Path): Unit =
+  private[graft] def deleteTreeIfExists(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) deleteTree(p)
 
   // ---------------------------------------------- index layout manifests

@@ -292,8 +292,40 @@ object Extras {
     * the value distribution), so the overflow-capped last bin stays empty
     * and the within-bin bound below is provable, not empirical.
     */
-  private val HIST_BIN_CENTS = 400L
-  private val HIST_NBINS     = 128L
+  private[graft] val HIST_BIN_CENTS = 400L
+  private[graft] val HIST_NBINS     = 128L
+
+  /** The q66 histogram geometry: value → integer cents → capped bin id.
+    * Shared with [[graft.streaming.StreamingHistogram]] so the streaming
+    * log and the batch sketch can never bin differently. The division is
+    * exact: the dividend is reduced to a multiple of the bin width first,
+    * so no float-quotient edge case exists at any magnitude.
+    */
+  private[graft] def centsOf(value: Column): Column =
+    floor(value * 100.0).cast("long")
+
+  private[graft] def binOfCents(cents: Column): Column =
+    least(((cents - pmod(cents, lit(HIST_BIN_CENTS))) / lit(HIST_BIN_CENTS))
+      .cast("long"), lit(HIST_NBINS - 1))
+
+  /** Quantile estimates off a (key, bin, n) histogram frame — the read
+    * half of the mergeable sketch, shared by q66 and the streaming face.
+    */
+  private[graft] def histEstimates(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wcum = Window.partitionBy(col("key")).orderBy(col("bin"))
+    val wtot = Window.partitionBy(col("key"))
+    hist
+      .withColumn("cum", sum(col("n")).over(wcum))
+      .withColumn("n_tot", sum(col("n")).over(wtot))
+      .groupBy(col("key"))
+      .agg(max(col("n_tot")).as("n"),
+        min(when(col("cum") >= expr("(n_tot + 1) div 2"), col("bin"))).as("b50"),
+        min(when(col("cum") >= expr("(9 * n_tot + 9) div 10"), col("bin"))).as("b90"))
+      .select(col("key"), col("n"),
+        ((col("b50") + 1) * HIST_BIN_CENTS).as("est_p50_cents"),
+        ((col("b90") + 1) * HIST_BIN_CENTS).as("est_p90_cents"))
+  }
 
   /** q66: mergeable histogram-quantile rollup — q63's materialized-view
     * pattern applied to percentile dashboards: persist one fixed-geometry
@@ -318,32 +350,20 @@ object Extras {
   def histQuantileRollup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, d).select(col("event_type"),
-      floor(col("value") * 100.0).cast("long").as("cents"))
+      centsOf(col("value")).as("cents"))
     // the persisted sketch: one 128-long vector per event_type. ONE scan of
     // the fact table, then localCheckpoint (≤ |types|·128 rows — bounded by
     // geometry, not data) so the rollup below provably derives from the
     // sketch, not from a re-planned rescan of events.
     val perType = ev
-      .withColumn("bin", least(expr(s"cents div $HIST_BIN_CENTS"), lit(HIST_NBINS - 1)))
+      .withColumn("bin", binOfCents(col("cents")))
       .groupBy(col("event_type").as("key"), col("bin"))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint()
     // rollup = bin-wise sum of the per-type vectors; no fact-table rescan
     val merged = perType.groupBy(col("bin")).agg(sum(col("n")).as("n"))
       .select(lit("all").as("key"), col("bin"), col("n"))
-    val hist = perType.unionByName(merged)
-    val wcum = Window.partitionBy(col("key")).orderBy(col("bin"))
-    val wtot = Window.partitionBy(col("key"))
-    val est = hist
-      .withColumn("cum", sum(col("n")).over(wcum))
-      .withColumn("n_tot", sum(col("n")).over(wtot))
-      .groupBy(col("key"))
-      .agg(max(col("n_tot")).as("n"),
-        min(when(col("cum") >= expr("(n_tot + 1) div 2"), col("bin"))).as("b50"),
-        min(when(col("cum") >= expr("(9 * n_tot + 9) div 10"), col("bin"))).as("b90"))
-      .select(col("key"), col("n"),
-        ((col("b50") + 1) * HIST_BIN_CENTS).as("est_p50_cents"),
-        ((col("b90") + 1) * HIST_BIN_CENTS).as("est_p90_cents"))
+    val est = histEstimates(perType.unionByName(merged))
     // exact discrete quantiles (verification only): min cents with
     // cum ≥ ceil(q·n). GROUPING SETS carries both levels through one scan +
     // Expand; the per-key windows are bounded by the cents VALUE DOMAIN

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Extras
+
+/** Streaming maintenance of the q66 mergeable histogram: cross-batch
+  * vector addition, replay idempotence, estimate equivalence with the
+  * batch sketch, and the compaction swap.
+  */
+class StreamingHistogramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsDf(rows: Seq[(String, Double)]): DataFrame =
+    rows.toDF("event_type", "value")
+
+  private def batchHist(rows: Seq[(String, Double)]): Seq[(String, Long, Long)] =
+    eventsDf(rows)
+      .select(col("event_type").as("key"), Extras.centsOf(col("value")).as("cents"))
+      .withColumn("bin", Extras.binOfCents(col("cents")))
+      .groupBy("key", "bin").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+
+  private def currentHist(path: String): Seq[(String, Long, Long)] =
+    StreamingHistogram.current(spark, path)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+
+  private val b1 = Seq(("click", 1.50), ("click", 399.99), ("view", 4.00),
+    ("view", 4.01), ("error", 250.00))
+  private val b2 = Seq(("click", 1.51), ("view", 480.00), ("error", 250.00),
+    ("error", 0.01))
+
+  test("streamed batches fold to exactly the one-pass batch histogram") {
+    val path = Files.createTempDirectory("shist").toString + "/log"
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val src = mem.toDF().toDF("event_type", "value")
+    val q = src.writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch((b: DataFrame, id: Long) => StreamingHistogram.absorb(b, id, path))
+      .start()
+    Seq(b1, b2).foreach { rows => mem.addData(rows: _*); q.processAllAvailable() }
+    q.stop()
+    assert(currentHist(path) == batchHist(b1 ++ b2))
+  }
+
+  test("a replayed batch overwrites its own partition — absorb is idempotent") {
+    val path = Files.createTempDirectory("shist").toString + "/log"
+    StreamingHistogram.absorb(eventsDf(b1), 0L, path)
+    StreamingHistogram.absorb(eventsDf(b2), 1L, path)
+    val once = currentHist(path)
+    StreamingHistogram.absorb(eventsDf(b2), 1L, path) // crash-replay of batch 1
+    assert(currentHist(path) == once, "replay must not double-count")
+  }
+
+  test("estimates off the maintained log equal q66's batch-sketch estimates") {
+    val path = Files.createTempDirectory("shist").toString + "/log"
+    StreamingHistogram.absorb(eventsDf(b1), 0L, path)
+    StreamingHistogram.absorb(eventsDf(b2), 1L, path)
+    val streamed = StreamingHistogram.estimates(spark, path)
+      .collect().map(_.toString).toSeq
+    val hist = eventsDf(b1 ++ b2)
+      .select(col("event_type").as("key"), Extras.centsOf(col("value")).as("cents"))
+      .withColumn("bin", Extras.binOfCents(col("cents")))
+      .groupBy("key", "bin").agg(count(lit(1)).as("n"))
+    val direct = Extras.histEstimates(hist).orderBy("key")
+      .collect().map(_.toString).toSeq
+    assert(streamed == direct)
+  }
+
+  test("compaction folds the log to one partition and changes nothing observable") {
+    val path = Files.createTempDirectory("shist").toString + "/log"
+    StreamingHistogram.absorb(eventsDf(b1), 0L, path)
+    StreamingHistogram.absorb(eventsDf(b2), 1L, path)
+    val before = currentHist(path)
+    StreamingHistogram.compact(spark, path)
+    assert(currentHist(path) == before)
+    val parts = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(parts.map(_.getName).toSeq == Seq("batch_id=0"))
+  }
+}
