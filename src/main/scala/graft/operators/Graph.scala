@@ -352,12 +352,91 @@ object Graph {
        |FROM l$LPA_ROUNDS GROUP BY label ORDER BY label""".stripMargin
   }
 
+  /** g04 BFS geometry: seed = customer 0 (packed node 0 — custkeys start
+    * at 0 and stay fixed under ScaleData, so the seed exists at every
+    * scale); hop cap 6 ≫ the trade graph's observed diameter (bipartite
+    * co-order graphs are small-world; anything still unreached at 6 hops
+    * is in another component, reported as hop −1).
+    */
+  private val BFS_SEED = 0L
+  private val BFS_MAX_HOPS = 6
+
+  /** g04: single-source BFS reachability profile — how much of the trade
+    * graph lies within k hops of one customer (the blast-radius question
+    * behind fraud spread, recall expansion, and partner-network audits).
+    * Classic distributed frontier expansion: per round, the O(frontier)
+    * frame joins the checkpointed adjacency, newly discovered nodes get
+    * hop = round, visited nodes are excluded by an anti-join against the
+    * accumulated distance frame. BFS assigns min-hop by construction, so
+    * every quantity is integer-exact and the DuckDB mirror is a
+    * hop-guarded recursive CTE (UNION dedup bounds it at |nodes|·maxHop
+    * pairs) + min(hop) — hash-identical.
+    *
+    * Iteration discipline (the g01/g03 lessons): adjacency localCheckpoint
+    * at full parallelism; the SMALL frame (frontier) broadcast explicitly
+    * so AQE demotion can't strand a probe-side exchange; dist re-checkpoints
+    * each round so lineage stays O(1); the per-round empty-frontier check
+    * is one bounded driver scalar (the CC fingerprint style). Early exit on
+    * an empty frontier — the cap is a bound, not a fixed cost.
+    */
+  def bfsReach(s: SparkSession, d: String): DataFrame = {
+    val adj = tradeEdges(s, d)
+    var dist = adj.sparkSession.range(1)
+      .select(lit(BFS_SEED).as("node"), lit(0).cast("int").as("hop"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var hop = 0
+    while (hop < BFS_MAX_HOPS && !frontier.isEmpty) {
+      hop += 1
+      val next = adj.join(broadcast(frontier), adj("src") === frontier("node"))
+        .select(adj("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hop", lit(hop).cast("int"))
+        .localCheckpoint(true)
+      dist = dist.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    // reachability profile + the out-of-component remainder (hop −1): the
+    // node universe is adj's src side (degree ≥ 1 by construction)
+    val profile = dist.groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
+    val unreached = adj.select(col("src").as("node")).distinct()
+      .join(dist, Seq("node"), "left_anti")
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(lit(-1).cast("int").as("hop"), col("n_nodes"))
+    profile.unionByName(unreached).filter(col("n_nodes") > 0)
+      .orderBy("hop")
+  }
+
+  /** g04 oracle: hop-guarded recursive CTE (UNION dedups (node, hop)
+    * pairs; the guard bounds the recursion at maxHop rounds), then
+    * min(hop) per node — the BFS distance.
+    */
+  val bfsReachSql: String =
+    s"""WITH RECURSIVE $tradeEdgesCte,
+       |r(node, hop) AS (
+       |  SELECT CAST($BFS_SEED AS BIGINT) AS node, 0 AS hop
+       |  UNION
+       |  SELECT e.dst, r.hop + 1 FROM r JOIN edges e ON e.src = r.node
+       |  WHERE r.hop < $BFS_MAX_HOPS),
+       |d AS (SELECT node, min(hop) AS hop FROM r GROUP BY node),
+       |prof AS (SELECT CAST(hop AS INT) AS hop, count(*) AS n_nodes FROM d GROUP BY hop
+       |         UNION ALL
+       |         SELECT -1, count(*) FROM (
+       |           SELECT DISTINCT src AS node FROM edges) u
+       |         WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.node = u.node))
+       |SELECT hop, n_nodes FROM (
+       |  SELECT hop, CAST(sum(n_nodes) AS BIGINT) AS n_nodes
+       |  FROM prof GROUP BY hop)
+       |WHERE n_nodes > 0 ORDER BY hop""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g04_bfs_reach" -> (bfsReach _),
     "g01_pagerank" -> (pagerank _),
     "g02_triangle_census" -> (triangleCensus _),
     "g03_label_propagation" -> (labelPropagation _))
 
   def oracles: Map[String, String] = Map(
+    "g04_bfs_reach" -> bfsReachSql,
     "g01_pagerank" -> pagerankSql,
     "g02_triangle_census" -> triangleCensusSql,
     "g03_label_propagation" -> labelPropagationSql)

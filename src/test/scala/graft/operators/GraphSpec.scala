@@ -112,4 +112,42 @@ class GraphSpec extends SparkSpec {
     assert(got == expect)
     assert(got.nonEmpty, "sf0.001 co-order graph should contain triangles")
   }
+
+  test("g04 BFS: seed at hop 0, bipartite parity per hop, sequential reference agrees") {
+    import scala.collection.mutable
+    import org.apache.spark.sql.functions.col
+    val prof = Graph.bfsReach(spark, d).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(prof(0) == 1L, "exactly the seed at hop 0")
+    // sequential BFS over the same packed-long edge list
+    val edges = Tables.orders(spark, d).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("s"), (col("l_suppkey") * 2 + 1).as("t"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = mutable.Map[Long, mutable.Set[Long]]()
+    for ((a, b) <- edges) {
+      adj.getOrElseUpdate(a, mutable.Set()) += b
+      adj.getOrElseUpdate(b, mutable.Set()) += a
+    }
+    val dist = mutable.Map(0L -> 0)
+    var frontier = Set(0L); var hop = 0
+    while (frontier.nonEmpty && hop < 6) {
+      hop += 1
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = hop)
+    }
+    val expect = dist.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val unreached = adj.keySet.size - dist.size
+    prof.foreach { case (h, n) =>
+      if (h >= 0) assert(expect(h) == n, s"hop $h: $n vs ${expect(h)}")
+      else assert(n == unreached)
+    }
+    // bipartite parity: odd hops are suppliers, even hops customers — the
+    // sequential reference carries the node ids to check it
+    dist.foreach { case (node, h) =>
+      assert(node % 2 == (h % 2), s"node $node at hop $h breaks bipartite parity")
+    }
+  }
 }
