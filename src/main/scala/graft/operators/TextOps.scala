@@ -208,6 +208,63 @@ object TextOps {
       |SELECT lang, CAST(rank AS INT) AS rank, tok, score FROM ranked
       |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
 
+  // ------------------------------------------------- zipf coverage curve
+  /** Head size for the rank–frequency curve; bounds the final window. */
+  val ZIPF_TOP_K = 200
+
+  /** t20: Zipf rank–frequency head + cumulative token-mass coverage.
+    *
+    * For the top-[[ZIPF_TOP_K]] corpus tokens by frequency: rank, exact
+    * `rank·f` (Zipf's law predicts this stays roughly constant down the
+    * head) and the cumulative share of ALL token mass covered by ranks
+    * 1..r, in exact ppm (`cum_f·10^6 div total`). The coverage curve is
+    * the vocabulary-sizing companion to t17's BPE encoder: "what head
+    * vocabulary covers X% of the corpus" read directly off `cum_ppm`,
+    * and the stopword cutoff is the knee of the same curve.
+    *
+    * Scale: one explode → one vocab-keyed hash aggregate (map-side
+    * partial combine absorbs heavy tokens before the exchange — the
+    * exchange carries ≤ |vocab| rows, not |tokens|); the head is
+    * TakeOrderedAndProject (no global sort); the single unpartitioned
+    * window runs over exactly K=200 rows (bounded by construction — the
+    * documented PLANS.md class); `total` is a 1-row broadcast. All
+    * arithmetic is int64 (t15 discipline), so the curve hash-matches
+    * DuckDB exactly.
+    */
+  def zipfCoverage(s: SparkSession, d: String): DataFrame =
+    zipfCoverageOf(Tables.documents(s, d))
+
+  /** t20 over any frame with a `text` column (spec-injectable face). */
+  def zipfCoverageOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+    val total = tf.agg(sum(col("f")).as("total_tokens"))
+    val topK = tf.orderBy(col("f").desc, col("tok")).limit(ZIPF_TOP_K)
+    val w = Window.orderBy(col("f").desc, col("tok")) // K rows, bounded
+    topK.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_f", sum(col("f")).over(w))
+      .select(col("rank"), col("tok"), col("f"),
+        (col("rank") * col("f")).as("rf"),
+        expr("(cum_f * 1000000) div total_tokens").as("cum_ppm"))
+      .orderBy("rank")
+  }
+
+  val zipfCoverageSql: String =
+    s"""WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      |              FROM documents),
+      |tf AS (SELECT tok, count(*) AS f FROM toks GROUP BY tok),
+      |total AS (SELECT CAST(sum(f) AS BIGINT) AS total_tokens FROM tf),
+      |topk AS (SELECT tok, f FROM tf ORDER BY f DESC, tok LIMIT $ZIPF_TOP_K),
+      |r AS (SELECT *, row_number() OVER (ORDER BY f DESC, tok) AS rank,
+      |        sum(f) OVER (ORDER BY f DESC, tok) AS cum_f FROM topk)
+      |SELECT CAST(rank AS BIGINT) AS rank, tok, CAST(f AS BIGINT) AS f,
+      |  CAST(rank * f AS BIGINT) AS rf,
+      |  CAST((cum_f * 1000000) // total_tokens AS BIGINT) AS cum_ppm
+      |FROM r CROSS JOIN total ORDER BY rank""".stripMargin
+
   // ------------------------------------------------------------ winnowing
   /** t08: winnowing fingerprints (the rolling-hash document fingerprint of
     * Schleimer/Wilkerson/Aiken): hash every positional word-3-gram, slide a
@@ -1126,6 +1183,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_zipf_coverage" -> (zipfCoverage _),
     "t19_bm25_topk" -> (bm25TopK _),
     "t18_vocab_growth" -> (vocabGrowth _),
     "t17_bpe_encode" -> (bpeEncode _),
@@ -1146,6 +1204,7 @@ object TextOps {
     "t05_cleantext" -> (cleanedDocs _))
 
   val oracles: Map[String, String] = Map(
+    "t20_zipf_coverage" -> zipfCoverageSql,
     "t19_bm25_topk" -> bm25TopKSql,
     "t18_vocab_growth" -> vocabGrowthSql,
     "t17_bpe_encode" -> bpeEncodeSql,

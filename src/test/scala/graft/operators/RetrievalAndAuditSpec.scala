@@ -178,4 +178,30 @@ class RetrievalAndAuditSpec extends SparkSpec {
     val again = graft.cdc.CdcQueries.pitrState(spark, d).collect()
     assert(pitr.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  // ------------------------------------------------- t20 zipf coverage
+  test("t20 planted corpus: exact ranks, rank*f products, and ppm coverage") {
+    import spark.implicits._
+    // tf: a=4, b=2, c=1 over 7 tokens total
+    val docs = Seq("a a A a b", "B c").toDF("text")
+    val rows = TextOps.zipfCoverageOf(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(rows == Seq(
+      (1L, "a", 4L, 4L, 4L * 1000000L / 7L),
+      (2L, "b", 2L, 4L, 6L * 1000000L / 7L),
+      (3L, "c", 1L, 3L, 1000000L)))
+  }
+
+  test("t20 curve invariants on real data: dense ranks, f nonincreasing, coverage monotone <= 1e6") {
+    val rows = TextOps.zipfCoverage(spark, d).collect()
+    assert(rows.nonEmpty && rows.length <= TextOps.ZIPF_TOP_K)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    val fs = rows.map(_.getLong(2)).toSeq
+    assert(fs == fs.sorted.reverse, "head frequencies must be nonincreasing")
+    val cov = rows.map(_.getLong(4)).toSeq
+    assert(cov == cov.sorted, "coverage must be monotone")
+    assert(cov.last <= 1000000L)
+    rows.foreach(r => assert(r.getLong(3) == r.getLong(0) * r.getLong(2)))
+  }
 }
