@@ -169,6 +169,20 @@ object GraftExtensions {
         graft.expressions.PqAdcLuts(args(0), cb,
           cb.map(graft.expressions.IvfServingKernels.subspaceSelfDots(_, nSub, subDim)),
           nSub, subDim)
+      }),
+    // mergeable bottom-k distinct sketch (Extras.kmvAudienceOverlap is
+    // the DataFrame face); the analyzer wraps the returned
+    // AggregateFunction in an AggregateExpression like any built-in agg
+    (FunctionIdentifier("kmv_sketch"),
+      info("kmv_sketch",
+        "kmv_sketch(hash, k) - ascending array<bigint> of the k smallest " +
+          "distinct bigint values; k an int literal. Deterministic, " +
+          "mergeable (k-min of concatenated sketches = sketch of the " +
+          "union), supports distinct/union/intersection estimates"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kmv_sketch takes 2 arguments")
+        graft.expressions.KmvSketchAgg(args(0),
+          intLiteral(args(1), "kmv_sketch k"))
       }))
 
   // ---- foldable-model argument extraction (the cms_probe discipline:

@@ -421,7 +421,109 @@ object Extras {
       |  est_p90_cents - x90 BETWEEN 1 AND $HIST_BIN_CENTS AS p90_within_bin
       |FROM est JOIN exact USING (key) ORDER BY key""".stripMargin
 
+  // ----------------------------------------------------- q68 KMV overlap
+  /** Sketch size for the q68 audience sketches. 64 keeps the estimator
+    * path oracle-exercised at sf0.01 (per-day audiences ≈ 130 > k) while
+    * the sf0.001 fixtures (15 users) exercise the exact small-set path.
+    */
+  private[graft] val KMV_K = 64
+
+  /** KMV estimate of a sketch column: exact size below k, else the
+    * classic (k−1)·D/h_k with D = 2^60 (the hash domain). Both factors
+    * of the numerator are exactly representable doubles (63·2^60 has a
+    * 6-bit mantissa), so the single IEEE multiply+divide+floor chain is
+    * bit-identical across engines — the t15 "one IEEE divide" discipline.
+    */
+  private def kmvEst(sk: Column): Column =
+    when(size(sk) < KMV_K, size(sk).cast("long"))
+      .otherwise(floor(lit(63.0) * lit(1152921504606846976.0) /
+        element_at(sk, KMV_K).cast("double")).cast("long"))
+
+  /** q68: day-over-day audience overlap from mergeable KMV sketches —
+    * the set-INTERSECTION question q63's HLL rollup cannot answer
+    * (HLL unions; it has no intersection). One pass over the fact table
+    * builds a k-long sketch per day via [[graft.expressions.KmvSketchAgg]]
+    * (bounded buffer ⇒ the exchange carries ≤ k longs per mapper per day,
+    * never the distinct-value stream); every pairwise statistic is then
+    * computed on the 30-row sketch table with array functions — union
+    * sketch = k smallest of the merged arrays (exact KMV union), Jaccard
+    * = k-min coincidence, intersection = inclusion–exclusion, clamped at
+    * 0. All outputs are deterministic integers: the oracle replays the
+    * sketches and hash-matches the ESTIMATES, not just bound booleans.
+    * Accuracy (CV ≈ 1/√(k−2) ≈ 13%) is pinned in ExtrasSpec, not here.
+    */
+  def kmvAudienceOverlap(s: SparkSession, d: String): DataFrame = {
+    import graft.expressions.KmvSketch
+    val ev = Tables.events(s, d).select(
+      date_format(to_date(TimeWindows.eventTime), "yyyy-MM-dd").as("day"),
+      Dedup.baseHash(col("user_id").cast("string")).as("hv"))
+    // one fact scan: the sketch table is ≤ |days| rows × k longs, so the
+    // self-join reads the checkpointed blocks, not the corpus twice (the
+    // q66/p11 bounded-frame discipline)
+    val sk = ev.groupBy("day").agg(KmvSketch.sketch(col("hv"), KMV_K).as("sk"))
+      .localCheckpoint()
+    val a = sk.select(col("day").as("day_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("day").as("day_b"), col("sk").as("sk_b"))
+    // consecutive-day pairs: |days|−1 rows; the small side broadcasts
+    val pairs = a.join(broadcast(b),
+      date_add(to_date(col("day_a")), 1) === to_date(col("day_b")))
+    pairs
+      .withColumn("sk_u",
+        slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, KMV_K))
+      .withColumn("est_a", kmvEst(col("sk_a")))
+      .withColumn("est_b", kmvEst(col("sk_b")))
+      .withColumn("est_union", kmvEst(col("sk_u")))
+      .withColumn("matches", size(array_intersect(
+        array_intersect(col("sk_u"), col("sk_a")), col("sk_b"))).cast("long"))
+      .select(col("day_a"), col("day_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        greatest(lit(0L),
+          col("est_a") + col("est_b") - col("est_union")).as("est_inter"),
+        expr(s"(matches * 1000000) div size(sk_u)").as("jacc_ppm"))
+      .orderBy("day_a")
+  }
+
+  val kmvAudienceOverlapSql: String =
+    s"""WITH h AS (SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      |  FROM events),
+      |rk AS (SELECT day, hv, row_number() OVER (PARTITION BY day ORDER BY hv) AS rn FROM h),
+      |sk AS (SELECT day, hv, rn FROM rk WHERE rn <= $KMV_K),
+      |st AS (SELECT day, count(*) AS sz, max(CASE WHEN rn = $KMV_K THEN hv END) AS hk
+      |       FROM sk GROUP BY day),
+      |pairs AS (SELECT a.day AS day_a, b.day AS day_b FROM st a JOIN st b
+      |          ON CAST(a.day AS DATE) + 1 = CAST(b.day AS DATE)),
+      |uh AS (SELECT day_a, day_b, hv FROM pairs JOIN sk s ON s.day = day_a
+      |       UNION
+      |       SELECT day_a, day_b, hv FROM pairs JOIN sk s ON s.day = day_b),
+      |ur AS (SELECT day_a, day_b, hv,
+      |         row_number() OVER (PARTITION BY day_a, day_b ORDER BY hv) AS rn FROM uh),
+      |uk AS (SELECT day_a, day_b, hv, rn FROM ur WHERE rn <= $KMV_K),
+      |mt AS (SELECT uk.day_a, uk.day_b, count(*) AS matches FROM uk
+      |       JOIN sk x ON x.day = uk.day_a AND x.hv = uk.hv
+      |       JOIN sk y ON y.day = uk.day_b AND y.hv = uk.hv
+      |       GROUP BY uk.day_a, uk.day_b),
+      |ust AS (SELECT day_a, day_b, count(*) AS usz,
+      |          max(CASE WHEN rn = $KMV_K THEN hv END) AS uhk
+      |        FROM uk GROUP BY day_a, day_b),
+      |est AS (SELECT u.day_a, u.day_b,
+      |    CASE WHEN sa.sz < $KMV_K THEN sa.sz
+      |         ELSE CAST(floor(63.0 * 1152921504606846976.0 / CAST(sa.hk AS DOUBLE)) AS BIGINT) END AS est_a,
+      |    CASE WHEN sb.sz < $KMV_K THEN sb.sz
+      |         ELSE CAST(floor(63.0 * 1152921504606846976.0 / CAST(sb.hk AS DOUBLE)) AS BIGINT) END AS est_b,
+      |    CASE WHEN u.usz < $KMV_K THEN u.usz
+      |         ELSE CAST(floor(63.0 * 1152921504606846976.0 / CAST(u.uhk AS DOUBLE)) AS BIGINT) END AS est_union,
+      |    (coalesce(mt.matches, 0) * 1000000) // u.usz AS jacc_ppm
+      |  FROM ust u
+      |  JOIN st sa ON sa.day = u.day_a
+      |  JOIN st sb ON sb.day = u.day_b
+      |  LEFT JOIN mt ON mt.day_a = u.day_a AND mt.day_b = u.day_b)
+      |SELECT day_a, day_b, est_a, est_b, est_union,
+      |  greatest(0, est_a + est_b - est_union) AS est_inter, jacc_ppm
+      |FROM est ORDER BY day_a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_kmv_overlap" -> (kmvAudienceOverlap _),
     "q66_hist_quantile_rollup" -> (histQuantileRollup _),
     "q63_hll_rollup" -> (hllRollup _),
     "q25_pivot" -> (pivotEvents _),
@@ -434,6 +536,7 @@ object Extras {
     "t06_top_tokens" -> (topTokens _))
 
   val oracles: Map[String, String] = Map(
+    "q68_kmv_overlap" -> kmvAudienceOverlapSql,
     "q66_hist_quantile_rollup" -> histQuantileRollupSql,
     "q63_hll_rollup" -> hllRollupSql,
     "q25_pivot" -> pivotEventsSql,

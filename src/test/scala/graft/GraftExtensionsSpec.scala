@@ -172,4 +172,26 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(CountMinProbe(childL, bytes.clone())
       .semanticEquals(CountMinProbe(childL, bytes.clone())))
   }
+
+  test("SQL surface: kmv_sketch equals its DataFrame aggregate form") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.register(spark)
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"),
+        graft.operators.Dedup.baseHash(col("user_id").cast("string")).as("hv"))
+    ev.createOrReplaceTempView("ext_kmv_events")
+    val viaSql = spark.sql(
+      """SELECT event_type, kmv_sketch(hv, 8) AS sk
+        |FROM ext_kmv_events GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1))).toSeq
+    val viaDf = ev.groupBy("event_type")
+      .agg(graft.expressions.KmvSketch.sketch(col("hv"), 8).as("sk"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1))).toSeq
+    assert(viaSql == viaDf)
+    // a non-literal k is a loud analysis error, not a silent default
+    val ex = intercept[Exception](spark.sql(
+      "SELECT kmv_sketch(hv, CAST(hv AS INT)) FROM ext_kmv_events").collect())
+    assert(ex.getMessage.contains("kmv_sketch"))
+  }
 }

@@ -143,4 +143,59 @@ class ExtrasSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).count(_ == "total") == 1)
     assert(rows.forall(_.getBoolean(3)))
   }
+
+  // ------------------------------------------------------------ q68 KMV
+  test("kmv sketch: exact below k, distinct-insert dedup, ascending output") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.expressions.KmvSketch
+    // 10 distinct values with heavy duplication, k = 8: sketch = the 8
+    // smallest distinct values, ascending
+    val vals = (1L to 10L).flatMap(v => Seq.fill(5)(v * 100L))
+    val sk = vals.toDF("v").agg(KmvSketch.sketch(col("v"), 8)).collect()(0)
+      .getSeq[Long](0)
+    assert(sk == (1L to 8L).map(_ * 100L))
+  }
+
+  test("kmv sketch mergeability: k-min of per-part sketches == whole-data sketch") {
+    import org.apache.spark.sql.functions._
+    import graft.expressions.KmvSketch
+    val d = "/root/testdata/sf0.001"
+    val hv = graft.Tables.events(spark, d).select(
+      (col("event_id") % 7).as("part"),
+      Dedup.baseHash(col("user_id").cast("string")).as("hv"))
+    val k = 8 // < 15 distinct users, so the bounded path is exercised
+    // parts → sketches → fold sketch arrays (never re-reading facts)
+    val viaParts = hv.groupBy("part")
+      .agg(KmvSketch.sketch(col("hv"), k).as("sk"))
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))), 1, k))
+      .collect()(0).getSeq[Long](0)
+    val direct = hv.agg(KmvSketch.sketch(col("hv"), k))
+      .collect()(0).getSeq[Long](0)
+    assert(viaParts == direct,
+      "KMV union must equal the sketch of the union (k-min property)")
+  }
+
+  test("q68 estimator accuracy: per-day estimates within 4/sqrt(k-2) of exact") {
+    import org.apache.spark.sql.functions._
+    // sf0.01 is the scale where per-day audiences (~130) exceed k=64 and
+    // the (k-1)·D/h_k path is live; 4σ with CV = 1/√(k−2) ≈ 12.7%
+    val d = "/root/testdata/sf0.01"
+    val rows = Extras.kmvAudienceOverlap(spark, d).collect()
+    assert(rows.length == 29, "30 event days -> 29 consecutive pairs")
+    val exact = graft.Tables.events(spark, d)
+      .groupBy(to_date(TimeWindows.eventTime).cast("string").as("day"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tol = 4.0 / math.sqrt(62.0)
+    rows.foreach { r =>
+      val (da, ea) = (r.getString(0), r.getLong(2))
+      val ex = exact(da).toDouble
+      assert(math.abs(ea - ex) / ex <= tol, s"day=$da est=$ea exact=$ex")
+      // inclusion–exclusion stays in sane set-algebra bounds
+      assert(r.getLong(4) >= math.max(r.getLong(2), r.getLong(3)),
+        "union estimate below a side's estimate")
+      assert(r.getLong(5) >= 0L && r.getLong(6) <= 1000000L)
+    }
+  }
 }
