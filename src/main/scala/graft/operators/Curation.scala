@@ -1017,7 +1017,85 @@ object Curation {
       |FROM dev JOIN mad USING (event_type)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------- p17 PPS sampling
+  /** Target sample size for p17 (the stride is `total_weight div` this). */
+  private[graft] val PPS_N = 256L
+  /** Hash-range bin width for the sliced prefix sum: 2^52 ⇒ 256 bins of
+    * the 2^60 hash domain — the q47/p09 discipline (never a global
+    * unpartitioned window over the corpus).
+    */
+  private val PPS_BIN_W = 4503599627370496L // 2^52
+
+  /** p17: weighted systematic (PPS) sampling — select documents with
+    * probability proportional to size (`n_chars`), deterministically and
+    * in pure int64 arithmetic. The corpus is laid on a line in hash order
+    * (md5-60 of doc_id = a fixed random permutation), each document
+    * occupying a segment of length `w`; a stride `S = W div N` then picks
+    * every document whose segment contains a multiple of S:
+    * `hits = (P+w) div S − P div S` over the exclusive prefix sum P.
+    * Inclusion probability is exactly min(1, w/S) and total hits
+    * telescope to exactly `W div S` — pinned in CurationOpsSpec, the
+    * property "random sample of ~N docs biased by length" actually needs.
+    * Oversized docs (w > S) surface `hits > 1` as their exact expected
+    * multiplicity, the standard PPS-with-multiplicity treatment.
+    *
+    * vs p07 (mixture rates per source) and p04 (per-source downsample):
+    * p17 is ITEM-level probability-proportional-to-size selection with
+    * exact Horvitz–Thompson multiplicities — the "sample a ~fixed token
+    * budget, long docs proportionally more likely" curation primitive.
+    *
+    * Scale: the prefix sum is sliced by hash-range bins — one per-bin
+    * window (partitioned, parallel) plus a ≤256-row bin-offset frame
+    * (bounded by construction); no products anywhere (stride division
+    * instead of `n·P` cross-multiplication), so nothing overflows at any
+    * corpus size (P ≤ W = total corpus chars ≪ 2^63).
+    */
+  def ppsSample(s: SparkSession, d: String): DataFrame =
+    ppsSampleOf(Tables.documents(s, d), PPS_N)
+
+  /** p17 over any (doc_id, n_chars) frame with a chosen target size
+    * (spec-injectable face).
+    */
+  def ppsSampleOf(docs: DataFrame, n: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = docs.select(col("doc_id"),
+        col("n_chars").cast("long").as("w"),
+        Dedup.baseHash(col("doc_id").cast("string")).as("hv"))
+      .withColumn("bin", expr(s"hv div $PPS_BIN_W"))
+    val counts = h.groupBy("bin").agg(sum(col("w")).as("bw"))
+    val wBins = Window.orderBy(col("bin")) // ≤256 rows, bounded
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = counts
+      .withColumn("base", coalesce(sum(col("bw")).over(wBins), lit(0L)))
+      .select(col("bin"), col("base"))
+    val tot = counts.agg(sum(col("bw")).as("tot"))
+    val wLocal = Window.partitionBy(col("bin"))
+      .orderBy(col("hv"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.join(broadcast(bases), "bin").crossJoin(broadcast(tot))
+      .withColumn("s", greatest(lit(1L), expr(s"tot div $n")))
+      .withColumn("pre", col("base") + sum(col("w")).over(wLocal) - col("w"))
+      .withColumn("hits", expr("((pre + w) div s) - (pre div s)"))
+      .filter(col("hits") >= 1)
+      .select(col("doc_id"), col("w"), col("hits"))
+      .orderBy("doc_id")
+  }
+
+  val ppsSampleSql: String =
+    s"""WITH h AS (SELECT doc_id, n_chars AS w,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      |  FROM documents),
+      |p AS (SELECT doc_id, w,
+      |    coalesce(sum(w) OVER (ORDER BY hv, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+      |  FROM h),
+      |t AS (SELECT greatest(1, CAST(sum(w) AS BIGINT) // $PPS_N) AS s FROM h)
+      |SELECT doc_id, w, CAST(((pre + w) // s) - (pre // s) AS BIGINT) AS hits
+      |FROM p, t WHERE ((pre + w) // s) - (pre // s) >= 1
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p17_pps_sample" -> (ppsSample _),
     "p16_outlier_gate" -> (robustOutlierGate _),
     "p15_leakage_safe_split" -> (leakageSafeSplit _),
     "p13_dsir_resample" -> (dsirResample _),
@@ -1035,6 +1113,7 @@ object Curation {
     "p11_curation_report" -> (curationReportUnified _))
 
   val oracles: Map[String, String] = Map(
+    "p17_pps_sample" -> ppsSampleSql,
     "p16_outlier_gate" -> robustOutlierGateSql,
     "p15_leakage_safe_split" -> leakageSafeSplitSql,
     "p13_dsir_resample" -> dsirResampleSql,

@@ -298,4 +298,46 @@ class CurationOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
     assert(agg == fromAssign)
   }
+
+  // ------------------------------------------------------ p17 PPS sample
+  test("p17 telescoping exactness: total hits == W div S, sample near target") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val docs = graft.Tables.documents(spark, d)
+    val wTot = docs.agg(sum(col("n_chars"))).collect()(0).getLong(0)
+    val stride = math.max(1L, wTot / 256L)
+    val rows = Curation.ppsSample(spark, d).collect()
+    // the per-row interval counts telescope to exactly W div S
+    assert(rows.map(_.getLong(2)).sum == wTot / stride)
+    // and the selection is ~N (exact when no doc spans multiple strides)
+    assert(math.abs(rows.length - 256) <= rows.map(_.getLong(2)).sum - rows.length + 1)
+  }
+
+  test("p17 PPS bias: selected docs are longer on average; giant docs carry multiplicity") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.01"
+    val docs = graft.Tables.documents(spark, d)
+    val avgAll = docs.agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    val sel = Curation.ppsSample(spark, d)
+    val avgSel = sel.agg(avg(col("w"))).collect()(0).getDouble(0)
+    assert(avgSel > avgAll,
+      s"PPS must over-select long docs: sample avg $avgSel vs corpus $avgAll")
+    // planted multiplicity: one doc worth half the corpus weight gets
+    // hits ≈ n/2 — the exact expected PPS multiplicity, not a dropped cap
+    val n = 16L
+    val planted = (1L to 63L).map(i => (i, 100L)) :+ (999L, 6300L)
+    val out = Curation.ppsSampleOf(
+      planted.toDF("doc_id", "n_chars"), n).collect()
+    val giant = out.find(_.getLong(0) == 999L)
+    assert(giant.isDefined, "the giant doc is certain to be selected")
+    val tot = 63L * 100L + 6300L
+    val s = tot / n
+    assert(giant.get.getLong(2) >= 6300L / s,
+      "giant doc multiplicity must reflect its stride span")
+    // determinism: same input, same sample
+    val again = Curation.ppsSample(spark, d).collect()
+    assert(Curation.ppsSample(spark, d).collect().map(_.toString).toSeq ==
+      again.map(_.toString).toSeq)
+  }
 }
