@@ -54,8 +54,11 @@ object Similarity {
   /** Brute-force cosine top-k: queries = vec_id < nQueries, corpus = rest.
     * Query side is broadcast; corpus is scanned once.
     */
-  def cosineTopK(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val e = Tables.embeddings(s, d)
+  def cosineTopK(s: SparkSession, d: String, nQueries: Int = 5, k: Int = 10): DataFrame =
+    cosineTopKFrom(Tables.embeddings(s, d), nQueries, k)
+
+  /** s01 over any (vec_id, embedding) frame (spec-injectable face). */
+  def cosineTopKFrom(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
     // norms are computed once per row on each side, not once per pair
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
@@ -1515,7 +1518,123 @@ object Similarity {
       |SELECT vec_id, bench_id, max_cosine FROM best
       |ORDER BY max_cosine DESC, vec_id LIMIT 50""".stripMargin
 
+  // ------------------------------------------------------ s13 MMR re-rank
+  /** Shortlist width fed to the greedy selection. */
+  val MMR_M = 16
+  /** Diversified results returned per query. */
+  val MMR_K = 8
+
+  /** s13: maximal-marginal-relevance re-rank — retrieval's answer to "the
+    * top-k are 8 near-copies of the same document": greedily pick the
+    * candidate maximizing λ·rel − (1−λ)·max_{s∈S} sim(c,s) over the
+    * already-picked set S. With λ = ½ both terms carry weight ½, so the
+    * argmax (and the reported score) can use the ×2 form `rel − maxsim`
+    * — no new constants, and every arithmetic op stays in the s01
+    * discipline (exact integer dots, IEEE sqrt/divide/subtract), so the
+    * greedy trace hash-matches a DuckDB recursive-CTE replay exactly.
+    *
+    * Shape: ONE corpus scan builds the per-query shortlist (top-[[MMR_M]]
+    * by relevance, vectors carried through the window); everything after
+    * is bounded by construction — |q|·M² pair sims, then the greedy runs
+    * inside [[graft.expressions.MmrSelect]], once per query row over its
+    * collected candidates (O(k·M) compares, O(M²) sim entries). The
+    * diversity selection never touches the fact table and adds no
+    * per-round driver latency; at 100 TB the only data-proportional cost
+    * is the shortlist scan it shares with s01.
+    */
+  def mmrRerank(s: SparkSession, d: String, nQueries: Int = 5): DataFrame =
+    mmrRerankFrom(Tables.embeddings(s, d), nQueries)
+
+  /** s13 over any (vec_id, embedding) frame (spec-injectable face). */
+  def mmrRerankFrom(e: DataFrame, nQueries: Int): DataFrame = {
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qnorm", sqrt(qdot(col("qv"), col("qv")).cast("double")))
+    val corpus = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id"), quantize(col("embedding")).as("cv"))
+      .withColumn("cnorm", sqrt(qdot(col("cv"), col("cv")).cast("double")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("vec_id"))
+    val sl = corpus.crossJoin(broadcast(q))
+      .withColumn("rel",
+        qdot(col("qv"), col("cv")).cast("double") / (col("qnorm") * col("cnorm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MMR_M)
+      .select(col("query_id"), col("vec_id"), col("rel"), col("cv"), col("cnorm"))
+      .localCheckpoint() // ≤ |q|·M rows, vectors included — one fact scan
+    val x = sl.select(col("query_id"), col("vec_id").as("a"),
+      col("cv").as("av"), col("cnorm").as("an"))
+    val y = sl.select(col("query_id"), col("vec_id").as("b"),
+      col("cv").as("bv"), col("cnorm").as("bn"))
+    val pairs = x.join(y, Seq("query_id")).filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        (qdot(col("av"), col("bv")).cast("double") /
+          (col("an") * col("bn"))).as("sim"))
+    // the greedy itself runs in the MmrSelect kernel, once per QUERY row
+    // over its ≤M candidates — a relational k-round loop here costs k
+    // driver round-trips of 10-row jobs (measured: 11 actions / 3.0 s at
+    // sf0.1 vs 2 actions / ~1 s with the kernel); collect_list order
+    // doesn't matter because the greedy is a pure set function under the
+    // (score desc, vec_id asc) tie-break
+    val cands = sl.groupBy("query_id")
+      .agg(collect_list(struct(col("vec_id"), col("rel"))).as("cands"))
+    val sims = pairs.groupBy("query_id")
+      .agg(collect_list(struct(col("a"), col("b"), col("sim"))).as("sims"))
+    cands.join(sims, Seq("query_id"))
+      .select(col("query_id"),
+        explode(graft.expressions.MmrSelect(
+          col("cands"), col("sims"), MMR_K)).as("r"))
+      .select(col("query_id"), col("r.step").as("step"),
+        col("r.vec_id").as("vec_id"), col("r.mmr2").as("mmr2"))
+      .orderBy("query_id", "step")
+  }
+
+  /** DuckDB mirror: same shortlist/pair sims, greedy replayed as a
+    * recursive CTE carrying the picked set as a list column (the LATERAL
+    * argmax is this engine's spelling of "pick the best remaining").
+    */
+  val mmrRerankSql: String =
+    s"""WITH RECURSIVE
+      |q AS (SELECT vec_id AS query_id,
+      |        [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS qv
+      |      FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id,
+      |        [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS cv
+      |      FROM embeddings WHERE vec_id >= 5),
+      |dots AS (SELECT query_id, vec_id, cv,
+      |           CAST(list_sum([qv[i] * cv[i] FOR i IN range(1, 65)]) AS DOUBLE) /
+      |             (sqrt(CAST(list_sum([qv[i] * qv[i] FOR i IN range(1, 65)]) AS DOUBLE)) *
+      |              sqrt(CAST(list_sum([cv[i] * cv[i] FOR i IN range(1, 65)]) AS DOUBLE))) AS rel
+      |         FROM c CROSS JOIN q),
+      |sl AS (SELECT query_id, vec_id, cv, rel FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY query_id
+      |           ORDER BY rel DESC, vec_id) AS rn FROM dots) WHERE rn <= $MMR_M),
+      |prs AS (SELECT x.query_id, x.vec_id AS a, y.vec_id AS b,
+      |          CAST(list_sum([x.cv[i] * y.cv[i] FOR i IN range(1, 65)]) AS DOUBLE) /
+      |            (sqrt(CAST(list_sum([x.cv[i] * x.cv[i] FOR i IN range(1, 65)]) AS DOUBLE)) *
+      |             sqrt(CAST(list_sum([y.cv[i] * y.cv[i] FOR i IN range(1, 65)]) AS DOUBLE))) AS sim
+      |        FROM sl x JOIN sl y ON x.query_id = y.query_id AND x.vec_id <> y.vec_id),
+      |base AS (SELECT query_id, vec_id, rel FROM (
+      |           SELECT query_id, vec_id, rel, row_number() OVER (PARTITION BY query_id
+      |             ORDER BY rel DESC, vec_id) AS rn FROM sl) WHERE rn = 1),
+      |sel AS (
+      |  SELECT query_id, 1 AS step, [vec_id] AS picked, vec_id, rel AS mmr2 FROM base
+      |  UNION ALL
+      |  SELECT s.query_id, s.step + 1, list_append(s.picked, p.vec_id), p.vec_id, p.mmr2
+      |  FROM sel s, LATERAL (
+      |    SELECT cnd.vec_id,
+      |      cnd.rel - (SELECT max(pr.sim) FROM prs pr
+      |                 WHERE pr.query_id = s.query_id AND pr.a = cnd.vec_id
+      |                   AND list_contains(s.picked, pr.b)) AS mmr2
+      |    FROM sl cnd
+      |    WHERE cnd.query_id = s.query_id AND NOT list_contains(s.picked, cnd.vec_id)
+      |    ORDER BY mmr2 DESC, cnd.vec_id LIMIT 1) p
+      |  WHERE s.step < $MMR_K)
+      |SELECT query_id, CAST(step AS INT) AS step, vec_id, mmr2
+      |FROM sel ORDER BY query_id, step""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_mmr_rerank" -> ((s: SparkSession, d: String) => mmrRerank(s, d)),
     "p14_semantic_decontam" -> ((s: SparkSession, d: String) => semanticDecontam(s, d)),
     "s12_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(s, d)),
     "s11_pq_rerank" -> ((s: SparkSession, d: String) => ivfPqRerank(s, d)),
@@ -1532,6 +1651,7 @@ object Similarity {
     "d06_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDupPairsSeeded(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "s13_mmr_rerank" -> mmrRerankSql,
     "p14_semantic_decontam" -> semanticDecontamSql,
     "s12_hard_negatives" -> hardNegativesSql,
     "s11_pq_rerank" -> ivfPqRerankSql,

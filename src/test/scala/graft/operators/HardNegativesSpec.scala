@@ -40,4 +40,55 @@ class HardNegativesSpec extends SparkSpec {
     assert(got.forall { case (aid, _, cid, clabel, _) =>
       clabel == labelOf(cid) && clabel != labelOf(aid) })
   }
+
+  // ------------------------------------------------------ s13 MMR re-rank
+  test("s13 structure: dense steps, distinct picks, step 1 == relevance argmax") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.mmrRerank(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    val top1 = Similarity.cosineTopK(spark, d, 5, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    byQ.foreach { case (qid, rs) =>
+      val steps = rs.sortBy(_._2)
+      assert(steps.map(_._2).toSeq == (1 to Similarity.MMR_K))
+      assert(steps.map(_._3).distinct.length == steps.length, "picks must be distinct")
+      assert(steps.head._3 == top1(qid), "first MMR pick is the plain relevance argmax")
+    }
+  }
+
+  test("s13 diversity: a planted near-duplicate of the top hit is deferred, not ranked 2nd") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one query (id 0) and a corpus where vec 10 is the best hit, vec 11
+    // is vec 10 with a tiny perturbation (plain cosine ranks it 2nd), and
+    // vecs 12..19 are mutually-orthogonal-ish mediocre hits. MMR must NOT
+    // take the near-dup at step 2.
+    val dim = 64
+    val qv = (0 until dim).map(i => if (i < 8) 1.0f else 0.0f)
+    val best = (0 until dim).map(i => if (i < 8) 0.9f else 0.0f)
+    val nearDup = best.updated(60, 0.01f)
+    val others = (0 until 8).map { j =>
+      // some overlap with the query on axis j (<8), plus mass elsewhere
+      (0 until dim).map(i =>
+        if (i == j) 0.8f else if (i == 8 + j) 1.0f else 0.0f)
+    }
+    val e = ((0L, qv) +: (10L, best) +: (11L, nearDup) +:
+      others.zipWithIndex.map { case (v, j) => ((12 + j).toLong, v) })
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerankFrom(e, 1).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(out.head == (1, 10L), "step 1 takes the best hit")
+    assert(out(1)._2 != 11L,
+      "step 2 must defer the near-duplicate of the already-picked hit")
+    val top2 = Similarity.cosineTopKFrom(e, 1, 2) // the contrast case
+    assert(top2.collect().map(_.getLong(2)).toSeq == Seq(10L, 11L),
+      "plain cosine DOES rank the near-dup 2nd — the contrast MMR removes")
+    // shortlist smaller than k: all candidates returned, steps stay dense
+    val tiny = Similarity.mmrRerankFrom(
+      e.filter(col("vec_id") < 13), 1).collect()
+    assert(tiny.map(_.getInt(1)).toSeq == (1 to 3),
+      "3 candidates -> 3 dense steps, not k")
+  }
 }
