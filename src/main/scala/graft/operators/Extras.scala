@@ -434,7 +434,7 @@ object Extras {
     * 6-bit mantissa), so the single IEEE multiply+divide+floor chain is
     * bit-identical across engines — the t15 "one IEEE divide" discipline.
     */
-  private def kmvEst(sk: Column): Column =
+  private[graft] def kmvEst(sk: Column): Column =
     when(size(sk) < KMV_K, size(sk).cast("long"))
       .otherwise(floor(lit(63.0) * lit(1152921504606846976.0) /
         element_at(sk, KMV_K).cast("double")).cast("long"))
