@@ -1061,18 +1061,24 @@ object Curation {
     val h = docs.select(col("doc_id"),
         col("n_chars").cast("long").as("w"),
         Dedup.baseHash(col("doc_id").cast("string")).as("hv"))
-      .withColumn("bin", expr(s"hv div $PPS_BIN_W"))
-    val counts = h.groupBy("bin").agg(sum(col("w")).as("bw"))
-    val wBins = Window.orderBy(col("bin")) // ≤256 rows, bounded
+      .withColumn("_pps_bin", expr(s"hv div $PPS_BIN_W"))
+    // base offsets AND the grand total come off ONE pass over the ≤256-row
+    // bin frame (two frames of the same ordered window), so the corpus
+    // aggregate underneath runs once and documents is scanned twice total
+    // (row stream + bin counts), not three times
+    val counts = h.groupBy("_pps_bin").agg(sum(col("w")).as("bw"))
+    val wBins = Window.orderBy(col("_pps_bin")) // ≤256 rows, bounded
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("_pps_bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val bases = counts
       .withColumn("base", coalesce(sum(col("bw")).over(wBins), lit(0L)))
-      .select(col("bin"), col("base"))
-    val tot = counts.agg(sum(col("bw")).as("tot"))
-    val wLocal = Window.partitionBy(col("bin"))
+      .withColumn("tot", sum(col("bw")).over(wAll))
+      .select(col("_pps_bin"), col("base"), col("tot"))
+    val wLocal = Window.partitionBy(col("_pps_bin"))
       .orderBy(col("hv"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    h.join(broadcast(bases), "bin").crossJoin(broadcast(tot))
+    h.join(broadcast(bases), "_pps_bin")
       .withColumn("s", greatest(lit(1L), expr(s"tot div $n")))
       .withColumn("pre", col("base") + sum(col("w")).over(wLocal) - col("w"))
       .withColumn("hits", expr("((pre + w) div s) - (pre div s)"))

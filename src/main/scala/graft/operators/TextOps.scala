@@ -240,7 +240,11 @@ object TextOps {
     val tf = docs
       .select(explode(tokens(lower(col("text")))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("f"))
-    val total = tf.agg(sum(col("f")).as("total_tokens"))
+    // same value as sum(tf.f), but per-doc counts + a partial-sum scan —
+    // no second pass through the vocab-keyed aggregate
+    val total = docs
+      .select(size(tokens(lower(col("text")))).cast("long").as("n"))
+      .agg(sum(col("n")).as("total_tokens"))
     val topK = tf.orderBy(col("f").desc, col("tok")).limit(ZIPF_TOP_K)
     val w = Window.orderBy(col("f").desc, col("tok")) // K rows, bounded
     topK.crossJoin(broadcast(total))
@@ -256,7 +260,8 @@ object TextOps {
     s"""WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
       |              FROM documents),
       |tf AS (SELECT tok, count(*) AS f FROM toks GROUP BY tok),
-      |total AS (SELECT CAST(sum(f) AS BIGINT) AS total_tokens FROM tf),
+      |total AS (SELECT CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS BIGINT)
+      |            AS total_tokens FROM documents),
       |topk AS (SELECT tok, f FROM tf ORDER BY f DESC, tok LIMIT $ZIPF_TOP_K),
       |r AS (SELECT *, row_number() OVER (ORDER BY f DESC, tok) AS rank,
       |        sum(f) OVER (ORDER BY f DESC, tok) AS cum_f FROM topk)

@@ -83,8 +83,10 @@ class QueryInventorySpec extends SparkSpec {
     // `x div (max div 10 + 1) + 1` with 0 ≤ x ≤ max, whose quotient is
     // in [0, 9] for any ids. Grouping on anything else (doc_id, a
     // text hash, ...) fails the census and needs its own bound argument.
+    // p17's `_pps_bin` is `hash div 2^52` over the 60-bit hash domain —
+    // ≤256 values by the VALUE range, the same class as `_sgr_bin`.
     val boundedDomainCols = Set("slice", "_sgr_nn", "_sgr_nan", "_sgr_bin",
-      "decile")
+      "decile", "_pps_bin")
 
     // STRUCTURAL recursion down the window's input, not an exists() over
     // the whole subtree: a limit sitting on a JOIN'S BUILD SIDE (e.g.
