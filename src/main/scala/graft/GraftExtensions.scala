@@ -173,6 +173,20 @@ object GraftExtensions {
     // mergeable bottom-k distinct sketch (Extras.kmvAudienceOverlap is
     // the DataFrame face); the analyzer wraps the returned
     // AggregateFunction in an AggregateExpression like any built-in agg
+    // the s13 greedy diversification kernel (Similarity.mmrRerank is the
+    // DataFrame face)
+    (FunctionIdentifier("mmr_select"),
+      info("mmr_select",
+        "mmr_select(cands, sims, k) - greedy maximal-marginal-relevance " +
+          "picks over one query's shortlist: cands array<struct<vec_id " +
+          "bigint, rel double>>, sims array<struct<a bigint, b bigint, " +
+          "sim double>>, k an int literal; returns array<struct<step, " +
+          "vec_id, mmr2>>"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "mmr_select takes 3 arguments")
+        new graft.expressions.MmrSelect(args(0), args(1),
+          intLiteral(args(2), "mmr_select k"))
+      }),
     (FunctionIdentifier("kmv_sketch"),
       info("kmv_sketch",
         "kmv_sketch(hash, k) - ascending array<bigint> of the k smallest " +

@@ -194,4 +194,20 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT kmv_sketch(hv, CAST(hv AS INT)) FROM ext_kmv_events").collect())
     assert(ex.getMessage.contains("kmv_sketch"))
   }
+
+  test("SQL surface: mmr_select equals its expression form on a literal shortlist") {
+    GraftExtensions.register(spark)
+    // 3 candidates; c and b are near-identical (sim .99) — step 2 must
+    // take the dissimilar a over the higher-relevance near-dup c
+    val sql =
+      """SELECT mmr_select(
+        |  array(struct(1L, 0.9d), struct(2L, 0.5d), struct(3L, 0.8d)),
+        |  array(struct(1L, 2L, 0.1d), struct(2L, 1L, 0.1d),
+        |        struct(1L, 3L, 0.99d), struct(3L, 1L, 0.99d),
+        |        struct(2L, 3L, 0.2d), struct(3L, 2L, 0.2d)), 3) AS r""".stripMargin
+    val picks = spark.sql(sql).collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(picks.map(_._2) == Seq(1L, 2L, 3L),
+      "greedy must defer the near-duplicate of the first pick")
+  }
 }
