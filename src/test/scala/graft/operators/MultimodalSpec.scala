@@ -296,6 +296,50 @@ class MultimodalSpec extends SparkSpec {
     val (w, h) = Multimodal.stubResize(4000, 3000, 512)
     assert(math.max(w, h) == 512 && math.abs(w * 3000 - h * 4000) <= 4000)
   }
+
+  // ------------------------------------------------ m06 CDC chunking
+  test("m06 resync: a prefix-shifted copy re-shares almost all chunks; fixed blocks share none") {
+    import spark.implicits._
+    // deterministic varied payload, ~2 KB
+    val base = (0 until 400).map(i => s"w${i * 37 % 101}x${i}").mkString(" ")
+    val shifted = "PREFIX-INSERTED-BYTES " + base
+    val a = Seq((1L, base), (2L, shifted))
+      .toDF("asset_id", "text")
+      .select(col("asset_id"), lit("text/plain").as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+    val ch = Multimodal.cdcChunksOf(a).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val hA = ch.filter(_._1 == 1L).map(_._2).toSet
+    val hB = ch.filter(_._1 == 2L).map(_._2).toSet
+    val shared = (hA & hB).size.toDouble / hA.size
+    assert(shared >= 0.8,
+      s"content-defined boundaries must re-synchronize after the insert: shared=$shared")
+    // the contrast: fixed 64-byte blocks of the same two payloads share ~0
+    def blocks(s: String): Set[String] =
+      s.getBytes("UTF-8").grouped(64).map(b => new String(b.map(_.toChar))).toSet
+    val fixedShared = (blocks(base) & blocks(shifted)).size.toDouble / blocks(base).size
+    assert(fixedShared < 0.1,
+      s"fixed-size blocking mis-aligns forever after an insert: $fixedShared")
+  }
+
+  test("m06 kernel equals the built-in HOF reference row-for-row") {
+    val a = Multimodal.assets(spark, "/root/testdata/sf0.001")
+    val viaKernel = Multimodal.cdcChunksOf(a)
+      .orderBy("asset_id", "h", "l").collect().map(_.toString).toSeq
+    val viaHofs = Multimodal.cdcChunksReference(a)
+      .orderBy("asset_id", "h", "l").collect().map(_.toString).toSeq
+    assert(viaKernel == viaHofs)
+  }
+
+  test("m06 stats are internally consistent and detect the corpus's duplicate docs") {
+    val row = Multimodal.cdcChunkStats(spark, "/root/testdata/sf0.001").collect().head
+    val (nChunks, nDistinct) = (row.getLong(2), row.getLong(3))
+    val (bytesTotal, bytesDistinct) = (row.getLong(4), row.getLong(5))
+    assert(nDistinct <= nChunks && bytesDistinct <= bytesTotal)
+    assert(row.getLong(6) == (nChunks - nDistinct) * 1000000L / nChunks)
+    assert(row.getLong(7) == (bytesTotal - bytesDistinct) * 1000000L / bytesTotal)
+    assert(nDistinct < nChunks, "the fixture corpus plants duplicate docs — dedup must be visible")
+  }
 }
 
 /** A REAL external codec for the extractFeatures seam test: top-level
@@ -324,4 +368,5 @@ object ZipCodecSeam extends Serializable {
         Multimodal.stubDecode(out.toByteArray)
       }
   }
+
 }
