@@ -429,13 +429,83 @@ object Graph {
        |  FROM prof GROUP BY hop)
        |WHERE n_nodes > 0 ORDER BY hop""".stripMargin
 
+  // ------------------------------------------------- g05 degree mixing
+  /** g05: degree assortativity of the bipartite trade graph — "do
+    * high-volume customers trade with high-volume suppliers?" The Pearson
+    * correlation of endpoint degrees over edges, the standard mixing
+    * coefficient (Newman 2002), computed in the q55 exact-power-sum
+    * discipline: every Σ is an exact int64 over the edge list, and the
+    * coefficient itself is ONE fixed IEEE chain
+    * `(m·Σxy − Σx·Σy) / (√(m·Σx²−Σx²̄) · √(m·Σy²−Σy²̄))` — identical
+    * operation order in the oracle, so the double hash-matches (the s01
+    * cosine precedent). The exact sums ride along in the output, so a
+    * downstream engine can merge partitions' sums and recompute r
+    * without rescanning edges (the q63/q66 mergeable-stats stance).
+    *
+    * Shape: one edge derivation (the checkpointed [[tradeEdges]] frame
+    * shared with g01/g03/g04), one degree aggregate, two broadcast
+    * degree joins, one global aggregate — no iteration. The broadcast
+    * hint carries the same bound as g01's rank join: beyond ~100M nodes
+    * swap it for src/node co-hash-partitioned SMJ. Overflow bound:
+    * m·Σ(d²) must stay under 2^63; with int64 sums that holds through
+    * ~10^12 edges at realistic degree skew (and the exact sums make any
+    * violation loud, not silent — Spark overflows throw under ANSI).
+    */
+  def degreeMixing(s: SparkSession, d: String): DataFrame =
+    degreeMixingOf(tradeEdges(s, d))
+
+  /** g05 over any both-direction packed-long edge frame (spec face). */
+  private[graft] def degreeMixingOf(e: DataFrame): DataFrame = {
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    // each undirected edge once: the customer→supplier direction
+    val once = e.filter(col("src") % 2 === 0)
+    val j = once
+      .join(broadcast(deg.select(col("node").as("nc"), col("deg").as("dc"))),
+        col("src") === col("nc"))
+      .join(broadcast(deg.select(col("node").as("ns"), col("deg").as("ds"))),
+        col("dst") === col("ns"))
+    j.agg(count(lit(1)).as("m_edges"),
+        sum(col("dc")).as("s_dc"), sum(col("ds")).as("s_ds"),
+        sum(col("dc") * col("dc")).as("s_dc2"),
+        sum(col("ds") * col("ds")).as("s_ds2"),
+        sum(col("dc") * col("ds")).as("s_dcds"))
+      .select(col("m_edges"), col("s_dc"), col("s_ds"), col("s_dc2"),
+        col("s_ds2"), col("s_dcds"),
+        (expr("CAST(m_edges * s_dcds - s_dc * s_ds AS DOUBLE)") /
+          (sqrt(expr("CAST(m_edges * s_dc2 - s_dc * s_dc AS DOUBLE)")) *
+            sqrt(expr("CAST(m_edges * s_ds2 - s_ds * s_ds AS DOUBLE)"))))
+          .as("assortativity"))
+      .orderBy("m_edges")
+  }
+
+  val degreeMixingSql: String =
+    s"""WITH $tradeEdgesCte,
+      |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+      |oncej AS (SELECT dc.deg AS dc, ds.deg AS ds
+      |          FROM (SELECT src, dst FROM edges WHERE src % 2 = 0) o
+      |          JOIN deg dc ON dc.node = o.src
+      |          JOIN deg ds ON ds.node = o.dst),
+      |sums AS (SELECT CAST(count(*) AS BIGINT) AS m_edges,
+      |           CAST(sum(dc) AS BIGINT) AS s_dc, CAST(sum(ds) AS BIGINT) AS s_ds,
+      |           CAST(sum(dc * dc) AS BIGINT) AS s_dc2,
+      |           CAST(sum(ds * ds) AS BIGINT) AS s_ds2,
+      |           CAST(sum(dc * ds) AS BIGINT) AS s_dcds
+      |         FROM oncej)
+      |SELECT m_edges, s_dc, s_ds, s_dc2, s_ds2, s_dcds,
+      |  CAST(m_edges * s_dcds - s_dc * s_ds AS DOUBLE) /
+      |    (sqrt(CAST(m_edges * s_dc2 - s_dc * s_dc AS DOUBLE)) *
+      |     sqrt(CAST(m_edges * s_ds2 - s_ds * s_ds AS DOUBLE))) AS assortativity
+      |FROM sums ORDER BY m_edges""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g05_degree_mixing" -> (degreeMixing _),
     "g04_bfs_reach" -> (bfsReach _),
     "g01_pagerank" -> (pagerank _),
     "g02_triangle_census" -> (triangleCensus _),
     "g03_label_propagation" -> (labelPropagation _))
 
   def oracles: Map[String, String] = Map(
+    "g05_degree_mixing" -> degreeMixingSql,
     "g04_bfs_reach" -> bfsReachSql,
     "g01_pagerank" -> pagerankSql,
     "g02_triangle_census" -> triangleCensusSql,

@@ -150,4 +150,31 @@ class GraphSpec extends SparkSpec {
       assert(node % 2 == (h % 2), s"node $node at hop $h breaks bipartite parity")
     }
   }
+
+  // --------------------------------------------------- g05 degree mixing
+  test("g05 bounds and internal consistency on the trade graph") {
+    val r = Graph.degreeMixing(spark, d).collect().head
+    val (m, sdc, sds) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (sdc2, sds2, sdcds) = (r.getLong(3), r.getLong(4), r.getLong(5))
+    val a = r.getDouble(6)
+    assert(m > 0 && sdc > 0 && sds > 0)
+    // Cauchy–Schwarz on the exact sums
+    assert(sdcds.toDouble * sdcds <= sdc2.toDouble * sds2 * (1 + 1e-12))
+    assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"assortativity out of range: $a")
+  }
+
+  test("g05 planted blocks: two disjoint complete bipartite blocks are perfectly assortative") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // K2,2 on customers {0,1} x suppliers {0,1}; K5,5 on {10..14} x {10..14}
+    val once =
+      (for (c <- 0L to 1L; s <- 0L to 1L) yield (c * 2, s * 2 + 1)) ++
+        (for (c <- 10L to 14L; s <- 10L to 14L) yield (c * 2, s * 2 + 1))
+    val both = once.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val r = Graph.degreeMixingOf(both).collect().head
+    assert(r.getLong(0) == once.length)
+    // every edge joins equal-degree endpoints (2–2 or 5–5): r == 1
+    assert(math.abs(r.getDouble(6) - 1.0) < 1e-12, s"expected r=1, got $r")
+  }
 }
