@@ -173,6 +173,21 @@ object GraftExtensions {
     // mergeable bottom-k distinct sketch (Extras.kmvAudienceOverlap is
     // the DataFrame face); the analyzer wraps the returned
     // AggregateFunction in an AggregateExpression like any built-in agg
+    // the m06 content-defined chunking kernel (Multimodal.cdcChunksOf is
+    // the DataFrame face)
+    (FunctionIdentifier("cdc_chunks"),
+      info("cdc_chunks",
+        "cdc_chunks(payload, window, mask) - array<struct<h bigint, l " +
+          "bigint>> of content-defined chunks of a binary payload: a " +
+          "byte position ends a chunk when md5_60(hex of the trailing " +
+          "<window> bytes) % mask == 0; h = md5_60(hex of the chunk), " +
+          "l = its byte length. window/mask int literals"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "cdc_chunks takes 3 arguments")
+        graft.expressions.CdcChunks(args(0),
+          intLiteral(args(1), "cdc_chunks window"),
+          intLiteral(args(2), "cdc_chunks mask").toLong)
+      }),
     // the s13 greedy diversification kernel (Similarity.mmrRerank is the
     // DataFrame face)
     (FunctionIdentifier("mmr_select"),

@@ -195,6 +195,24 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(ex.getMessage.contains("kmv_sketch"))
   }
 
+  test("SQL surface: cdc_chunks equals its DataFrame kernel form") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.register(spark)
+    val a = graft.operators.Multimodal.assets(spark, "/root/testdata/sf0.001")
+    a.createOrReplaceTempView("ext_cdc_assets")
+    val viaSql = spark.sql(
+      s"""SELECT asset_id, c.h AS h, c.l AS l FROM (
+         |  SELECT asset_id, explode(cdc_chunks(payload,
+         |    ${graft.operators.Multimodal.CDC_WINDOW},
+         |    ${graft.operators.Multimodal.CDC_MASK})) AS c
+         |  FROM ext_cdc_assets) ORDER BY asset_id, h, l""".stripMargin)
+      .collect().map(_.toString).toSeq
+    val viaDf = graft.operators.Multimodal.cdcChunksOf(a)
+      .select(col("asset_id"), col("h"), col("l"))
+      .orderBy("asset_id", "h", "l").collect().map(_.toString).toSeq
+    assert(viaSql == viaDf)
+  }
+
   test("SQL surface: mmr_select equals its expression form on a literal shortlist") {
     GraftExtensions.register(spark)
     // 3 candidates; c and b are near-identical (sim .99) — step 2 must
