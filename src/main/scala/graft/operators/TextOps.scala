@@ -891,6 +891,78 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t21: tokenizer fertility by language — BPE symbols per whitespace
+    * word (in exact ppm) and characters per BPE symbol, per language,
+    * under the t16-learned merges. THE multilingual vocab-sizing
+    * diagnostic: a vocabulary learned on a mixed corpus over-segments
+    * the languages it under-represents (fertility climbs), which is what
+    * decides per-language vocab budget and mixture weights before a
+    * costly training run. Same plan as t17 (the learned vocabulary IS
+    * the encoder, applied by one word-key join) with the rollup keyed by
+    * lang instead of doc — corpus scan + one vocab join + a 5-row
+    * aggregate; all ratios integer-exact.
+    */
+  def bpeFertility(s: SparkSession, d: String): DataFrame = {
+    val sep2 = SEP + SEP
+    val (_, vocab) = bpeLearn(s, d)
+    val enc = vocab.select(col("tok"),
+      size(split(expr(s"trim(BOTH '$SEP' FROM state)"), sep2)).cast("long").as("n_sym"))
+    Tables.documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 1 && !col("tok").contains(SEP))
+      .join(enc, "tok")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_sym")).as("n_bpe"),
+        sum(length(col("tok")).cast("long")).as("n_chars_tok"))
+      .select(col("lang"), col("n_tokens"), col("n_bpe"), col("n_chars_tok"),
+        expr("(n_bpe * 1000000) div n_tokens").as("fertility_ppm"),
+        expr("(n_chars_tok * 1000000) div n_bpe").as("chars_per_sym_ppm"))
+      .orderBy("lang")
+  }
+
+  /** t21 oracle: the t16 rounds + vocab join (the t17 mirror), rolled up
+    * by language.
+    */
+  lazy val bpeFertilitySql: String = {
+    val round = (prev: String, k: Int) =>
+      s"""p$k AS (SELECT pair, CAST(sum(c) AS BIGINT) AS total FROM (
+         |  SELECT c, unnest([sy[i] || '$SEP$SEP' || sy[i+1] FOR i IN range(1, len(sy))]) AS pair
+         |  FROM (SELECT c, string_split(trim(state, '$SEP'), '$SEP$SEP') AS sy FROM $prev))
+         |GROUP BY pair),
+         |b$k AS (SELECT pair, total FROM p$k ORDER BY total DESC, pair LIMIT 1),
+         |w$k AS (SELECT w.tok,
+         |    CASE WHEN b.pair IS NULL THEN w.state
+         |         ELSE replace(w.state, '$SEP' || b.pair || '$SEP',
+         |           '$SEP' || replace(b.pair, '$SEP$SEP', '') || '$SEP') END AS state,
+         |    w.c
+         |  FROM $prev w LEFT JOIN b$k b ON TRUE)""".stripMargin
+    val rounds = (1 to BPE_MERGES).map(k => round(s"w${k - 1}", k)).mkString(",\n")
+    s"""WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |           FROM documents),
+       |w0 AS (SELECT tok, '$SEP' || array_to_string(
+       |           [substr(tok, i, 1) FOR i IN range(1, len(tok) + 1)], '$SEP$SEP')
+       |         || '$SEP' AS state, CAST(count(*) AS BIGINT) AS c
+       |       FROM t WHERE len(tok) >= 1 AND tok NOT LIKE '%$SEP%'
+       |       GROUP BY tok),
+       |$rounds,
+       |enc AS (SELECT tok,
+       |    CAST(len(string_split(trim(state, '$SEP'), '$SEP$SEP')) AS BIGINT) AS n_sym
+       |  FROM w$BPE_MERGES),
+       |dt AS (SELECT lang,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(n_sym) AS BIGINT) AS n_bpe,
+       |    CAST(sum(len(tok)) AS BIGINT) AS n_chars_tok
+       |  FROM dt JOIN enc USING (tok)
+       |  WHERE len(tok) >= 1 AND tok NOT LIKE '%$SEP%'
+       |  GROUP BY lang)
+       |SELECT lang, n_tokens, n_bpe, n_chars_tok,
+       |  (n_bpe * 1000000) // n_tokens AS fertility_ppm,
+       |  (n_chars_tok * 1000000) // n_bpe AS chars_per_sym_ppm
+       |FROM agg ORDER BY lang""".stripMargin
+  }
+
   /** t17 oracle: the t16 rounds carrying `tok`, then the vocab join. The
     * per-round rewrite uses LEFT JOIN ON TRUE + CASE (not CROSS JOIN) so
     * an exhausted corpus (empty argmax) passes states through unchanged —
@@ -1188,6 +1260,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_bpe_fertility" -> (bpeFertility _),
     "t20_zipf_coverage" -> (zipfCoverage _),
     "t19_bm25_topk" -> (bm25TopK _),
     "t18_vocab_growth" -> (vocabGrowth _),
@@ -1209,6 +1282,7 @@ object TextOps {
     "t05_cleantext" -> (cleanedDocs _))
 
   val oracles: Map[String, String] = Map(
+    "t21_bpe_fertility" -> bpeFertilitySql,
     "t20_zipf_coverage" -> zipfCoverageSql,
     "t19_bm25_topk" -> bm25TopKSql,
     "t18_vocab_growth" -> vocabGrowthSql,

@@ -93,4 +93,24 @@ class BpeSpec extends SparkSpec {
     assert(applyMerge(List("a", "a", "a", "a"), "a", "a") == List("aa", "aa"))
     assert(applyMerge(List("a", "a", "a"), "a", "a") == List("aa", "a"))
   }
+
+  // -------------------------------------------------- t21 BPE fertility
+  test("t21 fertility: >= 1 symbol per word, exact ratios, dominant language segments best") {
+    val rows = TextOps.bpeFertility(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
+    rows.foreach { case (lang, nTok, nBpe, nChars, fert, cps) =>
+      assert(nBpe >= nTok, s"$lang: a word is at least one symbol")
+      assert(fert == nBpe * 1000000L / nTok)
+      assert(cps == nChars * 1000000L / nBpe)
+      assert(nChars >= nBpe, s"$lang: a symbol is at least one char")
+    }
+    // the diagnostic must DIFFERENTIATE languages (identical fertility
+    // would mean it measures nothing); the per-language ordering itself
+    // is data, not a law — at sf0.01 en (the dominant language) reads
+    // lowest, at this 50-doc fixture the margin is inside sample noise
+    assert(rows.map(_._5).distinct.length > 1,
+      "fertility must vary across languages")
+  }
 }
