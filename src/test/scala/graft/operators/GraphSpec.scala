@@ -168,12 +168,11 @@ class GraphSpec extends SparkSpec {
     import spark.implicits._
     // K2,2 on customers {0,1} x suppliers {0,1}; K5,5 on {10..14} x {10..14}
     val once =
-      (for (c <- 0L to 1L; s <- 0L to 1L) yield (c * 2, s * 2 + 1)) ++
-        (for (c <- 10L to 14L; s <- 10L to 14L) yield (c * 2, s * 2 + 1))
-    val both = once.flatMap { case (a, b) => Seq((a, b), (b, a)) }
-      .toDF("src", "dst")
-    val r = Graph.degreeMixingOf(both).collect().head
-    assert(r.getLong(0) == once.length)
+      ((for (c <- 0L to 1L; s <- 0L to 1L) yield (c * 2, s * 2 + 1)) ++
+        (for (c <- 10L to 14L; s <- 10L to 14L) yield (c * 2, s * 2 + 1)))
+        .toDF("src", "dst")
+    val r = Graph.degreeMixingOf(once).collect().head
+    assert(r.getLong(0) == once.count())
     // every edge joins equal-degree endpoints (2–2 or 5–5): r == 1
     assert(math.abs(r.getDouble(6) - 1.0) < 1e-12, s"expected r=1, got $r")
   }
