@@ -145,21 +145,38 @@ object CdcQueries {
     * order ST3 pins. Scale shape: one exchange on (db, tbl, id); both
     * windows and the final sort reuse that partitioning.
     */
-  def scd2History(s: SparkSession, d: String): DataFrame = {
+  def scd2History(s: SparkSession, d: String): DataFrame =
+    scd2HistoryFrom(CdcPipeline.changes(s))
+
+  /** c06 over any changes-shaped frame (spec-injectable face — the spec
+    * drives the duplicate-coordinate divergence case that the F8-clean
+    * fixtures cannot produce).
+    */
+  def scd2HistoryFrom(changes: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // F8 says a redelivery is byte-identical, so distinct over the FULL
+    // projected row (the oracle's SELECT DISTINCT), not just the binlog
+    // coordinate: if that contract is ever violated upstream — two
+    // differing payloads at one coordinate — both engines keep both rows
+    // as separate versions instead of Spark silently picking one. The
+    // payload tiebreaks (op, name, amount — null-sentineled so neither
+    // engine's null-ordering default enters) make the version numbering
+    // deterministic and identical on both sides even in that case.
+    val tiebreak = Seq(col("op"), coalesce(col("name"), lit("")),
+      coalesce(col("amount"), lit(Long.MinValue)))
     val w = Window.partitionBy(col("db"), col("tbl"), col("id"))
-      .orderBy(col("file"), col("pos"), col("row"))
-    CdcPipeline.changes(s)
-      // F8: a redelivered event carries the SAME binlog coordinate — it is
-      // the same event, not a new version (c01 absorbs these via rank
-      // ties; a history table must absorb them explicitly)
-      .dropDuplicates(Seq("db", "tbl", "id", "file", "pos", "row"))
+      .orderBy(col("file") +: col("pos") +: col("row") +: tiebreak: _*)
+    changes
+      .select(col("db"), col("tbl"), col("id"), col("op"),
+        element_at(col("after"), "name").as("name"),
+        element_at(col("after"), "amount").cast("long").as("amount"),
+        col("file"), col("pos"), col("row"))
+      .distinct()
       .withColumn("next_op", lead(col("op"), 1).over(w))
       .filter(col("op") =!= "D")
       .withColumn("ver", row_number().over(w).cast("long"))
       .select(col("db"), col("tbl"), col("id"), col("ver"),
-        element_at(col("after"), "name").as("name"),
-        element_at(col("after"), "amount").cast("long").as("amount"),
+        col("name"), col("amount"),
         (col("next_op").isNull).as("is_current"))
       .orderBy("db", "tbl", "id", "ver")
   }
@@ -172,16 +189,21 @@ object CdcQueries {
        |              WHEN payload.before IS NOT NULL AND payload.after IS NOT NULL THEN 'U'
        |              WHEN payload.before IS NOT NULL AND payload.after IS NULL THEN 'D'
        |              ELSE 'X' END AS op,
-       |         payload.after.name AS name, payload.after.amount AS amount,
+       |         payload.after.name AS name,
+       |         CAST(payload.after.amount AS BIGINT) AS amount,
        |         payload.source.file AS f, payload.source.pos AS p,
        |         payload.source."row" AS r
        |  FROM read_json_auto('${CdcPipeline.eventsPath}')),
        |x AS (SELECT *, lead(op) OVER (
-       |        PARTITION BY db, tbl, id ORDER BY f, p, r) AS next_op FROM e),
+       |        PARTITION BY db, tbl, id ORDER BY f, p, r, op,
+       |          coalesce(name, ''), coalesce(amount, -9223372036854775808)
+       |      ) AS next_op FROM e),
        |v AS (SELECT *, CAST(row_number() OVER (
-       |        PARTITION BY db, tbl, id ORDER BY f, p, r) AS BIGINT) AS ver
+       |        PARTITION BY db, tbl, id ORDER BY f, p, r, op,
+       |          coalesce(name, ''), coalesce(amount, -9223372036854775808)
+       |      ) AS BIGINT) AS ver
        |      FROM x WHERE op <> 'D')
-       |SELECT db, tbl, id, ver, name, CAST(amount AS BIGINT) AS amount,
+       |SELECT db, tbl, id, ver, name, amount,
        |  next_op IS NULL AS is_current
        |FROM v ORDER BY db, tbl, id, ver""".stripMargin
 

@@ -935,7 +935,14 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(sum(col("w")).as("wsum"), count(lit(1)).as("n_tok"))
       .select(col("doc_id"), expr("(1000 * wsum) div n_tok").as("score_fp"))
-    val nAdmit = (docs.count() / DSIR_KEEP_FRACTION).toInt // bounded scalar
+    // bounded scalar; limit() takes an Int, so past ~10.7B documents the
+    // cut must move to a sort-rank form — fail loudly instead of letting
+    // the Int truncation silently mangle the admit count
+    val nAdmitL = docs.count() / DSIR_KEEP_FRACTION
+    require(nAdmitL <= Int.MaxValue,
+      s"dsirResample admit count $nAdmitL exceeds Int.MaxValue; " +
+        "use a rank-based cut at this corpus size")
+    val nAdmit = nAdmitL.toInt
     scored.join(docs.select(col("doc_id"), col("source"), col("lang")), "doc_id")
       .orderBy(col("score_fp").desc, col("doc_id"))
       .limit(nAdmit)

@@ -1580,7 +1580,14 @@ object Similarity {
       .agg(collect_list(struct(col("vec_id"), col("rel"))).as("cands"))
     val sims = pairs.groupBy("query_id")
       .agg(collect_list(struct(col("a"), col("b"), col("sim"))).as("sims"))
-    cands.join(sims, Seq("query_id"))
+    // LEFT join: a query whose shortlist has exactly one candidate emits
+    // zero pair rows, so an inner join would drop the query entirely while
+    // the oracle's recursive CTE still yields its step-1 pick; MmrSelect
+    // needs no sim lookups for the first pick, so an empty sims array is
+    // the correct degenerate input
+    cands.join(sims, Seq("query_id"), "left")
+      .withColumn("sims", coalesce(col("sims"),
+        array().cast("array<struct<a:bigint,b:bigint,sim:double>>")))
       .select(col("query_id"),
         explode(graft.expressions.MmrSelect(
           col("cands"), col("sims"), MMR_K)).as("r"))

@@ -40,16 +40,7 @@ object StreamingHistogram {
       .groupBy(col("key"), col("bin"))
       .agg(count(lit(1)).as("n"))
       .withColumn("batch_id", lit(batchId))
-    if (!delta.isEmpty) {
-      val s = batch.sparkSession
-      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try delta.write.mode("overwrite").partitionBy("batch_id").parquet(path)
-      finally prev match {
-        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
+    if (!delta.isEmpty) SketchLog.land(delta, path)
   }
 
   /** Start maintaining the sketch log from an event stream. */
@@ -72,23 +63,13 @@ object StreamingHistogram {
   def estimates(s: SparkSession, path: String): DataFrame =
     Extras.histEstimates(current(s, path)).orderBy("key")
 
-  /** Fold the aged delta log into a single partition. Swap discipline:
-    * the folded copy is fully written BESIDE the live log, then swapped
-    * in by two renames; a crash between them leaves the live path
-    * missing — reads fail loudly, and recovery is renaming `__old` back
-    * (the compactExactIndex story).
+  /** Fold the aged delta log into a single partition via [[SketchLog
+    * .compact]]: only the partitions enumerated at snapshot time are
+    * folded and swapped out, so a batch landed by a concurrent absorb
+    * survives in place (histograms fold by addition, so folded + later
+    * deltas still sum to the truth).
     */
-  def compact(s: SparkSession, path: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    val folded = current(s, path).withColumn("batch_id", lit(0L))
-      .localCheckpoint() // materialize BEFORE touching the source dir
-    val tmp = path + "__compact"
-    val old = path + "__old"
-    graft.operators.Dedup.deleteTreeIfExists(Paths.get(tmp))
-    graft.operators.Dedup.deleteTreeIfExists(Paths.get(old))
-    folded.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
-    Files.move(Paths.get(path), Paths.get(old))
-    Files.move(Paths.get(tmp), Paths.get(path))
-    graft.operators.Dedup.deleteTreeIfExists(Paths.get(old))
-  }
+  def compact(s: SparkSession, path: String): Unit =
+    SketchLog.compact(s, path, delta =>
+      delta.groupBy(col("key"), col("bin")).agg(sum(col("n")).as("n")))
 }

@@ -37,16 +37,7 @@ object StreamingKmv {
       .agg(KmvSketch.sketch(col("hv"), Extras.KMV_K).as("sk"))
       .select(col("day"), explode(col("sk")).as("hv"))
       .withColumn("batch_id", lit(batchId))
-    if (!delta.isEmpty) {
-      val s = batch.sparkSession
-      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try delta.write.mode("overwrite").partitionBy("batch_id").parquet(path)
-      finally prev match {
-        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
+    if (!delta.isEmpty) SketchLog.land(delta, path)
   }
 
   /** Start maintaining the sketch log from an event stream. */
@@ -73,22 +64,15 @@ object StreamingKmv {
       .select(col("day"), Extras.kmvEst(col("sk")).as("est_distinct"))
       .orderBy("day")
 
-  /** Fold the aged delta log into a single partition (swap discipline:
-    * written beside, then two renames; recovery = rename `__old` back).
+  /** Fold the aged delta log into a single partition via [[SketchLog
+    * .compact]]: only snapshot-enumerated partitions fold and swap out,
+    * so a batch landed by a concurrent absorb survives in place (KMV is
+    * a set function — k-min over folded ∪ later deltas is still the
+    * k-min of the union).
     */
-  def compact(s: SparkSession, path: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    val folded = current(s, path)
-      .select(col("day"), explode(col("sk")).as("hv"))
-      .withColumn("batch_id", lit(0L))
-      .localCheckpoint() // materialize BEFORE touching the source dir
-    val tmp = path + "__compact"
-    val old = path + "__old"
-    Dedup.deleteTreeIfExists(Paths.get(tmp))
-    Dedup.deleteTreeIfExists(Paths.get(old))
-    folded.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
-    Files.move(Paths.get(path), Paths.get(old))
-    Files.move(Paths.get(tmp), Paths.get(path))
-    Dedup.deleteTreeIfExists(Paths.get(old))
-  }
+  def compact(s: SparkSession, path: String): Unit =
+    SketchLog.compact(s, path, delta =>
+      delta.groupBy(col("day"))
+        .agg(KmvSketch.sketch(col("hv"), Extras.KMV_K).as("sk"))
+        .select(col("day"), explode(col("sk")).as("hv")))
 }

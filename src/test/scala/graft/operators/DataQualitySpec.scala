@@ -35,6 +35,30 @@ class DataQualitySpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("c06: differing payloads at one binlog coordinate both survive, deterministically ordered") {
+    import spark.implicits._
+    // F8 promises redeliveries are byte-identical; if that contract is
+    // ever violated (two DIFFERENT payloads at one coordinate), the
+    // history must mirror the oracle's SELECT DISTINCT — keep both as
+    // versions, ordered by the payload tiebreak — rather than Spark
+    // silently keeping an arbitrary one (the ADVICE r11 case)
+    val changes = Seq(
+      ("db1", "acct", 1L, "I", Map("id" -> "1", "name" -> "a", "amount" -> "10"),
+        "f1", 10L, 0L),
+      ("db1", "acct", 1L, "U", Map("id" -> "1", "name" -> "b", "amount" -> "20"),
+        "f1", 20L, 0L), // same coordinate as the next row, different payload
+      ("db1", "acct", 1L, "U", Map("id" -> "1", "name" -> "c", "amount" -> "30"),
+        "f1", 20L, 0L),
+      ("db1", "acct", 1L, "U", Map("id" -> "1", "name" -> "c", "amount" -> "30"),
+        "f1", 20L, 0L)) // byte-identical redelivery: must still collapse
+      .toDF("db", "tbl", "id", "op", "after", "file", "pos", "row")
+    val out = CdcQueries.scd2HistoryFrom(changes).collect()
+    assert(out.map(r => (r.getLong(3), r.getString(4))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "I + both U payloads survive; the redelivery collapses; name tiebreak orders the tie")
+    assert(out.map(_.getBoolean(6)).toSeq == Seq(false, false, true))
+  }
+
   test("q64: the synthetic star schema is referentially intact (7 checks, 0 orphans)") {
     val rows = Relational2.fkAudit(spark, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

@@ -91,4 +91,22 @@ class HardNegativesSpec extends SparkSpec {
     assert(tiny.map(_.getInt(1)).toSeq == (1 to 3),
       "3 candidates -> 3 dense steps, not k")
   }
+
+  test("s13 degenerate: a one-candidate shortlist still yields its step-1 pick") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // exactly one corpus vector -> zero similarity pairs; an inner join
+    // on the pair frame would drop the query entirely while the oracle's
+    // recursive CTE still emits the step-1 pick (the ADVICE r11 case)
+    val dim = 64
+    val qv = (0 until dim).map(i => if (i < 8) 1.0f else 0.0f)
+    val only = (0 until dim).map(i => if (i < 8) 0.9f else 0.0f)
+    val e = Seq((0L, qv), (10L, only)).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerankFrom(e, 1).collect()
+    assert(out.length == 1, "the query must not vanish from the output")
+    assert((out.head.getInt(1), out.head.getLong(2)) == (1, 10L))
+    // and its reported score is the plain relevance (nothing picked yet)
+    val rel = Similarity.cosineTopKFrom(e, 1, 1).collect().head.getDouble(3)
+    assert(out.head.getDouble(3) == rel)
+  }
 }

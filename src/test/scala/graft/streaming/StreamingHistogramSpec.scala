@@ -87,4 +87,44 @@ class StreamingHistogramSpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
     assert(parts.map(_.getName).toSeq == Seq("batch_id=0"))
   }
+
+  test("absorb stays dynamic-overwrite even when the session conf says static") {
+    // the ADVICE r11 race: another stream's finally-restore can leave the
+    // SESSION in static mode while this absorb plans — the per-writer
+    // option must win, or a replay wipes every other batch's partition
+    val path = Files.createTempDirectory("shist").toString + "/log"
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "static")
+    try {
+      StreamingHistogram.absorb(eventsDf(b1), 0L, path)
+      StreamingHistogram.absorb(eventsDf(b2), 1L, path)
+      StreamingHistogram.absorb(eventsDf(b2), 1L, path) // replay under static session conf
+      assert(currentHist(path) == batchHist(b1 ++ b2),
+        "replay under a static session conf must not delete sibling partitions")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("a batch landed mid-compact survives the swap and keeps counting") {
+    val path = Files.createTempDirectory("shist").toString + "/log"
+    val b3 = Seq(("click", 7.77), ("view", 0.25))
+    StreamingHistogram.absorb(eventsDf(b1), 0L, path)
+    StreamingHistogram.absorb(eventsDf(b2), 1L, path)
+    // drive SketchLog.compact directly with a fold that lands batch 99
+    // AFTER the snapshot was enumerated but BEFORE the swap — the
+    // concurrent-absorb window the ADVICE r11 note describes
+    SketchLog.compact(spark, path, { delta =>
+      StreamingHistogram.absorb(eventsDf(b3), 99L, path)
+      delta.groupBy(col("key"), col("bin")).agg(sum(col("n")).as("n"))
+    })
+    val parts = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName).toSeq.sorted
+    assert(parts == Seq("batch_id=0", "batch_id=99"),
+      "the mid-compact batch must survive beside the folded partition")
+    assert(currentHist(path) == batchHist(b1 ++ b2 ++ b3))
+  }
 }

@@ -99,4 +99,24 @@ class StreamingKmvSpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
     assert(parts.map(_.getName).toSeq == Seq("batch_id=0"))
   }
+
+  test("a batch landed mid-compact survives the swap (k-min of fold ∪ delta is still the union's k-min)") {
+    val path = Files.createTempDirectory("skmv").toString + "/log"
+    val b3 = Seq((ts(1, 12), 77L), (ts(3, 9), 78L))
+    StreamingKmv.absorb(eventsDf(b1), 0L, path)
+    StreamingKmv.absorb(eventsDf(b2), 1L, path)
+    // land batch 99 between SketchLog's snapshot and its swap — the
+    // concurrent-absorb window — via a side-effecting fold
+    SketchLog.compact(spark, path, { delta =>
+      StreamingKmv.absorb(eventsDf(b3), 99L, path)
+      delta.groupBy(col("day"))
+        .agg(KmvSketch.sketch(col("hv"), Extras.KMV_K).as("sk"))
+        .select(col("day"), explode(col("sk")).as("hv"))
+    })
+    val parts = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName).toSeq.sorted
+    assert(parts == Seq("batch_id=0", "batch_id=99"))
+    assert(currentSketch(path) == batchSketch(b1 ++ b2 ++ b3))
+  }
 }
