@@ -384,7 +384,103 @@ object Advanced {
       |GROUP BY cohort_day, day - cohort_day
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** q69: multi-touch revenue attribution — every purchase credits its
+    * LAST preceding touch (click/view/signup, anywhere earlier in the
+    * user's timeline) and the FIRST touch of its purchase-to-purchase
+    * segment; per channel, attributed purchase counts and exact
+    * revenue-cents under both models. The marketing-warehouse companion
+    * of q61's funnel: q61 counts conversions, q69 allocates their value.
+    *
+    * Scale shape: the last-touch carry and the segment index (cumulative
+    * purchase count) come off ONE (user_id)-partitioned ordered pass —
+    * the q53 IGNORE-NULLS frame, never a per-purchase self-join of the
+    * log; the first-touch pass refines the partitioning to (user_id,
+    * seg); attribution rows then collapse to a |channels|-wide
+    * conditional aggregate, with both models emitted from one explode
+    * (one Generate, not a union of two scans — the g02 lesson). Revenue
+    * is exact integer cents (the q66 centsOf geometry).
+    */
+  def attribution(s: SparkSession, d: String): DataFrame =
+    attributionOf(Tables.events(s, d))
+
+  /** q69 over any events-shaped frame (spec-injectable face). */
+  private[graft] def attributionOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wPrev = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wSegPrev = Window.partitionBy("user_id", "seg")
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        TimeWindows.eventTime.as("t"),
+        Extras.centsOf(col("value")).as("cents"))
+      .withColumn("ch",
+        when(col("event_type").isin("click", "view", "signup"), col("event_type")))
+      .withColumn("last_ch", last(col("ch"), ignoreNulls = true).over(wPrev))
+      .withColumn("seg", coalesce(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(wPrev),
+        lit(0L)))
+    val pur = ev
+      .withColumn("first_ch", first(col("ch"), ignoreNulls = true).over(wSegPrev))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("last_ch"), lit("(none)")).as("last_ch"),
+        coalesce(col("first_ch"), lit("(none)")).as("first_ch"),
+        col("cents"))
+    pur.select(explode(array(
+        struct(lit("last").as("model"), col("last_ch").as("channel"), col("cents")),
+        struct(lit("first").as("model"), col("first_ch").as("channel"), col("cents")))).as("e"))
+      .select(col("e.model").as("model"), col("e.channel").as("channel"),
+        col("e.cents").as("cents"))
+      .groupBy("channel")
+      .agg(
+        count(when(col("model") === "last", 1)).as("n_last"),
+        coalesce(sum(when(col("model") === "last", col("cents"))), lit(0L))
+          .as("rev_last_cents"),
+        count(when(col("model") === "first", 1)).as("n_first"),
+        coalesce(sum(when(col("model") === "first", col("cents"))), lit(0L))
+          .as("rev_first_cents"))
+      .orderBy("channel")
+  }
+
+  val attributionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    CAST(floor(value * 100.0) AS BIGINT) AS cents,
+      |    CASE WHEN event_type IN ('click', 'view', 'signup')
+      |         THEN event_type END AS ch
+      |  FROM events),
+      |w1 AS (SELECT *,
+      |    last_value(ch IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_ch,
+      |    coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+      |  FROM ev),
+      |w2 AS (SELECT *,
+      |    first_value(ch IGNORE NULLS) OVER (
+      |      PARTITION BY user_id, seg ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_ch
+      |  FROM w1),
+      |pur AS MATERIALIZED (
+      |  SELECT coalesce(last_ch, '(none)') AS last_ch,
+      |         coalesce(first_ch, '(none)') AS first_ch, cents
+      |  FROM w2 WHERE event_type = 'purchase'),
+      |x AS (SELECT 'last' AS model, last_ch AS channel, cents FROM pur
+      |      UNION ALL SELECT 'first', first_ch, cents FROM pur)
+      |SELECT channel,
+      |  CAST(count(CASE WHEN model = 'last' THEN 1 END) AS BIGINT) AS n_last,
+      |  CAST(coalesce(sum(CASE WHEN model = 'last' THEN cents END), 0)
+      |    AS BIGINT) AS rev_last_cents,
+      |  CAST(count(CASE WHEN model = 'first' THEN 1 END) AS BIGINT) AS n_first,
+      |  CAST(coalesce(sum(CASE WHEN model = 'first' THEN cents END), 0)
+      |    AS BIGINT) AS rev_first_cents
+      |FROM x GROUP BY channel ORDER BY channel""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_attribution" -> (attribution _),
     "q61_funnel" -> (funnel _),
     "q62_cohort_retention" -> (cohortRetention _),
     "q56_gaps_islands" -> (gapsIslands _),
@@ -398,6 +494,7 @@ object Advanced {
     "q35_percentiles" -> (percentiles _))
 
   val oracles: Map[String, String] = Map(
+    "q69_attribution" -> attributionSql,
     "q61_funnel" -> funnelSql,
     "q62_cohort_retention" -> cohortRetentionSql,
     "q56_gaps_islands" -> gapsIslandsSql,

@@ -511,7 +511,91 @@ object Graph {
       |     sqrt(CAST(m_edges * s_ds2 - s_ds * s_ds AS DOUBLE))) AS assortativity
       |FROM sums ORDER BY m_edges""".stripMargin
 
+  // -------------------------------------------------- g06 link prediction
+  /** Parts with more than this many distinct buyers are excluded from
+    * the wedge join: a hub bought by everyone predicts nothing (the
+    * mutual-information argument), and the cap bounds the pair blowup
+    * at Σ_{d≤cap} d² ≤ cap·|edges| — linear in the edge list, never
+    * quadratic in a hub's degree (the d03 MAX_POSTING_LEN discipline).
+    * Part degree is a DATA property that stays ~30 as the corpus grows
+    * (lineitems and parts scale together), so the cap is far above the
+    * realized distribution at every SF and only fires on true hubs —
+    * unlike the customer–supplier projection, whose ~|customers|/2
+    * supplier degrees saturate the graph (the g02 union-saturation
+    * lesson: that relation was REJECTED for this key).
+    */
+  val WEDGE_CAP = 256L
+  /** Predicted pairs reported. */
+  val LINK_TOPK = 50
+
+  /** g06: co-purchase link prediction over the customer–part bipartite
+    * graph — rank customer PAIRS by shared-purchase evidence: `common`
+    * (common-neighbor count) and `ra_score` (resource allocation index,
+    * Zhou et al. 2009 — Σ 1/deg(shared part), the Adamic–Adar family
+    * member that needs no log; rarer shared parts weigh more). The
+    * classic recommender / entity-completion signal: "customers whose
+    * baskets overlap are likely to share future purchases".
+    *
+    * Determinism: 1/deg is the EXACT integer `1e9 div deg` — the score
+    * is a sum of int64s, shuffle-order-independent, no IEEE anywhere.
+    *
+    * Scale shape: degree-cap FIRST (join edges to the capped weight
+    * table on the part key), THEN the wedge self-join on that same
+    * key — hub pairs never materialize, and the weight join rides the
+    * wedge join's own (part) partitioning (no extra exchange: both
+    * joins key on p). The final ranking is orderBy+limit =
+    * TakeOrderedAndProject (per-partition heaps, driver merges
+    * [[LINK_TOPK]] rows).
+    */
+  def linkPrediction(s: SparkSession, d: String): DataFrame =
+    // checkpointed: the degree aggregate and both wedge arms are three
+    // consumers of the orders⋈lineitem distinct (the g05 rationale)
+    linkPredictionOf(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint(),
+      WEDGE_CAP, LINK_TOPK)
+
+  /** g06 over any distinct (c, p) bipartite edge frame (spec face). */
+  private[graft] def linkPredictionOf(e: DataFrame, cap: Long,
+      topk: Int): DataFrame = {
+    val ok = e.groupBy("p").agg(count(lit(1)).as("dg"))
+      .filter(col("dg") <= cap)
+      .select(col("p"), expr("1000000000 div dg").as("w"))
+    val ec = e.join(ok, "p") // cap before the wedge join
+    ec.select(col("p"), col("c").as("cust_a"), col("w"))
+      .join(ec.select(col("p"), col("c").as("cust_b")), "p")
+      .filter(col("cust_a") < col("cust_b"))
+      .groupBy("cust_a", "cust_b")
+      .agg(count(lit(1)).as("common"), sum(col("w")).as("ra_score"))
+      .orderBy(col("common").desc, col("ra_score").desc,
+        col("cust_a"), col("cust_b"))
+      .limit(topk)
+      .orderBy(col("common").desc, col("ra_score").desc,
+        col("cust_a"), col("cust_b"))
+  }
+
+  val linkPredictionSql: String =
+    s"""WITH e AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |ok AS (SELECT p, 1000000000 // count(*) AS w FROM e
+      |       GROUP BY p HAVING count(*) <= $WEDGE_CAP),
+      |ec AS MATERIALIZED (SELECT e.p, e.c, ok.w FROM e JOIN ok USING (p)),
+      |pr AS (SELECT a.c AS cust_a, b.c AS cust_b,
+      |        CAST(count(*) AS BIGINT) AS common,
+      |        CAST(sum(a.w) AS BIGINT) AS ra_score
+      |      FROM ec a JOIN ec b ON a.p = b.p AND a.c < b.c
+      |      GROUP BY 1, 2)
+      |SELECT cust_a, cust_b, common, ra_score FROM pr
+      |ORDER BY common DESC, ra_score DESC, cust_a, cust_b
+      |LIMIT $LINK_TOPK""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g06_link_prediction" -> (linkPrediction _),
     "g05_degree_mixing" -> (degreeMixing _),
     "g04_bfs_reach" -> (bfsReach _),
     "g01_pagerank" -> (pagerank _),
@@ -519,6 +603,7 @@ object Graph {
     "g03_label_propagation" -> (labelPropagation _))
 
   def oracles: Map[String, String] = Map(
+    "g06_link_prediction" -> linkPredictionSql,
     "g05_degree_mixing" -> degreeMixingSql,
     "g04_bfs_reach" -> bfsReachSql,
     "g01_pagerank" -> pagerankSql,

@@ -1259,7 +1259,177 @@ object TextOps {
       |WHERE rank <= $BM25_TOPK ORDER BY query_id, rank""".stripMargin
   }
 
+  // ------------------------------------------- CCNet perplexity buckets
+  /** Additive-smoothing mass for unseen reference bigrams (a fixed
+    * vocabulary prior, so scoring needs no third derivation of the
+    * reference count table the way a Laplace-|V| denominator would).
+    */
+  val PPL_SMOOTH = 4096L
+  /** Score-bin width for the sliced rank: lm scores live in [0, 1e9], so
+    * `score div PPL_BIN_W` is a ≤240-value arithmetic bin domain.
+    */
+  val PPL_BIN_W = 4194304L
+
+  /** t22: CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359) — the quality split CCNet/LLaMA curation rests on:
+    * train a reference LM on the target domain (there: Wikipedia; here:
+    * the `lang = 'en'` slice), score EVERY document, and split the corpus
+    * into head/middle/tail terciles by score. t15 scores docs under a
+    * whole-corpus LM; t22's LM is trained on the reference slice only and
+    * smoothed (add-one over a [[PPL_SMOOTH]] prior) so out-of-domain
+    * bigrams score low instead of crashing into 0/0.
+    *
+    * Determinism: counts are exact int64; each bigram's quantized
+    * probability is ONE IEEE divide+multiply+floor (the t15 discipline),
+    * and the tercile cuts are integer comparisons (3·rank ≤ tot) — no
+    * libm anywhere.
+    *
+    * Scale shape: the reference counts are one hash aggregate over the
+    * en-slice pairs; scoring is the same shuffle join t15 keeps (AQE
+    * demotes to broadcast while the realized bigram table is small); the
+    * tercile RANK is sliced by the [[PPL_BIN_W]] score bins — a per-bin
+    * partitioned window plus a ≤240-row bin frame (the p17 prefix-sum
+    * pattern), never an unpartitioned corpus window.
+    */
+  def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toked = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(lower(col("text"))).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val pairs = toked
+      .withColumn("i", explode(sequence(lit(0), size(col("tk")) - 2)))
+      .select(col("doc_id"), col("lang"),
+        element_at(col("tk"), col("i") + 1).as("a"),
+        element_at(col("tk"), col("i") + 2).as("b"))
+    val c2 = pairs.filter(col("lang") === "en")
+      .groupBy("a", "b").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("a").agg(sum(col("c2")).as("c1"))
+    val doc = pairs
+      .join(c2, Seq("a", "b"), "left")
+      .join(c1, Seq("a"), "left")
+      .withColumn("q", floor(
+        (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + lit(PPL_SMOOTH)) * lit(1.0e9)))
+      .groupBy("doc_id")
+      .agg(floor(sum(col("q")).cast("double") / count(lit(1))).cast("long")
+        .as("lm_score"))
+    // sliced global rank, descending (higher score = more in-domain):
+    // per-bin counts -> suffix-sum base offsets off a ≤240-row frame
+    val binned = doc.withColumn("_ppl_bin", expr(s"lm_score div $PPL_BIN_W"))
+    val counts = binned.groupBy("_ppl_bin").agg(count(lit(1)).as("bn"))
+    val wAbove = Window.orderBy(col("_ppl_bin").desc) // ≤240 rows, bounded
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("_ppl_bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bases = counts
+      .withColumn("base", coalesce(sum(col("bn")).over(wAbove), lit(0L)))
+      .withColumn("tot", sum(col("bn")).over(wAll))
+      .select(col("_ppl_bin"), col("base"), col("tot"))
+    val wLocal = Window.partitionBy(col("_ppl_bin"))
+      .orderBy(col("lm_score").desc, col("doc_id"))
+    binned.join(broadcast(bases), "_ppl_bin")
+      .withColumn("rnk", col("base") + row_number().over(wLocal))
+      .select(col("doc_id"), col("lm_score"),
+        when(lit(3L) * col("rnk") <= col("tot"), "head")
+          .when(lit(3L) * col("rnk") <= lit(2L) * col("tot"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val ccnetBucketsSql: String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |             regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+       |           FROM documents),
+       |d2 AS (SELECT doc_id, lang, tk FROM t WHERE len(tk) >= 2),
+       |p AS MATERIALIZED (SELECT doc_id, lang, tk[i] AS a, tk[i+1] AS b
+       |      FROM d2, unnest(range(1, len(tk))) AS r(i)),
+       |c2 AS MATERIALIZED (SELECT a, b, count(*) AS c2 FROM p WHERE lang = 'en' GROUP BY a, b),
+       |c1 AS (SELECT a, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY a),
+       |sc AS (SELECT p.doc_id,
+       |         floor(CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE) /
+       |           (coalesce(c1.c1, 0) + $PPL_SMOOTH) * 1000000000.0) AS q
+       |       FROM p LEFT JOIN c2 USING (a, b) LEFT JOIN c1 USING (a)),
+       |doc AS (SELECT doc_id,
+       |          CAST(floor(sum(q) / count(*)) AS BIGINT) AS lm_score
+       |        FROM sc GROUP BY doc_id),
+       |r AS (SELECT doc_id, lm_score,
+       |        row_number() OVER (ORDER BY lm_score DESC, doc_id) AS rnk,
+       |        count(*) OVER () AS tot
+       |      FROM doc)
+       |SELECT doc_id, lm_score,
+       |  CASE WHEN 3 * rnk <= tot THEN 'head'
+       |       WHEN 3 * rnk <= 2 * tot THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------- n-gram novelty
+  /** Shingle width for the novelty profile (5-grams: long enough that
+    * re-use means repetition, not common phrasing).
+    */
+  val NOVELTY_N = 5
+
+  /** t23: n-gram novelty profile — per document, how many of its distinct
+    * [[NOVELTY_N]]-gram shingles appear here FIRST (in doc_id order) vs
+    * recycled from earlier documents. The corpus-level diversity /
+    * memorization measure behind "how much of this crawl snapshot is new
+    * text": a document full of previously-seen 5-grams is boilerplate or
+    * near-dup residue; the novelty_ppm column is the exact per-doc
+    * fraction in parts-per-million (integer div — no IEEE at all).
+    *
+    * Scale shape: shingles fold to 60-bit hashes inside the explode's
+    * codegen stage ([[Dedup.shingleTable]] hashed=true — exchanges carry
+    * longs, never shingle strings); first-occurrence attribution is
+    * min(doc_id) per shingle — one map-side-combined hash aggregate, NO
+    * join back to shingle instances (novel counts come from the
+    * first-occurrence frame itself); the final per-doc join is
+    * doc-cardinality vs doc-cardinality. The distinct (doc_id, sh)
+    * exchange is shared by the total and first-seen branches via exchange
+    * reuse.
+    */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame =
+    ngramNoveltyOf(Tables.documents(s, d))
+
+  /** t23 over any (doc_id, text) frame (spec-injectable face). */
+  private[graft] def ngramNoveltyOf(docs: DataFrame): DataFrame = {
+    val sh = Dedup.shingleTable(docs,
+      n = NOVELTY_N, hashed = true) // distinct (doc_id, sh60)
+    val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val novel = sh.groupBy("sh").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    tot.join(novel, Seq("doc_id"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("novelty_ppm", expr("(1000000 * n_novel) div n_shingles"))
+      .select("doc_id", "n_shingles", "n_novel", "novelty_ppm")
+      .orderBy("doc_id")
+  }
+
+  val ngramNoveltySql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |             regexp_split_to_array(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |g AS MATERIALIZED (SELECT DISTINCT doc_id,
+       |        CAST(concat('0x', substr(md5(sh0), 1, 15)) AS BIGINT) AS sh
+       |      FROM (SELECT doc_id,
+       |              unnest(CASE WHEN len(toks) < $NOVELTY_N
+       |                          THEN [array_to_string(toks, ' ')]
+       |                          ELSE [toks[i] || ' ' || toks[i+1] || ' ' ||
+       |                                toks[i+2] || ' ' || toks[i+3] || ' ' ||
+       |                                toks[i+4]
+       |                                FOR i IN range(1, len(toks) - ${NOVELTY_N - 2})]
+       |                     END) AS sh0
+       |            FROM t)),
+       |tot AS (SELECT doc_id, count(*) AS n_shingles FROM g GROUP BY doc_id),
+       |fst AS (SELECT sh, min(doc_id) AS doc_id FROM g GROUP BY sh),
+       |nov AS (SELECT doc_id, count(*) AS n_novel FROM fst GROUP BY doc_id)
+       |SELECT tot.doc_id, tot.n_shingles,
+       |  coalesce(nov.n_novel, 0) AS n_novel,
+       |  (1000000 * coalesce(nov.n_novel, 0)) // tot.n_shingles AS novelty_ppm
+       |FROM tot LEFT JOIN nov ON nov.doc_id = tot.doc_id
+       |ORDER BY tot.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_ngram_novelty" -> (ngramNovelty _),
+    "t22_ccnet_buckets" -> (ccnetBuckets _),
     "t21_bpe_fertility" -> (bpeFertility _),
     "t20_zipf_coverage" -> (zipfCoverage _),
     "t19_bm25_topk" -> (bm25TopK _),
@@ -1282,6 +1452,8 @@ object TextOps {
     "t05_cleantext" -> (cleanedDocs _))
 
   val oracles: Map[String, String] = Map(
+    "t23_ngram_novelty" -> ngramNoveltySql,
+    "t22_ccnet_buckets" -> ccnetBucketsSql,
     "t21_bpe_fertility" -> bpeFertilitySql,
     "t20_zipf_coverage" -> zipfCoverageSql,
     "t19_bm25_topk" -> bm25TopKSql,

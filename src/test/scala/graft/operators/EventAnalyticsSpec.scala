@@ -53,4 +53,33 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(n <= day0(cohort), s"cohort $cohort offset $off: $n > ${day0(cohort)}")
     }
   }
+
+  test("q69 planted timeline: last-touch carries across segments, first-touch resets, (none) fallback") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, 1L, "click", t(1), 0.0),
+      (2L, 1L, "view", t(2), 0.0),
+      (3L, 1L, "purchase", t(3), 10.0), // last=view, first(seg0)=click
+      (4L, 1L, "purchase", t(4), 5.0), // last=view (carries), first(seg1)=(none)
+      (5L, 2L, "purchase", t(1), 7.0)) // no touches at all: both (none)
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = Advanced.attributionOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("(none)", 1L, 700L, 2L, 1200L),
+      ("click", 0L, 0L, 1L, 1000L),
+      ("view", 2L, 1500L, 0L, 0L)))
+  }
+
+  test("q69 conservation: each model attributes every purchase exactly once") {
+    val out = Advanced.attribution(spark, d).collect()
+    val nPur = graft.Tables.events(spark, d)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase").count()
+    assert(out.map(_.getLong(1)).sum == nPur, "last-touch counts sum to purchases")
+    assert(out.map(_.getLong(3)).sum == nPur, "first-touch counts sum to purchases")
+    assert(out.map(_.getLong(2)).sum == out.map(_.getLong(4)).sum,
+      "both models allocate the same total revenue")
+  }
 }

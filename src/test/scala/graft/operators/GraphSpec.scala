@@ -176,4 +176,29 @@ class GraphSpec extends SparkSpec {
     // every edge joins equal-degree endpoints (2–2 or 5–5): r == 1
     assert(math.abs(r.getDouble(6) - 1.0) < 1e-12, s"expected r=1, got $r")
   }
+
+  test("g06 planted co-purchases: shared rare parts rank; a hub part is capped out") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // c1,c2 share parts 1,2; c1,c3 share part 3; part 9 is a hub with 300
+    // buyers (> WEDGE_CAP) whose ~45k wedge pairs must never materialize
+    val e = (Seq((1L, 1L), (2L, 1L), (1L, 2L), (2L, 2L), (1L, 3L), (3L, 3L)) ++
+      (100L to 399L).map(c => (c, 9L))).toDF("c", "p")
+    val out = Graph.linkPredictionOf(e, 256L, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, 1000000000L), // two shared parts, deg 2 each: 2 * (1e9 div 2)
+      (1L, 3L, 1L, 500000000L)))
+  }
+
+  test("g06 on the trade data: ranked output, positive scores, no self-pairs") {
+    val out = Graph.linkPrediction(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty && out.length <= Graph.LINK_TOPK)
+    out.foreach { case (a, b, common, ra) =>
+      assert(a < b); assert(common >= 1L); assert(ra >= common) // w >= 1e9 div cap
+    }
+    assert(out.map(x => (-x._3, -x._4, x._1, x._2)).toSeq ==
+      out.map(x => (-x._3, -x._4, x._1, x._2)).sortBy(identity).toSeq)
+  }
 }
