@@ -1301,8 +1301,14 @@ object TextOps {
       .select(col("doc_id"), col("lang"),
         element_at(col("tk"), col("i") + 1).as("a"),
         element_at(col("tk"), col("i") + 2).as("b"))
+    // the trained MODEL is materialized once: c1 derives from c2 and the
+    // scoring join reads both, so an uncheckpointed c2 re-runs the
+    // en-slice explode per consumer (profiled: 3 corpus scans → 2 — the
+    // score pass and ONE train pass; the model table is vocabulary-
+    // realized, orders of magnitude below corpus scale)
     val c2 = pairs.filter(col("lang") === "en")
       .groupBy("a", "b").agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
     val c1 = c2.groupBy("a").agg(sum(col("c2")).as("c1"))
     val doc = pairs
       .join(c2, Seq("a", "b"), "left")
@@ -1391,6 +1397,16 @@ object TextOps {
 
   /** t23 over any (doc_id, text) frame (spec-injectable face). */
   private[graft] def ngramNoveltyOf(docs: DataFrame): DataFrame = {
+    // TWO scan+explode passes by measurement, not accident: Catalyst
+    // fuses the distinct into each branch's first aggregate (partial
+    // min-per-shingle on the novelty branch, partial distinct on the
+    // totals branch), so each branch is explode → one fused partial →
+    // one exchange. Materializing the distinct posting table once
+    // (localCheckpoint) to share it was tried and measured 2.6× SLOWER
+    // at the 10× corpus (3.4 s vs 1.3 s): it adds a third full-table exchange
+    // (the explicit distinct) and un-fuses both branches' partials —
+    // the t20 lesson again, a second column-pruned scan beats a second
+    // corpus-scale shuffle.
     val sh = Dedup.shingleTable(docs,
       n = NOVELTY_N, hashed = true) // distinct (doc_id, sh60)
     val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
