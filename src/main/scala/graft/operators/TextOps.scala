@@ -1301,14 +1301,16 @@ object TextOps {
       .select(col("doc_id"), col("lang"),
         element_at(col("tk"), col("i") + 1).as("a"),
         element_at(col("tk"), col("i") + 2).as("b"))
-    // the trained MODEL is materialized once: c1 derives from c2 and the
-    // scoring join reads both, so an uncheckpointed c2 re-runs the
-    // en-slice explode per consumer (profiled: 3 corpus scans → 2 — the
-    // score pass and ONE train pass; the model table is vocabulary-
-    // realized, orders of magnitude below corpus scale)
+    // c2 is deliberately NOT checkpointed, measured twice: the three
+    // derivations (c1 fold, scoring build sides) each re-run the
+    // en-slice explode, but a partial aggregate collapses it map-side
+    // into the realized vocabulary² rows, and while THAT is small the
+    // re-derivation is nearly free — materializing the model measured a
+    // tie at 10× and 23% SLOWER at the 100× corpus (9.6 vs 7.4 s;
+    // identical result for t15). Revisit only if the realized bigram
+    // table itself becomes corpus-scale (open-vocabulary web text).
     val c2 = pairs.filter(col("lang") === "en")
       .groupBy("a", "b").agg(count(lit(1)).as("c2"))
-      .localCheckpoint()
     val c1 = c2.groupBy("a").agg(sum(col("c2")).as("c1"))
     val doc = pairs
       .join(c2, Seq("a", "b"), "left")
