@@ -1107,7 +1107,67 @@ object Curation {
       |FROM p, t WHERE ((pre + w) // s) - (pre // s) >= 1
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- temperature mixture plan
+  /** Docs the temperature-flattened plan samples (the budget the shares
+    * apply to).
+    */
+  val TEMP_TARGET_DOCS = 1000L
+
+  /** p18: temperature-flattened language mixture (the mT5/XLM-R α=0.5
+    * exponent, Xue et al. 2021 / Conneau et al. 2020) — sample languages
+    * proportionally to mass^α instead of mass, so head languages are
+    * down-weighted and tail languages up-weighted without ever being
+    * starved. The standard multilingual-pretraining rebalance; vs p07
+    * (externally-supplied per-source rates) this computes the plan FROM
+    * the corpus under the published exponent.
+    *
+    * Determinism: α = ½ is the one exponent that needs no libm — IEEE
+    * sqrt is correctly rounded in both engines, and the only other float
+    * op is one multiply+floor (the s01/q55 fixed-chain discipline).
+    * Weights, shares and planned counts are then exact integer div.
+    *
+    * Overflow bound: mass is carried in KB units (`div 1024` at the
+    * language level), so `1e6 · mass_kb` stays under 2^63 through ~9 EB
+    * of text, and `1e3·sqrt(mass_kb)` keeps the weight products far
+    * below that (the p17 no-products stance).
+    *
+    * Scale shape: one column-pruned scan → a |langs|-row aggregate
+    * (map-side combined); the grand totals come from the p07 pattern —
+    * a 1-row aggregate cross-joined back (broadcast), never an
+    * unpartitioned corpus window.
+    */
+  def temperatureMixture(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(n_chars) div 1024").as("mass_kb"))
+      .withColumn("w",
+        floor(lit(1000.0) * sqrt(col("mass_kb").cast("double"))).cast("long"))
+    val tot = m.agg(sum(col("w")).as("w_sum"), sum(col("mass_kb")).as("kb_sum"))
+    m.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("mass_kb"),
+        expr("(1000000 * mass_kb) div kb_sum").as("natural_ppm"),
+        expr("(1000000 * w) div w_sum").as("target_ppm"),
+        expr(s"($TEMP_TARGET_DOCS * w) div w_sum").as("planned_docs"))
+      .orderBy("lang")
+  }
+
+  val temperatureMixtureSql: String =
+    s"""WITH m AS (SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) // 1024 AS mass_kb
+      |  FROM documents GROUP BY lang),
+      |w AS (SELECT *, CAST(floor(1000.0 * sqrt(CAST(mass_kb AS DOUBLE)))
+      |    AS BIGINT) AS w FROM m),
+      |t AS (SELECT CAST(sum(w) AS BIGINT) AS w_sum,
+      |    CAST(sum(mass_kb) AS BIGINT) AS kb_sum FROM w)
+      |SELECT lang, n_docs, mass_kb,
+      |  (1000000 * mass_kb) // kb_sum AS natural_ppm,
+      |  (1000000 * w) // w_sum AS target_ppm,
+      |  ($TEMP_TARGET_DOCS * w) // w_sum AS planned_docs
+      |FROM w CROSS JOIN t ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p18_temperature_mixture" -> (temperatureMixture _),
     "p17_pps_sample" -> (ppsSample _),
     "p16_outlier_gate" -> (robustOutlierGate _),
     "p15_leakage_safe_split" -> (leakageSafeSplit _),
@@ -1126,6 +1186,7 @@ object Curation {
     "p11_curation_report" -> (curationReportUnified _))
 
   val oracles: Map[String, String] = Map(
+    "p18_temperature_mixture" -> temperatureMixtureSql,
     "p17_pps_sample" -> ppsSampleSql,
     "p16_outlier_gate" -> robustOutlierGateSql,
     "p15_leakage_safe_split" -> leakageSafeSplitSql,

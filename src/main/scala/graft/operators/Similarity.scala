@@ -1640,7 +1640,90 @@ object Similarity {
       |SELECT query_id, CAST(step AS INT) AS step, vec_id, mmr2
       |FROM sel ORDER BY query_id, step""".stripMargin
 
+  // ---------------------------------------------- s14 matryoshka recall
+  /** Prefix width evaluated by s14 (16 of 64 dims = a 4× cheaper
+    * first-stage scorer).
+    */
+  val MRL_DIMS = 16
+
+  /** s14: matryoshka-truncation recall (Kusupati et al. 2022, MRL) — how
+    * much of the exact top-k survives when cosine is scored on only the
+    * first [[MRL_DIMS]] embedding dimensions. THE deployment question
+    * for prefix-truncatable embeddings: a d/4 prefix means 4× less
+    * memory bandwidth and ALU in the first retrieval stage, and this
+    * key measures exactly what that costs, per query — the same
+    * harness-not-model stance as s10 (the eval is correct whether or
+    * not the embeddings were MRL-trained).
+    *
+    * Shape: ONE corpus scan computes both the full and the truncated
+    * quantized dots against broadcast queries; both rankings come off
+    * the SAME (query_id) window exchange (two sorts, one shuffle), and
+    * recall@k is a per-query conditional count — no self-join of the
+    * two rankings, because every pair row carries both ranks.
+    */
+  def matryoshkaRecall(s: SparkSession, d: String, nQueries: Int = 5,
+      k: Int = 10): DataFrame =
+    matryoshkaRecallFrom(Tables.embeddings(s, d), nQueries, k)
+
+  /** s14 over any (vec_id, embedding) frame (spec-injectable face). */
+  private[graft] def matryoshkaRecallFrom(e: DataFrame, nQueries: Int,
+      k: Int): DataFrame = {
+    def proj(df: DataFrame) = df.select(col("vec_id"),
+      quantize(col("embedding")).as("v"),
+      quantize(slice(col("embedding"), 1, MRL_DIMS)).as("t"))
+    val q = proj(e.filter(col("vec_id") < nQueries))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("t").as("qt"))
+    val c = proj(e.filter(col("vec_id") >= nQueries))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_full").desc, col("vec_id"))
+    val wt = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_trunc").desc, col("vec_id"))
+    c.crossJoin(broadcast(q))
+      .withColumn("cos_full", qcosine(col("qv"), col("v")))
+      .withColumn("cos_trunc", qcosine(col("qt"), col("t")))
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rt", row_number().over(wt))
+      .groupBy("query_id")
+      .agg(sum(when(col("rf") <= k && col("rt") <= k, 1L).otherwise(0L))
+        .as("hits"))
+      .withColumn("recall", col("hits").cast("double") / lit(k))
+      .select("query_id", "hits", "recall")
+      .orderBy("query_id")
+  }
+
+  /** s14 oracle: identical quantization, prefix slice, cosine chain and
+    * double ranking.
+    */
+  val matryoshkaRecallSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id,
+      |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS qv,
+      |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+      |     FOR x IN embedding[1:$MRL_DIMS]] AS qt
+      |  FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id,
+      |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS v,
+      |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+      |     FOR x IN embedding[1:$MRL_DIMS]] AS t
+      |  FROM embeddings WHERE vec_id >= 5),
+      |sc AS (SELECT q.query_id, c.vec_id,
+      |    CAST(list_sum([qv[i] * v[i] FOR i IN range(1, 65)]) AS DOUBLE) /
+      |      (sqrt(CAST(list_sum([qv[i] * qv[i] FOR i IN range(1, 65)]) AS DOUBLE)) *
+      |       sqrt(CAST(list_sum([v[i] * v[i] FOR i IN range(1, 65)]) AS DOUBLE))) AS cf,
+      |    CAST(list_sum([qt[i] * t[i] FOR i IN range(1, ${MRL_DIMS + 1})]) AS DOUBLE) /
+      |      (sqrt(CAST(list_sum([qt[i] * qt[i] FOR i IN range(1, ${MRL_DIMS + 1})]) AS DOUBLE)) *
+      |       sqrt(CAST(list_sum([t[i] * t[i] FOR i IN range(1, ${MRL_DIMS + 1})]) AS DOUBLE))) AS ct
+      |  FROM c CROSS JOIN q),
+      |r AS (SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cf DESC, vec_id) AS rf,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY ct DESC, vec_id) AS rt
+      |  FROM sc)
+      |SELECT query_id,
+      |  CAST(sum(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+      |  CAST(sum(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS recall
+      |FROM r GROUP BY query_id ORDER BY query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_matryoshka_recall" -> ((s: SparkSession, d: String) => matryoshkaRecall(s, d)),
     "s13_mmr_rerank" -> ((s: SparkSession, d: String) => mmrRerank(s, d)),
     "p14_semantic_decontam" -> ((s: SparkSession, d: String) => semanticDecontam(s, d)),
     "s12_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(s, d)),
@@ -1658,6 +1741,7 @@ object Similarity {
     "d06_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDupPairsSeeded(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "s14_matryoshka_recall" -> matryoshkaRecallSql,
     "s13_mmr_rerank" -> mmrRerankSql,
     "p14_semantic_decontam" -> semanticDecontamSql,
     "s12_hard_negatives" -> hardNegativesSql,
