@@ -1299,6 +1299,71 @@ object Similarity {
       .write.mode(mode).partitionBy("cell").parquet(s"$dir/codes")
   }
 
+  // ------------------------------------------ deletion (GDPR) lifecycle
+  /** Record deletions in an append-only tombstone table. O(batch) — no
+    * index file is read or touched; the ids take effect at the NEXT
+    * probe (tombstone-aware exclusion) and are physically removed by
+    * [[vacuumIvfPqIndex]]. The right-to-be-forgotten path: logical
+    * deletion is immediate and cheap, physical rewrite is batched and
+    * touches only the affected cell partitions.
+    */
+  def deleteFromIvfPqIndex(s: SparkSession, dir: String, ids: DataFrame): Unit = {
+    ivfPqLayoutParams(dir, "deleteFromIvfPqIndex")
+    ids.select(col("vec_id")).write.mode("append").parquet(s"$dir/tombstones")
+  }
+
+  /** Distinct tombstoned ids, or an empty frame when none were ever
+    * recorded. Bounded by the deletion volume, never the index.
+    */
+  private def tombstonesOf(s: SparkSession, dir: String): DataFrame =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "tombstones")))
+      s.read.parquet(s"$dir/tombstones").select("vec_id").distinct()
+    else s.range(0).select(col("id").as("vec_id"))
+
+  /** Physically remove tombstoned rows: rewrite ONLY the cell partitions
+    * that hold a tombstoned id (dynamic partition overwrite of those
+    * cells; a wholly-emptied cell's dir is dropped explicitly since an
+    * empty write overwrites nothing), then clear the tombstone table
+    * LAST — a crash anywhere leaves a correct index: probes keep
+    * excluding via the surviving tombstones and a re-run vacuum is
+    * idempotent. Cost is deletion-proportional (affected cells), never
+    * index-proportional; the model is untouched (deletion never
+    * invalidates the frozen centroids/codebook — codes stay argmins
+    * against the model that encoded them).
+    */
+  def vacuumIvfPqIndex(s: SparkSession, dir: String): Unit = {
+    ivfPqLayoutParams(dir, "vacuumIvfPqIndex")
+    val tombPath = java.nio.file.Paths.get(dir, "tombstones")
+    if (!java.nio.file.Files.exists(tombPath)) return
+    val tomb = tombstonesOf(s, dir).localCheckpoint(true)
+    // affected cells off the codes table: bounded by the index GEOMETRY
+    // (≤ nCells literals), collected like the probe's cell list
+    val affected = s.read.parquet(s"$dir/codes")
+      .join(broadcast(tomb), "vec_id").select("cell").distinct()
+      .collect().map(_.getInt(0))
+    for (tbl <- Seq("codes", "vectors"); if affected.nonEmpty) {
+      val survivors = s.read.parquet(s"$dir/$tbl")
+        .filter(col("cell").isin(affected.map(Integer.valueOf): _*))
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        // materialize BEFORE the overwrite: the write would otherwise
+        // read the very partitions it replaces (self-overwrite)
+        .localCheckpoint(true)
+      val keptCells = survivors.select("cell").distinct()
+        .collect().map(_.getInt(0)).toSet
+      survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(s"$dir/$tbl")
+      Dedup.release(survivors)
+      // dynamic overwrite replaces only partitions it WRITES — a cell
+      // whose every row was tombstoned must be dropped by hand
+      affected.filterNot(keptCells).foreach { c =>
+        Dedup.deleteTreeIfExists(java.nio.file.Paths.get(dir, tbl, s"cell=$c"))
+      }
+    }
+    Dedup.release(tomb)
+    Dedup.deleteTreeIfExists(tombPath) // LAST: crash ⇒ probes still exclude
+  }
+
   /** Compact the code and vector tables after a season of appends: fold
     * each cell partition's one-file-per-append debris into one file per
     * cell ([[Dedup.compactBucketedTable]] — same swap discipline and
@@ -1357,6 +1422,10 @@ object Similarity {
           col("query_id") === col("lq"))
       .groupBy("query_id", "vec_id")
       .agg(sum(col("pd")).as("adc"))
+      // logically-deleted ids drop BEFORE ranking, so top-k backfills
+      // from survivors (both probe flavors share this: the refined
+      // shortlist can never resurrect a tombstoned id)
+      .join(broadcast(tombstonesOf(s, dir)), Seq("vec_id"), "left_anti")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "adc")
@@ -1722,7 +1791,52 @@ object Similarity {
       |  CAST(sum(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS recall
       |FROM r GROUP BY query_id ORDER BY query_id""".stripMargin
 
+  // ---------------------------------------------------- s15 ANN deletion
+  /** Deterministic deletion slice for the s15 key (and the persisted-path
+    * equivalence spec): every 17th vector, offset 3.
+    */
+  val ANN_DEL_MOD = 17L
+  val ANN_DEL_RES = 3L
+
+  /** s15: deletion-aware ANN serving — the s09 IVF-PQ ranking with a
+    * tombstoned id set excluded BEFORE the top-k, so results backfill
+    * from survivors instead of leaving holes. The right-to-be-forgotten
+    * semantics every production vector store needs: the MODEL stays
+    * frozen (centroids/codebook were trained with the deleted vectors —
+    * deletion never invalidates codes, which remain argmins against the
+    * model that encoded them), only the candidate set shrinks.
+    *
+    * This registered key is the frame-level semantics; the persisted
+    * face is [[deleteFromIvfPqIndex]] (O(batch) tombstone append,
+    * immediate exclusion at probe time) + [[vacuumIvfPqIndex]]
+    * (deletion-proportional physical rewrite of affected cell
+    * partitions, tombstones cleared last so a crash anywhere leaves a
+    * correct index) — spec-pinned ≡ this ranking in AnnDeletionSpec.
+    */
+  def ivfPqDeleteTopK(s: SparkSession, d: String, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+    ivfPqAdcScores(s, d, nQueries)
+      .filter(expr(s"vec_id % $ANN_DEL_MOD != $ANN_DEL_RES"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "adc")
+      .orderBy("query_id", "rank")
+  }
+
+  /** s15 oracle: the s09 CTE chain with the deletion slice filtered out
+    * of the scored set before re-ranking.
+    */
+  lazy val ivfPqDeleteTopKSql: String =
+    s"""$ivfPqCtes
+      |SELECT query_id, CAST(drank AS INT) AS rank, vec_id, adc FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY adc, vec_id) AS drank
+      |  FROM adc WHERE vec_id % $ANN_DEL_MOD <> $ANN_DEL_RES)
+      |WHERE drank <= 10 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_ann_deletion" -> ((s: SparkSession, d: String) => ivfPqDeleteTopK(s, d)),
     "s14_matryoshka_recall" -> ((s: SparkSession, d: String) => matryoshkaRecall(s, d)),
     "s13_mmr_rerank" -> ((s: SparkSession, d: String) => mmrRerank(s, d)),
     "p14_semantic_decontam" -> ((s: SparkSession, d: String) => semanticDecontam(s, d)),
@@ -1741,6 +1855,7 @@ object Similarity {
     "d06_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDupPairsSeeded(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "s15_ann_deletion" -> ivfPqDeleteTopKSql,
     "s14_matryoshka_recall" -> matryoshkaRecallSql,
     "s13_mmr_rerank" -> mmrRerankSql,
     "p14_semantic_decontam" -> semanticDecontamSql,
