@@ -618,6 +618,10 @@ object Dedup {
     val idxBands = s.read.parquet(s"$dir/bands")
       .filter(col("bkt").isin(buckets.map(Integer.valueOf): _*))
       .select("doc_id", "band_idx", "band_key")
+      // tombstoned docs stop generating candidates the moment they are
+      // deleted (one broadcast anti-join; their sigs are never probed
+      // because no candidate can cite them) — see deleteFromMinhashIndex
+      .join(broadcast(indexTombstones(s, dir)), Seq("doc_id"), "left_anti")
     val cand = deltaBands.as("q")
       .join(idxBands.as("x"),
         col("q.band_idx") === col("x.band_idx") &&
@@ -971,6 +975,12 @@ object Dedup {
     val index = s.read.parquet(s"$dir/hashes")
       .filter(col("hbkt").isin(buckets.map(Integer.valueOf): _*))
       .select("h", "match_id")
+      // forgotten keepers stop matching immediately: identical content
+      // re-ingested after a deletion is NEW content (a stale bloom
+      // positive merely lets the row through to this join, which decides
+      // exactly) — see deleteFromExactIndex
+      .join(broadcast(indexTombstones(s, dir)
+        .select(col("doc_id").as("match_id"))), Seq("match_id"), "left_anti")
     // materialize the (delta-bounded) verdict, then release the probe's
     // intermediate checkpoint — see probeMinhashIndex's release note
     val verdict = pruned.join(index, "h")
@@ -1123,6 +1133,117 @@ object Dedup {
   def compactMinhashIndex(s: SparkSession, dir: String): Unit = {
     compactBucketedTable(s, s"$dir/sigs", "sbkt")
     compactBucketedTable(s, s"$dir/bands", "bkt")
+  }
+
+  // ------------------------- index deletion (right-to-be-forgotten)
+  /** Record doc ids to forget in an append-only tombstone table —
+    * O(batch), no index file read or touched. Takes effect at the NEXT
+    * probe: a tombstoned doc stops matching, so it stops suppressing
+    * future documents as duplicates of content the platform no longer
+    * holds (the dedup-index half of the GDPR story — forgetting the
+    * DOCUMENT is not enough if its fingerprints keep voting). Physical
+    * removal is [[vacuumMinhashIndex]] / [[vacuumExactIndex]].
+    */
+  def deleteFromMinhashIndex(s: SparkSession, dir: String, ids: DataFrame): Unit = {
+    requireLayout(dir, minhashLayout, "deleteFromMinhashIndex")
+    ids.select(col("doc_id")).write.mode("append").parquet(s"$dir/tombstones")
+  }
+
+  /** Exact-index twin of [[deleteFromMinhashIndex]] — ids are the KEEPER
+    * (`match_id`) documents to forget.
+    */
+  def deleteFromExactIndex(s: SparkSession, dir: String, ids: DataFrame): Unit = {
+    requireLayout(dir, exactLayout, "deleteFromExactIndex")
+    ids.select(col("doc_id")).write.mode("append").parquet(s"$dir/tombstones")
+  }
+
+  /** Distinct tombstoned ids, or an empty frame when none recorded.
+    * Bounded by deletion volume, never index size.
+    */
+  private def indexTombstones(s: SparkSession, dir: String): DataFrame =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "tombstones")))
+      s.read.parquet(s"$dir/tombstones").select("doc_id").distinct()
+    else s.range(0).select(col("id").as("doc_id"))
+
+  /** Rewrite ONLY the named bucket partitions of a bucketed index table,
+    * dropping rows whose `joinCol` is tombstoned; a wholly-emptied
+    * bucket's dir is removed explicitly (dynamic overwrite replaces only
+    * partitions it writes). Survivors are materialized BEFORE the
+    * overwrite so the write never reads the partitions it replaces.
+    */
+  private def rewriteBucketsDropping(s: SparkSession, path: String,
+      partCol: String, buckets: Array[Int], tomb: DataFrame,
+      joinCol: String): Unit = {
+    if (buckets.isEmpty) return
+    val survivors = s.read.parquet(path)
+      .filter(col(partCol).isin(buckets.map(Integer.valueOf): _*))
+      .join(broadcast(tomb.select(col("doc_id").as(joinCol))),
+        Seq(joinCol), "left_anti")
+      .localCheckpoint(true)
+    val kept = survivors.select(partCol).distinct()
+      .collect().map(_.getInt(0)).toSet
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(path)
+    release(survivors)
+    buckets.filterNot(kept).foreach { b =>
+      deleteTreeIfExists(java.nio.file.Paths.get(path, s"$partCol=$b"))
+    }
+  }
+
+  /** Physically remove tombstoned docs from a minhash index. Every read
+    * and write is partition-pruned by literals derived from the
+    * tombstones themselves: the sig buckets come from doc-id arithmetic
+    * (no scan at all), and the dead docs' BAND buckets come from
+    * re-banding their signatures read out of exactly those sig buckets —
+    * never a full bands scan. Tombstones clear LAST, so a crash at any
+    * point leaves a correct index (probes keep excluding; re-vacuum is
+    * idempotent).
+    */
+  def vacuumMinhashIndex(s: SparkSession, dir: String): Unit = {
+    requireLayout(dir, minhashLayout, "vacuumMinhashIndex")
+    val tombPath = java.nio.file.Paths.get(dir, "tombstones")
+    if (!java.nio.file.Files.exists(tombPath)) return
+    val tomb = indexTombstones(s, dir).localCheckpoint(true)
+    val sbkts = tomb
+      .select(pmod(col("doc_id"), lit(INDEX_BUCKETS.toLong)).cast("int").as("sbkt"))
+      .distinct().collect().map(_.getInt(0))
+    val deadSigs = s.read.parquet(s"$dir/sigs")
+      .filter(col("sbkt").isin(sbkts.map(Integer.valueOf): _*))
+      .drop("sbkt")
+      .join(broadcast(tomb), "doc_id")
+    val bkts = bandedKeys(deadSigs)
+      .select(pmod(xxhash64(col("band_key")), lit(INDEX_BUCKETS)).cast("int").as("bkt"))
+      .distinct().collect().map(_.getInt(0))
+    rewriteBucketsDropping(s, s"$dir/bands", "bkt", bkts, tomb, "doc_id")
+    rewriteBucketsDropping(s, s"$dir/sigs", "sbkt", sbkts, tomb, "doc_id")
+    release(tomb)
+    deleteTreeIfExists(tombPath) // LAST: crash ⇒ probes still exclude
+  }
+
+  /** Physically remove tombstoned keepers from an exact index. The FIND
+    * phase reads two thin columns (match_id, hbkt) of the hash table —
+    * the bucket key derives from the content hash, which a
+    * right-to-be-forgotten request no longer has — but the WRITE phase
+    * stays affected-bucket-bounded. The bloom is deliberately NOT
+    * rebuilt: a stale bloom entry only costs a false-positive prefilter
+    * pass (the exact join still decides membership), and the next
+    * [[compactExactIndex]] rebuilds it from surviving hashes anyway —
+    * vacuum + compact is the fully-forgotten state, including the
+    * filter.
+    */
+  def vacuumExactIndex(s: SparkSession, dir: String): Unit = {
+    requireLayout(dir, exactLayout, "vacuumExactIndex")
+    val tombPath = java.nio.file.Paths.get(dir, "tombstones")
+    if (!java.nio.file.Files.exists(tombPath)) return
+    val tomb = indexTombstones(s, dir).localCheckpoint(true)
+    val hbkts = s.read.parquet(s"$dir/hashes")
+      .select("match_id", "hbkt")
+      .join(broadcast(tomb), col("match_id") === col("doc_id"))
+      .select("hbkt").distinct().collect().map(_.getInt(0))
+    rewriteBucketsDropping(s, s"$dir/hashes", "hbkt", hbkts, tomb, "match_id")
+    release(tomb)
+    deleteTreeIfExists(tombPath) // LAST: crash ⇒ probes still exclude
   }
 
   // --------------------------------------------------------------- SimHash
