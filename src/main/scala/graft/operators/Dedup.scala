@@ -669,6 +669,50 @@ object Dedup {
        |  CASE WHEN est >= $INC_DUP_THRESHOLD THEN 1 ELSE 0 END AS is_dup
        |FROM sel WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------- d23 deletion-aware probe
+  /** Deterministic forget-me slice for d23: every 13th base doc, offset 2. */
+  val DEDUP_DEL_MOD = 13L
+  val DEDUP_DEL_RES = 2L
+
+  /** d23: the d16 incremental probe with a tombstoned slice of the base
+    * index excluded — the oracled face of [[deleteFromMinhashIndex]]'s
+    * semantics (DedupDeletionSpec pins the persisted path ≡ this frame
+    * form): a forgotten doc generates no candidates, so deltas that only
+    * matched forgotten content now probe as new, and n_cand/best-match
+    * re-rank among the survivors. Deletion composes at the BAND frame —
+    * one filter before candidate generation, nothing downstream changes.
+    */
+  def incrementalNearDupDeleted(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val survivors = docs.filter(expr(
+      s"doc_id % $INC_SPLIT != 0 AND doc_id % $DEDUP_DEL_MOD != $DEDUP_DEL_RES"))
+    val baseSigs = minhashSignatures(survivors)
+    val deltaSigs = minhashSignatures(docs.filter(expr(s"doc_id % $INC_SPLIT = 0")))
+    probeSignatures(deltaSigs, bandedKeys(baseSigs), baseSigs)
+  }
+
+  /** d23 oracle: the d16 chain with the forget-me slice filtered out of
+    * the index side before candidate generation.
+    */
+  lazy val incrementalNearDupDeletedSql: String =
+    s"""$minhashCtePrefixSql,
+       |q AS (SELECT * FROM bands WHERE doc_id % $INC_SPLIT = 0),
+       |x AS (SELECT * FROM bands WHERE doc_id % $INC_SPLIT != 0
+       |        AND doc_id % $DEDUP_DEL_MOD <> $DEDUP_DEL_RES),
+       |cand AS (SELECT DISTINCT q.doc_id AS did, x.doc_id AS bid
+       |         FROM q JOIN x ON q.band_idx = x.band_idx AND q.bkey = x.bkey),
+       |est AS (SELECT did, bid,
+       |          CAST($sigMatchTermsSql AS DOUBLE)/$SIG_N AS est
+       |        FROM cand JOIN sig sa ON sa.doc_id = did JOIN sig sb ON sb.doc_id = bid),
+       |sel AS (SELECT did, bid, est,
+       |          count(*) OVER (PARTITION BY did) AS n_cand,
+       |          row_number() OVER (PARTITION BY did ORDER BY est DESC, bid) AS rn
+       |        FROM est)
+       |SELECT did AS doc_id, CAST(n_cand AS BIGINT) AS n_cand, bid AS match_id,
+       |  est AS est_jaccard,
+       |  CASE WHEN est >= $INC_DUP_THRESHOLD THEN 1 ELSE 0 END AS is_dup
+       |FROM sel WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   // ------------------------------------- incremental EXACT index dedup
   /** d17: exact incremental dedup of a delta batch against a persisted
     * content-hash index — the cheap first tier in front of d16's
@@ -2351,6 +2395,7 @@ object Dedup {
     "d13_substring_dedup" -> (substringDupStats _),
     "d14_quality_survivors" -> (qualitySurvivors _),
     "d15_edit_distance" -> (editDistancePairs _),
+    "d23_forget_dedup" -> (incrementalNearDupDeleted _),
     "d16_incremental_neardup" -> (incrementalNearDup _),
     "d17_incremental_exact" -> (incrementalExact _),
     "d18_exact_then_near" -> (exactThenNear _))
@@ -2362,6 +2407,7 @@ object Dedup {
     "d19_lsh_recall" -> lshRecallCurveSql,
     "d18_exact_then_near" -> exactThenNearSql,
     "d17_incremental_exact" -> incrementalExactSql,
+    "d23_forget_dedup" -> incrementalNearDupDeletedSql,
     "d16_incremental_neardup" -> incrementalNearDupSql,
     "d15_edit_distance" -> editDistancePairsSql,
     "d14_quality_survivors" -> qualitySurvivorsSql,

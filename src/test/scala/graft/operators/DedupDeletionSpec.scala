@@ -67,6 +67,21 @@ class DedupDeletionSpec extends SparkSpec {
     assert(probeRows(dir) == after)
   }
 
+  test("d23: the persisted tombstone path equals the registered deletion-aware probe") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mh-d23").toString
+    Dedup.writeMinhashIndex(base, dir)
+    val victims = base.filter(expr(
+        s"doc_id % ${Dedup.DEDUP_DEL_MOD} = ${Dedup.DEDUP_DEL_RES}"))
+      .select("doc_id")
+    Dedup.deleteFromMinhashIndex(spark, dir, victims)
+    val got = probeRows(dir)
+    val registered = Dedup.incrementalNearDupDeleted(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == registered,
+      "tombstone-aware persisted probe must equal the d23 frame ranking")
+  }
+
   test("exact: a forgotten keeper stops matching; re-ingested content is NEW; vacuum + compact forgets the bloom") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ex-del").toString
