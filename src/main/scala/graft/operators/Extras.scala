@@ -522,7 +522,63 @@ object Extras {
       |  greatest(0, est_a + est_b - est_union) AS est_inter, jacc_ppm
       |FROM est ORDER BY day_a""".stripMargin
 
+  // ------------------------------------------------- q70 time-decay score
+  /** q70: recency-weighted (exponential time-decay) revenue scoring per
+    * market segment — the weighting a freshness-aware source mixture or a
+    * "recent activity" feature store column actually uses. Every order
+    * contributes its exact integer cents halved once per 90 elapsed days
+    * before the corpus's latest order date: weight 2^-(age div 90), i.e. a
+    * right-shift — NO libm exp, so the decayed mass is exact integer
+    * arithmetic, shuffle-order independent, and hash-matches the oracle.
+    * Emitted per segment: order count, raw vs decayed cents, and the
+    * still-undecayed (age < 90 d) "fresh" share of the raw mass.
+    *
+    * Scale shape: the latest date is a 1-row aggregate broadcast back
+    * over the scan (no window over the whole table, no second pass);
+    * decay is a per-row shift inside the same projection; customer is the
+    * broadcast dim side; the only shuffle is the |segments|-row hash
+    * aggregate with map-side partials. The shift exponent is clamped at
+    * 62 so the divisor can never overflow a long at any date range.
+    */
+  def decayScore(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val maxd = o.agg(max(col("o_orderdate")).as("maxd"))
+    o.crossJoin(broadcast(maxd))
+      .select(col("o_custkey"), centsOf(col("o_totalprice")).as("cents"),
+        expr("cast(least(datediff(maxd, o_orderdate) div 90, 62) as int)")
+          .as("hl"))
+      .withColumn("decayed", expr("cents div shiftleft(cast(1 as bigint), hl)"))
+      .join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("raw_cents"),
+        sum(col("decayed")).as("decayed_cents"),
+        sum(when(col("hl") === 0, col("cents")).otherwise(lit(0L)))
+          .as("fresh_cents"))
+      .orderBy("segment")
+  }
+
+  /** DuckDB oracle: identical cents/shift geometry (`//` ≡ `div` on the
+    * non-negative operands; `<<` on BIGINT both engines).
+    */
+  val decayScoreSql: String =
+    """WITH m AS (SELECT max(o_orderdate) AS maxd FROM orders),
+      |s AS (SELECT o_custkey,
+      |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents,
+      |    least(date_diff('day', o_orderdate, maxd) // 90, 62) AS hl
+      |  FROM orders CROSS JOIN m)
+      |SELECT c_mktsegment AS segment,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS raw_cents,
+      |  CAST(sum(cents // (CAST(1 AS BIGINT) << hl)) AS BIGINT) AS decayed_cents,
+      |  CAST(sum(CASE WHEN hl = 0 THEN cents ELSE 0 END) AS BIGINT) AS fresh_cents
+      |FROM s JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_decay_score" -> (decayScore _),
     "q68_kmv_overlap" -> (kmvAudienceOverlap _),
     "q66_hist_quantile_rollup" -> (histQuantileRollup _),
     "q63_hll_rollup" -> (hllRollup _),
@@ -536,6 +592,7 @@ object Extras {
     "t06_top_tokens" -> (topTokens _))
 
   val oracles: Map[String, String] = Map(
+    "q70_decay_score" -> decayScoreSql,
     "q68_kmv_overlap" -> kmvAudienceOverlapSql,
     "q66_hist_quantile_rollup" -> histQuantileRollupSql,
     "q63_hll_rollup" -> hllRollupSql,

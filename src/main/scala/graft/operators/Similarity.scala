@@ -1835,7 +1835,174 @@ object Similarity {
       |  FROM adc WHERE vec_id % $ANN_DEL_MOD <> $ANN_DEL_RES)
       |WHERE drank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // ----------------------------------------------------- s16 kNN hubness
+  /** s16: exact kNN-graph construction + hubness/reciprocity diagnostic.
+    * Builds the k=5 cosine kNN graph over the embedding corpus and emits,
+    * per node: IN-degree (how many nodes list it among their k nearest —
+    * the hubness measure; a heavy-tailed in-degree distribution is the
+    * classic symptom of degraded embedding geometry and of ANN recall
+    * loss), mutual-edge count (i∈knn(j) ∧ j∈knn(i) — the edges
+    * SemDeDup-style clustering and NN-descent/HNSW graph builds actually
+    * keep), and the single nearest neighbor with its exact quantized
+    * cosine.
+    *
+    * This is the truth/diagnostic face: exact kNN is inherently
+    * quadratic, so at 100 TB it runs over a deterministic sample (the
+    * d19 sampling discipline) to MEASURE hubness, while production graph
+    * construction uses the s02/s03 bucketed candidate structures. Shape:
+    * one broadcast of the node set against the corpus scan (no shuffled
+    * cross join), per-node top-k windows over n·k… n·|bcast| rows, then
+    * the n·k edge list is localCheckpointed ONCE — the nn/in-degree/
+    * mutual faces all read the materialized edges instead of re-running
+    * the pair scan (the g02 shared-subtree lesson); the mutual face is a
+    * self-equi-join on (src,dst), never pairs².
+    */
+  def knnHubness(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    knnHubnessFrom(Tables.embeddings(s, d), k)
+
+  /** s16 over any (vec_id, embedding) frame (spec-injectable face). */
+  private[graft] def knnHubnessFrom(e: DataFrame, k: Int): DataFrame = {
+    val nodes = e.select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(qdot(col("v"), col("v")).cast("double")))
+    val left = nodes.select(col("vec_id").as("src"), col("v").as("sv"),
+      col("nrm").as("snrm"))
+    val right = nodes.select(col("vec_id").as("dst"), col("v").as("dv"),
+      col("nrm").as("dnrm"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+    val edges = left.crossJoin(broadcast(right))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("cosine",
+        qdot(col("sv"), col("dv")).cast("double") / (col("snrm") * col("dnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), col("cosine"), col("rank"))
+      .localCheckpoint() // n·k rows; read 3× below — never re-scan pairs
+    val nn = edges.filter(col("rank") === 1)
+      .select(col("src").as("vec_id"), col("dst").as("nn_id"),
+        col("cosine").as("nn_cos"))
+    val indeg = edges.groupBy(col("dst").as("vec_id"))
+      .agg(count(lit(1)).as("in_deg"))
+    val mutual = edges.as("a")
+      .join(edges.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .groupBy(col("a.src").as("vec_id"))
+      .agg(count(lit(1)).as("n_mutual"))
+    nn.join(indeg, Seq("vec_id"), "left")
+      .join(mutual, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"),
+        col("nn_id"), col("nn_cos"))
+      .orderBy("vec_id")
+  }
+
+  /** s16 oracle: the same quantized-integer cosine pair ranking; edges is
+    * multiply referenced so it is pinned MATERIALIZED (the g02 DuckDB
+    * re-inlining lesson).
+    */
+  val knnHubnessSql: String =
+    """WITH v AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qv FROM embeddings),
+      |n AS (SELECT vec_id, qv,
+      |        sqrt(CAST(list_sum([qv[i]*qv[i] FOR i IN range(1,65)]) AS DOUBLE)) AS nrm FROM v),
+      |pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    CAST(list_sum([a.qv[i]*b.qv[i] FOR i IN range(1,65)]) AS DOUBLE) / (a.nrm * b.nrm) AS cosine
+      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      |edges AS MATERIALIZED (SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rank
+      |    FROM pairs) WHERE rank <= 5),
+      |nn AS (SELECT src AS vec_id, dst AS nn_id, cosine AS nn_cos FROM edges WHERE rank = 1),
+      |ind AS (SELECT dst AS vec_id, count(*) AS in_deg FROM edges GROUP BY 1),
+      |mut AS (SELECT a.src AS vec_id, count(*) AS n_mutual
+      |        FROM edges a JOIN edges b ON a.src = b.dst AND a.dst = b.src GROUP BY 1)
+      |SELECT nn.vec_id, CAST(coalesce(ind.in_deg, 0) AS BIGINT) AS in_deg,
+      |  CAST(coalesce(mut.n_mutual, 0) AS BIGINT) AS n_mutual,
+      |  nn.nn_id, nn.nn_cos
+      |FROM nn LEFT JOIN ind ON ind.vec_id = nn.vec_id
+      |LEFT JOIN mut ON mut.vec_id = nn.vec_id
+      |ORDER BY nn.vec_id""".stripMargin
+
+  // --------------------------------------- p19 cluster-balanced sampling
+  /** p19: cluster-balanced (diversity) sampling — the SemDeDup-companion
+    * curation step: admit a fixed fraction (1/4) of every k-means cell
+    * rather than of the corpus, so dense embedding modes cannot crowd
+    * rare ones out of the training mix. Cells are the s03 deterministic
+    * centroid build (frozen-model discipline — at 100 TB the cell id is
+    * the stored write-time partition key, so this op never re-scores);
+    * within a cell the admission order is the cross-engine md5 hash of
+    * the id (deterministic pseudo-random, not ingestion order), quota =
+    * ceil(|cell|/4). Emits per cell: population, quota, admitted count,
+    * admitted-id checksum, and admitted label diversity.
+    *
+    * Shape: broadcast-centroid argmax off one corpus scan, a per-cell
+    * rank window (bounded by the cell population), and a |cells|-row
+    * aggregate. Nothing quadratic, nothing unpartitioned.
+    */
+  def clusterQuotaSample(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("cv"), col("label"))
+    // the s03 centroid build, with the row_number window fed from an
+    // explicit orderBy+limit (a TakeOrderedAndProject bound, so the
+    // unpartitioned-window census sees a bounded frame by construction;
+    // first-16-by-vec_id is identical either way)
+    val centroids = broadcast(
+      all.filter(col("vec_id") % 31 === 6)
+        .orderBy(col("vec_id")).limit(N_CELLS)
+        .withColumn("cell", row_number().over(Window.orderBy(col("vec_id"))))
+        .select(col("cell"), col("cv").as("centroid")))
+    val assigned = all.crossJoin(centroids)
+      .withColumn("score", qdot(col("cv"), col("centroid")).cast("double") /
+        sqrt(qdot(col("centroid"), col("centroid")).cast("double")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("label"), col("cell"))
+    val wCell = Window.partitionBy(col("cell"))
+    val wRank = Window.partitionBy(col("cell")).orderBy(col("h"), col("vec_id"))
+    assigned
+      .withColumn("h", graft.operators.Dedup.baseHash(col("vec_id").cast("string")))
+      .withColumn("cell_n", count(lit(1)).over(wCell))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("quota", expr("(cell_n + 3) div 4"))
+      .groupBy(col("cell"))
+      .agg(max(col("cell_n")).as("n_total"),
+        max(col("quota")).as("quota"),
+        count(when(col("rk") <= col("quota"), 1)).as("n_admitted"),
+        sum(when(col("rk") <= col("quota"), col("vec_id"))).as("admitted_id_sum"),
+        count_distinct(when(col("rk") <= col("quota"), col("label")))
+          .as("n_labels"))
+      .orderBy("cell")
+  }
+
+  /** p19 oracle: the s03 cell-assignment CTEs over the full corpus plus
+    * the same md5 admission order and ceil-quota arithmetic.
+    */
+  val clusterQuotaSampleSql: String =
+    """WITH v AS (SELECT vec_id, label, [CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS cv FROM embeddings),
+      |cents AS (SELECT cell, cv AS centroid FROM (
+      |  SELECT vec_id, cv, row_number() OVER (ORDER BY vec_id) AS cell
+      |  FROM v WHERE vec_id % 31 = 6) WHERE cell <= 16),
+      |assigned AS (SELECT vec_id, label, cell FROM (
+      |  SELECT c.vec_id, c.label, cents.cell,
+      |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |      CAST(list_sum([c.cv[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
+      |        sqrt(CAST(list_sum([cents.centroid[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) DESC, cents.cell) AS r
+      |  FROM v c CROSS JOIN cents) WHERE r = 1),
+      |ranked AS (SELECT vec_id, label, cell,
+      |    count(*) OVER (PARTITION BY cell) AS cell_n,
+      |    row_number() OVER (PARTITION BY cell ORDER BY
+      |      CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id) AS rk
+      |  FROM assigned),
+      |q AS (SELECT *, (cell_n + 3) // 4 AS quota FROM ranked)
+      |SELECT cell, CAST(max(cell_n) AS BIGINT) AS n_total,
+      |  CAST(max(quota) AS BIGINT) AS quota,
+      |  CAST(count(CASE WHEN rk <= quota THEN 1 END) AS BIGINT) AS n_admitted,
+      |  CAST(sum(CASE WHEN rk <= quota THEN vec_id END) AS BIGINT) AS admitted_id_sum,
+      |  CAST(count(DISTINCT CASE WHEN rk <= quota THEN label END) AS BIGINT) AS n_labels
+      |FROM q GROUP BY cell ORDER BY cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_knn_hubness" -> ((s: SparkSession, d: String) => knnHubness(s, d)),
+    "p19_cluster_quota" -> (clusterQuotaSample _),
     "s15_ann_deletion" -> ((s: SparkSession, d: String) => ivfPqDeleteTopK(s, d)),
     "s14_matryoshka_recall" -> ((s: SparkSession, d: String) => matryoshkaRecall(s, d)),
     "s13_mmr_rerank" -> ((s: SparkSession, d: String) => mmrRerank(s, d)),
@@ -1855,6 +2022,8 @@ object Similarity {
     "d06_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDupPairsSeeded(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "s16_knn_hubness" -> knnHubnessSql,
+    "p19_cluster_quota" -> clusterQuotaSampleSql,
     "s15_ann_deletion" -> ivfPqDeleteTopKSql,
     "s14_matryoshka_recall" -> matryoshkaRecallSql,
     "s13_mmr_rerank" -> mmrRerankSql,

@@ -1445,7 +1445,75 @@ object TextOps {
        |FROM tot LEFT JOIN nov ON nov.doc_id = tot.doc_id
        |ORDER BY tot.doc_id""".stripMargin
 
+  // --------------------------------------------------------- readability
+  /** t24: FORCAST readability grading per language. The corpus carries no
+    * sentence punctuation (verified: zero [.!?] at every SF), which rules
+    * out Flesch/Kincaid — FORCAST is the standard formula designed for
+    * exactly that case (technical/fragmentary text): grade = 20 −
+    * (monosyllabic words per 150 words)/10. Syllables are proxied by
+    * vowel groups ([aeiouy]+), the usual regex approximation; a word is
+    * monosyllabic iff it contains exactly one group. The grade is kept in
+    * exact integer centigrades — 2000 − (1500·mono) div words — so every
+    * value hash-matches the oracle with zero float accumulation, then
+    * docs are histogrammed per (lang, integer grade).
+    *
+    * The monosyllable count is ONE whole-text regexp pass, not a per-word
+    * explode: normalize to single-space lowercase words, double the
+    * delimiters (so adjacent matches cannot compete for the shared space
+    * — RE2 on the oracle side has no lookahead), and count
+    * ` cons*[aeiouy]+cons* `. Scale shape: a narrow projection off the
+    * documents scan into a ≤|langs|×16-row hash aggregate; map-side
+    * partials, nothing else shuffles.
+    */
+  def readability(s: SparkSession, d: String): DataFrame =
+    readabilityOf(Tables.documents(s, d))
+
+  /** t24 over any documents-shaped frame (spec-injectable face). */
+  private[graft] def readabilityOf(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), lit("[^a-z]+"), lit(" ")))
+    val spaced = concat(lit(" "), regexp_replace(norm, lit(" "), lit("  ")), lit(" "))
+    val monoRe = " [b-df-hj-np-tv-xz]*[aeiouy]+[b-df-hj-np-tv-xz]* "
+    docs
+      .select(col("lang"),
+        regexp_count(norm, lit("[a-z]+")).cast("long").as("n_words"),
+        regexp_count(norm, lit("[aeiouy]+")).cast("long").as("n_vgroups"),
+        regexp_count(spaced, lit(monoRe)).cast("long").as("n_mono"))
+      .filter(col("n_words") >= 1)
+      .withColumn("grade_centi", lit(2000L) - expr("(1500 * n_mono) div n_words"))
+      .groupBy(col("lang"), expr("grade_centi div 100").as("grade"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_mono")).as("mono_words"),
+        sum(col("n_words")).as("words"),
+        sum(col("n_vgroups")).as("vowel_groups"))
+      .orderBy("lang", "grade")
+  }
+
+  /** DuckDB oracle: identical normalization, delimiter-doubling and
+    * integer grade arithmetic (regexp_replace needs the 'g' flag — DuckDB
+    * replaces only the first match by default).
+    */
+  val readabilitySql: String =
+    """WITH n AS (SELECT lang,
+      |    trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |m AS (SELECT lang,
+      |    len(regexp_extract_all(norm, '[a-z]+')) AS n_words,
+      |    len(regexp_extract_all(norm, '[aeiouy]+')) AS n_vgroups,
+      |    len(regexp_extract_all(' ' || regexp_replace(norm, ' ', '  ', 'g') || ' ',
+      |        ' [b-df-hj-np-tv-xz]*[aeiouy]+[b-df-hj-np-tv-xz]* ')) AS n_mono
+      |  FROM n),
+      |g AS (SELECT lang, 2000 - (1500 * n_mono) // n_words AS grade_centi,
+      |        n_mono, n_words, n_vgroups
+      |      FROM m WHERE n_words >= 1)
+      |SELECT lang, CAST(grade_centi // 100 AS BIGINT) AS grade,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_mono) AS BIGINT) AS mono_words,
+      |  CAST(sum(n_words) AS BIGINT) AS words,
+      |  CAST(sum(n_vgroups) AS BIGINT) AS vowel_groups
+      |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_readability" -> (readability _),
     "t23_ngram_novelty" -> (ngramNovelty _),
     "t22_ccnet_buckets" -> (ccnetBuckets _),
     "t21_bpe_fertility" -> (bpeFertility _),
@@ -1470,6 +1538,7 @@ object TextOps {
     "t05_cleantext" -> (cleanedDocs _))
 
   val oracles: Map[String, String] = Map(
+    "t24_readability" -> readabilitySql,
     "t23_ngram_novelty" -> ngramNoveltySql,
     "t22_ccnet_buckets" -> ccnetBucketsSql,
     "t21_bpe_fertility" -> bpeFertilitySql,
