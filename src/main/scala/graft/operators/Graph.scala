@@ -594,7 +594,105 @@ object Graph {
       |ORDER BY common DESC, ra_score DESC, cust_a, cust_b
       |LIMIT $LINK_TOPK""".stripMargin
 
+  // -------------------------------------------------- g07 weighted SSSP
+  private val SSSP_ROUNDS = 6
+
+  /** g07: hop-bounded weighted single-source shortest paths — Bellman-Ford
+    * relaxation over the trade graph with TIE-STRENGTH edge weights
+    * (w = max(1, 1000 div co-order multiplicity): frequent trading pairs
+    * are cheap to traverse, one-off pairs cost 1000), the "cheapest trust
+    * path within k hops" question behind fraud-ring tracing, partner
+    * routing, and recall expansion with edge affinities. g04 answers
+    * min-HOPS; this answers min-COST, and the two diverge exactly where
+    * a longer chain of strong ties undercuts one weak tie (the planted
+    * spec pins such a case).
+    *
+    * Contract: distances are exact integer shortest-path costs using at
+    * most [[SSSP_ROUNDS]] edges (the g04 hop-cap stance — at 6 rounds the
+    * relaxation has converged on this small-world graph; the oracle runs
+    * the SAME fixed 6 rounds, so the contract is identical even if a
+    * pathological graph were still relaxing). Everything is longs:
+    * min-aggregates of integer sums, shuffle-order independent.
+    *
+    * Iteration discipline (g01/g03/g04 lessons): the weighted adjacency
+    * is repartitioned and localCheckpointed ONCE; the O(|nodes|) distance
+    * frame is broadcast explicitly each round (AQE demotion would strand
+    * a probe-side exchange per round); dist re-checkpoints per round so
+    * lineage stays O(1). Six rounds = six bounded jobs; at node counts
+    * past broadcast reach the same loop runs with a shuffled src-keyed
+    * join (the frames stay |nodes|-bounded either way).
+    */
+  def sssp(s: SparkSession, d: String): DataFrame = {
+    val ew = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(count(lit(1)).as("mult"))
+      .select(col("src"), col("dst"),
+        expr("greatest(1L, 1000L div mult)").as("w"))
+    ssspFrom(ew, BFS_SEED)
+  }
+
+  /** g07 over any weighted (src, dst, w) half-edge frame (spec face);
+    * edges are symmetrized here.
+    */
+  private[graft] def ssspFrom(ew: DataFrame, seed: Long): DataFrame = {
+    val adj = ew.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("t"), col("w")),
+        struct(col("dst").as("s"), col("src").as("t"), col("w")))).as("e"))
+      .select(col("e.s").as("src"), col("e.t").as("dst"), col("e.w").as("w"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var dist = adj.sparkSession.range(1)
+      .select(lit(seed).as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to SSSP_ROUNDS) {
+      val relaxed = adj.join(broadcast(dist), adj("src") === dist("node"))
+        .select(adj("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist.select(col("node"),
+        when(col("node") % 2 === 0, lit("cust")).otherwise(lit("supp"))
+          .as("side"),
+        col("dist"))
+      .orderBy("node")
+  }
+
+  /** g07 oracle: the same six relaxation rounds unrolled as chained CTEs
+    * (the g03 $prev pattern — DuckDB recursive CTEs see only the last
+    * round's rows, which cannot express "min over all rounds so far"
+    * without re-emitting the full set; six explicit rounds can).
+    */
+  val ssspSql: String = {
+    val rounds = (1 to SSSP_ROUNDS).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+         |  SELECT node, dist FROM d${r - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS node, p.dist + e.w AS dist
+         |  FROM d${r - 1} p JOIN e ON e.src = p.node) GROUP BY node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ew AS MATERIALIZED (
+       |  SELECT src, dst, greatest(1, 1000 // mult) AS w FROM (
+       |    SELECT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst,
+       |           count(*) AS mult
+       |    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |    GROUP BY 1, 2)),
+       |e AS MATERIALIZED (SELECT src, dst, w FROM ew
+       |  UNION ALL SELECT dst AS src, src AS dst, w FROM ew),
+       |d0 AS (SELECT CAST($BFS_SEED AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+       |$rounds
+       |SELECT node,
+       |  CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS side,
+       |  CAST(dist AS BIGINT) AS dist
+       |FROM d$SSSP_ROUNDS ORDER BY node""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g07_sssp" -> (sssp _),
     "g06_link_prediction" -> (linkPrediction _),
     "g05_degree_mixing" -> (degreeMixing _),
     "g04_bfs_reach" -> (bfsReach _),
@@ -603,6 +701,7 @@ object Graph {
     "g03_label_propagation" -> (labelPropagation _))
 
   def oracles: Map[String, String] = Map(
+    "g07_sssp" -> ssspSql,
     "g06_link_prediction" -> linkPredictionSql,
     "g05_degree_mixing" -> degreeMixingSql,
     "g04_bfs_reach" -> bfsReachSql,

@@ -2000,7 +2000,90 @@ object Similarity {
       |  CAST(count(DISTINCT CASE WHEN rk <= quota THEN label END) AS BIGINT) AS n_labels
       |FROM q GROUP BY cell ORDER BY cell""".stripMargin
 
+  // ----------------------------------------------- s17 IVF index health
+  /** s17: IVF quantizer-health / drift report — the "when do we retrain
+    * the coarse quantizer" diagnostic every IVF deployment monitors. Per
+    * cell of the s03 index geometry: population, imbalance (pop ·
+    * N_CELLS · 10^6 div corpus — 10^6 ppm ⇔ perfectly balanced; the
+    * probe-cost ceiling is max imbalance, since a probe scans its cells'
+    * actual populations), and the mean/max per-vector quantization error
+    * against the assigned centroid. Rising SSE or imbalance over
+    * ingest deltas is the retrain trigger; both are exact integers here.
+    *
+    * The squared L2 never materializes a difference array: ‖v−c‖² =
+    * v·v − 2·v·c + c·c, three codegen [[qdot]]s on the already-quantized
+    * components, then div 64 (per-dimension mean) so per-cell long sums
+    * hold headroom past 10^5 vectors/cell at unit-norm 10^6 quantization.
+    *
+    * Scale shape: ONE corpus scan × broadcast centroids (the s03/p19
+    * assignment), per-vector arithmetic inside the projection, and a
+    * ≤[[N_CELLS]]-row hash aggregate; the corpus total rides the same
+    * aggregate output via a broadcast 1-row grand total (no second scan,
+    * no unpartitioned window). At 100 TB the cell id is the stored
+    * write-time partition key, so the scan reads cell-local partitions
+    * and the report is delta-mergeable (sums and max re-aggregate).
+    */
+  def ivfDrift(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("cv"))
+    val centroids = broadcast(
+      all.filter(col("vec_id") % 31 === 6)
+        .orderBy(col("vec_id")).limit(N_CELLS)
+        .withColumn("cell", row_number().over(Window.orderBy(col("vec_id"))))
+        .select(col("cell"), col("cv").as("centroid")))
+    val assigned = all.crossJoin(centroids)
+      .withColumn("vv", qdot(col("cv"), col("cv")))
+      .withColumn("vc", qdot(col("cv"), col("centroid")))
+      .withColumn("cc", qdot(col("centroid"), col("centroid")))
+      .withColumn("score", col("vc").cast("double") /
+        sqrt(col("cc").cast("double")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
+      .filter(col("r") === 1)
+      .select(col("cell"),
+        expr("(vv - 2 * vc + cc) div 64").as("msse"))
+    val perCell = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(msse) div count(1)").as("mean_msse"),
+        max(col("msse")).as("max_msse"))
+    perCell
+      .crossJoin(broadcast(perCell.agg(sum(col("n_vecs")).as("n_corpus"))))
+      .select(col("cell"), col("n_vecs"),
+        expr(s"(n_vecs * $N_CELLS * 1000000) div n_corpus").as("imbalance_ppm"),
+        col("mean_msse"), col("max_msse"))
+      .orderBy("cell")
+  }
+
+  /** s17 oracle: the p19 assignment CTEs carrying the three dot products,
+    * identical div-64 / div-n integer arithmetic.
+    */
+  val ivfDriftSql: String =
+    """WITH v AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS cv FROM embeddings),
+      |cents AS (SELECT cell, cv AS centroid FROM (
+      |  SELECT vec_id, cv, row_number() OVER (ORDER BY vec_id) AS cell
+      |  FROM v WHERE vec_id % 31 = 6) WHERE cell <= 16),
+      |assigned AS (SELECT cell, (vv - 2 * vc + cc) // 64 AS msse FROM (
+      |  SELECT c.vec_id, cents.cell,
+      |    CAST(list_sum([c.cv[i]*c.cv[i] FOR i IN range(1,65)]) AS BIGINT) AS vv,
+      |    CAST(list_sum([c.cv[i]*cents.centroid[i] FOR i IN range(1,65)]) AS BIGINT) AS vc,
+      |    CAST(list_sum([cents.centroid[i]*cents.centroid[i] FOR i IN range(1,65)]) AS BIGINT) AS cc,
+      |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |      CAST(list_sum([c.cv[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
+      |        sqrt(CAST(list_sum([cents.centroid[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) DESC, cents.cell) AS r
+      |  FROM v c CROSS JOIN cents) WHERE r = 1),
+      |pc AS (SELECT cell, count(*) AS n_vecs,
+      |         CAST(sum(msse) AS BIGINT) // count(*) AS mean_msse,
+      |         max(msse) AS max_msse
+      |       FROM assigned GROUP BY cell),
+      |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_corpus FROM pc)
+      |SELECT cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+      |  (CAST(n_vecs AS BIGINT) * 16 * 1000000) // n_corpus AS imbalance_ppm,
+      |  CAST(mean_msse AS BIGINT) AS mean_msse,
+      |  CAST(max_msse AS BIGINT) AS max_msse
+      |FROM pc CROSS JOIN tot ORDER BY cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_ivf_drift" -> (ivfDrift _),
     "s16_knn_hubness" -> ((s: SparkSession, d: String) => knnHubness(s, d)),
     "p19_cluster_quota" -> (clusterQuotaSample _),
     "s15_ann_deletion" -> ((s: SparkSession, d: String) => ivfPqDeleteTopK(s, d)),
@@ -2022,6 +2105,7 @@ object Similarity {
     "d06_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDupPairsSeeded(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "s17_ivf_drift" -> ivfDriftSql,
     "s16_knn_hubness" -> knnHubnessSql,
     "p19_cluster_quota" -> clusterQuotaSampleSql,
     "s15_ann_deletion" -> ivfPqDeleteTopKSql,

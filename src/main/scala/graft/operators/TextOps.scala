@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -1512,7 +1512,155 @@ object TextOps {
       |  CAST(sum(n_vgroups) AS BIGINT) AS vowel_groups
       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------- trained NB lang classifier
+  /** Hashed-feature vocabulary size for [[nbLangid]]. */
+  val NB_BUCKETS = 1024L
+
+  /** t25: trained Naive Bayes language classifier with held-out
+    * evaluation — the LEARNED-model counterpart to t02's fixed-rule
+    * heuristic, and the in-engine face of the fastText-style classifiers
+    * production pipelines train for quality/language filtering (CCNet,
+    * GPT-3 quality filter). Train on a deterministic 3/4 content-hash
+    * split, score the held-out 1/4, emit the confusion matrix.
+    *
+    * Model: multinomial NB over [[NB_BUCKETS]] hashed unigram buckets.
+    * Log-probabilities would pull in libm (engine-divergent in the last
+    * ulp — the t15 lesson), so each smoothed probability is quantized
+    * p→q = max(1, floor(10^6·(c+1)/(tot_l+B))) with ONE IEEE
+    * multiply+divide+floor (the p13 discipline), then the log is taken
+    * EXACTLY in integers at 1/3-bit granularity: w = length(bin(q³))−1 =
+    * floor(3·log2 q) (q ≤ 10^6 so q³ ≤ 10^18 — no overflow; bin() is a
+    * string length both engines compute bit-for-bit, the t19 idf trick).
+    * The 10^6 scale shifts every token's log by the same constant across
+    * classes, so the argmax is the true NB argmax at quantization
+    * precision. Unseen (bucket, lang) pairs score the lang's smoothed
+    * zero-count weight via default·(n_tok − n_seen) — the dense grid is
+    * test-docs × |langs|, never test-docs × buckets.
+    *
+    * THIS corpus's text is label-independent by construction (token
+    * ratios are uniform across langs), so the measured held-out accuracy
+    * ≈ the majority-class prior — that IS the correct answer here, and
+    * the spec proves the same code learns a separable planted corpus.
+    *
+    * Scale shape: two token-explode passes (train counts onto ≤ B·|langs|
+    * keys, test counts onto (doc, bucket) — both collapse map-side); the
+    * weight table (≤ B·|langs| rows) and the |langs|-row model frame are
+    * BROADCAST; scoring is one aggregate over (doc, lang) and a
+    * per-doc argmax window (|langs|-bounded partitions); the confusion
+    * matrix is a ≤|langs|²-row aggregate. Nothing quadratic in corpus.
+    */
+  def nbLangid(s: SparkSession, d: String): DataFrame =
+    nbLangidOf(Tables.documents(s, d))
+
+  /** t25 over any documents-shaped frame (spec-injectable face). */
+  private[graft] def nbLangidOf(docsRaw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docsRaw.select(col("doc_id"), col("lang"), col("text"),
+      (graft.operators.Dedup.baseHash(col("text")) % 4 === 0).as("is_test"))
+    def toks(f: DataFrame): DataFrame = f.select(col("doc_id"), col("lang"),
+      explode(tokens(col("text"))).as("tok"))
+      .withColumn("b", graft.operators.Dedup.baseHash(col("tok")) % NB_BUCKETS)
+    // exact integer 3*floor-log2 of the quantized probability (see doc)
+    def llog3(q: Column): Column =
+      (length(bin(q * q * q)) - 1).cast("long")
+    def quant(num: Column, den: Column): Column =
+      greatest(lit(1L), floor(lit(1000000.0) * num / den).cast("long"))
+
+    // ---- train: per-(lang,bucket) counts -> quantized-log weight table
+    val c = toks(docs.filter(!col("is_test"))).groupBy("lang", "b")
+      .agg(count(lit(1)).as("c"))
+    val tl = c.groupBy("lang").agg(sum(col("c")).as("tot"))
+    val w = c.join(broadcast(tl), "lang")
+      .select(col("lang"), col("b"),
+        llog3(quant(col("c") + lit(1L), col("tot") + lit(NB_BUCKETS))).as("w"))
+    // per-lang model row: prior weight + unseen-bucket default weight
+    val pr = docs.filter(!col("is_test")).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val prTot = pr.agg(sum(col("n_docs")).as("p_tot"),
+      count(lit(1)).as("n_langs"))
+    val model = pr.crossJoin(broadcast(prTot))
+      .join(tl, "lang")
+      .select(col("lang"),
+        llog3(quant(col("n_docs") + lit(1L), col("p_tot") + col("n_langs")))
+          .as("prior_w"),
+        llog3(quant(lit(1L), col("tot") + lit(NB_BUCKETS))).as("default_w"))
+
+    // ---- test: bucket counts, seen-mass per (doc, lang), dense grid
+    val tb = toks(docs.filter(col("is_test"))).groupBy("doc_id", "b")
+      .agg(count(lit(1)).as("cnt"))
+    val dn = tb.groupBy("doc_id").agg(sum(col("cnt")).as("n_tok"))
+    val seen = tb.join(broadcast(w), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cnt") * col("w")).as("s_seen"),
+        sum(col("cnt")).as("n_seen"))
+    val grid = docs.filter(col("is_test"))
+      .select(col("doc_id"), col("lang").as("true_lang"))
+      .join(dn, "doc_id")
+      .crossJoin(broadcast(model))
+      .join(seen, Seq("doc_id", "lang"), "left")
+      .select(col("doc_id"), col("true_lang"), col("lang"),
+        (col("prior_w") + coalesce(col("s_seen"), lit(0L)) +
+          col("default_w") * (col("n_tok") - coalesce(col("n_seen"), lit(0L))))
+          .as("score"))
+    grid.withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("lang"))))
+      .filter(col("r") === 1)
+      .groupBy(col("true_lang"), col("lang").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
+  /** t25 oracle: identical split, hashing, smoothing, quantized-log and
+    * argmax tie-break arithmetic (length/bin are BIGINT-exact both
+    * engines; DuckDB length() is BIGINT vs Spark INT — cast is on the
+    * Spark side).
+    */
+  val nbLangidSql: String =
+    s"""WITH d AS (SELECT doc_id, lang, text,
+       |    CAST(concat('0x', substr(md5(text),1,15)) AS BIGINT) % 4 = 0 AS is_test
+       |  FROM documents),
+       |t AS (SELECT doc_id, lang, is_test,
+       |    CAST(concat('0x', substr(md5(tok),1,15)) AS BIGINT) % $NB_BUCKETS AS b
+       |  FROM (SELECT doc_id, lang, is_test,
+       |          unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |        FROM d)),
+       |c AS (SELECT lang, b, count(*) AS c FROM t WHERE NOT is_test GROUP BY 1, 2),
+       |tl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM c GROUP BY 1),
+       |w AS (SELECT lang, b, length(bin(q*q*q)) - 1 AS w FROM (
+       |    SELECT c.lang, c.b,
+       |      greatest(1, CAST(floor(1000000.0 * (c.c + 1) / (tl.tot + $NB_BUCKETS)) AS BIGINT)) AS q
+       |    FROM c JOIN tl ON tl.lang = c.lang)),
+       |pr AS (SELECT lang, count(*) AS n_docs FROM d WHERE NOT is_test GROUP BY 1),
+       |prt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS p_tot, count(*) AS n_langs FROM pr),
+       |model AS (SELECT pr.lang,
+       |    length(bin(pq*pq*pq)) - 1 AS prior_w,
+       |    length(bin(dq*dq*dq)) - 1 AS default_w
+       |  FROM (SELECT pr.lang,
+       |      greatest(1, CAST(floor(1000000.0 * (pr.n_docs + 1) / (prt.p_tot + prt.n_langs)) AS BIGINT)) AS pq,
+       |      greatest(1, CAST(floor(1000000.0 * 1 / (tl.tot + $NB_BUCKETS)) AS BIGINT)) AS dq
+       |    FROM pr CROSS JOIN prt JOIN tl ON tl.lang = pr.lang) pr),
+       |tb AS (SELECT doc_id, b, count(*) AS cnt FROM t WHERE is_test GROUP BY 1, 2),
+       |dn AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok FROM tb GROUP BY 1),
+       |seen AS (SELECT tb.doc_id, w.lang,
+       |    CAST(sum(tb.cnt * w.w) AS BIGINT) AS s_seen,
+       |    CAST(sum(tb.cnt) AS BIGINT) AS n_seen
+       |  FROM tb JOIN w ON w.b = tb.b GROUP BY 1, 2),
+       |grid AS (SELECT td.doc_id, td.lang AS true_lang, m.lang,
+       |    m.prior_w + coalesce(seen.s_seen, 0)
+       |      + m.default_w * (dn.n_tok - coalesce(seen.n_seen, 0)) AS score
+       |  FROM (SELECT doc_id, lang FROM d WHERE is_test) td
+       |  JOIN dn ON dn.doc_id = td.doc_id
+       |  CROSS JOIN model m
+       |  LEFT JOIN seen ON seen.doc_id = td.doc_id AND seen.lang = m.lang),
+       |pred AS (SELECT true_lang, lang AS pred_lang FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY score DESC, lang) AS r FROM grid) WHERE r = 1)
+       |SELECT true_lang, pred_lang, count(*) AS n_docs
+       |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_nb_langid" -> (nbLangid _),
     "t24_readability" -> (readability _),
     "t23_ngram_novelty" -> (ngramNovelty _),
     "t22_ccnet_buckets" -> (ccnetBuckets _),
@@ -1538,6 +1686,7 @@ object TextOps {
     "t05_cleantext" -> (cleanedDocs _))
 
   val oracles: Map[String, String] = Map(
+    "t25_nb_langid" -> nbLangidSql,
     "t24_readability" -> readabilitySql,
     "t23_ngram_novelty" -> ngramNoveltySql,
     "t22_ccnet_buckets" -> ccnetBucketsSql,

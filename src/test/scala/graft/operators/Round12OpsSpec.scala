@@ -91,6 +91,83 @@ class Round12OpsSpec extends SparkSpec {
     assert(out.forall(r => math.abs(r.getDouble(4)) <= 1.0 + 1e-12))
   }
 
+  test("t25 planted: NB learns a separable corpus to a perfect diagonal") {
+    import spark.implicits._
+    // two "languages" with disjoint vocabularies; texts vary by a numeric
+    // token so the content-hash split lands docs on both sides of the
+    // train/test cut — membership computed with the same hash the
+    // operator uses, so the expectation is exact, not probabilistic
+    val docs = (0 until 40).map { i =>
+      val (lang, text) =
+        if (i % 2 == 0) ("aa", s"alpha beta alpha gamma n$i")
+        else ("bb", s"zeta eta zeta theta n$i")
+      (i.toLong, lang, text)
+    }
+    val nTest = docs.count { case (_, _, t) =>
+      java.lang.Math.floorMod(graft.expressions.Md5Hash.hash60(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)), 4L) == 0L }
+    assert(nTest >= 4, "fixture must place docs in the held-out split")
+    val out = TextOps.nbLangidOf(docs.toDF("doc_id", "lang", "text")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // separable vocabulary -> every held-out doc classified correctly
+    assert(out.forall { case (t, p, _) => t == p },
+      s"off-diagonal confusion on separable data: ${out.mkString(",")}")
+    assert(out.map(_._3).sum == nTest)
+  }
+
+  test("t25 corpus: held-out docs conserve and predictions stay in the label set") {
+    val out = TextOps.nbLangid(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val langs = Tables.documents(spark, d).select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(out.forall { case (t, p, n) =>
+      langs.contains(t) && langs.contains(p) && n >= 1 })
+    // every held-out doc lands in exactly one confusion cell
+    val nTest = Tables.documents(spark, d).collect().count { r =>
+      java.lang.Math.floorMod(
+        graft.expressions.Md5Hash.hash60(r.getAs[String]("text").getBytes(java.nio.charset.StandardCharsets.UTF_8)), 4L) == 0L }
+    assert(out.map(_._3).sum == nTest)
+  }
+
+  test("s17: populations conserve, imbalance ppm sums to ~16e6, sse ordered") {
+    val out = Similarity.ivfDrift(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == Similarity.N_CELLS)
+    assert(out.map(_._2).sum == Tables.embeddings(spark, d).count())
+    val ppm = out.map(_._3).sum
+    // sum of floor(n_i*16e6/N) over 16 cells: within 16 of exact 16e6
+    assert(ppm <= 16000000L && ppm > 16000000L - 16)
+    out.foreach { case (_, n, _, mean, mx) =>
+      assert(n >= 1 && mean >= 0 && mx >= mean,
+        "max per-vector error bounds the mean")
+    }
+  }
+
+  test("g07 planted: a chain of strong ties undercuts the weak direct edge") {
+    import spark.implicits._
+    // 0-1 direct but weak (1000); 0-3-1 two strong hops (10+10);
+    // 5-6 is a disconnected component and must not appear
+    val ew = Seq((0L, 1L, 1000L), (0L, 3L, 10L), (3L, 1L, 10L),
+      (5L, 6L, 7L)).toDF("src", "dst", "w")
+    val out = Graph.ssspFrom(ew, seed = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 0L), (1L, 20L), (3L, 10L)),
+      s"weighted relaxation must prefer the strong-tie chain: ${out.mkString(",")}")
+  }
+
+  test("g07 corpus: seed at zero, distances bounded by 6 weak hops, reach matches g04") {
+    val out = Graph.sssp(spark, d).collect().map(r => (r.getLong(0), r.getLong(2)))
+    val dist = out.toMap
+    assert(dist(0L) == 0L)
+    assert(out.forall(_._2 <= 6000L), "6 rounds x max weight 1000")
+    // weighted reachability within 6 relaxation rounds must cover at
+    // least the nodes BFS reaches in 6 hops minus none: same edge set,
+    // so the reached sets are identical
+    val bfsReached = Graph.bfsReach(spark, d).collect()
+      .filter(_.getInt(0) >= 0).map(_.getLong(1)).sum
+    assert(out.length == bfsReached)
+  }
+
   test("p19: quotas are ceil(n/4), admissions fill them exactly, population conserves") {
     val out = Similarity.clusterQuotaSample(spark, d).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
