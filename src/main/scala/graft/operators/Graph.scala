@@ -304,6 +304,20 @@ object Graph {
     * |nodes| rows. Seeds stay fixed via anti-join + union.
     */
   def labelPropagation(s: SparkSession, d: String): DataFrame = {
+    val (labels, _) = lpaLabelsAndEdges(s, d)
+    labels.groupBy(col("label"))
+      .agg(count(when(col("node") % 2 === 0, 1)).as("n_customers"),
+        count(when(col("node") % 2 === 1, 1)).as("n_suppliers"))
+      .orderBy(col("label"))
+  }
+
+  /** The g03 propagation itself: final (node, label) frame after
+    * [[LPA_ROUNDS]] synchronous rounds, plus the checkpointed symmetric
+    * edge list it ran on (shared with g08's modularity eval so the eval
+    * never re-derives the adjacency).
+    */
+  private[graft] def lpaLabelsAndEdges(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val edges = tradeEdges(s, d) // checkpointed by construction
     val seeds = Tables.supplier(s, d)
       .filter(col("s_nationkey") < LPA_SEED_NATIONS)
@@ -329,10 +343,7 @@ object Graph {
           voted("node") === col("snode"), "left_anti")
         .unionByName(seeds)
     }
-    labels.groupBy(col("label"))
-      .agg(count(when(col("node") % 2 === 0, 1)).as("n_customers"),
-        count(when(col("node") % 2 === 1, 1)).as("n_suppliers"))
-      .orderBy(col("label"))
+    (labels, edges)
   }
 
   /** g03 oracle: the same synchronous rounds unrolled. */
@@ -691,7 +702,94 @@ object Graph {
        |FROM d$SSSP_ROUNDS ORDER BY node""".stripMargin
   }
 
+  // ------------------------------------------------ g08 modularity eval
+  /** g08: Newman modularity of the g03 label-propagation communities —
+    * the eval face of g03, exactly as d19 is to d04 and s18 to s05: the
+    * measurement a production clustering choice rests on. Q = Σ_c
+    * [intra_c/M − (d_c/M)²] over the symmetric edge list (M = directed
+    * edge count = 2m), reported per community as the exact integer
+    * numerator q_contrib_num = M·intra_c − d_c², so Q = Σ/M² with zero
+    * float accumulation. Positive contributions mark real communities
+    * (more internal mass than the degree-random null model); the exact
+    * integers stay within int64 through ~3·10⁹ directed edges (M·intra ≤
+    * M²), past which the units rescale (document, don't overflow).
+    *
+    * Nodes the propagation never reached fold into one explicit −1
+    * community (deterministic; empty on this graph, where seeds reach
+    * everything within the round budget). Shape: labels and adjacency
+    * come from ONE propagation run (the p11 amortization discipline —
+    * g08 never re-derives either); the |nodes|-row label frame is
+    * checkpointed once and broadcast into the edge scan twice (src/dst
+    * sides); two bounded aggregates (per-label, 1-row grand total)
+    * finish it. Nothing rescans lineitem.
+    */
+  def modularity(s: SparkSession, d: String): DataFrame = {
+    val (labels, edges) = lpaLabelsAndEdges(s, d)
+    val lab = edges.select(col("src").as("node")).distinct()
+      .join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), lit(-1L)).as("label"))
+      .localCheckpoint(true) // iterative lineage; read 3x below
+    val e2 = edges
+      .join(broadcast(lab.select(col("node").as("src"), col("label").as("lsrc"))),
+        "src")
+      .join(broadcast(lab.select(col("node").as("dst"), col("label").as("ldst"))),
+        "dst")
+    val perLabel = e2.groupBy(col("lsrc").as("label"))
+      .agg(count(lit(1)).as("deg_sum"),
+        count(when(col("lsrc") === col("ldst"), 1)).as("intra_deg"))
+    perLabel
+      .join(lab.groupBy("label").agg(count(lit(1)).as("n_nodes")), "label")
+      .crossJoin(broadcast(perLabel.agg(sum(col("deg_sum")).as("m_dir"))))
+      .select(col("label"), col("n_nodes"),
+        expr("intra_deg div 2").as("intra_edges"),
+        col("deg_sum"),
+        (col("m_dir") * col("intra_deg") - col("deg_sum") * col("deg_sum"))
+          .as("q_contrib_num"))
+      .orderBy("label")
+  }
+
+  /** g08 oracle: the g03 unrolled propagation feeding the same exact
+    * integer modularity arithmetic.
+    */
+  val modularitySql: String = {
+    val round = (prev: String, k: Int) =>
+      s"""n$k AS (SELECT e.dst AS node, l.label, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM edges e JOIN $prev l ON l.node = e.src GROUP BY e.dst, l.label),
+         |v$k AS (SELECT node, label FROM n$k
+         |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) = 1),
+         |l$k AS MATERIALIZED (
+         |  SELECT v.node, v.label FROM v$k v
+         |    LEFT JOIN seeds s ON s.node = v.node WHERE s.node IS NULL
+         |  UNION ALL SELECT node, label FROM seeds)""".stripMargin
+    val rounds = (1 to LPA_ROUNDS).map(k =>
+      round(if (k == 1) "l0" else s"l${k - 1}", k)).mkString(",\n")
+    s"""WITH $tradeEdgesCte,
+       |seeds AS MATERIALIZED (
+       |  SELECT 2 * s_suppkey + 1 AS node, CAST(s_nationkey AS BIGINT) AS label
+       |  FROM supplier WHERE s_nationkey < $LPA_SEED_NATIONS),
+       |l0 AS (SELECT node, label FROM seeds),
+       |$rounds,
+       |lab AS MATERIALIZED (
+       |  SELECT u.node, coalesce(l.label, -1) AS label
+       |  FROM (SELECT DISTINCT src AS node FROM edges) u
+       |  LEFT JOIN l$LPA_ROUNDS l ON l.node = u.node),
+       |e2 AS (SELECT ls.label AS lsrc, ld.label AS ldst
+       |  FROM edges e JOIN lab ls ON ls.node = e.src
+       |  JOIN lab ld ON ld.node = e.dst),
+       |pl AS (SELECT lsrc AS label, CAST(count(*) AS BIGINT) AS deg_sum,
+       |         CAST(count(*) FILTER (lsrc = ldst) AS BIGINT) AS intra_deg
+       |       FROM e2 GROUP BY 1),
+       |nn AS (SELECT label, count(*) AS n_nodes FROM lab GROUP BY 1),
+       |mt AS (SELECT CAST(sum(deg_sum) AS BIGINT) AS m_dir FROM pl)
+       |SELECT pl.label, CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+       |  intra_deg // 2 AS intra_edges, deg_sum,
+       |  mt.m_dir * intra_deg - deg_sum * deg_sum AS q_contrib_num
+       |FROM pl JOIN nn USING (label) CROSS JOIN mt ORDER BY pl.label"""
+      .stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g08_modularity" -> (modularity _),
     "g07_sssp" -> (sssp _),
     "g06_link_prediction" -> (linkPrediction _),
     "g05_degree_mixing" -> (degreeMixing _),
@@ -701,6 +799,7 @@ object Graph {
     "g03_label_propagation" -> (labelPropagation _))
 
   def oracles: Map[String, String] = Map(
+    "g08_modularity" -> modularitySql,
     "g07_sssp" -> ssspSql,
     "g06_link_prediction" -> linkPredictionSql,
     "g05_degree_mixing" -> degreeMixingSql,

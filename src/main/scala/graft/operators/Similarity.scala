@@ -2082,7 +2082,102 @@ object Similarity {
       |  CAST(max_msse AS BIGINT) AS max_msse
       |FROM pc CROSS JOIN tot ORDER BY cell""".stripMargin
 
+  // ------------------------------------------- s18 clustering silhouette
+  /** s18: simplified-silhouette clustering quality — the standard "are
+    * these cells real clusters" eval (Rousseeuw 1987; the centroid-based
+    * simplified form is the one that scales, used to pick k and to judge
+    * SemDeDup/IVF cell quality). Per point: a = L2 distance to its OWN
+    * centroid, b = the nearest OTHER centroid, s = (b−a)/max(a,b) ∈
+    * [−1,1]; per cell we report the mean and the worst point. Negative
+    * means flag cells whose members sit closer to a neighboring centroid
+    * — the same retrain trigger s17 reads from error mass, but in the
+    * cluster-separation currency.
+    *
+    * Determinism: squared distances are exact integers (the s17
+    * three-qdot identity); each point's silhouette goes through ONE fixed
+    * IEEE chain (sqrt,sqrt,−,/, +1, ×1000, floor — both engines
+    * exact-rounded) into a shifted integer milli-score, so per-cell sums
+    * are shuffle-order independent and the −1000 shift-back happens
+    * after the integer mean. Means use `div` on NON-NEGATIVE shifted
+    * sums only (Spark div truncates toward zero, DuckDB // floors — they
+    * agree only on non-negatives, so no negative ever reaches a div).
+    *
+    * Scale shape: the same one-scan × broadcast-centroids frame as
+    * s17/p19 — the per-(point,centroid) rows never leave their scan
+    * partition before the (vec_id) aggregate; then a ≤[[N_CELLS]]-row
+    * aggregate. Silhouette's pairwise-exact form is corpus² and is
+    * exactly what the simplified form exists to avoid.
+    */
+  def silhouette(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("cv"))
+    val centroids = broadcast(
+      all.filter(col("vec_id") % 31 === 6)
+        .orderBy(col("vec_id")).limit(N_CELLS)
+        .withColumn("cell", row_number().over(Window.orderBy(col("vec_id"))))
+        .select(col("cell"), col("cv").as("centroid")))
+    val scored = all.crossJoin(centroids)
+      .withColumn("sse",
+        qdot(col("cv"), col("cv")) - lit(2L) * qdot(col("cv"), col("centroid"))
+          + qdot(col("centroid"), col("centroid")))
+      .withColumn("score",
+        qdot(col("cv"), col("centroid")).cast("double") /
+          sqrt(qdot(col("centroid"), col("centroid")).cast("double")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
+    val perPoint = scored.groupBy(col("vec_id"))
+      .agg(max(when(col("r") === 1, col("cell"))).as("cell"),
+        max(when(col("r") === 1, col("sse"))).as("a2"),
+        min(when(col("r") > 1, col("sse"))).as("b2"))
+      .select(col("cell"),
+        when(greatest(col("a2"), col("b2")) === 0, lit(1000L))
+          .otherwise(floor(lit(1000.0) *
+            ((sqrt(col("b2").cast("double")) - sqrt(col("a2").cast("double"))) /
+              greatest(sqrt(col("a2").cast("double")),
+                sqrt(col("b2").cast("double"))) + lit(1.0))).cast("long"))
+          .as("s_shift"))
+    perPoint.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (expr("sum(s_shift) div count(1)") - lit(1000L)).as("mean_sil_milli"),
+        (min(col("s_shift")) - lit(1000L)).as("min_sil_milli"))
+      .orderBy("cell")
+  }
+
+  /** s18 oracle: identical assignment, three-dot SSE, and the single
+    * IEEE silhouette chain in the same operation order.
+    */
+  val silhouetteSql: String =
+    """WITH v AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS cv FROM embeddings),
+      |cents AS (SELECT cell, cv AS centroid FROM (
+      |  SELECT vec_id, cv, row_number() OVER (ORDER BY vec_id) AS cell
+      |  FROM v WHERE vec_id % 31 = 6) WHERE cell <= 16),
+      |scored AS (SELECT c.vec_id, cents.cell,
+      |    CAST(list_sum([c.cv[i]*c.cv[i] FOR i IN range(1,65)]) AS BIGINT)
+      |      - 2 * CAST(list_sum([c.cv[i]*cents.centroid[i] FOR i IN range(1,65)]) AS BIGINT)
+      |      + CAST(list_sum([cents.centroid[i]*cents.centroid[i] FOR i IN range(1,65)]) AS BIGINT) AS sse,
+      |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |      CAST(list_sum([c.cv[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
+      |        sqrt(CAST(list_sum([cents.centroid[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) DESC, cents.cell) AS r
+      |  FROM v c CROSS JOIN cents),
+      |pp AS (SELECT vec_id,
+      |    max(CASE WHEN r = 1 THEN cell END) AS cell,
+      |    max(CASE WHEN r = 1 THEN sse END) AS a2,
+      |    min(CASE WHEN r > 1 THEN sse END) AS b2
+      |  FROM scored GROUP BY vec_id),
+      |sil AS (SELECT cell,
+      |    CASE WHEN greatest(a2, b2) = 0 THEN 1000
+      |         ELSE CAST(floor(1000.0 *
+      |           ((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE))) /
+      |             greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE))) + 1.0)) AS BIGINT)
+      |    END AS s_shift
+      |  FROM pp)
+      |SELECT cell, count(*) AS n_vecs,
+      |  (CAST(sum(s_shift) AS BIGINT) // count(*)) - 1000 AS mean_sil_milli,
+      |  CAST(min(s_shift) - 1000 AS BIGINT) AS min_sil_milli
+      |FROM sil GROUP BY cell ORDER BY cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_silhouette" -> (silhouette _),
     "s17_ivf_drift" -> (ivfDrift _),
     "s16_knn_hubness" -> ((s: SparkSession, d: String) => knnHubness(s, d)),
     "p19_cluster_quota" -> (clusterQuotaSample _),
@@ -2105,6 +2200,7 @@ object Similarity {
     "d06_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDupPairsSeeded(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "s18_silhouette" -> silhouetteSql,
     "s17_ivf_drift" -> ivfDriftSql,
     "s16_knn_hubness" -> knnHubnessSql,
     "p19_cluster_quota" -> clusterQuotaSampleSql,

@@ -143,6 +143,38 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("s18: silhouette values live in [-1000, 1000] and populations match s17") {
+    val out = Similarity.silhouette(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == Similarity.N_CELLS)
+    out.foreach { case (_, n, mean, mn) =>
+      assert(n >= 1)
+      assert(mean >= -1000 && mean <= 1000)
+      assert(mn <= mean, "the worst point bounds the mean from below")
+    }
+    // same assignment as s17 -> identical per-cell populations
+    val drift = Similarity.ivfDrift(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(out.forall { case (c, n, _, _) => drift(c) == n })
+  }
+
+  test("g08: modularity contributions are exact and Q is bounded by 1") {
+    val out = Graph.modularity(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.nonEmpty)
+    val mDir = out.map(_._4).sum // sum of per-community degree mass = 2m
+    // every symmetric edge lands in exactly one src-label bucket; intra
+    // mass is even (counted from both endpoints) and bounded by degree
+    out.foreach { case (_, n, intra, degSum, contrib) =>
+      assert(n >= 1 && intra >= 0 && intra * 2 <= degSum * 2)
+      assert(contrib == mDir * intra * 2 - degSum * degSum)
+    }
+    // Q = sum(contrib)/M^2 must satisfy Q <= 1 (and > -1)
+    val qNum = out.map(_._5).sum
+    assert(qNum <= mDir * mDir && qNum > -(mDir * mDir))
+  }
+
   test("g07 planted: a chain of strong ties undercuts the weak direct edge") {
     import spark.implicits._
     // 0-1 direct but weak (1000); 0-3-1 two strong hops (10+10);
