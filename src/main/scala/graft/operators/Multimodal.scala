@@ -683,7 +683,80 @@ object Multimodal {
       |  ((bytes_total - bytes_distinct) * 1000000) // bytes_total AS saved_ppm
       |FROM pt JOIN db USING (media_type) ORDER BY media_type""".stripMargin
 
+  // --------------------------------------- m07 oracled real-codec decode
+  /** m07: the real-codec seam, ORACLED — every other m-key runs the
+    * deterministic stub through the oracle and proves the REAL codec only
+    * in spec; m07 closes that gap by making an actual javax.imageio
+    * decode hash-checkable. Each document becomes an 8×8 24-bit gray BMP
+    * whose pixel i (row-major) is (doc_id·31 + i) mod 256, ENCODED with
+    * ImageIO's BMP writer and DECODED back with ImageIO.read inside one
+    * mapPartitions kernel (codec init once per partition, the
+    * extractFeatures factory contract); the emitted width/height/sum/
+    * min/max come from the DECODED BufferedImage. BMP is lossless 24-bit
+    * and equal RGB channels make BT.601 luminance the gray value itself,
+    * so DuckDB can predict every output from doc_id arithmetic over a
+    * 64-element series WITHOUT decoding — if the real encode→decode path
+    * dropped or shifted a single pixel anywhere in the corpus, the hash
+    * check fails.
+    *
+    * Scale shape: a narrow map over the doc-id projection (payloads are
+    * born and die inside the kernel — no binary column ever reaches an
+    * exchange, the m-family invariant), then the terminal sort only.
+    */
+  def imageioRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("img_w", LongType, nullable = false),
+      StructField("img_h", LongType, nullable = false),
+      StructField("px_sum", LongType, nullable = false),
+      StructField("px_min", LongType, nullable = false),
+      StructField("px_max", LongType, nullable = false))))
+    Tables.documents(s, d).select(col("doc_id")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // codec init, once/partition
+      it.map { r =>
+        val id = r.getLong(0)
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < 64) {
+          val g = (((id * 31 + i) % 256) + 256) % 256
+          img.setRGB(i % 8, i / 8, (g << 16 | g << 8 | g).toInt)
+          i += 1
+        }
+        val bo = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, "bmp", bo),
+          "JDK BMP writer missing")
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bo.toByteArray))
+        var (sum, mn, mx) = (0L, 255L, 0L)
+        var y = 0
+        while (y < back.getHeight) {
+          var x = 0
+          while (x < back.getWidth) {
+            val v = (back.getRGB(x, y) & 0xff).toLong // gray: b == g == r
+            sum += v; mn = math.min(mn, v); mx = math.max(mx, v)
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, back.getWidth.toLong, back.getHeight.toLong, sum, mn, mx)
+      }
+    }(enc).orderBy("doc_id")
+  }
+
+  /** m07 oracle: predicts the decoded pixels arithmetically — the gray
+    * ramp (doc_id·31 + i) mod 256 over i ∈ [0, 64).
+    */
+  val imageioRoundtripSql: String =
+    """SELECT doc_id, CAST(8 AS BIGINT) AS img_w, CAST(8 AS BIGINT) AS img_h,
+      |  CAST(sum((doc_id * 31 + i) % 256) AS BIGINT) AS px_sum,
+      |  CAST(min((doc_id * 31 + i) % 256) AS BIGINT) AS px_min,
+      |  CAST(max((doc_id * 31 + i) % 256) AS BIGINT) AS px_max
+      |FROM documents CROSS JOIN generate_series(0, 63) t(i)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m07_imageio_roundtrip" -> (imageioRoundtrip _),
     "m06_cdc_chunks" -> (cdcChunkStats _),
     "m05_frame_dedup" -> (frameDedupStats _),
     "m04_phash_neardup" -> (phashNearDupPairs _),
@@ -694,6 +767,7 @@ object Multimodal {
     "m03_frame_stats" -> (frameStats _))
 
   val oracles: Map[String, String] = Map(
+    "m07_imageio_roundtrip" -> imageioRoundtripSql,
     "m06_cdc_chunks" -> cdcChunkStatsSql,
     "m05_frame_dedup" -> frameDedupStatsSql,
     "m04_phash_neardup" -> phashNearDupPairsSql,

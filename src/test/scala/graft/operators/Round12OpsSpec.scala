@@ -200,6 +200,19 @@ class Round12OpsSpec extends SparkSpec {
     assert(out.length == bfsReached)
   }
 
+  test("m07: ImageIO round-trip recovers the exact planted gray ramp") {
+    val out = Multimodal.imageioRoundtrip(spark, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val ramp = (0 until 64).map(i => (id * 31 + i) % 256)
+      assert(r.getLong(1) == 8 && r.getLong(2) == 8,
+        "dimensions must come from the real decoder")
+      assert(r.getLong(3) == ramp.sum)
+      assert(r.getLong(4) == ramp.min && r.getLong(5) == ramp.max)
+    }
+  }
+
   test("p19: quotas are ceil(n/4), admissions fill them exactly, population conserves") {
     val out = Similarity.clusterQuotaSample(spark, d).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
