@@ -479,7 +479,79 @@ object Advanced {
       |    AS BIGINT) AS rev_first_cents
       |FROM x GROUP BY channel ORDER BY channel""".stripMargin
 
+  // --------------------------------- q71 point-in-time feature snapshot
+  /** q71: point-in-time-correct training-feature materialization — the
+    * feature-store operation that decides whether a trained model is
+    * legitimate: for every (user, active day), emit the features known
+    * STRICTLY BEFORE that day (prior active days, prior event count,
+    * prior spend, recency gap) next to that day's label (purchases).
+    * Leakage is the failure mode — a feature frame built with same-day or
+    * future data inflates offline metrics and dies in production; here
+    * the frame boundary `rowsBetween(unboundedPreceding, -1)` makes
+    * same-day leakage impossible BY CONSTRUCTION, and the spec replays a
+    * user's history sequentially to pin it.
+    *
+    * Exactness: spend quantizes to cents per event (floor(100·v), one
+    * IEEE multiply+floor) before summing, so cumulative features are
+    * exact integers; days are int64 offsets from the fixed epoch (the
+    * q56 discipline — no DATE crosses the comparator); the recency gap
+    * coalesces to −1 on each user's first day.
+    *
+    * Scale shape: events collapse to the (user, day) rollup first (the
+    * only event-mass shuffle), then ONE user-partitioned sort provides
+    * all four window features — count/sum/lag share the frame — and the
+    * label rides the same rollup row. Per-user state is O(1); nothing
+    * is unpartitioned.
+    */
+  def pitFeatures(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(TimeWindows.eventTime),
+          lit("1992-01-01").cast("date")).cast("long").as("day"),
+        floor(col("value") * lit(100.0)).cast("long").as("cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("is_p"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("day_cents"),
+        sum(col("is_p")).as("label_purchases"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    daily
+      .select(col("user_id"), col("day"),
+        count(lit(1)).over(prior).as("prior_days"),
+        coalesce(sum(col("n_events")).over(prior), lit(0L)).as("prior_events"),
+        coalesce(sum(col("day_cents")).over(prior), lit(0L)).as("prior_cents"),
+        coalesce(col("day") - lag(col("day"), 1).over(w), lit(-1L))
+          .as("days_since_prev"),
+        col("label_purchases"))
+      .orderBy("user_id", "day")
+  }
+
+  /** q71 oracle: identical rollup, frame boundary, and cent/day-offset
+    * arithmetic.
+    */
+  val pitFeaturesSql: String =
+    """WITH daily AS (
+      |  SELECT user_id,
+      |    CAST(date_diff('day', DATE '1992-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+      |    count(*) AS n_events,
+      |    CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS day_cents,
+      |    CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS label_purchases
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, day,
+      |  CAST(count(*) OVER prior AS BIGINT) AS prior_days,
+      |  CAST(coalesce(sum(n_events) OVER prior, 0) AS BIGINT) AS prior_events,
+      |  CAST(coalesce(sum(day_cents) OVER prior, 0) AS BIGINT) AS prior_cents,
+      |  coalesce(day - lag(day) OVER (PARTITION BY user_id ORDER BY day), -1)
+      |    AS days_since_prev,
+      |  label_purchases
+      |FROM daily
+      |WINDOW prior AS (PARTITION BY user_id ORDER BY day
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |ORDER BY user_id, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_pit_features" -> (pitFeatures _),
     "q69_attribution" -> (attribution _),
     "q61_funnel" -> (funnel _),
     "q62_cohort_retention" -> (cohortRetention _),
@@ -494,6 +566,7 @@ object Advanced {
     "q35_percentiles" -> (percentiles _))
 
   val oracles: Map[String, String] = Map(
+    "q71_pit_features" -> pitFeaturesSql,
     "q69_attribution" -> attributionSql,
     "q61_funnel" -> funnelSql,
     "q62_cohort_retention" -> cohortRetentionSql,

@@ -200,6 +200,36 @@ class Round12OpsSpec extends SparkSpec {
     assert(out.length == bfsReached)
   }
 
+  test("q71: features replay each user's history with zero same-day leakage") {
+    val rows = Advanced.pitFeatures(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    // sequential replay per user: prior_days counts exactly the earlier
+    // active days; prior_events/prior_cents are strictly/weakly monotone
+    // (every active day adds >= 1 event, cents are non-negative); the
+    // recency gap matches the day deltas. Same-day leakage would break
+    // the strict prior_events < next-row inequality on single-event days
+    rows.groupBy(_._1).foreach { case (_, hist) =>
+      val inOrder = hist.sortBy(_._2)
+      var prevDay = -1L
+      inOrder.zipWithIndex.foreach { case ((_, day, priorDays, _, _, gap, _), i) =>
+        assert(priorDays == i, "prior_days must count strictly earlier days")
+        assert(gap == (if (prevDay < 0) -1L else day - prevDay))
+        prevDay = day
+      }
+      inOrder.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._4 > a._4, "each active day adds at least one prior event")
+          assert(b._5 >= a._5, "spend never decreases")
+        case _ =>
+      }
+    }
+    // first-day rows carry the all-zero cold-start feature vector
+    val firsts = rows.groupBy(_._1).values.map(_.minBy(_._2))
+    assert(firsts.forall(r => r._3 == 0 && r._4 == 0 && r._5 == 0 && r._6 == -1))
+  }
+
   test("m07: ImageIO round-trip recovers the exact planted gray ramp") {
     val out = Multimodal.imageioRoundtrip(spark, d).collect()
     assert(out.nonEmpty)
