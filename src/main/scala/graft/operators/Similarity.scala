@@ -2176,7 +2176,82 @@ object Similarity {
       |  CAST(min(s_shift) - 1000 AS BIGINT) AS min_sil_milli
       |FROM sil GROUP BY cell ORDER BY cell""".stripMargin
 
+  // --------------------------------------------- s19 hybrid rank fusion
+  /** s19: reciprocal-rank fusion (Cormack et al. 2009) of two retrievers
+    * — the hybrid-search primitive every production vector store ships
+    * (Elastic/OpenSearch/Weaviate "hybrid"): fuse the exact cosine
+    * ranking (s01) with the IVF-PQ ADC ranking (s09) per query as
+    * Σ 1/(60+rank), here in exact integers floor(10⁹/(60+rank)) so the
+    * fused order is engine-stable with zero float accumulation. Output
+    * carries membership flags per retriever — the triage column that
+    * shows WHERE the approximate index disagrees with exact search
+    * (complementing s10's recall scalar with per-candidate evidence).
+    *
+    * Scale shape: the fusion itself touches only the two shortlists
+    * (≤ queries × 20 rows each — a broadcastable full-outer join and a
+    * per-query window); ALL the data-mass work lives in the retrievers,
+    * which keep their own audited shapes (s01 one scan × broadcast
+    * queries; s09 pruned-cell probe × broadcast LUT). RRF never looks at
+    * scores, only ranks, so fusing retrievers with incomparable score
+    * scales (cosine vs ADC distance) is sound by construction.
+    */
+  def rrfFusion(s: SparkSession, d: String, nQueries: Int = 5,
+      kIn: Int = 20, kOut: Int = 10): DataFrame = {
+    val exact = cosineTopKFrom(Tables.embeddings(s, d), nQueries, kIn)
+      .select(col("query_id"), col("vec_id"),
+        expr("1000000000L div (60 + rank)").as("c_exact"))
+    val adc = ivfPqRanked(s, d, nQueries, kIn)
+      .select(col("query_id"), col("vec_id"),
+        expr("1000000000L div (60 + rank)").as("c_adc"))
+    val fused = exact.join(adc, Seq("query_id", "vec_id"), "full_outer")
+      .select(col("query_id"), col("vec_id"),
+        (coalesce(col("c_exact"), lit(0L)) + coalesce(col("c_adc"), lit(0L)))
+          .as("rrf_e9"),
+        when(col("c_exact").isNotNull, 1L).otherwise(0L).as("in_exact"),
+        when(col("c_adc").isNotNull, 1L).otherwise(0L).as("in_adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_e9").desc, col("vec_id"))
+    fused.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= kOut)
+      .select("query_id", "fused_rank", "vec_id", "rrf_e9",
+        "in_exact", "in_adc")
+      .orderBy("query_id", "fused_rank")
+  }
+
+  /** s19 oracle: the s09 chain verbatim (the s10/s11 sharing discipline)
+    * plus the s01 cosine ranking, fused with identical integer RRF.
+    */
+  lazy val rrfFusionSql: String =
+    s"""$ivfPqCtes,
+      |dots AS (SELECT q.query_id, c.vec_id,
+      |    CAST(list_sum([q.qv[i] * c.qv[i] FOR i IN range(1, 65)]) AS DOUBLE) /
+      |      (sqrt(CAST(list_sum([q.qv[i] * q.qv[i] FOR i IN range(1, 65)]) AS DOUBLE)) *
+      |       sqrt(CAST(list_sum([c.qv[i] * c.qv[i] FOR i IN range(1, 65)]) AS DOUBLE))) AS cosine
+      |  FROM corpus c CROSS JOIN q),
+      |exr AS (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      |          ORDER BY cosine DESC, vec_id) AS rank FROM dots),
+      |ce AS (SELECT query_id, vec_id, 1000000000 // (60 + rank) AS c_exact
+      |       FROM exr WHERE rank <= 20),
+      |ca AS (SELECT query_id, vec_id, 1000000000 // (60 + rank) AS c_adc
+      |       FROM ranked WHERE rank <= 20),
+      |fused AS (SELECT coalesce(ce.query_id, ca.query_id) AS query_id,
+      |    coalesce(ce.vec_id, ca.vec_id) AS vec_id,
+      |    coalesce(c_exact, 0) + coalesce(c_adc, 0) AS rrf_e9,
+      |    CASE WHEN c_exact IS NOT NULL THEN 1 ELSE 0 END AS in_exact,
+      |    CASE WHEN c_adc IS NOT NULL THEN 1 ELSE 0 END AS in_adc
+      |  FROM ce FULL OUTER JOIN ca
+      |    ON ce.query_id = ca.query_id AND ce.vec_id = ca.vec_id),
+      |fr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |         ORDER BY rrf_e9 DESC, vec_id) AS fused_rank FROM fused)
+      |SELECT query_id, CAST(fused_rank AS INT) AS fused_rank, vec_id,
+      |  CAST(rrf_e9 AS BIGINT) AS rrf_e9,
+      |  CAST(in_exact AS BIGINT) AS in_exact,
+      |  CAST(in_adc AS BIGINT) AS in_adc
+      |FROM fr WHERE fused_rank <= 10 ORDER BY query_id, fused_rank"""
+      .stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_rrf_fusion" -> ((s: SparkSession, d: String) => rrfFusion(s, d)),
     "s18_silhouette" -> (silhouette _),
     "s17_ivf_drift" -> (ivfDrift _),
     "s16_knn_hubness" -> ((s: SparkSession, d: String) => knnHubness(s, d)),
@@ -2200,6 +2275,7 @@ object Similarity {
     "d06_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDupPairsSeeded(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "s19_rrf_fusion" -> rrfFusionSql,
     "s18_silhouette" -> silhouetteSql,
     "s17_ivf_drift" -> ivfDriftSql,
     "s16_knn_hubness" -> knnHubnessSql,

@@ -200,6 +200,28 @@ class Round12OpsSpec extends SparkSpec {
     assert(out.length == bfsReached)
   }
 
+  test("s19: fused ranks are contiguous, every candidate came from a retriever, scores bounded") {
+    val out = Similarity.rrfFusion(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length),
+        "fused ranks are contiguous from 1")
+    }
+    out.foreach { case (_, _, _, rrf, inE, inA) =>
+      assert(Set(0L, 1L).contains(inE) && Set(0L, 1L).contains(inA))
+      assert(inE + inA >= 1, "a candidate must come from at least one retriever")
+      // single contribution in [1e9/80, 1e9/61]; both-lists in [2e9/80, 2e9/61]
+      val (lo, hi) = (1000000000L / 80, 1000000000L / 61)
+      if (inE + inA == 1) assert(rrf >= lo && rrf <= hi)
+      else assert(rrf >= 2 * lo && rrf <= 2 * hi)
+    }
+    // consensus dominance: within a query, any both-lists candidate at the
+    // best possible single rank outranks every single-list candidate's floor
+    assert(out.filter(r => r._5 + r._6 == 2).forall(_._4 > 1000000000L / 61))
+  }
+
   test("q71: features replay each user's history with zero same-day leakage") {
     val rows = Advanced.pitFeatures(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
