@@ -1166,7 +1166,80 @@ object Curation {
       |  ($TEMP_TARGET_DOCS * w) // w_sum AS planned_docs
       |FROM w CROSS JOIN t ORDER BY lang""".stripMargin
 
+  // --------------------------------------------- p20 contrastive pairs
+  /** p20: contrastive training-pair export — turn the near-dup graph into
+    * (anchor, positive, negative) triplets for embedding/retriever
+    * training (the CCPairs/E5 recipe: near-duplicates are free paraphrase
+    * positives; in-source non-duplicates are style-matched negatives,
+    * harder than random). Positives: every non-root member of a ≥2-doc
+    * near-dup component pairs with its component root (min doc_id) —
+    * |component|−1 triplets, no quadratic pair explosion. Negatives: per
+    * anchor, the same-source doc OUTSIDE the anchor's component that
+    * minimizes the cross-engine hash of "anchor:candidate" — a
+    * deterministic pseudo-random draw that never picks a paraphrase (the
+    * split-leakage guarantee, applied to negative mining: a near-dup
+    * negative would teach the model to push paraphrases apart).
+    *
+    * Scale shape: the component frame is d07's audited pipeline (capped
+    * postings, long-only exchanges, O(log n) CC); positives are one
+    * component-keyed join; negative mining is ONE corpus scan against the
+    * broadcast anchor frame with a per-anchor argmin window (the s12
+    * hard-negative shape — past broadcast reach it flips to a
+    * source-keyed shuffle join, same plan family).
+    */
+  def contrastivePairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = leakageSafeSplitAssign(s, d)
+      .select(col("doc_id"), col("source"), col("component"))
+      .localCheckpoint(true) // CC lineage; read twice (anchors + candidates)
+    val roots = a.groupBy("component")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("root"))
+      .filter(col("n") >= 2)
+    val pos = a.join(roots, "component")
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("doc_id").as("anchor_id"), col("root").as("pos_id"),
+        col("source"), col("component"))
+    val cand = a.select(col("doc_id").as("neg_id"), col("source"),
+      col("component").as("ccomp"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(Dedup.baseHash(concat_ws(":",
+        col("anchor_id").cast("string"), col("neg_id").cast("string"))),
+        col("neg_id"))
+    cand.join(broadcast(pos), Seq("source"))
+      .filter(col("ccomp") =!= col("component"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("anchor_id"), col("pos_id"), col("neg_id"), col("source"))
+      .orderBy("anchor_id")
+  }
+
+  /** p20 oracle: the shared d07 CC chain, root-pairing, and the identical
+    * hash-argmin negative draw.
+    */
+  lazy val contrastivePairsSql: String =
+    s"""${Dedup.ccCtes},
+      |labels AS (SELECT id, min(lbl) AS lbl FROM cc GROUP BY id),
+      |a AS (SELECT d.doc_id, d.source, coalesce(l.lbl, d.doc_id) AS component
+      |      FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+      |roots AS (SELECT component, min(doc_id) AS root FROM a
+      |          GROUP BY component HAVING count(*) >= 2),
+      |pos AS (SELECT a.doc_id AS anchor_id, r.root AS pos_id,
+      |               a.source, a.component
+      |        FROM a JOIN roots r ON r.component = a.component
+      |        WHERE a.doc_id <> r.root),
+      |neg AS (SELECT anchor_id, pos_id, neg_id, source FROM (
+      |  SELECT p.anchor_id, p.pos_id, c.doc_id AS neg_id, p.source,
+      |    row_number() OVER (PARTITION BY p.anchor_id ORDER BY
+      |      CAST(concat('0x', substr(md5(
+      |        CAST(p.anchor_id AS VARCHAR) || ':' || CAST(c.doc_id AS VARCHAR)
+      |      ), 1, 15)) AS BIGINT), c.doc_id) AS rn
+      |  FROM pos p JOIN a c ON c.source = p.source
+      |    AND c.component <> p.component) WHERE rn = 1)
+      |SELECT anchor_id, pos_id, neg_id, source FROM neg ORDER BY anchor_id"""
+      .stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p20_contrastive_pairs" -> (contrastivePairs _),
     "p18_temperature_mixture" -> (temperatureMixture _),
     "p17_pps_sample" -> (ppsSample _),
     "p16_outlier_gate" -> (robustOutlierGate _),
@@ -1186,6 +1259,7 @@ object Curation {
     "p11_curation_report" -> (curationReportUnified _))
 
   val oracles: Map[String, String] = Map(
+    "p20_contrastive_pairs" -> contrastivePairsSql,
     "p18_temperature_mixture" -> temperatureMixtureSql,
     "p17_pps_sample" -> ppsSampleSql,
     "p16_outlier_gate" -> robustOutlierGateSql,

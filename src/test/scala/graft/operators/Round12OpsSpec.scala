@@ -200,6 +200,25 @@ class Round12OpsSpec extends SparkSpec {
     assert(out.length == bfsReached)
   }
 
+  test("p20: triplets pair non-roots with roots and draw negatives outside the component") {
+    val out = Curation.contrastivePairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.nonEmpty, "the corpus has near-dup components at every SF")
+    val comp = Curation.leakageSafeSplitAssign(spark, d)
+      .select("doc_id", "source", "component").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    out.foreach { case (anchor, pos, neg, src) =>
+      assert(comp(anchor)._2 == comp(pos)._2, "positive shares the component")
+      assert(pos < anchor, "the positive is the component root (min id)")
+      assert(comp(neg)._2 != comp(anchor)._2,
+        "a negative must never be a paraphrase of the anchor")
+      assert(comp(neg)._1 == src && comp(anchor)._1 == src,
+        "negatives are style-matched: same source as the anchor")
+    }
+    // one triplet per non-root member, each anchor exactly once
+    assert(out.map(_._1).distinct.length == out.length)
+  }
+
   test("s19: fused ranks are contiguous, every candidate came from a retriever, scores bounded") {
     val out = Similarity.rrfFusion(spark, d).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
