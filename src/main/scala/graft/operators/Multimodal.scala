@@ -755,7 +755,77 @@ object Multimodal {
       |FROM documents CROSS JOIN generate_series(0, 63) t(i)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------- m08 oracled real WAV decode
+  /** m08: the audio twin of m07 — the real javax.sound.sampled codec
+    * inside the oracle loop. Each document becomes a 64-sample 16-bit
+    * mono PCM WAV (sample i = ((doc_id·7 + i·13) mod 65536) − 32768, the
+    * full signed range exercised including both extremes), ENCODED with
+    * AudioSystem's WAVE writer and DECODED back with
+    * AudioSystem.getAudioInputStream inside one mapPartitions kernel; the
+    * emitted frame count, sample rate, and sample sum/min/max come from
+    * the DECODED stream and format. PCM is lossless, so DuckDB predicts
+    * every value from doc-id arithmetic — a container-header bug, an
+    * endianness flip, or one clipped sample anywhere in the corpus fails
+    * the hash check.
+    *
+    * Scale shape: identical to m07 — payloads are born and die inside
+    * the kernel, no binary reaches an exchange, then the terminal sort.
+    */
+  def wavRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("s_sum", LongType, nullable = false),
+      StructField("s_min", LongType, nullable = false),
+      StructField("s_max", LongType, nullable = false))))
+    Tables.documents(s, d).select(col("doc_id")).mapPartitions { it =>
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val raw = new Array[Byte](128)
+        var i = 0
+        while (i < 64) {
+          val v = ((((id * 7 + i * 13) % 65536) + 65536) % 65536 - 32768).toInt
+          raw(2 * i) = (v & 0xff).toByte // little-endian signed PCM
+          raw(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val bo = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(raw), fmt, 64),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bo)
+        val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bo.toByteArray))
+        val f = back.getFormat
+        val dec = back.readAllBytes()
+        var (sum, mn, mx) = (0L, Long.MaxValue, Long.MinValue)
+        var j = 0
+        while (j < dec.length) {
+          val v = ((dec(j) & 0xff) | (dec(j + 1) << 8)).toLong
+          sum += v; mn = math.min(mn, v); mx = math.max(mx, v)
+          j += 2
+        }
+        Row(id, back.getFrameLength, f.getSampleRate.toLong, sum, mn, mx)
+      }
+    }(enc).orderBy("doc_id")
+  }
+
+  /** m08 oracle: predicts the decoded PCM arithmetically — the signed
+    * ramp ((doc_id·7 + i·13) mod 65536) − 32768 over i ∈ [0, 64).
+    */
+  val wavRoundtripSql: String =
+    """SELECT doc_id, CAST(64 AS BIGINT) AS n_frames,
+      |  CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(sum((doc_id * 7 + i * 13) % 65536 - 32768) AS BIGINT) AS s_sum,
+      |  CAST(min((doc_id * 7 + i * 13) % 65536 - 32768) AS BIGINT) AS s_min,
+      |  CAST(max((doc_id * 7 + i * 13) % 65536 - 32768) AS BIGINT) AS s_max
+      |FROM documents CROSS JOIN generate_series(0, 63) t(i)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m08_wav_roundtrip" -> (wavRoundtrip _),
     "m07_imageio_roundtrip" -> (imageioRoundtrip _),
     "m06_cdc_chunks" -> (cdcChunkStats _),
     "m05_frame_dedup" -> (frameDedupStats _),
@@ -767,6 +837,7 @@ object Multimodal {
     "m03_frame_stats" -> (frameStats _))
 
   val oracles: Map[String, String] = Map(
+    "m08_wav_roundtrip" -> wavRoundtripSql,
     "m07_imageio_roundtrip" -> imageioRoundtripSql,
     "m06_cdc_chunks" -> cdcChunkStatsSql,
     "m05_frame_dedup" -> frameDedupStatsSql,

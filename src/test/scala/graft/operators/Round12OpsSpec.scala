@@ -284,6 +284,19 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("m08: WAV round-trip recovers the exact planted PCM ramp through a real codec") {
+    val out = Multimodal.wavRoundtrip(spark, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val ramp = (0 until 64).map(i => (id * 7 + i * 13) % 65536 - 32768)
+      assert(r.getLong(1) == 64 && r.getLong(2) == 8000,
+        "frame count and rate must come from the decoded stream/format")
+      assert(r.getLong(3) == ramp.sum)
+      assert(r.getLong(4) == ramp.min && r.getLong(5) == ramp.max)
+    }
+  }
+
   test("p19: quotas are ceil(n/4), admissions fill them exactly, population conserves") {
     val out = Similarity.clusterQuotaSample(spark, d).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
