@@ -1238,7 +1238,83 @@ object Curation {
       |SELECT anchor_id, pos_id, neg_id, source FROM neg ORDER BY anchor_id"""
       .stripMargin
 
+  // -------------------------------------- p21 dedup-aware mixture shift
+  /** p21: dedup-aware mixture correction — the allocation bias every raw
+    * token-mass mixture (p07) carries: a source padded with duplicated
+    * content claims budget for tokens the model effectively sees many
+    * times. Per source this reports the raw vs exact-dup-collapsed
+    * (keeper = min doc_id per content hash) document and token masses,
+    * the duplicate-inflation ppm, and the proportional token-budget
+    * allocation under BOTH masses — `shift` = dedup-based minus raw-based
+    * target is exactly the budget a duplicate-heavy source loses once the
+    * mixture weighs unique mass (what Gopher/FineWeb-style pipelines do
+    * by deduping BEFORE mixing; this operator quantifies why, per
+    * source, without materializing the deduped corpus).
+    *
+    * Scale shape: one scan; keeper-marking is a content-hash-partitioned
+    * row_number (group size = duplicate multiplicity, never corpus);
+    * per-source conditional sums collapse map-side into a |sources|-row
+    * aggregate; the two grand totals ride one broadcast 1-row crossJoin.
+    * All arithmetic is exact integer div.
+    */
+  def dedupAwareMixture(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(col("text")).as("h"))
+      .withColumn("keeper",
+        (row_number().over(
+          Window.partitionBy(col("h")).orderBy(col("doc_id"))) === 1)
+          .cast("long"))
+    val per = docs.groupBy("source")
+      .agg(count(lit(1)).as("raw_docs"),
+        sum(col("keeper")).as("uniq_docs"),
+        sum(col("n_tokens")).as("raw_tokens"),
+        sum(col("keeper") * col("n_tokens")).as("uniq_tokens"))
+    per.crossJoin(broadcast(per.agg(
+        sum(col("raw_tokens")).as("tot_raw"),
+        sum(col("uniq_tokens")).as("tot_uniq"))))
+      .select(col("source"), col("raw_docs"), col("uniq_docs"),
+        col("raw_tokens"), col("uniq_tokens"),
+        expr("((raw_tokens - uniq_tokens) * 1000000) div raw_tokens")
+          .as("dup_ppm"),
+        expr(s"($MIX_BUDGET_TOKENS * raw_tokens) div tot_raw")
+          .as("target_raw"),
+        expr(s"($MIX_BUDGET_TOKENS * uniq_tokens) div tot_uniq")
+          .as("target_dedup"))
+      .withColumn("shift", col("target_dedup") - col("target_raw"))
+      .orderBy("source")
+  }
+
+  /** p21 oracle: identical keeper window, conditional masses, and integer
+    * allocation arithmetic.
+    */
+  lazy val dedupAwareMixtureSql: String =
+    s"""WITH docs AS (SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+      |    md5(text) AS h
+      |  FROM documents),
+      |k AS (SELECT *, CASE WHEN row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+      |                     THEN 1 ELSE 0 END AS keeper FROM docs),
+      |per AS (SELECT source, count(*) AS raw_docs,
+      |    CAST(sum(keeper) AS BIGINT) AS uniq_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+      |    CAST(sum(keeper * n_tokens) AS BIGINT) AS uniq_tokens
+      |  FROM k GROUP BY source),
+      |tot AS (SELECT CAST(sum(raw_tokens) AS BIGINT) AS tot_raw,
+      |               CAST(sum(uniq_tokens) AS BIGINT) AS tot_uniq FROM per)
+      |SELECT source, CAST(raw_docs AS BIGINT) AS raw_docs, uniq_docs,
+      |  raw_tokens, uniq_tokens,
+      |  ((raw_tokens - uniq_tokens) * 1000000) // raw_tokens AS dup_ppm,
+      |  ($MIX_BUDGET_TOKENS * raw_tokens) // tot_raw AS target_raw,
+      |  ($MIX_BUDGET_TOKENS * uniq_tokens) // tot_uniq AS target_dedup,
+      |  ($MIX_BUDGET_TOKENS * uniq_tokens) // tot_uniq
+      |    - ($MIX_BUDGET_TOKENS * raw_tokens) // tot_raw AS shift
+      |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p21_dedup_mixture" -> (dedupAwareMixture _),
     "p20_contrastive_pairs" -> (contrastivePairs _),
     "p18_temperature_mixture" -> (temperatureMixture _),
     "p17_pps_sample" -> (ppsSample _),
@@ -1259,6 +1335,7 @@ object Curation {
     "p11_curation_report" -> (curationReportUnified _))
 
   val oracles: Map[String, String] = Map(
+    "p21_dedup_mixture" -> dedupAwareMixtureSql,
     "p20_contrastive_pairs" -> contrastivePairsSql,
     "p18_temperature_mixture" -> temperatureMixtureSql,
     "p17_pps_sample" -> ppsSampleSql,

@@ -284,6 +284,27 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("p21: dedup shrinks masses one-sidedly and budget shifts conserve") {
+    val out = Curation.dedupAwareMixture(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, rd, ud, rt, ut, ppm, _, _, _) =>
+      assert(ud <= rd && ut <= rt, "collapsing duplicates only shrinks")
+      assert(ud >= 1, "every source keeps at least one doc")
+      assert(ppm == (rt - ut) * 1000000 / rt)
+    }
+    // proportional allocation: both target columns sum to ~budget (floor
+    // slack < |sources|), and shifts sum to ~0 (same slack)
+    val (tRaw, tDedup) = (out.map(_._7).sum, out.map(_._8).sum)
+    val budget = Curation.MIX_BUDGET_TOKENS
+    assert(tRaw <= budget && tRaw > budget - out.length)
+    assert(tDedup <= budget && tDedup > budget - out.length)
+    assert(math.abs(out.map(_._9).sum) < out.length)
+    // the corpus has exact dups (d01 proves it): somebody must lose budget
+    assert(out.map(_._5).max > 0, "duplicate inflation exists in this corpus")
+  }
+
   test("m08: WAV round-trip recovers the exact planted PCM ramp through a real codec") {
     val out = Multimodal.wavRoundtrip(spark, d).collect()
     assert(out.nonEmpty)
