@@ -1659,7 +1659,69 @@ object TextOps {
        |SELECT true_lang, pred_lang, count(*) AS n_docs
        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------ t26 regex pre-tokenization
+  /** t26: regex pre-tokenizer counting — the class-run segmentation every
+    * BPE tokenizer applies BEFORE merges (the GPT-2 pattern's structure
+    * without its contraction special cases): maximal runs of letters,
+    * digits, and other-non-space each count as one pre-token, so
+    * "3.5 bottles!" is 5 pre-tokens where whitespace counting sees 2.
+    * The pretok/whitespace ratio is the honest budget factor between
+    * "words" and what a tokenizer actually segments — the number
+    * t01's whitespace counts understate on punctuated/numeric text
+    * (t17's BPE counts then subdivide these runs further; the three
+    * layers bracket real token cost). The three class counts are
+    * disjoint character sets, so three independent whole-text
+    * regexp_count passes equal one alternation pass exactly — no
+    * alternation-order semantics cross the engine boundary.
+    *
+    * Scale shape: a narrow projection of four codegen regexp_counts off
+    * the documents scan into a |langs|-row aggregate; map-side partials,
+    * nothing else shuffles (the t24 shape).
+    */
+  def pretokenCompare(s: SparkSession, d: String): DataFrame =
+    pretokenCompareOf(Tables.documents(s, d))
+
+  /** t26 over any documents-shaped frame (spec-injectable face). */
+  private[graft] def pretokenCompareOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"),
+        size(split(col("text"), " ", -1)).cast("long").as("ws"),
+        regexp_count(col("text"), lit("[a-zA-Z]+")).cast("long").as("al"),
+        regexp_count(col("text"), lit("[0-9]+")).cast("long").as("dg"),
+        regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]+")).cast("long").as("pn"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("al")).as("alpha_runs"),
+        sum(col("dg")).as("digit_runs"),
+        sum(col("pn")).as("punct_runs"))
+      .withColumn("pretok_tokens",
+        col("alpha_runs") + col("digit_runs") + col("punct_runs"))
+      .withColumn("pretok_vs_ws_ppm",
+        expr("(pretok_tokens * 1000000) div ws_tokens"))
+      .orderBy("lang")
+
+  /** t26 oracle: identical class runs (needs len(regexp_extract_all) —
+    * DuckDB regexp_count? use extract_all length for RE2 parity) and
+    * integer ratio.
+    */
+  val pretokenCompareSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+'))) AS BIGINT) AS alpha_runs,
+      |  CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS digit_runs,
+      |  CAST(sum(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]+'))) AS BIGINT) AS punct_runs,
+      |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+')))
+      |     + sum(len(regexp_extract_all(text, '[0-9]+')))
+      |     + sum(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]+'))) AS BIGINT) AS pretok_tokens,
+      |  (CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+')))
+      |      + sum(len(regexp_extract_all(text, '[0-9]+')))
+      |      + sum(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]+'))) AS BIGINT) * 1000000)
+      |    // CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS pretok_vs_ws_ppm
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_pretoken_compare" -> (pretokenCompare _),
     "t25_nb_langid" -> (nbLangid _),
     "t24_readability" -> (readability _),
     "t23_ngram_novelty" -> (ngramNovelty _),
@@ -1686,6 +1748,7 @@ object TextOps {
     "t05_cleantext" -> (cleanedDocs _))
 
   val oracles: Map[String, String] = Map(
+    "t26_pretoken_compare" -> pretokenCompareSql,
     "t25_nb_langid" -> nbLangidSql,
     "t24_readability" -> readabilitySql,
     "t23_ngram_novelty" -> ngramNoveltySql,

@@ -284,6 +284,17 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("t26 planted: class runs segment punctuated text the way whitespace cannot") {
+    import spark.implicits._
+    // "it's 3.5 bottles!!" -> ws 3; alpha runs: it, s, bottles (3);
+    // digits: 3, 5 (2); punct: ', ., !! (3) -> pretok 8
+    val docs = Seq((1L, "en", "it's 3.5 bottles!!")).toDF("doc_id", "lang", "text")
+    val out = TextOps.pretokenCompareOf(docs).collect().head
+    assert(out.getLong(2) == 3 && out.getLong(3) == 3 && out.getLong(4) == 2
+      && out.getLong(5) == 3 && out.getLong(6) == 8)
+    assert(out.getLong(7) == 8L * 1000000 / 3)
+  }
+
   test("p21: dedup shrinks masses one-sidedly and budget shifts conserve") {
     val out = Curation.dedupAwareMixture(spark, d).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
