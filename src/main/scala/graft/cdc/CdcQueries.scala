@@ -266,7 +266,81 @@ object CdcQueries {
        |FROM ranked WHERE rn = 1 AND op <> 'D'
        |ORDER BY db, tbl, id""".stripMargin
 
+  // ----------------------------------------------- c08 binlog audit
+  /** c08: replication-health audit per (db, table) — the operational
+    * dashboard a CDC deployment reads before trusting its sink: event
+    * and op counts, the binlog coordinate SPAN actually covered
+    * (first/last (file, pos, row) as zero-padded sortable strings — the
+    * same total order ST3 replays by), duplicate-coordinate count (the
+    * F8 at-least-once contract says redeliveries are byte-identical;
+    * >0 here with differing payloads is the contract violation the
+    * advice review flagged on c06), and wall-clock regressions against
+    * log order (source.ts_ms going backwards while the binlog position
+    * advances — the clock-vs-log skew that breaks any pipeline naively
+    * ordering by timestamp instead of coordinates, i.e. WHY ST3 orders
+    * by (file, pos, row)).
+    *
+    * Scale shape: one pass over the events, a per-(db, tbl) window in
+    * coordinate order for the regression count (partitions grow with
+    * table count, per-key state is one lag value), and a |tables|-row
+    * aggregate.
+    */
+  def binlogAudit(s: SparkSession, d: String): DataFrame =
+    binlogAuditAt(s, CdcPipeline.eventsPath)
+
+  /** c08 over any Debezium-envelope jsonl (spec-injectable face). */
+  private[graft] def binlogAuditAt(s: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = CdcPipeline.parseDml(s, path).select(
+      col("payload.source.db").as("db"),
+      col("payload.source.table").as("tbl"),
+      CdcPipeline.opCol.as("op"),
+      concat(col("payload.source.file"), lit(":"),
+        lpad(col("payload.source.pos").cast("string"), 10, "0"), lit(":"),
+        lpad(col("payload.source.row").cast("string"), 5, "0")).as("coord"),
+      col("payload.source.ts_ms").as("src_ts"))
+    val w = Window.partitionBy(col("db"), col("tbl")).orderBy(col("coord"))
+    e.withColumn("prev_ts", lag(col("src_ts"), 1).over(w))
+      .groupBy(col("db"), col("tbl"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("op") === "I", 1)).as("n_inserts"),
+        count(when(col("op") === "U", 1)).as("n_updates"),
+        count(when(col("op") === "D", 1)).as("n_deletes"),
+        countDistinct(col("coord")).as("n_coords"),
+        (count(lit(1)) - countDistinct(col("coord"))).as("n_dup_coords"),
+        count(when(col("src_ts") < col("prev_ts"), 1)).as("ts_regressions"),
+        min(col("coord")).as("first_coord"),
+        max(col("coord")).as("last_coord"))
+      .orderBy("db", "tbl")
+  }
+
+  /** c08 oracle: same coordinate padding, window order and counts. */
+  val binlogAuditSql: String =
+    s"""WITH e AS (SELECT payload.source.db AS db,
+       |    payload.source."table" AS tbl,
+       |    CASE WHEN payload.before IS NULL AND payload.after IS NOT NULL THEN 'I'
+       |         WHEN payload.before IS NOT NULL AND payload.after IS NOT NULL THEN 'U'
+       |         WHEN payload.before IS NOT NULL AND payload.after IS NULL THEN 'D'
+       |         ELSE 'X' END AS op,
+       |    payload.source.file || ':' ||
+       |      lpad(CAST(payload.source.pos AS VARCHAR), 10, '0') || ':' ||
+       |      lpad(CAST(payload.source."row" AS VARCHAR), 5, '0') AS coord,
+       |    payload.source.ts_ms AS src_ts
+       |  FROM read_json_auto('${CdcPipeline.eventsPath}')),
+       |l AS (SELECT *, lag(src_ts) OVER (PARTITION BY db, tbl ORDER BY coord)
+       |        AS prev_ts FROM e)
+       |SELECT db, tbl, count(*) AS n_events,
+       |  CAST(count(*) FILTER (op = 'I') AS BIGINT) AS n_inserts,
+       |  CAST(count(*) FILTER (op = 'U') AS BIGINT) AS n_updates,
+       |  CAST(count(*) FILTER (op = 'D') AS BIGINT) AS n_deletes,
+       |  CAST(count(DISTINCT coord) AS BIGINT) AS n_coords,
+       |  CAST(count(*) - count(DISTINCT coord) AS BIGINT) AS n_dup_coords,
+       |  CAST(count(*) FILTER (src_ts < prev_ts) AS BIGINT) AS ts_regressions,
+       |  min(coord) AS first_coord, max(coord) AS last_coord
+       |FROM l GROUP BY db, tbl ORDER BY db, tbl""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c08_binlog_audit" -> (binlogAudit _),
     "c07_pitr_state" -> (pitrState _),
     "c06_scd2_history" -> (scd2History _),
     "c01_cdc_latest_state" -> (latestState _),
@@ -276,6 +350,7 @@ object CdcQueries {
     "c05_typed_latest_state" -> (typedLatestState _))
 
   val oracles: Map[String, String] = Map(
+    "c08_binlog_audit" -> binlogAuditSql,
     "c07_pitr_state" -> pitrStateSql,
     "c06_scd2_history" -> scd2HistorySql,
     "c01_cdc_latest_state" -> latestStateSql,

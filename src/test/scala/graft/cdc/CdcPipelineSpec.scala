@@ -462,6 +462,30 @@ class CdcPipelineSpec extends SparkSpec {
     assert(state == Map(1L -> 3000000000L, 2L -> 200L))
   }
 
+  test("c08: planted duplicate coordinate and clock regression are both counted") {
+    def ev(id: Int, pos: Int, ts: Long, del: Boolean = false): String = {
+      val before = if (del) s"""{"id": $id}""" else "null"
+      val after = if (del) "null" else s"""{"id": $id, "name": "x", "amount": 1}"""
+      s"""{"payload": {"before": $before, "after": $after, "source": {"db": "shop", "table": "acct", "ts_ms": $ts, "file": "mysql-bin.000001", "pos": $pos, "row": 0, "query": null}, "ts_ms": $ts}}"""
+    }
+    val dir = java.nio.file.Files.createTempDirectory("c08").toString
+    val path = s"$dir/events.jsonl"
+    // pos 300 arrives with ts EARLIER than pos 200's (clock regression);
+    // pos 200 is redelivered (duplicate coordinate)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), String.join("\n",
+      ev(1, 100, 1000L), ev(2, 200, 2000L), ev(2, 200, 2000L),
+      ev(3, 300, 1500L), ev(1, 400, 3000L, del = true)).getBytes)
+    val out = CdcQueries.binlogAuditAt(spark, path).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(2) == 5 && r.getLong(3) == 4 && r.getLong(5) == 1,
+      "5 events: 4 inserts + 1 delete")
+    assert(r.getLong(6) == 4 && r.getLong(7) == 1, "one duplicate coordinate")
+    assert(r.getLong(8) == 1, "exactly one wall-clock regression in log order")
+    assert(r.getString(9) == "mysql-bin.000001:0000000100:00000")
+    assert(r.getString(10) == "mysql-bin.000001:0000000400:00000")
+  }
+
   test("P7: db qualifier strip (main.go:87)") {
     import spark.implicits._
     val df = Seq(("ALTER TABLE `shop`.txn MODIFY amount BIGINT", "shop"))
