@@ -2176,6 +2176,134 @@ object Similarity {
       |  CAST(min(s_shift) - 1000 AS BIGINT) AS min_sil_milli
       |FROM sil GROUP BY cell ORDER BY cell""".stripMargin
 
+  // ----------------------------------- amortized index-health report face
+  /** The PRODUCTION face of the s17/s18/p19 trio (the p11/d21
+    * amortization discipline): all three read the same corpus ×
+    * broadcast-centroid assignment, so a monitoring job that runs them
+    * as registered keys pays that scan three times. Here the scored
+    * per-(vector, cell) frame — carrying the three dot products, the
+    * cosine and its per-vector rank, the superset every face needs — is
+    * materialized ONCE (localCheckpoint; n·N_CELLS thin rows), and the
+    * drift report, silhouette report, and quota sample all read it.
+    * Spec-pinned row-for-row ≡ the three registered keys.
+    *
+    * At 100 TB the same amortization holds with the checkpoint replaced
+    * by the stored cell assignment (the write-time partition key the
+    * s03 index already persists): the faces then share that table
+    * instead of a recomputed frame — zero assignment scans, not one.
+    */
+  def indexHealthReport(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val all = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("cv"), col("label"))
+    val centroids = broadcast(
+      all.filter(col("vec_id") % 31 === 6)
+        .orderBy(col("vec_id")).limit(N_CELLS)
+        .withColumn("cell", row_number().over(Window.orderBy(col("vec_id"))))
+        .select(col("cell"), col("cv").as("centroid")))
+    val scored = all.crossJoin(centroids)
+      .withColumn("vv", qdot(col("cv"), col("cv")))
+      .withColumn("vc", qdot(col("cv"), col("centroid")))
+      .withColumn("cc", qdot(col("centroid"), col("centroid")))
+      .withColumn("score", col("vc").cast("double") /
+        sqrt(col("cc").cast("double")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
+      .select("vec_id", "label", "cell", "vv", "vc", "cc", "score", "r")
+      .localCheckpoint(true) // the ONE shared assignment materialization
+    // ---- s17 face
+    val assigned1 = scored.filter(col("r") === 1)
+      .withColumn("msse", expr("(vv - 2 * vc + cc) div 64"))
+    val perCell = assigned1.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(msse) div count(1)").as("mean_msse"),
+        max(col("msse")).as("max_msse"))
+    val drift = perCell
+      .crossJoin(broadcast(perCell.agg(sum(col("n_vecs")).as("n_corpus"))))
+      .select(col("cell"), col("n_vecs"),
+        expr(s"(n_vecs * $N_CELLS * 1000000) div n_corpus").as("imbalance_ppm"),
+        col("mean_msse"), col("max_msse"))
+      .orderBy("cell")
+    // ---- s18 face
+    val sil = scored
+      .withColumn("sse", col("vv") - lit(2L) * col("vc") + col("cc"))
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("r") === 1, col("cell"))).as("cell"),
+        max(when(col("r") === 1, col("sse"))).as("a2"),
+        min(when(col("r") > 1, col("sse"))).as("b2"))
+      .select(col("cell"),
+        when(greatest(col("a2"), col("b2")) === 0, lit(1000L))
+          .otherwise(floor(lit(1000.0) *
+            ((sqrt(col("b2").cast("double")) - sqrt(col("a2").cast("double"))) /
+              greatest(sqrt(col("a2").cast("double")),
+                sqrt(col("b2").cast("double"))) + lit(1.0))).cast("long"))
+          .as("s_shift"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (expr("sum(s_shift) div count(1)") - lit(1000L)).as("mean_sil_milli"),
+        (min(col("s_shift")) - lit(1000L)).as("min_sil_milli"))
+      .orderBy("cell")
+    // ---- p19 face
+    val wCell = Window.partitionBy(col("cell"))
+    val wRank = Window.partitionBy(col("cell")).orderBy(col("h"), col("vec_id"))
+    val quota = scored.filter(col("r") === 1)
+      .select(col("vec_id"), col("label"), col("cell"))
+      .withColumn("h", graft.operators.Dedup.baseHash(col("vec_id").cast("string")))
+      .withColumn("cell_n", count(lit(1)).over(wCell))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("quota", expr("(cell_n + 3) div 4"))
+      .groupBy(col("cell"))
+      .agg(max(col("cell_n")).as("n_total"),
+        max(col("quota")).as("quota"),
+        count(when(col("rk") <= col("quota"), 1)).as("n_admitted"),
+        sum(when(col("rk") <= col("quota"), col("vec_id"))).as("admitted_id_sum"),
+        count_distinct(when(col("rk") <= col("quota"), col("label")))
+          .as("n_labels"))
+      .orderBy("cell")
+    (drift, sil, quota)
+  }
+
+  /** p22: the registered (thus bench-priced) face of
+    * [[indexHealthReport]] — the three reports as ONE long-format
+    * (facet, cell, metric, value) frame, all from the single shared
+    * assignment materialization. The oracle wraps the three existing
+    * (green) oracle queries verbatim, so p22 re-asserts s17/s18/p19's
+    * values while the bench prices the amortization (one assignment
+    * pass instead of three).
+    */
+  def indexHealth(s: SparkSession, d: String): DataFrame = {
+    val (drift, sil, quota) = indexHealthReport(s, d)
+    def long(f: String, df: DataFrame, cols: Seq[String]): DataFrame =
+      df.select(lit(f).as("facet"), col("cell").cast("long").as("cell"),
+        explode(array(cols.map(c =>
+          struct(lit(c).as("metric"), col(c).cast("long").as("value"))): _*))
+          .as("m"))
+        .select(col("facet"), col("cell"), col("m.metric"), col("m.value"))
+    long("drift", drift, Seq("n_vecs", "imbalance_ppm", "mean_msse", "max_msse"))
+      .unionByName(long("silhouette", sil,
+        Seq("n_vecs", "mean_sil_milli", "min_sil_milli")))
+      .unionByName(long("quota", quota,
+        Seq("n_total", "quota", "n_admitted", "admitted_id_sum", "n_labels")))
+      .orderBy("facet", "cell", "metric")
+  }
+
+  /** p22 oracle: the three green oracles verbatim, unpivoted. */
+  lazy val indexHealthSql: String = {
+    def facet(f: String, body: String, cols: Seq[String]): String =
+      cols.map(c =>
+        s"SELECT '$f' AS facet, CAST(cell AS BIGINT) AS cell, '$c' AS metric, CAST($c AS BIGINT) AS value FROM ${f}_t")
+        .mkString("\nUNION ALL\n")
+    s"""WITH drift_t AS MATERIALIZED (${ivfDriftSql}),
+      |silhouette_t AS MATERIALIZED (${silhouetteSql}),
+      |quota_t AS MATERIALIZED (${clusterQuotaSampleSql})
+      |${facet("drift", "", Seq("n_vecs", "imbalance_ppm", "mean_msse", "max_msse"))}
+      |UNION ALL
+      |${facet("silhouette", "", Seq("n_vecs", "mean_sil_milli", "min_sil_milli"))}
+      |UNION ALL
+      |${facet("quota", "", Seq("n_total", "quota", "n_admitted", "admitted_id_sum", "n_labels"))}
+      |ORDER BY facet, cell, metric""".stripMargin
+  }
+
   // --------------------------------------------- s19 hybrid rank fusion
   /** s19: reciprocal-rank fusion (Cormack et al. 2009) of two retrievers
     * — the hybrid-search primitive every production vector store ships
@@ -2251,6 +2379,7 @@ object Similarity {
       .stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p22_index_health" -> (indexHealth _),
     "s19_rrf_fusion" -> ((s: SparkSession, d: String) => rrfFusion(s, d)),
     "s18_silhouette" -> (silhouette _),
     "s17_ivf_drift" -> (ivfDrift _),
@@ -2275,6 +2404,7 @@ object Similarity {
     "d06_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDupPairsSeeded(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "p22_index_health" -> indexHealthSql,
     "s19_rrf_fusion" -> rrfFusionSql,
     "s18_silhouette" -> silhouetteSql,
     "s17_ivf_drift" -> ivfDriftSql,

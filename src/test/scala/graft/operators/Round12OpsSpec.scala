@@ -175,6 +175,14 @@ class Round12OpsSpec extends SparkSpec {
     assert(qNum <= mDir * mDir && qNum > -(mDir * mDir))
   }
 
+  test("indexHealthReport: the amortized faces equal the three registered keys row-for-row") {
+    val (drift, sil, quota) = Similarity.indexHealthReport(spark, d)
+    assert(drift.collect().toSeq == Similarity.ivfDrift(spark, d).collect().toSeq)
+    assert(sil.collect().toSeq == Similarity.silhouette(spark, d).collect().toSeq)
+    assert(quota.collect().toSeq ==
+      Similarity.clusterQuotaSample(spark, d).collect().toSeq)
+  }
+
   test("g07 planted: a chain of strong ties undercuts the weak direct edge") {
     import spark.implicits._
     // 0-1 direct but weak (1000); 0-3-1 two strong hops (10+10);
