@@ -63,6 +63,20 @@ class QueryInventorySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: ${orphans.mkString(", ")}")
   }
 
+  test("every registered query has an oracle (or a declared rows-only exemption)") {
+    // forgetting the `oracles` map entry silently degrades a key to the
+    // driver's weaker rows-only check (caught live once, on m08); only
+    // genuinely non-SQL-expressible outputs may be exempt, and each
+    // exemption must be deliberate — listed here with its reason
+    val rowsOnlyByDesign = Set(
+      "q26_approx_distinct" // HLL binary sketch: not SQL-expressible; error-bound spec instead
+    )
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
+      rowsOnlyByDesign
+    assert(unoracled.isEmpty,
+      s"queries silently missing oracles: ${unoracled.mkString(", ")}")
+  }
+
   test("every unpartitioned window runs over a bounded-by-construction frame") {
     // An unpartitioned WindowExec funnels its ENTIRE input through one
     // task — fine for a frame bounded by construction (a limit's heap, an
