@@ -326,4 +326,30 @@ class PlanShapeSpec extends SparkSpec {
     assert("Generate explode".r.findAllIn(p).nonEmpty,
       s"g02 lost the Generate-based unpivot:\n${p.take(3000)}")
   }
+
+  test("s17/s18/p19: the assignment trio stays one-scan x broadcast centroids") {
+    for (q <- Seq("s17_ivf_drift", "s18_silhouette", "p19_cluster_quota")) {
+      val p = plan(q)
+      // the centroid side and the grand-total/model side are broadcast;
+      // a demotion to SMJ would shuffle the corpus per consumer
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q lost its broadcast assignment:\n${p.take(2000)}")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q shuffled the assignment:\n${p.take(2000)}")
+    }
+  }
+
+  test("t25: the NB weight and model frames broadcast into the scoring joins") {
+    val p = plan("t25_nb_langid")
+    assert(!p.contains("CartesianProduct"),
+      s"t25 degenerated to a shuffled cross:\n${p.take(3000)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"t25 weight/model frames not broadcast:\n${p.take(3000)}")
+  }
+
+  test("s19: the fusion join never shuffles the retriever shortlists as SMJ") {
+    val p = plan("s19_rrf_fusion")
+    assert(!p.contains("CartesianProduct"),
+      s"s19 fused via a cross join:\n${p.take(3000)}")
+  }
 }
