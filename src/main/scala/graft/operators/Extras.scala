@@ -577,7 +577,85 @@ object Extras {
       |FROM s JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------- q72 KLL quantile rollup
+  /** q72: mergeable KLL quantile sketches (Karnin–Lang–Liberty) — the
+    * quantile slot in the sketch family next to q63's HLL (distinct),
+    * q66's fixed-bin histogram (bounded-domain quantiles) and q68's KMV
+    * (intersection): KLL needs NO domain knowledge (q66's bins must be
+    * chosen; KLL adapts), persists at a few KB, and unions exactly — the
+    * global p50/p90 here come from UNIONING the per-type sketches, never
+    * rescanning the fact table (the materialized-view stance).
+    *
+    * Contract (the q63 discipline): KLL compaction is randomized by
+    * design, so the oracle hash-checks the EXACT counts and asserts
+    * rank-accuracy booleans — the estimated quantile's true inclusive
+    * rank sits within 5% of target, ~10× the k=800 sketch's proven
+    * ~0.4% @99% bound plus worst-case tie mass, so the booleans are
+    * effectively deterministic. Rank checks are exact integer
+    * arithmetic (|1000·r − q·1000·n| ≤ 50·n).
+    *
+    * Scale: the sketch aggregate is a hash aggregate with an
+    * O(k·log(n/k)) buffer and map-side partials (one sketch per mapper
+    * per group crosses the exchange, where exact percentiles shuffle
+    * every value); the verification pass is one conditional-count scan
+    * against the broadcast 5-row estimate frame.
+    */
+  def kllQuantileRollup(s: SparkSession, d: String): DataFrame = {
+    import graft.expressions.KllSketch
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), centsOf(col("value")).as("cents"))
+    val perType = ev.groupBy(col("event_type"))
+      .agg(KllSketch.sketch(col("cents")).as("sk"),
+        count(lit(1)).as("n_exact"))
+    val est = perType.select(col("event_type"), col("n_exact"),
+      KllSketch.quantile(col("sk"), 0.5).as("p50"),
+      KllSketch.quantile(col("sk"), 0.9).as("p90"))
+    def rankOk(r: Column, n: Column, qMilli: Long): Column =
+      abs(lit(1000L) * r - lit(qMilli) * n) <= lit(50L) * n
+    val typed = ev.join(broadcast(est), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n_exact")).as("n"),
+        count(when(col("cents") <= col("p50"), 1)).as("r50"),
+        count(when(col("cents") <= col("p90"), 1)).as("r90"))
+      .select(lit("type").as("level"), col("event_type").as("key"),
+        col("n").as("n_exact"),
+        rankOk(col("r50"), col("n"), 500L).as("p50_rank_ok"),
+        rankOk(col("r90"), col("n"), 900L).as("p90_rank_ok"))
+    // global: the five sketches UNION (no fact rescan for the estimate;
+    // the scan below is only the exactness verification)
+    val gEst = perType
+      .agg(KllSketch.union(col("sk")).as("sk"), sum(col("n_exact")).as("n_exact"))
+      .select(col("n_exact"),
+        KllSketch.quantile(col("sk"), 0.5).as("p50"),
+        KllSketch.quantile(col("sk"), 0.9).as("p90"))
+    val global = ev.crossJoin(broadcast(gEst))
+      .groupBy()
+      .agg(max(col("n_exact")).as("n"),
+        count(when(col("cents") <= col("p50"), 1)).as("r50"),
+        count(when(col("cents") <= col("p90"), 1)).as("r90"))
+      .select(lit("total").as("level"), lit("all").as("key"),
+        col("n").as("n_exact"),
+        rankOk(col("r50"), col("n"), 500L).as("p50_rank_ok"),
+        rankOk(col("r90"), col("n"), 900L).as("p90_rank_ok"))
+    typed.unionByName(global).orderBy("level", "key")
+  }
+
+  /** q72 oracle: exact counts; the rank-accuracy booleans are the
+    * CONTRACT (asserted TRUE — the q63 stance for randomized sketches).
+    */
+  val kllQuantileRollupSql: String =
+    """SELECT level, key, n_exact, p50_rank_ok, p90_rank_ok FROM (
+      |  SELECT 'type' AS level, event_type AS key,
+      |    CAST(count(*) AS BIGINT) AS n_exact,
+      |    TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+      |  FROM events GROUP BY event_type
+      |  UNION ALL
+      |  SELECT 'total', 'all', CAST(count(*) AS BIGINT), TRUE, TRUE
+      |  FROM events)
+      |ORDER BY level, key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_kll_quantiles" -> (kllQuantileRollup _),
     "q70_decay_score" -> (decayScore _),
     "q68_kmv_overlap" -> (kmvAudienceOverlap _),
     "q66_hist_quantile_rollup" -> (histQuantileRollup _),
@@ -592,6 +670,7 @@ object Extras {
     "t06_top_tokens" -> (topTokens _))
 
   val oracles: Map[String, String] = Map(
+    "q72_kll_quantiles" -> kllQuantileRollupSql,
     "q70_decay_score" -> decayScoreSql,
     "q68_kmv_overlap" -> kmvAudienceOverlapSql,
     "q66_hist_quantile_rollup" -> histQuantileRollupSql,

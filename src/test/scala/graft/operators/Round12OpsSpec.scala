@@ -279,6 +279,35 @@ class Round12OpsSpec extends SparkSpec {
     assert(firsts.forall(r => r._3 == 0 && r._4 == 0 && r._5 == 0 && r._6 == -1))
   }
 
+  test("q72: KLL quantiles hit known ranks on a planted ramp, and halves union to the whole") {
+    import spark.implicits._
+    import graft.expressions.KllSketch
+    // 1..10000: true p50 = 5000, p90 = 9000; k=800 bound ~0.4%, assert 4%
+    val vals = (1 to 10000).map(_.toLong)
+    val whole = vals.toDF("v").agg(KllSketch.sketch(col("v")).as("sk"))
+      .select(KllSketch.quantile(col("sk"), 0.5).as("p50"),
+        KllSketch.quantile(col("sk"), 0.9).as("p90")).collect().head
+    assert(math.abs(whole.getLong(0) - 5000) <= 400, s"p50=${whole.getLong(0)}")
+    assert(math.abs(whole.getLong(1) - 9000) <= 400, s"p90=${whole.getLong(1)}")
+    // mergeability: per-half sketches unioned estimate the SAME ramp
+    val unioned = vals.map(v => (v % 2, v)).toDF("half", "v")
+      .groupBy("half").agg(KllSketch.sketch(col("v")).as("sk"))
+      .agg(KllSketch.union(col("sk")).as("sk"))
+      .select(KllSketch.quantile(col("sk"), 0.5).as("p50")).collect().head
+    assert(math.abs(unioned.getLong(0) - 5000) <= 400,
+      s"union p50=${unioned.getLong(0)}")
+  }
+
+  test("q72 corpus: one row per event type plus the union total, all contracts true") {
+    val out = Extras.kllQuantileRollup(spark, d).collect()
+    val types = Tables.events(spark, d).select("event_type").distinct().count()
+    assert(out.length == types + 1)
+    assert(out.forall(r => r.getBoolean(3) && r.getBoolean(4)),
+      "every rank-accuracy contract holds")
+    assert(out.map(_.getLong(2)).max == Tables.events(spark, d).count(),
+      "the total row counts every event")
+  }
+
   test("m07: ImageIO round-trip recovers the exact planted gray ramp") {
     val out = Multimodal.imageioRoundtrip(spark, d).collect()
     assert(out.nonEmpty)
