@@ -212,6 +212,39 @@ object GraftExtensions {
         require(args.length == 2, "kmv_sketch takes 2 arguments")
         graft.expressions.KmvSketchAgg(args(0),
           intLiteral(args(1), "kmv_sketch k"))
+      }),
+    (FunctionIdentifier("kll_sketch"),
+      info("kll_sketch",
+        "kll_sketch(v, k) - serialized KLL quantile sketch of bigint " +
+          "values; k an int literal. Mergeable via kll_union; read with " +
+          "kll_quantile"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kll_sketch takes 2 arguments")
+        graft.expressions.KllSketchAgg(args(0),
+          intLiteral(args(1), "kll_sketch k"))
+      }),
+    (FunctionIdentifier("kll_union"),
+      info("kll_union",
+        "kll_union(sk, k) - union aggregate over serialized KLL sketches"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kll_union takes 2 arguments")
+        graft.expressions.KllUnionAgg(args(0),
+          intLiteral(args(1), "kll_union k"))
+      }),
+    (FunctionIdentifier("kll_quantile"),
+      info("kll_quantile",
+        "kll_quantile(sk, q) - quantile estimate (bigint) off a " +
+          "serialized KLL sketch; q a double literal in (0,1)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kll_quantile takes 2 arguments")
+        val q = args(1) match {
+          case e if e.foldable && e.dataType ==
+            org.apache.spark.sql.types.DoubleType =>
+            e.eval().asInstanceOf[Double]
+          case other => throw new IllegalArgumentException(
+            s"kll_quantile q must be a double literal, got $other")
+        }
+        graft.expressions.KllQuantile(args(0), q)
       }))
 
   // ---- foldable-model argument extraction (the cms_probe discipline:

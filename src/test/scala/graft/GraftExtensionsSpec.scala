@@ -228,4 +228,34 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(picks.map(_._2) == Seq(1L, 2L, 3L),
       "greedy must defer the near-duplicate of the first pick")
   }
+
+  test("SQL surface: kll_sketch/kll_union/kll_quantile equal their DataFrame forms") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.register(spark)
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"),
+        floor(col("value") * 100.0).cast("long").as("cents"))
+    ev.createOrReplaceTempView("ext_kll_events")
+    // sketches are randomized internally but the SAME update/merge order
+    // within one engine is deterministic per plan; compare the derived
+    // QUANTILES which both forms must agree on within the sketch bound
+    val viaSql = spark.sql(
+      """SELECT kll_quantile(kll_union(sk, 800), CAST(0.5 AS DOUBLE)) AS p50 FROM (
+        |  SELECT event_type, kll_sketch(cents, 800) AS sk
+        |  FROM ext_kll_events GROUP BY event_type)""".stripMargin)
+      .collect().head.getLong(0)
+    val viaDf = ev.groupBy("event_type")
+      .agg(graft.expressions.KllSketch.sketch(col("cents")).as("sk"))
+      .agg(graft.expressions.KllSketch.union(col("sk")).as("sk"))
+      .select(graft.expressions.KllSketch.quantile(col("sk"), 0.5))
+      .collect().head.getLong(0)
+    // both are valid k=800 estimates of the same median: within 2x bound
+    val exact = ev.stat.approxQuantile("cents", Array(0.5), 0.0).head
+    assert(math.abs(viaSql - exact) <= 0.02 * exact + 200)
+    assert(math.abs(viaDf - exact) <= 0.02 * exact + 200)
+    // a non-literal q is a loud analysis error
+    val ex = intercept[Exception](spark.sql(
+      "SELECT kll_quantile(kll_sketch(cents, 800), cents) FROM ext_kll_events").collect())
+    assert(ex.getMessage.contains("kll_quantile"))
+  }
 }
