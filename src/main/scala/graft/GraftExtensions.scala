@@ -234,15 +234,23 @@ object GraftExtensions {
     (FunctionIdentifier("kll_quantile"),
       info("kll_quantile",
         "kll_quantile(sk, q) - quantile estimate (bigint) off a " +
-          "serialized KLL sketch; q a double literal in (0,1)"),
+          "serialized KLL sketch; q a numeric literal in (0,1)"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "kll_quantile takes 2 arguments")
+        // SQL parses `0.5` as DECIMAL(1,1), not DOUBLE — accept any
+        // foldable numeric and widen, keeping the loud error only for
+        // genuinely non-foldable / non-numeric args
         val q = args(1) match {
-          case e if e.foldable && e.dataType ==
-            org.apache.spark.sql.types.DoubleType =>
-            e.eval().asInstanceOf[Double]
+          case e if e.foldable => e.eval() match {
+            case d: Double => d
+            case f: Float => f.toDouble
+            case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+            case n: java.lang.Number => n.doubleValue()
+            case other => throw new IllegalArgumentException(
+              s"kll_quantile q must be a numeric literal, got $other")
+          }
           case other => throw new IllegalArgumentException(
-            s"kll_quantile q must be a double literal, got $other")
+            s"kll_quantile q must be a numeric literal, got $other")
         }
         graft.expressions.KllQuantile(args(0), q)
       }))

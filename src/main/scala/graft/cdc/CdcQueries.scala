@@ -299,7 +299,13 @@ object CdcQueries {
         lpad(col("payload.source.pos").cast("string"), 10, "0"), lit(":"),
         lpad(col("payload.source.row").cast("string"), 5, "0")).as("coord"),
       col("payload.source.ts_ms").as("src_ts"))
-    val w = Window.partitionBy(col("db"), col("tbl")).orderBy(col("coord"))
+    // src_ts as a secondary key: duplicate coordinates are window TIES,
+    // and if the F8 byte-identical contract is violated with differing
+    // ts_ms (the very case this audit surfaces) a coord-only order makes
+    // the lag — and so the regression count — nondeterministic across
+    // engines; ordering ties by src_ts pins it on both sides
+    val w = Window.partitionBy(col("db"), col("tbl"))
+      .orderBy(col("coord"), col("src_ts"))
     e.withColumn("prev_ts", lag(col("src_ts"), 1).over(w))
       .groupBy(col("db"), col("tbl"))
       .agg(count(lit(1)).as("n_events"),
@@ -327,7 +333,7 @@ object CdcQueries {
        |      lpad(CAST(payload.source."row" AS VARCHAR), 5, '0') AS coord,
        |    payload.source.ts_ms AS src_ts
        |  FROM read_json_auto('${CdcPipeline.eventsPath}')),
-       |l AS (SELECT *, lag(src_ts) OVER (PARTITION BY db, tbl ORDER BY coord)
+       |l AS (SELECT *, lag(src_ts) OVER (PARTITION BY db, tbl ORDER BY coord, src_ts)
        |        AS prev_ts FROM e)
        |SELECT db, tbl, count(*) AS n_events,
        |  CAST(count(*) FILTER (op = 'I') AS BIGINT) AS n_inserts,

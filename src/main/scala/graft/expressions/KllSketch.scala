@@ -136,10 +136,16 @@ case class KllQuantile(child: Expression, q: Double)
     else TypeCheckResult.TypeCheckFailure(
       s"kll_quantile needs a serialized sketch (BINARY), got ${child.dataType.sql}")
   override def dataType: DataType = LongType
+  // an all-null group's KllSketchAgg emits a valid but EMPTY sketch
+  // (nullable=false), and getQuantile on an empty sketch throws — the
+  // quantile of nothing is null, not a runtime exception
+  override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any =
-    KllLongsSketch.heapify(Memory.wrap(input.asInstanceOf[Array[Byte]]))
-      .getQuantile(q, QuantileSearchCriteria.INCLUSIVE)
+  override def nullSafeEval(input: Any): Any = {
+    val sk = KllLongsSketch.heapify(Memory.wrap(input.asInstanceOf[Array[Byte]]))
+    if (sk.isEmpty) null
+    else sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): KllQuantile =
     copy(child = newChild)

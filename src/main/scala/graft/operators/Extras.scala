@@ -58,9 +58,15 @@ object Extras {
       |  INTO NAME metric VALUE value)
       |ORDER BY lang, metric""".stripMargin
 
-  /** HyperLogLog++ approximate distinct counts next to exact — the sketch
-    * surface. No oracle (engine-specific sketch); scalatest pins the
-    * relative error bound.
+  /** HyperLogLog++ approximate distinct counts, oracled via the q63
+    * contract stance: an engine-specific sketch estimate can never
+    * hash-match a second engine, so the OUTPUT is the contract — the
+    * exact per-group distinct plus a `within_10pct` boolean holding the
+    * estimate against it. rsd=0.02 puts the 10% bound 5σ out (the q63
+    * sizing discipline), so the boolean is stable, not lucky; the oracle
+    * computes the exact counts and asserts TRUE, and any sketch
+    * regression flips a boolean and fails the hash. (Production keeps
+    * only the sketch; the exact count exists for verification.)
     */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     // pre-distinct instead of agg(countDistinct, approx_count_distinct):
@@ -78,9 +84,19 @@ object Extras {
         // two differ only on NULL partkeys, and countDistinct (the replaced
         // form whose bit-identity the spec pins) excludes NULLs — match its
         // null semantics by construction instead of by testdata accident
-        count(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        count(col("l_partkey")).cast("long").as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx").cast("double") - col("exact_parts").cast("double"))
+          <= lit(0.10) * col("exact_parts").cast("double")).as("within_10pct"))
       .orderBy("l_returnflag")
+
+  /** q26 oracle: exact distincts, booleans asserted TRUE (q63 stance). */
+  val approxDistinctSql: String =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  TRUE AS within_10pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Custom typed Aggregator (UDAF): quantity-weighted mean price per
     * return flag, with exact decimal partials (oracle-matchable).
@@ -675,6 +691,7 @@ object Extras {
     "q68_kmv_overlap" -> kmvAudienceOverlapSql,
     "q66_hist_quantile_rollup" -> histQuantileRollupSql,
     "q63_hll_rollup" -> hllRollupSql,
+    "q26_approx_distinct" -> approxDistinctSql,
     "q25_pivot" -> pivotEventsSql,
     "q51_unpivot" -> unpivotStatsSql,
     "q27_weighted_avg_udaf" -> weightedAvgPriceSql,

@@ -1336,12 +1336,19 @@ object Similarity {
     val tombPath = java.nio.file.Paths.get(dir, "tombstones")
     if (!java.nio.file.Files.exists(tombPath)) return
     val tomb = tombstonesOf(s, dir).localCheckpoint(true)
+    // the affected-set SOURCE table must be the LAST rewrite (tied
+    // structurally via `.last`): a crash between the two rewrites then
+    // leaves the source intact, so a recovery re-run recomputes the same
+    // affected set and finishes the job — codes-first would make the
+    // re-run see an empty affected set and strand deleted embeddings in
+    // vectors forever (the vacuumMinhashIndex derived-first ordering)
+    val rewriteOrder = Seq("vectors", "codes")
     // affected cells off the codes table: bounded by the index GEOMETRY
     // (≤ nCells literals), collected like the probe's cell list
-    val affected = s.read.parquet(s"$dir/codes")
+    val affected = s.read.parquet(s"$dir/${rewriteOrder.last}")
       .join(broadcast(tomb), "vec_id").select("cell").distinct()
       .collect().map(_.getInt(0))
-    for (tbl <- Seq("codes", "vectors"); if affected.nonEmpty) {
+    for (tbl <- rewriteOrder; if affected.nonEmpty) {
       val survivors = s.read.parquet(s"$dir/$tbl")
         .filter(col("cell").isin(affected.map(Integer.valueOf): _*))
         .join(broadcast(tomb), Seq("vec_id"), "left_anti")
@@ -1921,6 +1928,64 @@ object Similarity {
       |LEFT JOIN mut ON mut.vec_id = nn.vec_id
       |ORDER BY nn.vec_id""".stripMargin
 
+  // ------------------------------------ s20 sampled hubness (production)
+  /** Fixed-size deterministic sample for [[knnHubnessSampled]]: the
+    * hash-ordered first [[HUBNESS_SAMPLE_CAP]] ids. A CAP, not a 1-in-N
+    * rate, so the quadratic kernel's cost is CONSTANT in corpus size —
+    * the measured scaling exponent of s20 is the linear scan's, not the
+    * pair loop's.
+    */
+  val HUBNESS_SAMPLE_CAP = 256
+
+  /** s20: the production face of the s16 hubness diagnostic — the SAME
+    * [[knnHubnessFrom]] kernel fed a deterministic fixed-size sample
+    * (first [[HUBNESS_SAMPLE_CAP]] ids by the cross-engine md5 hash60
+    * order — pseudo-random but reproducible, the d19 bounded-truth
+    * discipline). s16 stays the registered exact-truth face for small
+    * diagnostics; THIS is the key a 100 TB deployment schedules: hubness
+    * and reciprocity are distribution-shape statistics, estimated as
+    * well from a fixed random sample as from the full corpus, and the
+    * sample bound turns the O(n²) kernel into O(cap²) + one linear scan
+    * (`orderBy(hash).limit(cap)` plans as TakeOrderedAndProject — a
+    * per-partition top-cap fold, never a full sort shuffle).
+    */
+  def knnHubnessSampled(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    knnHubnessFrom(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          Dedup.baseHash(col("vec_id").cast("string")).as("hs"))
+        .orderBy(col("hs"), col("vec_id")).limit(HUBNESS_SAMPLE_CAP)
+        .drop("hs"),
+      k)
+
+  /** s20 oracle: identical hash-ordered sample (DuckDB's md5-prefix
+    * mirror of [[Dedup.baseHash]]), then the s16 pipeline body over it.
+    */
+  val knnHubnessSampledSql: String =
+    """WITH smp AS MATERIALIZED (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
+      |  LIMIT 256),
+      |v AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qv FROM smp),
+      |n AS (SELECT vec_id, qv,
+      |        sqrt(CAST(list_sum([qv[i]*qv[i] FOR i IN range(1,65)]) AS DOUBLE)) AS nrm FROM v),
+      |pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    CAST(list_sum([a.qv[i]*b.qv[i] FOR i IN range(1,65)]) AS DOUBLE) / (a.nrm * b.nrm) AS cosine
+      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      |edges AS MATERIALIZED (SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rank
+      |    FROM pairs) WHERE rank <= 5),
+      |nn AS (SELECT src AS vec_id, dst AS nn_id, cosine AS nn_cos FROM edges WHERE rank = 1),
+      |ind AS (SELECT dst AS vec_id, count(*) AS in_deg FROM edges GROUP BY 1),
+      |mut AS (SELECT a.src AS vec_id, count(*) AS n_mutual
+      |        FROM edges a JOIN edges b ON a.src = b.dst AND a.dst = b.src GROUP BY 1)
+      |SELECT nn.vec_id, CAST(coalesce(ind.in_deg, 0) AS BIGINT) AS in_deg,
+      |  CAST(coalesce(mut.n_mutual, 0) AS BIGINT) AS n_mutual,
+      |  nn.nn_id, nn.nn_cos
+      |FROM nn LEFT JOIN ind ON ind.vec_id = nn.vec_id
+      |LEFT JOIN mut ON mut.vec_id = nn.vec_id
+      |ORDER BY nn.vec_id""".stripMargin
+
   // --------------------------------------- p19 cluster-balanced sampling
   /** p19: cluster-balanced (diversity) sampling — the SemDeDup-companion
     * curation step: admit a fixed fraction (1/4) of every k-means cell
@@ -2384,6 +2449,7 @@ object Similarity {
     "s18_silhouette" -> (silhouette _),
     "s17_ivf_drift" -> (ivfDrift _),
     "s16_knn_hubness" -> ((s: SparkSession, d: String) => knnHubness(s, d)),
+    "s20_hubness_sampled" -> ((s: SparkSession, d: String) => knnHubnessSampled(s, d)),
     "p19_cluster_quota" -> (clusterQuotaSample _),
     "s15_ann_deletion" -> ((s: SparkSession, d: String) => ivfPqDeleteTopK(s, d)),
     "s14_matryoshka_recall" -> ((s: SparkSession, d: String) => matryoshkaRecall(s, d)),
@@ -2409,6 +2475,7 @@ object Similarity {
     "s18_silhouette" -> silhouetteSql,
     "s17_ivf_drift" -> ivfDriftSql,
     "s16_knn_hubness" -> knnHubnessSql,
+    "s20_hubness_sampled" -> knnHubnessSampledSql,
     "p19_cluster_quota" -> clusterQuotaSampleSql,
     "s15_ann_deletion" -> ivfPqDeleteTopKSql,
     "s14_matryoshka_recall" -> matryoshkaRecallSql,

@@ -49,12 +49,19 @@ object SketchLog {
       .map(_.getName).toSeq.sorted
   }
 
-  /** Fold the snapshot-enumerated partitions into `batch_id=0` under the
-    * caller's merge law (`fold` sees the unioned delta rows WITHOUT the
-    * batch_id column and returns the folded frame, also without it).
+  /** Fold the snapshot-enumerated partitions into the `batch_id=-1`
+    * sentinel under the caller's merge law (`fold` sees the unioned
+    * delta rows WITHOUT the batch_id column and returns the folded
+    * frame, also without it). The sentinel is -1 because streaming
+    * batchIds start at 0: a stream restarted on a FRESH checkpoint
+    * re-lands batch_id=0, and had history been folded there, that
+    * dynamic overwrite would silently replace the entire compacted log.
+    * No micro-batch can ever produce -1, so the folded partition is
+    * collision-proof (a re-compaction enumerates and re-folds it like
+    * any other partition).
     *
     * Swap discipline: folded copy fully written beside the log; then the
-    * snapshot partitions move to `__old`, the folded `batch_id=0` moves
+    * snapshot partitions move to `__old`, the folded `batch_id=-1` moves
     * in, `__old` is dropped. Crash mid-swap ⇒ recovery is moving
     * `__old/ *` back and deleting `__compact`. Partitions landed after
     * the snapshot are untouched on both the success and recovery paths;
@@ -71,7 +78,7 @@ object SketchLog {
     val folded = fold(s.read.option("basePath", path)
         .parquet(snap.map(p => s"$path/$p"): _*)
         .drop("batch_id"))
-      .withColumn("batch_id", lit(0L))
+      .withColumn("batch_id", lit(-1L))
     val tmp = path + "__compact"
     val old = path + "__old"
     Dedup.deleteTreeIfExists(Paths.get(tmp))
@@ -82,7 +89,7 @@ object SketchLog {
       val live: Path = dir.resolve(p)
       if (Files.exists(live)) Files.move(live, Paths.get(old).resolve(p))
     }
-    Files.move(Paths.get(tmp).resolve("batch_id=0"), dir.resolve("batch_id=0"))
+    Files.move(Paths.get(tmp).resolve("batch_id=-1"), dir.resolve("batch_id=-1"))
     Dedup.deleteTreeIfExists(Paths.get(old))
     Dedup.deleteTreeIfExists(Paths.get(tmp))
   }

