@@ -77,6 +77,39 @@ object CdcSources {
     }
   }
 
+  /** S1 (jarless e2e): the Kafka-shaped DataSource V2 test source over a
+    * deterministic local fixture — identical schema and offset semantics
+    * to the real connector, so the whole consumer assembly runs
+    * end-to-end without a broker (KafkaShapedSource scaladoc has the
+    * contract). Production swaps this for [[kafkaStream]]`.load()`.
+    */
+  def kafkaShapedStream(spark: SparkSession, path: String, topic: String,
+      numPartitions: Int = 2, maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
+    val reader = spark.readStream.format(KafkaShapedSource.FORMAT)
+      .option("path", path)
+      .option("topic", topic)
+      .option("numPartitions", numPartitions.toString)
+    maxOffsetsPerTrigger.fold(reader)(n => reader.option("maxOffsetsPerTrigger", n.toString))
+      .load()
+  }
+
+  /** Kafka frame (real connector or [[kafkaShapedStream]] — same schema)
+    * → the consumer's (value string, loop int) contract: value bytes
+    * decoded as UTF-8, loop read from the `loop` header the republish
+    * path sets (main.go:174-203), 0 when absent. Null values (kafka
+    * tombstones) decode to null and are dropped by the F2 filter
+    * downstream.
+    */
+  def fromKafkaFrame(df: DataFrame): DataFrame =
+    df.select(
+      col("value").cast("string").as("value"),
+      coalesce(
+        // try_element_at: a record with no loop header has an empty
+        // filtered array, which must read as loop 0, not an ANSI error
+        expr("try_element_at(filter(headers, h -> h.key = 'loop'), 1)")
+          .getField("value").cast("string").cast("int"),
+        lit(0)).as("loop"))
+
   /** S2: project failed records into the Kafka republish shape — original
     * value back to its source topic with a `loop` retry-count header
     * (main.go:174-203). Input needs (topic, value, loop); output matches
