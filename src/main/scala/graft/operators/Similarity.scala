@@ -2258,7 +2258,19 @@ object Similarity {
     * instead of a recomputed frame — zero assignment scans, not one.
     */
   def indexHealthReport(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) =
+    // the ONE shared assignment materialization
+    indexHealthFaces(cellAssignments(s, d).localCheckpoint(true))
+
+  /** The per-vector cell-assignment frame every health face consumes:
+    * (vec_id, label, cell, a2 = squared distance to the OWN centroid,
+    * b2 = squared distance to the nearest OTHER centroid) — one thin
+    * row per vector, reduced from the corpus × broadcast-centroid scan.
+    * This is the frame [[writeCellAssignments]] persists: it is the
+    * whole information content the s17/s18/p19 faces need, at 1/N_CELLS
+    * the size of the raw scored pairs.
+    */
+  private[graft] def cellAssignments(s: SparkSession, d: String): DataFrame = {
     val all = Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("cv"), col("label"))
     val centroids = broadcast(
@@ -2266,7 +2278,7 @@ object Similarity {
         .orderBy(col("vec_id")).limit(N_CELLS)
         .withColumn("cell", row_number().over(Window.orderBy(col("vec_id"))))
         .select(col("cell"), col("cv").as("centroid")))
-    val scored = all.crossJoin(centroids)
+    all.crossJoin(centroids)
       .withColumn("vv", qdot(col("cv"), col("cv")))
       .withColumn("vc", qdot(col("cv"), col("centroid")))
       .withColumn("cc", qdot(col("centroid"), col("centroid")))
@@ -2274,11 +2286,22 @@ object Similarity {
         sqrt(col("cc").cast("double")))
       .withColumn("r", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
-      .select("vec_id", "label", "cell", "vv", "vc", "cc", "score", "r")
-      .localCheckpoint(true) // the ONE shared assignment materialization
-    // ---- s17 face
-    val assigned1 = scored.filter(col("r") === 1)
-      .withColumn("msse", expr("(vv - 2 * vc + cc) div 64"))
+      .withColumn("sse", col("vv") - lit(2L) * col("vc") + col("cc"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("label")).as("label"),
+        max(when(col("r") === 1, col("cell"))).as("cell"),
+        max(when(col("r") === 1, col("sse"))).as("a2"),
+        min(when(col("r") > 1, col("sse"))).as("b2"))
+  }
+
+  /** The three health faces off a (vec_id, label, cell, a2, b2) frame —
+    * shared by the checkpoint-backed [[indexHealthReport]] and the
+    * persisted-store read path (zero assignment scans there).
+    */
+  private[graft] def indexHealthFaces(perVec: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    // ---- s17 face: a2 IS (vv - 2vc + cc) of the own cell
+    val assigned1 = perVec.withColumn("msse", expr("a2 div 64"))
     val perCell = assigned1.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"),
         expr("sum(msse) div count(1)").as("mean_msse"),
@@ -2290,12 +2313,7 @@ object Similarity {
         col("mean_msse"), col("max_msse"))
       .orderBy("cell")
     // ---- s18 face
-    val sil = scored
-      .withColumn("sse", col("vv") - lit(2L) * col("vc") + col("cc"))
-      .groupBy(col("vec_id"))
-      .agg(max(when(col("r") === 1, col("cell"))).as("cell"),
-        max(when(col("r") === 1, col("sse"))).as("a2"),
-        min(when(col("r") > 1, col("sse"))).as("b2"))
+    val sil = perVec
       .select(col("cell"),
         when(greatest(col("a2"), col("b2")) === 0, lit(1000L))
           .otherwise(floor(lit(1000.0) *
@@ -2311,7 +2329,7 @@ object Similarity {
     // ---- p19 face
     val wCell = Window.partitionBy(col("cell"))
     val wRank = Window.partitionBy(col("cell")).orderBy(col("h"), col("vec_id"))
-    val quota = scored.filter(col("r") === 1)
+    val quota = perVec
       .select(col("vec_id"), col("label"), col("cell"))
       .withColumn("h", graft.operators.Dedup.baseHash(col("vec_id").cast("string")))
       .withColumn("cell_n", count(lit(1)).over(wCell))
@@ -2328,6 +2346,26 @@ object Similarity {
     (drift, sil, quota)
   }
 
+  /** Persist the cell-assignment table beside an index (cell-partitioned,
+    * the same write-time key the IVF code/vector tables use) — the
+    * executable form of "at 100 TB the checkpoint becomes the stored
+    * cell assignment": monitoring faces then read THIS table and never
+    * re-scan or re-score the corpus. Frozen-model discipline applies —
+    * assignments stay valid until the centroids are retrained, at which
+    * point the index itself is rebuilt anyway.
+    */
+  def writeCellAssignments(s: SparkSession, d: String, dir: String): Unit =
+    cellAssignments(s, d)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+
+  /** The three health faces served from a persisted assignment store —
+    * zero corpus scans, zero centroid broadcasts, no window over
+    * anything larger than a cell.
+    */
+  def indexHealthReportFromStore(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    indexHealthFaces(s.read.parquet(dir))
+
   /** p22: the registered (thus bench-priced) face of
     * [[indexHealthReport]] — the three reports as ONE long-format
     * (facet, cell, metric, value) frame, all from the single shared
@@ -2336,8 +2374,11 @@ object Similarity {
     * values while the bench prices the amortization (one assignment
     * pass instead of three).
     */
-  def indexHealth(s: SparkSession, d: String): DataFrame = {
-    val (drift, sil, quota) = indexHealthReport(s, d)
+  def indexHealth(s: SparkSession, d: String): DataFrame =
+    healthLong(indexHealthReport(s, d))
+
+  private def healthLong(faces: (DataFrame, DataFrame, DataFrame)): DataFrame = {
+    val (drift, sil, quota) = faces
     def long(f: String, df: DataFrame, cols: Seq[String]): DataFrame =
       df.select(lit(f).as("facet"), col("cell").cast("long").as("cell"),
         explode(array(cols.map(c =>
@@ -2350,6 +2391,24 @@ object Similarity {
       .unionByName(long("quota", quota,
         Seq("n_total", "quota", "n_admitted", "admitted_id_sum", "n_labels")))
       .orderBy("facet", "cell", "metric")
+  }
+
+  /** p23: the STORED-assignment face of p22 — same long-format report,
+    * served entirely from the persisted cell-assignment table (built
+    * once per corpus into a deterministic temp dir; the untimed bench
+    * warmup pass absorbs the build, so the timed reps price exactly
+    * what a production monitoring job pays: a read of one thin
+    * cell-partitioned table, zero corpus scans). Oracle = p22's (same
+    * output contract), so the store round-trip is hash-checked.
+    */
+  def indexHealthFromStore(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_cellassign_" + java.lang.Long.toHexString(
+        graft.expressions.Md5Hash.hash60(
+          d.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+    if (!java.nio.file.Files.exists(dir)) writeCellAssignments(s, d, dir.toString)
+    healthLong(indexHealthReportFromStore(s, dir.toString))
   }
 
   /** p22 oracle: the three green oracles verbatim, unpivoted. */
@@ -2445,6 +2504,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p22_index_health" -> (indexHealth _),
+    "p23_health_from_store" -> (indexHealthFromStore _),
     "s19_rrf_fusion" -> ((s: SparkSession, d: String) => rrfFusion(s, d)),
     "s18_silhouette" -> (silhouette _),
     "s17_ivf_drift" -> (ivfDrift _),
@@ -2471,6 +2531,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "p22_index_health" -> indexHealthSql,
+    "p23_health_from_store" -> indexHealthSql,
     "s19_rrf_fusion" -> rrfFusionSql,
     "s18_silhouette" -> silhouetteSql,
     "s17_ivf_drift" -> ivfDriftSql,
