@@ -1321,8 +1321,56 @@ object TextOps {
       .groupBy("doc_id")
       .agg(floor(sum(col("q")).cast("double") / count(lit(1))).cast("long")
         .as("lm_score"))
-    // sliced global rank, descending (higher score = more in-domain):
-    // per-bin counts -> suffix-sum base offsets off a ≤240-row frame
+    // sliced global rank, descending (higher score = more in-domain),
+    // hot bins taking the decomposed skew-proof path (slicedRanks)
+    slicedRanks(doc)
+      .select(col("doc_id"), col("lm_score"),
+        when(lit(3L) * col("rnk") <= col("tot"), "head")
+          .when(lit(3L) * col("rnk") <= lit(2L) * col("tot"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Population above which a score bin abandons its single per-bin rank
+    * window for the decomposed path in [[slicedRanks]]. Sized so a task
+    * ranking one cold bin sorts at most this many thin rows; no corpus
+    * at the test SFs comes near it — the threshold exists for the
+    * pathological skew case (e.g. a default score shared by a large
+    * corpus fraction).
+    */
+  val HOT_BIN_THRESHOLD = 2000000L
+  private val FINE_SPLITS = 4096L  // fine sub-bins per hot bin
+  private val TIE_CHUNK = 65536L   // doc_id chunk width inside an exact-score tie
+
+  /** Exact sliced global rank of a (doc_id, lm_score) frame under the
+    * order (lm_score DESC, doc_id ASC) — the t22/p17 prefix-sum pattern,
+    * upgraded from hazard note to handled: bins whose population exceeds
+    * `hotThreshold` are ranked by DECOMPOSITION instead of one per-bin
+    * window (which would funnel the hot bin through a single task):
+    *
+    *   rank = base(bin)                                  ≤240-row frame
+    *        + #rows in finer-greater sub-bins            (bin) window over ≤4096 aggregated rows
+    *        + #rows in my sub-bin with greater score     (bin,fine) window over ≤1024 aggregated rows
+    *        + #ties before my doc_id chunk               (score) window over aggregated chunk counts
+    *        + row_number within (score, chunk)           partitions of ≤~TIE_CHUNK rows
+    *
+    * Every level is a window over an AGGREGATED frame or a partitioned
+    * row_number — no corpus-proportional partition anywhere. The only
+    * residual concentration is the per-score chunk-count window when one
+    * EXACT score holds a huge tie: its input is one aggregated row per
+    * doc_id chunk (≥TIE_CHUNK-fold smaller than the tie, 4 thin columns),
+    * three orders below the raw rows the naive window would funnel.
+    *
+    * The sub-keys are ORDERED (finer score ranges; doc_id ranges inside
+    * an exact-score tie — where doc_id IS the order), not hashed: a hash
+    * sub-key scatters order across groups and cannot reconstruct exact
+    * ranks from offsets. Cold bins keep the original cheap single-window
+    * path, so at healthy skew the plan is unchanged.
+    */
+  private[graft] def slicedRanks(doc: DataFrame,
+      hotThreshold: Long = HOT_BIN_THRESHOLD): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fineW = math.max(1L, PPL_BIN_W / FINE_SPLITS)
     val binned = doc.withColumn("_ppl_bin", expr(s"lm_score div $PPL_BIN_W"))
     val counts = binned.groupBy("_ppl_bin").agg(count(lit(1)).as("bn"))
     val wAbove = Window.orderBy(col("_ppl_bin").desc) // ≤240 rows, bounded
@@ -1332,16 +1380,48 @@ object TextOps {
     val bases = counts
       .withColumn("base", coalesce(sum(col("bn")).over(wAbove), lit(0L)))
       .withColumn("tot", sum(col("bn")).over(wAll))
-      .select(col("_ppl_bin"), col("base"), col("tot"))
+      .withColumn("hot", col("bn") > hotThreshold)
+      .select(col("_ppl_bin"), col("base"), col("tot"), col("hot"))
+    val joined = binned.join(broadcast(bases), "_ppl_bin")
     val wLocal = Window.partitionBy(col("_ppl_bin"))
       .orderBy(col("lm_score").desc, col("doc_id"))
-    binned.join(broadcast(bases), "_ppl_bin")
+    val cold = joined.filter(!col("hot"))
       .withColumn("rnk", col("base") + row_number().over(wLocal))
-      .select(col("doc_id"), col("lm_score"),
-        when(lit(3L) * col("rnk") <= col("tot"), "head")
-          .when(lit(3L) * col("rnk") <= lit(2L) * col("tot"), "middle")
-          .otherwise("tail").as("bucket"))
-      .orderBy("doc_id")
+    val hot = joined.filter(col("hot"))
+      .withColumn("_fine", expr(s"lm_score div $fineW"))
+      .withColumn("_chunk", expr(s"doc_id div $TIE_CHUNK"))
+    val fineBase = hot.groupBy(col("_ppl_bin"), col("_fine"))
+      .agg(count(lit(1)).as("fn"))
+      .withColumn("fbase", coalesce(sum(col("fn")).over(
+        Window.partitionBy(col("_ppl_bin")).orderBy(col("_fine").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_ppl_bin"), col("_fine"), col("fbase"))
+    val scoreBase = hot.groupBy(col("_ppl_bin"), col("_fine"), col("lm_score"))
+      .agg(count(lit(1)).as("sn"))
+      .withColumn("sbase", coalesce(sum(col("sn")).over(
+        Window.partitionBy(col("_ppl_bin"), col("_fine"))
+          .orderBy(col("lm_score").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_ppl_bin"), col("_fine"), col("lm_score"), col("sbase"))
+    // a score value determines its bin and fine sub-bin, so keying the
+    // tie level by lm_score alone cannot mix bins
+    val tieBase = hot.groupBy(col("lm_score"), col("_chunk"))
+      .agg(count(lit(1)).as("tn"))
+      .withColumn("tbase", coalesce(sum(col("tn")).over(
+        Window.partitionBy(col("lm_score")).orderBy(col("_chunk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lm_score"), col("_chunk"), col("tbase"))
+    val hotRanked = hot
+      .join(fineBase, Seq("_ppl_bin", "_fine"))
+      .join(scoreBase, Seq("_ppl_bin", "_fine", "lm_score"))
+      .join(tieBase, Seq("lm_score", "_chunk"))
+      .withColumn("rnk",
+        col("base") + col("fbase") + col("sbase") + col("tbase") +
+          row_number().over(Window.partitionBy(col("lm_score"), col("_chunk"))
+            .orderBy(col("doc_id"))))
+    cold.select(col("doc_id"), col("lm_score"), col("rnk"), col("tot"))
+      .unionByName(
+        hotRanked.select(col("doc_id"), col("lm_score"), col("rnk"), col("tot")))
   }
 
   val ccnetBucketsSql: String =
