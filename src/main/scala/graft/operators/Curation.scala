@@ -1313,7 +1313,90 @@ object Curation {
       |    - ($MIX_BUDGET_TOKENS * raw_tokens) // tot_raw AS shift
       |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------ shard manifest
+  /** Output shards for [[shardManifest]]. */
+  val N_SHARDS = 8
+
+  /** p24: token-balanced output sharding — the last step before a corpus
+    * ships to trainers: assign every document to one of [[N_SHARDS]]
+    * output shards so shard token masses stay near-equal (data-parallel
+    * readers stall on the fattest shard, so balance IS throughput), and
+    * emit the per-shard manifest (doc/token masses + an id checksum) that
+    * the training job validates against after download. Assignment is
+    * deterministic: docs are globally ordered by (bpe-ish token count
+    * DESC, doc_id) and dealt boustrophedon — pass k of [[N_SHARDS]] docs
+    * deals left-to-right when k is even, right-to-left when odd — the
+    * classic greedy-balance approximation that is also a pure function of
+    * rank (reproducible, SQL-expressible, and re-runnable after appends).
+    *
+    * Scale shape: the global rank is DECOMPOSED, never one window task
+    * (the t22 discipline): rank = (# docs with more tokens) + (# earlier
+    * docs at the same count). The first term is a running sum over the
+    * per-count aggregate — a frame whose size is the number of DISTINCT
+    * token counts, thousands at most regardless of corpus size; the
+    * second is a row_number partitioned by token count, where a
+    * pathologically hot count (a boilerplate-dominated corpus) escalates
+    * to t22's hot-bin split by doc_id chunks. The manifest rollup is
+    * [[N_SHARDS]] rows.
+    */
+  def shardManifest(s: SparkSession, d: String): DataFrame =
+    shardManifestOf(Tables.documents(s, d))
+
+  /** p24 over any documents-shaped frame (spec-injectable face). */
+  private[graft] def shardManifestOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val N = N_SHARDS
+    val d0 = docs.select(col("doc_id"),
+      TextFunctions.bpeishTokenCount(col("text")).cast("long").as("tok"))
+    // docs with strictly more tokens: running sum over the per-count
+    // aggregate (distinct-count-sized frame, tiny at any corpus scale)
+    val counts = d0.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("prefix", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("tok").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("tok"), col("prefix"))
+    val ranked = d0
+      .withColumn("intra", row_number().over(
+        Window.partitionBy(col("tok")).orderBy(col("doc_id"))))
+      .join(broadcast(counts), "tok")
+      .withColumn("r0", col("prefix") + col("intra") - 1)
+    ranked
+      .withColumn("pos", col("r0") % N)
+      .withColumn("shard",
+        when(expr(s"r0 div $N") % 2 === 0, col("pos"))
+          .otherwise(lit(N - 1) - col("pos")))
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("total_tokens"),
+        max(col("tok")).as("max_tokens"),
+        min(col("tok")).as("min_tokens"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy("shard")
+  }
+
+  /** p24 oracle: the one-window formulation of the identical rank — the
+    * decomposed rank equals it by construction (same total order).
+    */
+  lazy val shardManifestSql: String = {
+    val N = N_SHARDS
+    s"""WITH d AS (SELECT doc_id,
+       |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tok
+       |  FROM documents),
+       |r AS (SELECT doc_id, tok,
+       |    row_number() OVER (ORDER BY tok DESC, doc_id) - 1 AS r0 FROM d),
+       |a AS (SELECT doc_id, tok,
+       |    CASE WHEN (r0 // $N) % 2 = 0 THEN r0 % $N
+       |         ELSE ${N - 1} - r0 % $N END AS shard FROM r)
+       |SELECT CAST(shard AS INT) AS shard, count(*) AS n_docs,
+       |  CAST(sum(tok) AS BIGINT) AS total_tokens,
+       |  CAST(max(tok) AS BIGINT) AS max_tokens,
+       |  CAST(min(tok) AS BIGINT) AS min_tokens,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+       |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p24_shard_manifest" -> (shardManifest _),
     "p21_dedup_mixture" -> (dedupAwareMixture _),
     "p20_contrastive_pairs" -> (contrastivePairs _),
     "p18_temperature_mixture" -> (temperatureMixture _),
@@ -1335,6 +1418,7 @@ object Curation {
     "p11_curation_report" -> (curationReportUnified _))
 
   val oracles: Map[String, String] = Map(
+    "p24_shard_manifest" -> shardManifestSql,
     "p21_dedup_mixture" -> dedupAwareMixtureSql,
     "p20_contrastive_pairs" -> contrastivePairsSql,
     "p18_temperature_mixture" -> temperatureMixtureSql,

@@ -2502,7 +2502,81 @@ object Similarity {
       |FROM fr WHERE fused_rank <= 10 ORDER BY query_id, fused_rank"""
       .stripMargin
 
+  // ------------------------------------------------------- kNN graph
+  /** Neighbors per node in the [[knnGraph]] edge list. */
+  val KNN_GRAPH_K = 5
+
+  /** s21: approximate kNN-graph construction — the edge list underneath
+    * graph-based ANN serving (HNSW/NSG base layers), SemDeDup-style
+    * cluster pruning, and label-propagation over embedding space (the
+    * g-family consumes exactly this shape). Every vector ranks the other
+    * members of its IVF cell by exact-integer cosine and keeps its top
+    * [[KNN_GRAPH_K]]; cell residency comes from the shared s03/s04/s05
+    * centroid build, so the graph is consistent with every other
+    * IVF-derived face in the family.
+    *
+    * Scale shape: candidates come from EQUALITY on cell — never an
+    * all-pairs product. The self-join is a shuffle on cell (at 100 TB,
+    * cell is the persisted index's write-time partition column, making it
+    * partition-local — the s09 probe argument), and per-cell cost is
+    * |cell|² with |cell| bounded by the k-means build (k ~ sqrt(N) cells
+    * keeps |cell| ~ sqrt(N), so total work is N^1.5 / k — the standard
+    * clustered kNN-graph construction bound, tunable via the cell count).
+    * The top-k window partitions by src (never unpartitioned); centroids
+    * ride a broadcast.
+    */
+  def knnGraph(s: SparkSession, d: String): DataFrame =
+    knnGraphFrom(Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv")))
+
+  /** s21 over any (vec_id, qv) corpus (spec-injectable face). */
+  private[graft] def knnGraphFrom(corpus: DataFrame): DataFrame = {
+    val assign = assignToCells(corpus, seedCentroids(corpus))
+    val e = assign.withColumn("nrm",
+      sqrt(qdot(col("qv"), col("qv")).cast("double")))
+    e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cosine",
+        qdot(col("a.qv"), col("b.qv")).cast("double") /
+          (col("a.nrm") * col("b.nrm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("a.vec_id"))
+          .orderBy(col("cosine").desc, col("b.vec_id"))))
+      .filter(col("rank") <= KNN_GRAPH_K)
+      .select(col("a.vec_id").as("src"), col("rank").cast("int").as("rank"),
+        col("b.vec_id").as("dst"), col("a.cell").cast("int").as("cell"),
+        col("cosine"))
+      .orderBy("src", "rank")
+  }
+
+  /** s21 oracle: same quantization, centroid build, residency tie-break
+    * and per-src top-k (the kmeansStep no-plant cents CTE).
+    */
+  lazy val knnGraphSql: String =
+    s"""WITH v AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qv FROM embeddings),
+       |cents AS (SELECT cell, qv AS centroid FROM (
+       |  SELECT vec_id, qv, row_number() OVER (ORDER BY vec_id) AS cell
+       |  FROM v WHERE vec_id % 31 = 6) WHERE cell <= $N_CELLS),
+       |assign AS (SELECT vec_id, qv, cell FROM (
+       |  SELECT v.vec_id, v.qv, cents.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      CAST(list_sum([v.qv[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
+       |        sqrt(CAST(list_sum([cents.centroid[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) DESC, cents.cell) AS r
+       |  FROM v CROSS JOIN cents) WHERE r = 1),
+       |n AS (SELECT vec_id, sqrt(CAST(list_sum([qv[i]*qv[i] FOR i IN range(1,65)]) AS DOUBLE)) AS nrm FROM assign),
+       |e AS (SELECT a.vec_id AS src, b.vec_id AS dst, a.cell,
+       |    CAST(list_sum([a.qv[i]*b.qv[i] FOR i IN range(1,65)]) AS DOUBLE) /
+       |      (na.nrm * nb.nrm) AS cosine
+       |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id),
+       |r AS (SELECT src, dst, cell, cosine,
+       |    row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rank
+       |  FROM e)
+       |SELECT src, CAST(rank AS INT) AS rank, dst, CAST(cell AS INT) AS cell, cosine
+       |FROM r WHERE rank <= $KNN_GRAPH_K ORDER BY src, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s21_knn_graph" -> (knnGraph _),
     "p22_index_health" -> (indexHealth _),
     "p23_health_from_store" -> (indexHealthFromStore _),
     "s19_rrf_fusion" -> ((s: SparkSession, d: String) => rrfFusion(s, d)),
@@ -2530,6 +2604,7 @@ object Similarity {
     "d06_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDupPairsSeeded(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "s21_knn_graph" -> knnGraphSql,
     "p22_index_health" -> indexHealthSql,
     "p23_health_from_store" -> indexHealthSql,
     "s19_rrf_fusion" -> rrfFusionSql,

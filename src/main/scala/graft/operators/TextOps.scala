@@ -1800,7 +1800,168 @@ object TextOps {
       |    // CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS pretok_vs_ws_ppm
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------- RAG chunking
+  /** t27: fixed-window document chunking with overlap — the retrieval/
+    * training prep step that turns documents into model-window-sized
+    * pieces (RAG corpora, long-doc pretraining, embedding indexing all
+    * consume chunks, not documents). Windows of [[CHUNK_W]] tokens start
+    * every [[CHUNK_S]] tokens; a trailing start that adds NO new tokens
+    * beyond the previous window (start + W_len ≤ prev_start + W, i.e.
+    * n ≤ start + W − S) is suppressed, so every emitted chunk carries at
+    * least one token the previous one did not. Each chunk carries its
+    * token offsets plus the 60-bit content hash ([[Dedup.baseHash]]) that
+    * downstream exact-dedup (d01 discipline) and provenance joins key on.
+    *
+    * Scale shape: one scan; the explode fans each doc into
+    * ceil(n/[[CHUNK_S]]) rows INSIDE the same codegen stage (token array
+    * never crosses an exchange — the d03 shingle discipline), and there
+    * is no shuffle at all before the output sort. Chunk rows are
+    * corpus-linear (W/S ≈ 1.33× token mass), the same blow-up a real
+    * chunker pays by construction.
+    */
+  val CHUNK_W = 64
+  val CHUNK_S = 48
+
+  def ragChunks(s: SparkSession, d: String): DataFrame =
+    ragChunksOf(Tables.documents(s, d))
+
+  /** t27 over any documents-shaped frame (spec-injectable face). */
+  private[graft] def ragChunksOf(docs: DataFrame): DataFrame = {
+    val W = CHUNK_W; val S = CHUNK_S
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
+      .withColumn("start", explode(sequence(lit(0), col("n") - 1, lit(S))))
+      // suppress covered tails: a start whose window ends inside the
+      // previous window's span contributes nothing new
+      .filter(col("start") === 0 || col("n") > col("start") + (W - S))
+      .select(col("doc_id"),
+        expr(s"start div $S").cast("int").as("chunk_idx"),
+        col("start").cast("long").as("start_tok"),
+        least(lit(W), col("n") - col("start")).cast("long").as("chunk_tokens"),
+        Dedup.baseHash(concat_ws(" ", slice(col("tk"), col("start") + 1, lit(W))))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** t27 oracle: identical tokenization (the d03 split), stride/window
+    * arithmetic, covered-tail suppression, and md5-prefix chunk hash.
+    */
+  val ragChunksSql: String = {
+    val W = CHUNK_W; val S = CHUNK_S
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |c AS (SELECT doc_id, tk, len(tk) AS n, unnest(range(0, len(tk), $S)) AS start
+       |  FROM t)
+       |SELECT doc_id, CAST(start // $S AS INT) AS chunk_idx,
+       |  CAST(start AS BIGINT) AS start_tok,
+       |  CAST(least($W, n - start) AS BIGINT) AS chunk_tokens,
+       |  CAST(concat('0x', substr(md5(array_to_string(tk[start+1:start+$W], ' ')),1,15)) AS BIGINT) AS chunk_hash
+       |FROM c WHERE start = 0 OR n > start + ${W - S}
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  // ----------------------------------------------- weak-supervision vote
+  /** t28: weak-supervision label aggregation — the Snorkel-style vote that
+    * turns several cheap, individually-unreliable labeling functions into
+    * one training label per document. Four deterministic LFs vote
+    * keep(+1) / drop(−1) / abstain(0) from signals the quality family
+    * already established (length, symbol load, stopword presence,
+    * distinct-token ratio — all integer ppm arithmetic, the t03/t13
+    * discipline); the aggregated label is the vote-sum sign, and
+    * `n_votes`/unanimity expose the agreement evidence a label-model fit
+    * would consume. Output: per (lang, source, label) cohort counts with
+    * vote-mass and unanimity tallies.
+    *
+    * Scale shape: one scan, per-row integer projections (the only array
+    * op is one array_distinct inside codegen), then a map-side-collapsed
+    * aggregate onto ≤ langs·sources·3 keys. Nothing else shuffles.
+    */
+  def weakLabels(s: SparkSession, d: String): DataFrame =
+    weakLabelsOf(Tables.documents(s, d))
+
+  /** t28 over any documents-shaped frame (spec-injectable face). */
+  private[graft] def weakLabelsOf(docs: DataFrame): DataFrame = {
+    val tk = tokens(col("text"))
+    val n = when(length(trim(col("text"))) === 0, lit(0)).otherwise(size(tk))
+    // LF1 length: very short docs are fragments, long ones are substantive
+    val lfLen = when(col("n_chars") < 120, lit(-1L))
+      .when(col("n_chars") > 600, lit(1L)).otherwise(lit(0L))
+    // LF2 symbol load: non-alphanumeric-space chars vs total chars. All
+    // ratio thresholds in t28 are CROSS-MULTIPLIED exact-integer
+    // comparisons — Spark's `/` on longs is IEEE division while DuckDB's
+    // `//` floors, and boundary docs would land on different sides
+    val sym = length(regexp_replace(col("text"), lit("[A-Za-z0-9\\s]"), lit("")))
+      .cast("long")
+    val lfSym = when(sym * 10L >= col("n_chars"), lit(-1L))       // ≥ 10%
+      .when(sym * 50L <= col("n_chars"), lit(1L)).otherwise(lit(0L)) // ≤ 2%
+    // LF3 stopword presence: any stopword token => natural language
+    val stopHits = size(filter(tk, x => lower(x).isin(stopwords: _*)))
+    val lfStop = when(n === 0, lit(0L))
+      .when(stopHits * lit(1000000L) >= n * lit(40000L), lit(1L))
+      .when(stopHits === 0, lit(-1L)).otherwise(lit(0L))
+    // LF4 repetition: distinct-token ratio (< 50% drop, > 80% keep)
+    val uniq = size(array_distinct(tk)).cast("long")
+    val lfRep = when(n === 0, lit(0L))
+      .when(uniq * 2L < n.cast("long"), lit(-1L))
+      .when(uniq * 5L > n.cast("long") * 4L, lit(1L)).otherwise(lit(0L))
+    docs
+      .select(col("lang"), col("source"),
+        lfLen.as("v1"), lfSym.cast("long").as("v2"),
+        lfStop.as("v3"), lfRep.as("v4"))
+      .withColumn("score", col("v1") + col("v2") + col("v3") + col("v4"))
+      .withColumn("n_votes",
+        abs(col("v1")) + abs(col("v2")) + abs(col("v3")) + abs(col("v4")))
+      .withColumn("label",
+        when(col("score") > 0, "keep").when(col("score") < 0, "drop")
+          .otherwise("abstain"))
+      .groupBy("lang", "source", "label")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score")).as("vote_mass"),
+        sum(col("n_votes")).as("votes_cast"),
+        count(when(col("n_votes") >= 2 && abs(col("score")) === col("n_votes"), 1))
+          .as("n_unanimous"))
+      .orderBy("lang", "source", "label")
+  }
+
+  /** t28 oracle: the same four LF thresholds, vote-sum sign and cohort
+    * rollup (integer ppm arithmetic on both engines).
+    */
+  val weakLabelsSql: String =
+    """WITH b AS (SELECT lang, source, n_chars,
+      |    regexp_split_to_array(trim(text), '\s+') AS tk,
+      |    CASE WHEN len(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n,
+      |    len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS sym
+      |  FROM documents),
+      |v AS (SELECT lang, source,
+      |    CASE WHEN n_chars < 120 THEN -1 WHEN n_chars > 600 THEN 1 ELSE 0 END AS v1,
+      |    CASE WHEN sym * 10 >= n_chars THEN -1
+      |         WHEN sym * 50 <= n_chars THEN 1 ELSE 0 END AS v2,
+      |    CASE WHEN n = 0 THEN 0
+      |         WHEN len([x FOR x IN tk IF lower(x) IN ('the','a','and','of','to','is','in')]) * 1000000 >= n * 40000 THEN 1
+      |         WHEN len([x FOR x IN tk IF lower(x) IN ('the','a','and','of','to','is','in')]) = 0 THEN -1
+      |         ELSE 0 END AS v3,
+      |    CASE WHEN n = 0 THEN 0
+      |         WHEN len(list_distinct(tk)) * 2 < n THEN -1
+      |         WHEN len(list_distinct(tk)) * 5 > n * 4 THEN 1
+      |         ELSE 0 END AS v4
+      |  FROM b),
+      |s AS (SELECT lang, source, v1 + v2 + v3 + v4 AS score,
+      |    abs(v1) + abs(v2) + abs(v3) + abs(v4) AS n_votes FROM v)
+      |SELECT lang, source,
+      |  CASE WHEN score > 0 THEN 'keep' WHEN score < 0 THEN 'drop'
+      |       ELSE 'abstain' END AS label,
+      |  count(*) AS n_docs,
+      |  CAST(sum(score) AS BIGINT) AS vote_mass,
+      |  CAST(sum(n_votes) AS BIGINT) AS votes_cast,
+      |  CAST(count(*) FILTER (n_votes >= 2 AND abs(score) = n_votes) AS BIGINT) AS n_unanimous
+      |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t28_weak_labels" -> (weakLabels _),
+    "t27_rag_chunking" -> (ragChunks _),
     "t26_pretoken_compare" -> (pretokenCompare _),
     "t25_nb_langid" -> (nbLangid _),
     "t24_readability" -> (readability _),
@@ -1828,6 +1989,8 @@ object TextOps {
     "t05_cleantext" -> (cleanedDocs _))
 
   val oracles: Map[String, String] = Map(
+    "t28_weak_labels" -> weakLabelsSql,
+    "t27_rag_chunking" -> ragChunksSql,
     "t26_pretoken_compare" -> pretokenCompareSql,
     "t25_nb_langid" -> nbLangidSql,
     "t24_readability" -> readabilitySql,
