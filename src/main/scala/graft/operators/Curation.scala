@@ -1219,11 +1219,13 @@ object Curation {
   lazy val contrastivePairsSql: String =
     s"""${Dedup.ccCtes},
       |labels AS (SELECT id, min(lbl) AS lbl FROM cc GROUP BY id),
-      |a AS (SELECT d.doc_id, d.source, coalesce(l.lbl, d.doc_id) AS component
+      |a AS MATERIALIZED (
+      |      SELECT d.doc_id, d.source, coalesce(l.lbl, d.doc_id) AS component
       |      FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
       |roots AS (SELECT component, min(doc_id) AS root FROM a
       |          GROUP BY component HAVING count(*) >= 2),
-      |pos AS (SELECT a.doc_id AS anchor_id, r.root AS pos_id,
+      |pos AS MATERIALIZED (
+      |        SELECT a.doc_id AS anchor_id, r.root AS pos_id,
       |               a.source, a.component
       |        FROM a JOIN roots r ON r.component = a.component
       |        WHERE a.doc_id <> r.root),

@@ -1704,16 +1704,24 @@ object Dedup {
       |                          ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
       |                                FOR i IN range(1, len(toks)-1)] END) AS sh0
       |            FROM t)),
-      |gx AS (SELECT doc_id, lang, band, band + k AS pband, sh
+      |gx AS MATERIALIZED (SELECT doc_id, lang, band, band + k AS pband, sh
       |       FROM g, range(0, 2) r(k)),
       |f AS (SELECT lang, pband, sh, count(*) AS plen FROM gx GROUP BY 1, 2, 3),
       |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      |-- the stop-shingle cap must land BEFORE the posting self-join in
+      |-- this engine too: joined-then-filtered, a boilerplate shingle in
+      |-- k docs contributes k^2 join rows first (the 100x probe spilled
+      |-- 60 GB of temp and died on exactly that); gf mirrors Spark's
+      |-- cap-before-collect_list shape
+      |gf AS MATERIALIZED (
+      |      SELECT a.doc_id, a.lang, a.band, a.pband, a.sh
+      |      FROM gx a JOIN f ON f.lang = a.lang AND f.pband = a.pband
+      |                      AND f.sh = a.sh
+      |      WHERE f.plen <= $MAX_POSTING_LEN),
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-      |      FROM gx a JOIN gx b ON a.sh = b.sh AND a.lang = b.lang
+      |      FROM gf a JOIN gf b ON a.sh = b.sh AND a.lang = b.lang
       |                       AND a.pband = b.pband AND a.doc_id < b.doc_id
-      |      JOIN f ON f.lang = a.lang AND f.pband = a.pband AND f.sh = a.sh
-      |      WHERE f.plen <= $MAX_POSTING_LEN
-      |        AND a.pband = greatest(a.band, b.band)
+      |      WHERE a.pband = greatest(a.band, b.band)
       |      GROUP BY 1, 2),
       |pairs AS (SELECT id_a, id_b FROM p JOIN sz sa ON id_a = sa.doc_id
       |                                   JOIN sz sb ON id_b = sb.doc_id

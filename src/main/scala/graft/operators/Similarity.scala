@@ -2531,10 +2531,26 @@ object Similarity {
 
   /** s21 over any (vec_id, qv) corpus (spec-injectable face). */
   private[graft] def knnGraphFrom(corpus: DataFrame): DataFrame = {
-    val assign = assignToCells(corpus, seedCentroids(corpus))
-    val e = assign.withColumn("nrm",
+    val cents = seedCentroids(corpus)
+    knnProbeEdges(assignToCells(corpus, cents), assignToCells(corpus, cents),
+      KNN_GRAPH_K).orderBy("src", "rank")
+  }
+
+  /** Shared kNN edge builder: every probe-side vector ranks the
+    * candidate-side residents of its probe cell(s) by exact-integer
+    * cosine and keeps its top k. Both inputs are assignToCells outputs
+    * ((vec_id, qv, cell), possibly multi-row per vec_id on the probe
+    * side for nProbe > 1); a (src, dst) pair can only surface in dst's
+    * ONE resident cell, so no cross-probe dedup is ever needed. The
+    * top-k window partitions by src.
+    */
+  private[graft] def knnProbeEdges(probe: DataFrame, resident: DataFrame,
+      k: Int): DataFrame = {
+    val a = probe.withColumn("nrm",
       sqrt(qdot(col("qv"), col("qv")).cast("double")))
-    e.as("a").join(e.as("b"),
+    val b = resident.withColumn("nrm",
+      sqrt(qdot(col("qv"), col("qv")).cast("double")))
+    a.as("a").join(b.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("cosine",
         qdot(col("a.qv"), col("b.qv")).cast("double") /
@@ -2542,11 +2558,10 @@ object Similarity {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("a.vec_id"))
           .orderBy(col("cosine").desc, col("b.vec_id"))))
-      .filter(col("rank") <= KNN_GRAPH_K)
+      .filter(col("rank") <= k)
       .select(col("a.vec_id").as("src"), col("rank").cast("int").as("rank"),
-        col("b.vec_id").as("dst"), col("a.cell").cast("int").as("cell"),
+        col("b.vec_id").as("dst"), col("b.cell").cast("int").as("cell"),
         col("cosine"))
-      .orderBy("src", "rank")
   }
 
   /** s21 oracle: same quantization, centroid build, residency tie-break
@@ -2575,8 +2590,194 @@ object Similarity {
        |SELECT src, CAST(rank AS INT) AS rank, dst, CAST(cell AS INT) AS cell, cosine
        |FROM r WHERE rank <= $KNN_GRAPH_K ORDER BY src, rank""".stripMargin
 
+  // ------------------------------------------- incremental kNN-graph
+  /** Batch residue for [[incrementalKnn]]: vectors with vec_id ≡ 3
+    * (mod 17) arrive AFTER the index build.
+    */
+  val KNN_BATCH_MOD = 17L
+  val KNN_BATCH_RES = 3L
+
+  /** s22: incremental kNN-graph maintenance — the d16/d17 discipline
+    * applied to s21: the graph over the base corpus is built once; a
+    * delta batch of new vectors is linked by PROBING the existing index
+    * (assign each new vector to its [[N_PROBE_INC]] best cells against
+    * the base centroids, rank only those cells' base residents), never
+    * by rebuilding. Output: the new vectors' edge lists. Existing nodes'
+    * neighbor lists are left stale until the periodic rebuild — the
+    * standard serving trade-off, stated rather than hidden (a true
+    * rebuild is s21 itself).
+    *
+    * Scale shape: the batch side is delta-sized; candidates come from
+    * equality on the probed cell, so the probe touches |batch| ·
+    * probe-cell residents — at 100 TB, cell is the persisted index's
+    * partition column (the s15 deletion face already reads/writes the
+    * same layout), so each micro-batch prunes to its probed partitions
+    * and the base corpus is never rescanned. Centroids ride a broadcast;
+    * the top-k window partitions by the delta's src.
+    */
+  val N_PROBE_INC = 2
+
+  def incrementalKnn(s: SparkSession, d: String): DataFrame = {
+    val corpus = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val base = corpus.filter(col("vec_id") % KNN_BATCH_MOD =!= KNN_BATCH_RES)
+    val batch = corpus.filter(col("vec_id") % KNN_BATCH_MOD === KNN_BATCH_RES)
+    val cents = seedCentroids(base)
+    knnProbeEdges(assignToCells(batch, cents, N_PROBE_INC),
+      assignToCells(base, cents), KNN_GRAPH_K).orderBy("src", "rank")
+  }
+
+  /** s22 oracle: same base/batch split, base-only centroid build,
+    * 2-cell probe and per-new-vector top-k.
+    */
+  lazy val incrementalKnnSql: String =
+    s"""WITH v AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qv FROM embeddings),
+       |base AS (SELECT * FROM v WHERE vec_id % $KNN_BATCH_MOD <> $KNN_BATCH_RES),
+       |batch AS (SELECT * FROM v WHERE vec_id % $KNN_BATCH_MOD = $KNN_BATCH_RES),
+       |cents AS (SELECT cell, qv AS centroid FROM (
+       |  SELECT vec_id, qv, row_number() OVER (ORDER BY vec_id) AS cell
+       |  FROM base WHERE vec_id % 31 = 6) WHERE cell <= $N_CELLS),
+       |resident AS (SELECT vec_id, qv, cell FROM (
+       |  SELECT b.vec_id, b.qv, cents.cell,
+       |    row_number() OVER (PARTITION BY b.vec_id ORDER BY
+       |      CAST(list_sum([b.qv[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
+       |        sqrt(CAST(list_sum([cents.centroid[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) DESC, cents.cell) AS r
+       |  FROM base b CROSS JOIN cents) WHERE r = 1),
+       |probe AS (SELECT vec_id, qv, cell FROM (
+       |  SELECT q.vec_id, q.qv, cents.cell,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      CAST(list_sum([q.qv[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
+       |        sqrt(CAST(list_sum([cents.centroid[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) DESC, cents.cell) AS r
+       |  FROM batch q CROSS JOIN cents) WHERE r <= $N_PROBE_INC),
+       |e AS (SELECT a.vec_id AS src, b.vec_id AS dst, b.cell,
+       |    CAST(list_sum([a.qv[i]*b.qv[i] FOR i IN range(1,65)]) AS DOUBLE) /
+       |      (sqrt(CAST(list_sum([a.qv[i]*a.qv[i] FOR i IN range(1,65)]) AS DOUBLE)) *
+       |       sqrt(CAST(list_sum([b.qv[i]*b.qv[i] FOR i IN range(1,65)]) AS DOUBLE))) AS cosine
+       |  FROM probe a JOIN resident b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |r AS (SELECT src, dst, cell, cosine,
+       |    row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rank
+       |  FROM e)
+       |SELECT src, CAST(rank AS INT) AS rank, dst, CAST(cell AS INT) AS cell, cosine
+       |FROM r WHERE rank <= $KNN_GRAPH_K ORDER BY src, rank""".stripMargin
+
+  // --------------------------------------- kNN-graph communities (g09)
+  /** Propagation rounds for [[knnCommunities]]. */
+  val KNN_COMM_ROUNDS = 4
+
+  /** Seed nodes for the community propagation: the SAME vectors the
+    * centroid build picks, keeping vec_id (label = their cell id).
+    */
+  private[graft] def seedNodes(corpus: DataFrame): DataFrame =
+    corpus.filter(col("vec_id") % 31L === 6L &&
+        col("vec_id") < PLANT_ID_OFFSET)
+      .orderBy("vec_id").limit(N_CELLS)
+      .withColumn("label",
+        row_number().over(Window.orderBy(col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("node"), col("label"))
+
+  /** g09: communities over the kNN graph — label propagation (the g03
+    * vote: most-frequent neighbor label, min-label ties, seeds pinned)
+    * on the SYMMETRIZED 2-probe kNN edge list. With nProbe = 2 the
+    * edges cross cell boundaries (a vector links into both of its two
+    * best cells), so the communities are genuine mutual-neighbor
+    * structure in embedding space — the graph-clustering face of
+    * SemDeDup-style curation — not a restatement of cell residency;
+    * n_cells per community measures exactly that spill. Unreached
+    * vectors fold into the explicit −1 community (the g08 rule).
+    *
+    * Scale shape: edge construction is s21's (cell equi-join, broadcast
+    * centroids); each of the [[KNN_COMM_ROUNDS]] rounds is one
+    * edges⋈labels broadcast join + one dst-partitioned two-level vote
+    * aggregate (the g03 iteration shape, including its ≥100M-node
+    * co-partition escalation note); the rollup is ≤ cells+1 rows.
+    */
+  def knnCommunities(s: SparkSession, d: String): DataFrame = {
+    val corpus = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val cents = seedCentroids(corpus)
+    val resident = assignToCells(corpus, cents)
+    val kedges = knnProbeEdges(assignToCells(corpus, cents, 2), resident,
+      KNN_GRAPH_K).select(col("src"), col("dst"))
+    val edges = kedges.union(kedges.select(col("dst").as("src"),
+      col("src").as("dst"))).distinct().localCheckpoint(true)
+    val seeds = seedNodes(corpus)
+    var labels = seeds
+    for (_ <- 1 to KNN_COMM_ROUNDS) {
+      val voted = edges.join(broadcast(labels), labels("node") === edges("src"))
+        .select(col("dst"), col("label"))
+        .repartition(col("dst"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("label"))
+      labels = voted.join(seeds.select(col("node").as("snode")),
+          voted("node") === col("snode"), "left_anti")
+        .unionByName(seeds)
+    }
+    resident.select(col("vec_id").as("node"), col("cell"))
+      .join(labels, Seq("node"), "left")
+      .select(col("node"), col("cell"), coalesce(col("label"), lit(-1L)).as("label"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("cell")).as("n_cells"),
+        sum(col("node")).as("id_checksum"))
+      .orderBy("label")
+  }
+
+  /** g09 oracle: the s21 2-probe edge CTEs symmetrized, then the g03
+    * unrolled synchronous rounds and the residency rollup.
+    */
+  lazy val knnCommunitiesSql: String = {
+    val round = (prev: String, k: Int) =>
+      s"""n$k AS (SELECT e.dst AS node, l.label, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM edges e JOIN $prev l ON l.node = e.src GROUP BY e.dst, l.label),
+         |v$k AS (SELECT node, label FROM n$k
+         |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) = 1),
+         |l$k AS MATERIALIZED (
+         |  SELECT v.node, v.label FROM v$k v
+         |    LEFT JOIN seeds s ON s.node = v.node WHERE s.node IS NULL
+         |  UNION ALL SELECT node, label FROM seeds)""".stripMargin
+    val rounds = (1 to KNN_COMM_ROUNDS).map(k =>
+      round(if (k == 1) "l0" else s"l${k - 1}", k)).mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qv FROM embeddings),
+       |cents AS MATERIALIZED (SELECT cell, qv AS centroid FROM (
+       |  SELECT vec_id, qv, row_number() OVER (ORDER BY vec_id) AS cell
+       |  FROM v WHERE vec_id % 31 = 6) WHERE cell <= $N_CELLS),
+       |asg AS MATERIALIZED (SELECT vec_id, qv, cell, r FROM (
+       |  SELECT v.vec_id, v.qv, cents.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      CAST(list_sum([v.qv[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
+       |        sqrt(CAST(list_sum([cents.centroid[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) DESC, cents.cell) AS r
+       |  FROM v CROSS JOIN cents) WHERE r <= 2),
+       |resident AS (SELECT vec_id, qv, cell FROM asg WHERE r = 1),
+       |probe AS (SELECT vec_id, qv, cell FROM asg),
+       |ke AS (SELECT src, dst FROM (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      CAST(list_sum([a.qv[i]*b.qv[i] FOR i IN range(1,65)]) AS DOUBLE) /
+       |        (sqrt(CAST(list_sum([a.qv[i]*a.qv[i] FOR i IN range(1,65)]) AS DOUBLE)) *
+       |         sqrt(CAST(list_sum([b.qv[i]*b.qv[i] FOR i IN range(1,65)]) AS DOUBLE))) DESC, b.vec_id) AS rank
+       |  FROM probe a JOIN resident b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+       |  WHERE rank <= $KNN_GRAPH_K),
+       |edges AS MATERIALIZED (SELECT src, dst FROM ke
+       |  UNION SELECT dst AS src, src AS dst FROM ke),
+       |seeds AS MATERIALIZED (SELECT vec_id AS node, CAST(cell AS BIGINT) AS label
+       |  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS cell
+       |        FROM v WHERE vec_id % 31 = 6) WHERE cell <= $N_CELLS),
+       |l0 AS (SELECT node, label FROM seeds),
+       |$rounds
+       |SELECT coalesce(l.label, -1) AS label,
+       |  count(*) AS n_members,
+       |  CAST(count(DISTINCT m.cell) AS BIGINT) AS n_cells,
+       |  CAST(sum(m.vec_id) AS BIGINT) AS id_checksum
+       |FROM resident m LEFT JOIN l$KNN_COMM_ROUNDS l ON l.node = m.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s21_knn_graph" -> (knnGraph _),
+    "s22_incremental_knn" -> (incrementalKnn _),
+    "g09_knn_communities" -> (knnCommunities _),
     "p22_index_health" -> (indexHealth _),
     "p23_health_from_store" -> (indexHealthFromStore _),
     "s19_rrf_fusion" -> ((s: SparkSession, d: String) => rrfFusion(s, d)),
@@ -2605,6 +2806,8 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "s21_knn_graph" -> knnGraphSql,
+    "s22_incremental_knn" -> incrementalKnnSql,
+    "g09_knn_communities" -> knnCommunitiesSql,
     "p22_index_health" -> indexHealthSql,
     "p23_health_from_store" -> indexHealthSql,
     "s19_rrf_fusion" -> rrfFusionSql,

@@ -143,6 +143,42 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- s22
+  test("s22 corpus: delta edges link batch-only srcs into base-only dsts") {
+    val out = Similarity.incrementalKnn(spark, d).collect()
+    assert(out.nonEmpty)
+    val (m, r) = (Similarity.KNN_BATCH_MOD, Similarity.KNN_BATCH_RES)
+    out.foreach { row =>
+      assert(row.getLong(0) % m == r, "src must come from the delta batch")
+      assert(row.getLong(2) % m != r, "dst must be an indexed base vector")
+      assert(row.getInt(1) >= 1 && row.getInt(1) <= Similarity.KNN_GRAPH_K)
+    }
+    // ranks dense per src, cosines non-increasing
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length).toSeq)
+      val c = rows.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(c.zip(c.drop(1)).forall { case (a, b) => a >= b })
+    }
+  }
+
+  // ------------------------------------------------------------- g09
+  test("g09 corpus: communities partition residency; labels stay in seed range") {
+    val out = Similarity.knnCommunities(spark, d).collect()
+    assert(out.nonEmpty)
+    val labels = out.map(_.getLong(0))
+    assert(labels.forall(l => l == -1L || (l >= 1 && l <= Similarity.N_CELLS)),
+      "labels are seed cells or the explicit unreached bucket")
+    val emb = Tables.embeddings(spark, d)
+    assert(out.map(_.getLong(1)).sum == emb.count(),
+      "every vector lands in exactly one community")
+    val idSum = out.map(_.getLong(3)).sum
+    assert(idSum == emb.agg(sum("vec_id")).collect()(0).getLong(0))
+    // n_cells measures cross-cell spill: at least one community must span
+    // >1 cell, otherwise the 2-probe edges added nothing over residency
+    assert(out.exists(r => r.getLong(0) >= 0 && r.getLong(2) > 1),
+      "no community spans cells — propagation degenerated to residency")
+  }
+
   // ------------------------------------------------------------- p24
   test("p24 planted: boustrophedon deal balances a known frame exactly") {
     import spark.implicits._
