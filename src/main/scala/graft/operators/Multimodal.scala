@@ -824,7 +824,113 @@ object Multimodal {
       |FROM documents CROSS JOIN generate_series(0, 63) t(i)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------- m09 oracled multi-frame GIF sampling
+  /** Frames per synthetic clip and the sampling stride for [[gifFrames]]. */
+  val GIF_FRAMES = 8
+  val FRAME_STRIDE = 2
+
+  /** m09: the VIDEO face of the m07/m08 real-codec discipline —
+    * multi-frame container round-trip plus frame-stride sampling, the
+    * shape a real video pipeline has (decode container → sample every
+    * k-th frame → per-frame features), with the JDK's one true
+    * multi-frame codec: animated GIF through javax.imageio's sequence
+    * writer. Each document becomes an 8-frame 8×8 clip (frame f, pixel i
+    * = (doc_id·31 + f·97 + i) mod 256 over an explicit 256-gray palette
+    * — GIF's LZW is lossless on palette indices, so the decode is
+    * bit-predictable); the kernel ENCODES all 8 frames with
+    * writeToSequence, then DECODES ONLY the sampled frames (stride
+    * [[FRAME_STRIDE]]) via ImageReader.read(f) — the index-seek a real
+    * frame sampler does, never a full-clip decode. Emitted stats come
+    * from the decoded rasters; a dropped frame, palette remap, or LZW
+    * bug anywhere in the corpus fails the hash.
+    *
+    * Scale shape: the m-family invariant — clips are born and die inside
+    * one mapPartitions kernel (codec instances per partition, never per
+    * row); no binary reaches an exchange; output is docs × 4 sampled
+    * frames, then the terminal sort.
+    */
+  def gifFrames(s: SparkSession, d: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("px_sum", LongType, nullable = false),
+      StructField("px_min", LongType, nullable = false),
+      StructField("px_max", LongType, nullable = false))))
+    val nF = GIF_FRAMES; val stride = FRAME_STRIDE
+    Tables.documents(s, d).select(col("doc_id")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      // explicit 256-entry gray palette: the writer stores indices as-is
+      val grays = Array.tabulate[Byte](256)(g => g.toByte)
+      val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("gif").next()
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bo = new java.io.ByteArrayOutputStream()
+        val out = javax.imageio.ImageIO.createImageOutputStream(bo)
+        writer.setOutput(out)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nF) {
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          val raster = img.getRaster
+          var i = 0
+          while (i < 64) {
+            raster.setSample(i % 8, i / 8, 0,
+              ((id * 31 + f * 97 + i) % 256 + 256) % 256)
+            i += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        out.close()
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bo.toByteArray))
+        reader.setInput(in)
+        val total = reader.getNumImages(true).toLong
+        val rows = (0 until nF by stride).map { fi =>
+          val back = reader.read(fi)
+          var (sum, mn, mx) = (0L, 255L, 0L)
+          var y = 0
+          while (y < back.getHeight) {
+            var x = 0
+            while (x < back.getWidth) {
+              val v = (back.getRGB(x, y) & 0xff).toLong
+              sum += v; mn = math.min(mn, v); mx = math.max(mx, v)
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, fi.toLong, total, sum, mn, mx)
+        }
+        in.close()
+        rows
+      }
+    }(enc).orderBy("doc_id", "frame_idx")
+  }
+
+  /** m09 oracle: predicts every sampled frame's decoded pixels from the
+    * ramp (doc_id·31 + f·97 + i) mod 256, f ∈ {0,2,4,6}, i ∈ [0,64).
+    */
+  val gifFramesSql: String =
+    s"""SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+      |  CAST($GIF_FRAMES AS BIGINT) AS n_frames,
+      |  CAST(sum((doc_id * 31 + f * 97 + i) % 256) AS BIGINT) AS px_sum,
+      |  CAST(min((doc_id * 31 + f * 97 + i) % 256) AS BIGINT) AS px_min,
+      |  CAST(max((doc_id * 31 + f * 97 + i) % 256) AS BIGINT) AS px_max
+      |FROM documents
+      |CROSS JOIN generate_series(0, ${GIF_FRAMES - 1}, $FRAME_STRIDE) s(f)
+      |CROSS JOIN generate_series(0, 63) t(i)
+      |GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m09_gif_frames" -> (gifFrames _),
     "m08_wav_roundtrip" -> (wavRoundtrip _),
     "m07_imageio_roundtrip" -> (imageioRoundtrip _),
     "m06_cdc_chunks" -> (cdcChunkStats _),
@@ -837,6 +943,7 @@ object Multimodal {
     "m03_frame_stats" -> (frameStats _))
 
   val oracles: Map[String, String] = Map(
+    "m09_gif_frames" -> gifFramesSql,
     "m08_wav_roundtrip" -> wavRoundtripSql,
     "m07_imageio_roundtrip" -> imageioRoundtripSql,
     "m06_cdc_chunks" -> cdcChunkStatsSql,

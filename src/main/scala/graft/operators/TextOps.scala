@@ -1825,8 +1825,11 @@ object TextOps {
   def ragChunks(s: SparkSession, d: String): DataFrame =
     ragChunksOf(Tables.documents(s, d))
 
-  /** t27 over any documents-shaped frame (spec-injectable face). */
-  private[graft] def ragChunksOf(docs: DataFrame): DataFrame = {
+  /** t27 chunk rows WITHOUT the terminal sort — the shared kernel for the
+    * batch face and [[graft.streaming.StreamingChunks]] (streaming plans
+    * reject global sorts; the chunk set is identical).
+    */
+  private[graft] def ragChunkRows(docs: DataFrame): DataFrame = {
     val W = CHUNK_W; val S = CHUNK_S
     docs
       .filter(length(trim(col("text"))) > 0)
@@ -1842,8 +1845,11 @@ object TextOps {
         least(lit(W), col("n") - col("start")).cast("long").as("chunk_tokens"),
         Dedup.baseHash(concat_ws(" ", slice(col("tk"), col("start") + 1, lit(W))))
           .as("chunk_hash"))
-      .orderBy("doc_id", "chunk_idx")
   }
+
+  /** t27 over any documents-shaped frame (spec-injectable face). */
+  private[graft] def ragChunksOf(docs: DataFrame): DataFrame =
+    ragChunkRows(docs).orderBy("doc_id", "chunk_idx")
 
   /** t27 oracle: identical tokenization (the d03 split), stride/window
     * arithmetic, covered-tail suppression, and md5-prefix chunk hash.

@@ -179,6 +179,25 @@ class Round13OpsSpec extends SparkSpec {
       "no community spans cells — propagation degenerated to residency")
   }
 
+  // ------------------------------------------------------------- m09
+  test("m09: the real GIF sequence codec round-trips every sampled frame") {
+    val out = Multimodal.gifFrames(spark, d).collect()
+    val docs = Tables.documents(spark, d).count()
+    val sampled = (0 until Multimodal.GIF_FRAMES by Multimodal.FRAME_STRIDE)
+    assert(out.length == docs * sampled.length,
+      "every doc emits exactly the sampled frames")
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == sampled.map(_.toLong),
+        "frame indices are the stride positions")
+    }
+    out.foreach { r =>
+      assert(r.getLong(2) == Multimodal.GIF_FRAMES,
+        "container reports all frames even though only samples decode")
+      assert(r.getLong(4) >= 0 && r.getLong(5) <= 255, "palette range")
+      assert(r.getLong(3) >= r.getLong(5), "sum >= max for 64 pixels")
+    }
+  }
+
   // ------------------------------------------------------------- p24
   test("p24 planted: boustrophedon deal balances a known frame exactly") {
     import spark.implicits._
