@@ -1739,6 +1739,105 @@ object TextOps {
        |SELECT true_lang, pred_lang, count(*) AS n_docs
        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------- t29 weak-label distillation
+  /** t29: weak-supervision distillation — the step after t28 in a real
+    * Snorkel-style pipeline: train a generalizing classifier on the
+    * PROGRAMMATIC labels so inference no longer needs the labeling
+    * functions (fastText-style quality classifiers are trained exactly
+    * this way from rule/heuristic labels). The t28 vote produces the
+    * training signal (abstains excluded — they carry no label); the
+    * LEARNED model is t25's multinomial NB over hashed unigram buckets,
+    * reused verbatim with label in place of lang (same content-hash 3/4
+    * train split, same exact-integer quantized-log scoring); the output
+    * is the held-out confusion matrix between the weak label and the NB
+    * prediction — the agreement evidence that tells a pipeline owner
+    * whether the rules distilled into something a bag-of-words model can
+    * reproduce (high agreement) or remain feature-orthogonal (low).
+    *
+    * Scale shape: one weak-vote projection (t28's narrow scan) feeding
+    * t25's shape — two token-explode passes collapsing map-side,
+    * broadcast weight/model tables, one (doc, label) scoring aggregate.
+    */
+  def nbQuality(s: SparkSession, d: String): DataFrame =
+    nbQualityOf(Tables.documents(s, d))
+
+  /** t29 over any documents-shaped frame (spec-injectable face). */
+  private[graft] def nbQualityOf(docs: DataFrame): DataFrame =
+    nbLangidOf(weakLabelRows(docs).filter(col("label") =!= "abstain")
+        .select(col("doc_id"), col("label").as("lang"), col("text")))
+      .select(col("true_lang").as("true_label"),
+        col("pred_lang").as("pred_label"), col("n_docs"))
+      .orderBy("true_label", "pred_label")
+
+  /** t29 oracle: the t28 per-doc vote CTEs produce the label frame, then
+    * the t25 NB chain runs on it verbatim (label in the lang slot).
+    */
+  val nbQualitySql: String =
+    s"""WITH wb AS (SELECT doc_id, text, n_chars,
+       |    regexp_split_to_array(trim(text), '\\s+') AS tk,
+       |    CASE WHEN len(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n,
+       |    len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS sym
+       |  FROM documents),
+       |wv AS (SELECT doc_id, text,
+       |    (CASE WHEN n_chars < 120 THEN -1 WHEN n_chars > 600 THEN 1 ELSE 0 END)
+       |    + (CASE WHEN sym * 10 >= n_chars THEN -1
+       |            WHEN sym * 50 <= n_chars THEN 1 ELSE 0 END)
+       |    + (CASE WHEN n = 0 THEN 0
+       |            WHEN len([x FOR x IN tk IF lower(x) IN ('the','a','and','of','to','is','in')]) * 1000000 >= n * 40000 THEN 1
+       |            WHEN len([x FOR x IN tk IF lower(x) IN ('the','a','and','of','to','is','in')]) = 0 THEN -1
+       |            ELSE 0 END)
+       |    + (CASE WHEN n = 0 THEN 0
+       |            WHEN len(list_distinct(tk)) * 2 < n THEN -1
+       |            WHEN len(list_distinct(tk)) * 5 > n * 4 THEN 1
+       |            ELSE 0 END) AS score
+       |  FROM wb),
+       |lab AS (SELECT doc_id,
+       |    CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS lang, text
+       |  FROM wv WHERE score <> 0),
+       |d AS (SELECT doc_id, lang, text,
+       |    CAST(concat('0x', substr(md5(text),1,15)) AS BIGINT) % 4 = 0 AS is_test
+       |  FROM lab),
+       |t AS (SELECT doc_id, lang, is_test,
+       |    CAST(concat('0x', substr(md5(tok),1,15)) AS BIGINT) % $NB_BUCKETS AS b
+       |  FROM (SELECT doc_id, lang, is_test,
+       |          unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |        FROM d)),
+       |c AS (SELECT lang, b, count(*) AS c FROM t WHERE NOT is_test GROUP BY 1, 2),
+       |tl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM c GROUP BY 1),
+       |w AS (SELECT lang, b, length(bin(q*q*q)) - 1 AS w FROM (
+       |    SELECT c.lang, c.b,
+       |      greatest(1, CAST(floor(1000000.0 * (c.c + 1) / (tl.tot + $NB_BUCKETS)) AS BIGINT)) AS q
+       |    FROM c JOIN tl ON tl.lang = c.lang)),
+       |pr AS (SELECT lang, count(*) AS n_docs FROM d WHERE NOT is_test GROUP BY 1),
+       |prt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS p_tot, count(*) AS n_langs FROM pr),
+       |model AS (SELECT pr.lang,
+       |    length(bin(pq*pq*pq)) - 1 AS prior_w,
+       |    length(bin(dq*dq*dq)) - 1 AS default_w
+       |  FROM (SELECT pr.lang,
+       |      greatest(1, CAST(floor(1000000.0 * (pr.n_docs + 1) / (prt.p_tot + prt.n_langs)) AS BIGINT)) AS pq,
+       |      greatest(1, CAST(floor(1000000.0 * 1 / (tl.tot + $NB_BUCKETS)) AS BIGINT)) AS dq
+       |    FROM pr CROSS JOIN prt JOIN tl ON tl.lang = pr.lang) pr),
+       |tb AS (SELECT doc_id, b, count(*) AS cnt FROM t WHERE is_test GROUP BY 1, 2),
+       |dn AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok FROM tb GROUP BY 1),
+       |seen AS (SELECT tb.doc_id, w.lang,
+       |    CAST(sum(tb.cnt * w.w) AS BIGINT) AS s_seen,
+       |    CAST(sum(tb.cnt) AS BIGINT) AS n_seen
+       |  FROM tb JOIN w ON w.b = tb.b GROUP BY 1, 2),
+       |grid AS (SELECT td.doc_id, td.lang AS true_lang, m.lang,
+       |    m.prior_w + coalesce(seen.s_seen, 0)
+       |      + m.default_w * (dn.n_tok - coalesce(seen.n_seen, 0)) AS score
+       |  FROM (SELECT doc_id, lang FROM d WHERE is_test) td
+       |  JOIN dn ON dn.doc_id = td.doc_id
+       |  CROSS JOIN model m
+       |  LEFT JOIN seen ON seen.doc_id = td.doc_id AND seen.lang = m.lang),
+       |pred AS (SELECT true_lang, lang AS pred_lang FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY score DESC, lang) AS r FROM grid) WHERE r = 1)
+       |SELECT true_lang AS true_label, pred_lang AS pred_label,
+       |  count(*) AS n_docs
+       |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------ t26 regex pre-tokenization
   /** t26: regex pre-tokenizer counting — the class-run segmentation every
     * BPE tokenizer applies BEFORE merges (the GPT-2 pattern's structure
@@ -1887,8 +1986,12 @@ object TextOps {
   def weakLabels(s: SparkSession, d: String): DataFrame =
     weakLabelsOf(Tables.documents(s, d))
 
-  /** t28 over any documents-shaped frame (spec-injectable face). */
-  private[graft] def weakLabelsOf(docs: DataFrame): DataFrame = {
+  /** Per-document vote rows (doc_id, lang, source, text, score, n_votes,
+    * label) — the shared kernel of the t28 cohort rollup and the t29
+    * classifier distillation (text rides through untouched; Catalyst
+    * prunes it wherever the consumer doesn't read it).
+    */
+  private[graft] def weakLabelRows(docs: DataFrame): DataFrame = {
     val tk = tokens(col("text"))
     val n = when(length(trim(col("text"))) === 0, lit(0)).otherwise(size(tk))
     // LF1 length: very short docs are fragments, long ones are substantive
@@ -1913,7 +2016,7 @@ object TextOps {
       .when(uniq * 2L < n.cast("long"), lit(-1L))
       .when(uniq * 5L > n.cast("long") * 4L, lit(1L)).otherwise(lit(0L))
     docs
-      .select(col("lang"), col("source"),
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
         lfLen.as("v1"), lfSym.cast("long").as("v2"),
         lfStop.as("v3"), lfRep.as("v4"))
       .withColumn("score", col("v1") + col("v2") + col("v3") + col("v4"))
@@ -1922,6 +2025,11 @@ object TextOps {
       .withColumn("label",
         when(col("score") > 0, "keep").when(col("score") < 0, "drop")
           .otherwise("abstain"))
+  }
+
+  /** t28 over any documents-shaped frame (spec-injectable face). */
+  private[graft] def weakLabelsOf(docs: DataFrame): DataFrame =
+    weakLabelRows(docs)
       .groupBy("lang", "source", "label")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("score")).as("vote_mass"),
@@ -1929,7 +2037,6 @@ object TextOps {
         count(when(col("n_votes") >= 2 && abs(col("score")) === col("n_votes"), 1))
           .as("n_unanimous"))
       .orderBy("lang", "source", "label")
-  }
 
   /** t28 oracle: the same four LF thresholds, vote-sum sign and cohort
     * rollup (integer ppm arithmetic on both engines).
@@ -1966,6 +2073,7 @@ object TextOps {
       |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_nb_quality" -> (nbQuality _),
     "t28_weak_labels" -> (weakLabels _),
     "t27_rag_chunking" -> (ragChunks _),
     "t26_pretoken_compare" -> (pretokenCompare _),
@@ -1995,6 +2103,7 @@ object TextOps {
     "t05_cleantext" -> (cleanedDocs _))
 
   val oracles: Map[String, String] = Map(
+    "t29_nb_quality" -> nbQualitySql,
     "t28_weak_labels" -> weakLabelsSql,
     "t27_rag_chunking" -> ragChunksSql,
     "t26_pretoken_compare" -> pretokenCompareSql,

@@ -179,6 +179,37 @@ class Round13OpsSpec extends SparkSpec {
       "no community spans cells — propagation degenerated to residency")
   }
 
+  // ------------------------------------------------------------- t29
+  test("t29 planted: a separable weak-labeled corpus distills diagonally") {
+    import spark.implicits._
+    // keep docs: long, clean, stopword-bearing, high-distinct text drawn
+    // from a 40-word class vocabulary (all four LFs vote +1); drop docs:
+    // short symbol strings from a disjoint 8-token vocabulary (3 LFs
+    // vote -1, LF4 +1). Vocabularies are class-pure, so the held-out
+    // quarter must distill (mostly) diagonally.
+    val keepPool = (0 until 40).map(i => f"keyword$i%02d")
+    val dropPool = Seq("!!!", "###", "%%%", "@@@", "^^^", "&&&", "***", "|||")
+    val docs = ((0 until 80).map { i =>
+      val words = (0 until 100).map(j => keepPool((i * 3 + j * 5) % 40)) :+
+        "the" :+ "the" :+ "the" :+ "the" :+ "the"
+      val txt = words.mkString(" ")
+      (i.toLong, "en", "web", txt, txt.length.toLong)
+    } ++ (1000 until 1080).map { i =>
+      val txt = (0 until 10).map(j => dropPool((i + j) % 8)).mkString(" ")
+      (i.toLong, "en", "web", txt, txt.length.toLong)
+    }).toDF("doc_id", "lang", "source", "text", "n_chars")
+    val out = TextOps.nbQualityOf(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val total = out.values.sum
+    val diag = out.getOrElse(("keep", "keep"), 0L) +
+      out.getOrElse(("drop", "drop"), 0L)
+    assert(total > 0, "held-out quarter is non-empty")
+    assert(diag * 10 >= total * 9,
+      s"separable corpus should distill >=90% diagonally: $out")
+    assert(out.contains(("keep", "keep")) && out.contains(("drop", "drop")),
+      s"both classes must appear and self-agree: $out")
+  }
+
   // ------------------------------------------------------------- m09
   test("m09: the real GIF sequence codec round-trips every sampled frame") {
     val out = Multimodal.gifFrames(spark, d).collect()
