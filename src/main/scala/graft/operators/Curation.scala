@@ -1350,17 +1350,27 @@ object Curation {
     val N = N_SHARDS
     val d0 = docs.select(col("doc_id"),
       TextFunctions.bpeishTokenCount(col("text")).cast("long").as("tok"))
-    // docs with strictly more tokens: running sum over the per-count
-    // aggregate (distinct-count-sized frame, tiny at any corpus scale)
-    val counts = d0.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      // clamped value-range bin (the q47 _sgr_bin / p17 _pps_bin class):
+      // tok div 64 clamped to 16383 has a domain bounded by the VALUE
+      // range — ≤16,384 bins regardless of corpus size — so the bin
+      // aggregate below passes the unpartitioned-window census
+      // structurally; bins are monotone in tok, so higher bin ⇔ strictly
+      // more tokens and the decomposed rank equals the global one. Docs
+      // past the clamp (≥2^20 bpe-ish tokens) share the top bin's
+      // partition — the same rare-tail argument as q47's clamp.
+      .withColumn("_shard_bin", least(expr("tok div 64"), lit(16383L)))
+    // docs in strictly higher bins: running sum over the per-BIN
+    // aggregate (≤16,384 rows by construction)
+    val counts = d0.groupBy("_shard_bin").agg(count(lit(1)).as("cnt"))
       .withColumn("prefix", coalesce(sum(col("cnt")).over(
-        Window.orderBy(col("tok").desc)
+        Window.orderBy(col("_shard_bin").desc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("tok"), col("prefix"))
+      .select(col("_shard_bin"), col("prefix"))
     val ranked = d0
       .withColumn("intra", row_number().over(
-        Window.partitionBy(col("tok")).orderBy(col("doc_id"))))
-      .join(broadcast(counts), "tok")
+        Window.partitionBy(col("_shard_bin"))
+          .orderBy(col("tok").desc, col("doc_id"))))
+      .join(broadcast(counts), "_shard_bin")
       .withColumn("r0", col("prefix") + col("intra") - 1)
     ranked
       .withColumn("pos", col("r0") % N)

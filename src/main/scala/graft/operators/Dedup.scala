@@ -2381,10 +2381,59 @@ object Dedup {
        |ORDER BY bands, bucket""".stripMargin
   }
 
+  // ----------------------------------------------- d24 chunk-grain dedup
+  /** d24: chunk-grain dedup accounting — the batch face of
+    * StreamingChunks.chunkDedupStream and the measurement that motivates
+    * it: how much of each language's CHUNK mass is duplicated content
+    * that document-level d01 can never see (navigation boilerplate,
+    * license blocks, templated paragraphs shared across distinct pages).
+    * Chunks come from the shared t27 kernel; identity is the 60-bit
+    * chunk hash; dup_ppm is the deduplicatable fraction and max_mult the
+    * hottest boilerplate chunk's multiplicity.
+    *
+    * Scale shape: the t27 one-scan explode, then ONE exchange on
+    * (lang, chunk_hash) — 8-byte keys, never chunk text — collapsed
+    * map-side, and a |langs|-row rollup. Integer div only.
+    */
+  def chunkDedup(s: SparkSession, d: String): DataFrame =
+    TextOps.ragChunkRows(Tables.documents(s, d), Seq("lang"))
+      .groupBy(col("lang"), col("chunk_hash"))
+      .agg(count(lit(1)).as("mult"))
+      .groupBy("lang")
+      .agg(sum(col("mult")).as("n_chunks"),
+        count(lit(1)).as("n_unique"),
+        sum(col("mult") - 1).as("dup_chunks"),
+        max(col("mult")).as("max_mult"))
+      .withColumn("dup_ppm", expr("dup_chunks * 1000000 div n_chunks"))
+      .orderBy("lang")
+
+  /** d24 oracle: the t27 chunk CTE carrying lang, multiplicity per
+    * (lang, hash), and the same integer rollup.
+    */
+  lazy val chunkDedupSql: String = {
+    val W = TextOps.CHUNK_W; val S = TextOps.CHUNK_S
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    regexp_split_to_array(trim(text), '\\s+') AS tk
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |c AS (SELECT doc_id, lang, tk, len(tk) AS n,
+       |    unnest(range(0, len(tk), $S)) AS start FROM t),
+       |h AS (SELECT lang,
+       |    CAST(concat('0x', substr(md5(array_to_string(tk[start+1:start+$W], ' ')),1,15)) AS BIGINT) AS ch
+       |  FROM c WHERE start = 0 OR n > start + ${W - S}),
+       |m AS (SELECT lang, ch, count(*) AS mult FROM h GROUP BY 1, 2)
+       |SELECT lang, CAST(sum(mult) AS BIGINT) AS n_chunks,
+       |  count(*) AS n_unique,
+       |  CAST(sum(mult - 1) AS BIGINT) AS dup_chunks,
+       |  CAST(max(mult) AS BIGINT) AS max_mult,
+       |  CAST(sum(mult - 1) AS BIGINT) * 1000000 // CAST(sum(mult) AS BIGINT) AS dup_ppm
+       |FROM m GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** All dedup queries keyed for SparkEntry (oracle-checked where SQL can
     * express them; minhash/simhash are verified by scalatest instead).
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d24_chunk_dedup" -> (chunkDedup _),
     "d22_band_sweep_amortized" -> (lshBandSweepAmortized _),
     "d21_neardup_report" -> (neardupReportUnified _),
     "d20_lsh_band_sweep" -> (lshBandSweep _),
@@ -2409,6 +2458,7 @@ object Dedup {
     "d18_exact_then_near" -> (exactThenNear _))
 
   val oracles: Map[String, String] = Map(
+    "d24_chunk_dedup" -> chunkDedupSql,
     "d22_band_sweep_amortized" -> lshBandSweepSql,
     "d21_neardup_report" -> neardupReportUnifiedSql,
     "d20_lsh_band_sweep" -> lshBandSweepSql,

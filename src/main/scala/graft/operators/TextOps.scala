@@ -1928,22 +1928,24 @@ object TextOps {
     * batch face and [[graft.streaming.StreamingChunks]] (streaming plans
     * reject global sorts; the chunk set is identical).
     */
-  private[graft] def ragChunkRows(docs: DataFrame): DataFrame = {
+  private[graft] def ragChunkRows(docs: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     val W = CHUNK_W; val S = CHUNK_S
     docs
       .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
+      .select(col("doc_id") +: carry.map(col) :+
+        tokens(col("text")).as("tk"): _*)
+      .withColumn("n", size(col("tk")))
       .withColumn("start", explode(sequence(lit(0), col("n") - 1, lit(S))))
       // suppress covered tails: a start whose window ends inside the
       // previous window's span contributes nothing new
       .filter(col("start") === 0 || col("n") > col("start") + (W - S))
-      .select(col("doc_id"),
-        expr(s"start div $S").cast("int").as("chunk_idx"),
-        col("start").cast("long").as("start_tok"),
-        least(lit(W), col("n") - col("start")).cast("long").as("chunk_tokens"),
+      .select(col("doc_id") +: carry.map(col) :+
+        expr(s"start div $S").cast("int").as("chunk_idx") :+
+        col("start").cast("long").as("start_tok") :+
+        least(lit(W), col("n") - col("start")).cast("long").as("chunk_tokens") :+
         Dedup.baseHash(concat_ws(" ", slice(col("tk"), col("start") + 1, lit(W))))
-          .as("chunk_hash"))
+          .as("chunk_hash"): _*)
   }
 
   /** t27 over any documents-shaped frame (spec-injectable face). */

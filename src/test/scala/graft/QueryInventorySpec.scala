@@ -99,8 +99,10 @@ class QueryInventorySpec extends SparkSpec {
     // text hash, ...) fails the census and needs its own bound argument.
     // p17's `_pps_bin` is `hash div 2^52` over the 60-bit hash domain —
     // ≤256 values by the VALUE range, the same class as `_sgr_bin`.
+    // p24's `_shard_bin` is `least(tok div 64, 16383)` — clamped to a
+    // ≤16,384-value domain by the VALUE range, same class as `_sgr_bin`.
     val boundedDomainCols = Set("slice", "_sgr_nn", "_sgr_nan", "_sgr_bin",
-      "decile", "_pps_bin", "_ppl_bin")
+      "decile", "_pps_bin", "_ppl_bin", "_shard_bin")
 
     // STRUCTURAL recursion down the window's input, not an exists() over
     // the whole subtree: a limit sitting on a JOIN'S BUILD SIDE (e.g.

@@ -375,8 +375,9 @@ class PlanShapeSpec extends SparkSpec {
     // aggregate in the plan (HashAggregate appears before it bottom-up),
     // and the per-doc window is partitioned.
     assert(p.contains("Window"), "rank windows disappeared")
-    val partitioned = "windowspecdefinition\\(tok".r.findAllIn(p).nonEmpty
-    assert(partitioned, s"per-doc rank lost its tok partitioning:\n${p.take(3000)}")
+    val partitioned = "windowspecdefinition\\(_shard_bin".r.findAllIn(p).nonEmpty
+    assert(partitioned,
+      s"per-doc rank lost its _shard_bin partitioning:\n${p.take(3000)}")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"prefix frame not broadcast back:\n${p.take(3000)}")
   }

@@ -179,6 +179,36 @@ class Round13OpsSpec extends SparkSpec {
       "no community spans cells — propagation degenerated to residency")
   }
 
+  // ------------------------------------------------------------- d24
+  test("d24 corpus: chunk-grain accounting conserves and bounds") {
+    val out = Dedup.chunkDedup(spark, d).collect()
+    assert(out.nonEmpty)
+    val totalChunks = out.map(_.getLong(1)).sum
+    assert(totalChunks == TextOps.ragChunks(spark, d).count(),
+      "per-lang chunk masses partition the t27 chunk set")
+    out.foreach { r =>
+      val (n, u, dup, mx, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      assert(u + dup == n, "unique + duplicated = total")
+      assert(mx >= 1 && mx <= n)
+      assert(ppm >= 0 && ppm < 1000000L)
+      assert((dup == 0) == (ppm == 0))
+    }
+  }
+
+  test("d24 planted: an identical paragraph across docs counts as dup chunk mass") {
+    import spark.implicits._
+    val para = (1 to 64).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, "en", para), (2L, "en", para),
+      (3L, "en", (1 to 64).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val rows = TextOps.ragChunkRows(docs, Seq("lang")).collect()
+    val byHash = rows.groupBy(_.getLong(5)) // doc_id, lang, idx, start, len, hash
+    assert(byHash.size == 2, "two distinct chunk identities")
+    assert(byHash.values.map(_.length).toSeq.sorted == Seq(1, 2),
+      "the shared paragraph collapses to one identity with multiplicity 2")
+  }
+
   // ------------------------------------------------------------- t29
   test("t29 planted: a separable weak-labeled corpus distills diagonally") {
     import spark.implicits._
