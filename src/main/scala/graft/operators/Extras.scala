@@ -593,6 +593,75 @@ object Extras {
       |FROM s JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------- q73 event-transition matrix
+  /** q73: first-order Markov transition matrix over per-user event
+    * sequences — the user-journey summary a growth/abuse team reads before
+    * funnel design (q61 asks "did the fixed path happen"; q73 asks "what
+    * paths exist and how fast"). Per ordered pair (prev_type, next_type):
+    * transition count, conditional probability of the NEXT type given the
+    * previous one in exact ppm, and the mean dwell gap in integer
+    * microseconds.
+    *
+    * Determinism: sequence order is (ts, event_id) — event_id is unique,
+    * so lag ties cannot reorder (the c08 lesson); probabilities are
+    * integer-division ppm of exact longs and the mean gap is `sum div n`,
+    * so no float accumulates across the exchange and the hash is
+    * shuffle-order independent.
+    *
+    * Scale shape: the sequence window is partitioned by user_id — per-user
+    * state, never a corpus-wide window; the transition aggregate carries
+    * |types|² ≤ 25 groups with map-side partials; the row-total frame is
+    * ≤ |types| rows and joins back broadcast. 100 TB of events reduce to
+    * 25 longs after one user-partitioned pass.
+    */
+  def markovTransitions(s: SparkSession, d: String): DataFrame =
+    markovTransitionsOf(Tables.events(s, d))
+
+  /** q73 over any (user_id, event_type, ts, event_id) frame (the
+    * spec-injectable face).
+    */
+  def markovTransitionsOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val trans = ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("gap_us", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("prev_type"), col("next_type"), col("gap_us"))
+    val counts = trans.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"), sum(col("gap_us")).as("gap_sum"))
+    val fromTot = counts.groupBy(col("prev_type")).agg(sum(col("n")).as("from_n"))
+    counts.join(broadcast(fromTot), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("1000000 * n div from_n").as("prob_ppm"),
+        expr("gap_sum div n").as("mean_gap_us"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** q73 oracle: identical window order keys and integer divisions
+    * (`//` ≡ `div` on the non-negative operands; epoch_us ≡ unix_micros).
+    */
+  val markovTransitionsSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      |            FROM events),
+      |t AS (SELECT event_type AS prev_type,
+      |        lead(event_type) OVER w AS next_type,
+      |        lead(us) OVER w - us AS gap_us
+      |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |c AS (SELECT prev_type, next_type,
+      |        CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(gap_us) AS BIGINT) AS gap_sum
+      |      FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |f AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS from_n FROM c GROUP BY 1)
+      |SELECT c.prev_type, c.next_type, c.n,
+      |  CAST((1000000 * c.n) // f.from_n AS BIGINT) AS prob_ppm,
+      |  CAST(c.gap_sum // c.n AS BIGINT) AS mean_gap_us
+      |FROM c JOIN f USING (prev_type)
+      |ORDER BY prev_type, next_type""".stripMargin
+
   // ------------------------------------------- q72 KLL quantile rollup
   /** q72: mergeable KLL quantile sketches (Karnin–Lang–Liberty) — the
     * quantile slot in the sketch family next to q63's HLL (distinct),
@@ -671,6 +740,7 @@ object Extras {
       |ORDER BY level, key""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_markov_transitions" -> (markovTransitions _),
     "q72_kll_quantiles" -> (kllQuantileRollup _),
     "q70_decay_score" -> (decayScore _),
     "q68_kmv_overlap" -> (kmvAudienceOverlap _),
@@ -686,6 +756,7 @@ object Extras {
     "t06_top_tokens" -> (topTokens _))
 
   val oracles: Map[String, String] = Map(
+    "q73_markov_transitions" -> markovTransitionsSql,
     "q72_kll_quantiles" -> kllQuantileRollupSql,
     "q70_decay_score" -> decayScoreSql,
     "q68_kmv_overlap" -> kmvAudienceOverlapSql,

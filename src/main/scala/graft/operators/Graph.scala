@@ -788,7 +788,114 @@ object Graph {
       .stripMargin
   }
 
+  // --------------------------------------------- g10 k-core decomposition
+  /** Fixed peel-round budget per k; the engine early-exits at the actual
+    * fixpoint (one bounded O(1) driver count per round, the g04 frontier
+    * discipline) and the unrolled oracle runs all [[KCORE_CAP]] rounds —
+    * identical by monotonicity: once peeling reaches its fixpoint every
+    * further round is a no-op, so "engine at fixpoint" and "oracle after
+    * CAP rounds" are the same edge set whenever the `converged` flag is
+    * true (and byte-identical CAP-round states when it is not).
+    */
+  private val KCORE_CAP = 8
+  private val KCORE_KS  = Seq(2L, 3L, 4L)
+
+  /** g10: k-core census of the trade graph — for k ∈ {2,3,4}, the size of
+    * the maximal subgraph where every node keeps ≥ k neighbors (Seidman
+    * 1983; the web-graph quality/spam signal Batagelj-Zaveršnik peel).
+    * Cores nest, so each k peels the PREVIOUS core, not the full graph —
+    * the 4-core pass runs over the 3-core's survivors only.
+    *
+    * Per round: one degree aggregate over the current (symmetric,
+    * checkpointed) edge frame and two semi-joins keeping edges whose both
+    * endpoints survive; entirely integer, so the unrolled DuckDB mirror
+    * hash-matches. The `converged` flag is computed DECLARATIVELY (min
+    * final degree ≥ k, true on an empty core) in both engines — honesty
+    * at scales where CAP rounds might not reach the fixpoint.
+    *
+    * Scale shape: the survivor list is broadcast into both semi-joins
+    * (the g03 note: beyond ~100M surviving nodes switch to co-partitioned
+    * SMJ on src/dst); the census is a 1-row aggregate per k; lineage is
+    * cut per round by repartition-before-localCheckpoint (the g01
+    * discipline). Edge frames only ever SHRINK, so the deepest core costs
+    * the least.
+    */
+  def kcoreCensus(s: SparkSession, d: String): DataFrame =
+    kcoreCensusOf(tradeEdges(s, d))
+
+  /** g10 over any symmetric (src, dst) edge frame (spec-injectable face). */
+  def kcoreCensusOf(edgesIn: DataFrame): DataFrame = {
+    var edges = edgesIn // symmetric, checkpointed by the caller
+    val census = KCORE_KS.map { k =>
+      var cur = edges
+      var n = cur.count()
+      var fixed = false
+      var round = 0
+      while (!fixed && round < KCORE_CAP) {
+        round += 1
+        val keep = cur.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("node"))
+        val next = cur
+          .join(broadcast(keep.select(col("node").as("ks"))),
+            col("src") === col("ks"), "left_semi")
+          .join(broadcast(keep.select(col("node").as("kd"))),
+            col("dst") === col("kd"), "left_semi")
+          .repartition(col("src"))
+          .localCheckpoint(true)
+        val m = next.count()
+        fixed = m == n // a round that removed nothing is the fixpoint
+        n = m
+        cur = next
+      }
+      edges = cur // the (k+1)-core peels from here
+      val conv = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .agg(coalesce(min(col("deg")) >= k, lit(true)).as("converged"))
+      cur.agg(countDistinct(col("src")).as("n_nodes"),
+          count(lit(1)).as("c2"))
+        .crossJoin(conv)
+        .select(lit(k).as("k"), col("n_nodes"),
+          expr("c2 div 2").as("n_edges"), col("converged"))
+    }
+    census.reduce(_ unionByName _).orderBy("k")
+  }
+
+  /** g10 oracle: the peel unrolled to [[KCORE_CAP]] rounds per k, cores
+    * chained (e.g. the 3-core starts from the 2-core's final state).
+    */
+  val kcoreCensusSql: String = {
+    val chains = KCORE_KS.map { k =>
+      val rounds = (1 to KCORE_CAP).map { i =>
+        val prev = if (i == 1) s"e${k}_0" else s"e${k}_${i - 1}"
+        s"""d${k}_$i AS (SELECT src AS node FROM $prev
+           |  GROUP BY src HAVING count(*) >= $k),
+           |e${k}_$i AS MATERIALIZED (
+           |  SELECT e.src, e.dst FROM $prev e
+           |  JOIN d${k}_$i a ON a.node = e.src
+           |  JOIN d${k}_$i b ON b.node = e.dst)""".stripMargin
+      }.mkString(",\n")
+      val base = if (k == KCORE_KS.head) "edges"
+                 else s"e${k - 1}_$KCORE_CAP"
+      s"""e${k}_0 AS MATERIALIZED (SELECT src, dst FROM $base),
+         |$rounds""".stripMargin
+    }.mkString(",\n")
+    val rows = KCORE_KS.map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS k,
+         |  CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+         |  CAST(count(*) AS BIGINT) // 2 AS n_edges,
+         |  coalesce((SELECT min(cnt) FROM (
+         |      SELECT count(*) AS cnt FROM e${k}_$KCORE_CAP GROUP BY src) t
+         |    ) >= $k, TRUE) AS converged
+         |FROM e${k}_$KCORE_CAP""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $tradeEdgesCte,
+       |$chains
+       |$rows
+       |ORDER BY k""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g10_kcore" -> (kcoreCensus _),
     "g08_modularity" -> (modularity _),
     "g07_sssp" -> (sssp _),
     "g06_link_prediction" -> (linkPrediction _),
@@ -799,6 +906,7 @@ object Graph {
     "g03_label_propagation" -> (labelPropagation _))
 
   def oracles: Map[String, String] = Map(
+    "g10_kcore" -> kcoreCensusSql,
     "g08_modularity" -> modularitySql,
     "g07_sssp" -> ssspSql,
     "g06_link_prediction" -> linkPredictionSql,

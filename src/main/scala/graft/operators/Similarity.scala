@@ -237,6 +237,168 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // ------------------------------------ s23 pruned EXACT top-k search
+  /** Safety margin on the pruning comparison: the cell bound is computed
+    * in IEEE doubles, so a bound that ties the threshold within rounding
+    * must NOT be pruned. 1e-9 is ~1e6 ulps at cosine magnitudes —
+    * conservatively large, and the cost of keeping a borderline cell is
+    * one extra cell scan, never a wrong answer.
+    */
+  private val PRUNE_EPS = 1e-9
+
+  /** Per-query-and-cell probe geometry shared by [[prunedExactTopK]] and
+    * the spec's pruning-effectiveness face: the s03 cell build (same
+    * deterministic centroid sample), each corpus vector's NORMALIZED
+    * residual distance to its centroid, and for every (query, cell) the
+    * provable cosine upper bound
+    *
+    *   cos(q, x) = 1 − ‖q̂ − x̂‖²/2 ≤ 1 − max(0, ‖q̂ − ĉ‖ − maxres(C))²/2
+    *
+    * from the triangle inequality ‖q̂ − x̂‖ ≥ ‖q̂ − ĉ‖ − ‖x̂ − ĉ‖ on the
+    * unit sphere (x ∈ C, maxres = max member residual). Returns
+    * (assignment, qcell) where assignment is cell-partitioned and
+    * checkpointed — phase 1 and phase 2 both re-read its cached blocks.
+    */
+  private def prunedProbeFrames(e: DataFrame, nQueries: Int)
+      : (DataFrame, DataFrame) = {
+    val corpusRaw = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id"), quantize(col("embedding")).as("cv"))
+    val centroids = broadcast(
+      corpusRaw.filter(col("vec_id") % 31 === 6)
+        .withColumn("cell", row_number().over(Window.orderBy(col("vec_id"))))
+        .filter(col("cell") <= N_CELLS)
+        .select(col("cell"), col("cv").as("centroid")))
+    val assignment = corpusRaw.crossJoin(centroids)
+      .withColumn("cos_xc", qcosine(col("cv"), col("centroid")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos_xc").desc, col("cell"))))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("cv"), col("cell"),
+        sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("cos_xc"))).as("res"))
+      .repartition(col("cell"))
+      .localCheckpoint(true)
+    // ≤ N_CELLS rows: the radius table an IVF index stores next to its
+    // centroids (FAISS keeps exactly this per-list statistic)
+    val cellStats = assignment.groupBy(col("cell"))
+      .agg(max(col("res")).as("maxres"))
+    val queriesDf = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qnorm", sqrt(qdot(col("qv"), col("qv")).cast("double")))
+    val qcell = queriesDf.crossJoin(centroids)
+      .withColumn("cos_qc", qcosine(col("qv"), col("centroid")))
+      .join(broadcast(cellStats), "cell")
+      .withColumn("dqc", sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("cos_qc"))))
+      .withColumn("bound", lit(1.0) -
+        pow(greatest(lit(0.0), col("dqc") - col("maxres")), 2) / lit(2.0))
+      .withColumn("probe_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos_qc").desc, col("cell"))))
+      .select("query_id", "qv", "qnorm", "cell", "bound", "probe_rank")
+    (assignment, qcell)
+  }
+
+  /** Exact scores of every query against the corpus vectors in its listed
+    * (query_id, cell) pairs — both probe phases are this one shape: the
+    * cell-partitioned assignment streamed once against a broadcast
+    * ≤ |queries|·N_CELLS row probe list, never an all-pairs join.
+    */
+  private def scoreCells(assignment: DataFrame, probes: DataFrame): DataFrame =
+    assignment.join(broadcast(probes), "cell")
+      .withColumn("cosine", qdot(col("qv"), col("cv")).cast("double") /
+        (col("qnorm") * sqrt(qdot(col("cv"), col("cv")).cast("double"))))
+
+  /** s23: EXACT cosine top-k served through the IVF cell structure —
+    * the "guaranteed-exact search over a clustered layout" slot between
+    * s01 (exact, scans everything) and s03 (fast, approximate). Phase 1
+    * scores the N_PROBE nearest cells exactly and takes the k-th best as
+    * threshold τ; phase 2 rescans ONLY cells whose triangle-inequality
+    * bound reaches τ − ε. Any vector in a pruned cell provably scores
+    * below τ, so the result is bit-identical to brute force — the oracle
+    * IS s01's brute-force SQL, making the driver hash-check a PROOF that
+    * pruning lost nothing (the same stance s10 takes for recall, upgraded
+    * from "measured high" to "exactly 1 by construction").
+    *
+    * Scale shape: the corpus is scanned once to build the assignment
+    * (at 100 TB this is the stored cell-partitioned index + its per-cell
+    * radius column — write-time work, like s03/p23); each phase streams
+    * only the listed cells against a broadcast probe list; τ is a
+    * |queries|-row broadcast frame. Cells touched = N_PROBE + survivors,
+    * and survivors shrink as the index gets tighter (more cells → smaller
+    * maxres → tighter bounds), so the exact path RIDES the same geometry
+    * that makes the approximate path fast.
+    */
+  def prunedExactTopK(s: SparkSession, d: String,
+      nQueries: Int = 5, k: Int = 10): DataFrame =
+    prunedExactTopKFrom(Tables.embeddings(s, d), nQueries, k)
+
+  /** s23 over any (vec_id, embedding) frame (spec-injectable face: the
+    * pruning-effectiveness proof runs on a PLANTED clustered corpus —
+    * on this repo's near-isotropic test embeddings the triangle bound is
+    * honest but loose (member residuals ≈ √2: the curse-of-dimensionality
+    * regime where NO metric pruning can fire), while exactness holds on
+    * any corpus and is what the driver hash-proves).
+    */
+  def prunedExactTopKFrom(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val (assignment, qcell) = prunedProbeFrames(e, nQueries)
+    val phase1 = scoreCells(assignment,
+      qcell.filter(col("probe_rank") <= N_PROBE)
+        .select("query_id", "qv", "qnorm", "cell"))
+    // τ = exact k-th best among phase-1 candidates (a lower bound on the
+    // global k-th best); if the probed cells held < k candidates no
+    // threshold exists and nothing may be pruned (τ = −2 < any cosine)
+    val tau = phase1
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .groupBy(col("query_id"))
+      .agg(max(when(col("rk") === k, col("cosine"))).as("kth"),
+        count(lit(1)).as("ncand"))
+      .select(col("query_id"),
+        when(col("ncand") >= k, col("kth")).otherwise(lit(-2.0)).as("tau"))
+    val survivors = qcell.join(broadcast(tau), "query_id")
+      .filter(col("bound") >= col("tau") - lit(PRUNE_EPS))
+      .select("query_id", "qv", "qnorm", "cell")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scoreCells(assignment, survivors)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Pruning-effectiveness face for the spec (not registered): per query,
+    * cells probed in phase 1, cells surviving the bound test, and the
+    * total — the spec asserts survivors < total so the exactness proof
+    * (driver hash vs brute force) is accompanied by evidence the bound
+    * actually PRUNES on clustered data.
+    */
+  def prunedExactCellCounts(e: DataFrame,
+      nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val (assignment, qcell) = prunedProbeFrames(e, nQueries)
+    val phase1 = scoreCells(assignment,
+      qcell.filter(col("probe_rank") <= N_PROBE)
+        .select("query_id", "qv", "qnorm", "cell"))
+    val tau = phase1
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .groupBy(col("query_id"))
+      .agg(max(when(col("rk") === k, col("cosine"))).as("kth"),
+        count(lit(1)).as("ncand"))
+      .select(col("query_id"),
+        when(col("ncand") >= k, col("kth")).otherwise(lit(-2.0)).as("tau"))
+    qcell.join(broadcast(tau), "query_id")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("probe_rank") <= N_PROBE, 1L).otherwise(0L)).as("probed"),
+        sum(when(col("bound") >= col("tau") - lit(PRUNE_EPS), 1L).otherwise(0L))
+          .as("survivors"))
+      .orderBy("query_id")
+  }
+
+  /** s23 oracle: s01's brute-force SQL VERBATIM — exactness of the pruned
+    * search is the contract the driver hash-checks.
+    */
+  val prunedExactTopKSql: String = cosineTopKSql
+
   /** Quantized hyperplane literals as SQL VALUES rows (for the generated
     * s02/d06 oracles).
     */
@@ -2802,6 +2964,7 @@ object Similarity {
     "s01_cosine_topk" -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
     "s02_ann_lsh" -> ((s: SparkSession, d: String) => annLshTopK(s, d)),
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => annIvfTopK(s, d)),
+    "s23_pruned_exact_knn" -> ((s: SparkSession, d: String) => prunedExactTopK(s, d)),
     "d06_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDupPairsSeeded(s, d)))
 
   val oracles: Map[String, String] = Map(
@@ -2832,5 +2995,6 @@ object Similarity {
     "s01_cosine_topk" -> cosineTopKSql,
     "s02_ann_lsh" -> annLshTopKSql,
     "s03_ann_ivf" -> annIvfTopKSql,
+    "s23_pruned_exact_knn" -> prunedExactTopKSql,
     "d06_embedding_neardup" -> embeddingNearDupPairsSql)
 }

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Structural + planted-value invariants for the round-13 second-session
+  * keys (exact values are DuckDB-oracled by the driver): q73 event
+  * transition matrix, s23 pruned exact kNN.
+  */
+class Round13bOpsSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------------- q73
+  test("q73 planted: transition counts, ppm probabilities, mean gaps") {
+    import spark.implicits._
+    // user 1: A->B (10s), B->A (30s), A->B (60s); user 2: A->A (5s);
+    // user 3: a single event contributes no transition
+    val ev = Seq(
+      (1L, "A", 0L, 10L), (1L, "B", 10L, 11L),
+      (1L, "A", 40L, 12L), (1L, "B", 100L, 13L),
+      (2L, "A", 0L, 20L), (2L, "A", 5L, 21L),
+      (3L, "B", 7L, 30L))
+      .toDF("user_id", "event_type", "sec", "event_id")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val out = Extras.markovTransitionsOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("A", "A", 1L, 333333L, 5000000L),
+      ("A", "B", 2L, 666666L, 35000000L),
+      ("B", "A", 1L, 1000000L, 30000000L)))
+  }
+
+  test("q73 planted: equal timestamps order by event_id, not arrival") {
+    import spark.implicits._
+    // both events at t=0: event_id decides the sequence (B after A)
+    val ev = Seq(
+      (1L, "B", 0L, 2L), (1L, "A", 0L, 1L))
+      .toDF("user_id", "event_type", "sec", "event_id")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val out = Extras.markovTransitionsOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("A", "B", 1L)))
+  }
+
+  // ------------------------------------------------------------- s23
+  test("s23: pruned search ≡ brute force on the real (isotropic) corpus") {
+    val e = Tables.embeddings(spark, d)
+    val exact = Similarity.cosineTopKFrom(e, 5, 10).collect().toSeq
+    val pruned = Similarity.prunedExactTopK(spark, d).collect().toSeq
+    assert(pruned == exact, "triangle-inequality pruning must lose nothing")
+    // bound sanity even where it can't fire: survivors never exceed cells
+    val counts = Similarity.prunedExactCellCounts(e).collect()
+    assert(counts.length == 5)
+    counts.foreach { r =>
+      val (n, probed, surv) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(probed <= Similarity.N_PROBE && surv <= n)
+    }
+  }
+
+  /** 16 orthogonal tight clusters, jitter confined to each cluster's own
+    * 4-dim block (cross-cluster cosine exactly 0). The %31 centroid
+    * sample lands one member in every cluster (31 ≡ −1 mod 16), so cells
+    * are tight and the triangle bound must prune nearly everything.
+    */
+  private def plantedClusters = {
+    import spark.implicits._
+    def vec(cluster: Int, salt: Int): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      for (dd <- 0 until 4) a(cluster * 4 + dd) = 10.0f
+      a(cluster * 4 + salt % 4) += 0.01f * (salt % 7 + 1)
+      a
+    }
+    ((0L until 5L).map(i => (i, vec(i.toInt, i.toInt + 3))) ++
+      (5L until 500L).map(i => (i, vec((i % 16).toInt, i.toInt))))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("s23 planted: tight clusters prune to ~1 cell, still exact") {
+    val e = plantedClusters
+    val exact = Similarity.cosineTopKFrom(e, 5, 10).collect().toSeq
+    val pruned = Similarity.prunedExactTopKFrom(e, 5, 10).collect().toSeq
+    assert(pruned == exact, "exact under heavy pruning")
+    val counts = Similarity.prunedExactCellCounts(e).collect()
+    counts.foreach { r =>
+      assert(r.getLong(3) <= 2,
+        s"query ${r.getLong(0)}: survivors ${r.getLong(3)} — bound too loose")
+    }
+    assert(counts.map(_.getLong(3)).sum < counts.map(_.getLong(1)).sum / 4,
+      "the bound prunes the vast majority of cells on clustered data")
+  }
+
+  // ------------------------------------------------------------- g10
+  test("g10 planted: triangle+tail peels to the triangle, deeper cores empty") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 4-1: 2-core = the triangle; no 3-core
+    val raw = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+    val edges = (raw ++ raw.map(e => (e._2, e._1))).toDF("src", "dst")
+    val out = Graph.kcoreCensusOf(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (2L, 3L, 3L, true), (3L, 0L, 0L, true), (4L, 0L, 0L, true)))
+  }
+
+  test("g10 corpus: cores nest, all converged, symmetric counts") {
+    val out = Graph.kcoreCensus(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 3 && out.map(_._1).toSeq == Seq(2L, 3L, 4L))
+    assert(out.forall(_._4), "peeling reached its fixpoint at every k")
+    // nesting: the (k+1)-core is a subgraph of the k-core
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      b._2 <= a._2 && b._3 <= a._3 })
+  }
+
+  test("q73 corpus: rows bounded by |types|^2, ppm rows sum to ~1 per prev") {
+    val out = Extras.markovTransitions(spark, d)
+    val rows = out.collect()
+    assert(rows.length <= 25, "at most |types|^2 transition rows")
+    // per prev_type, integer-floor ppm sums within |types| of 1e6
+    val sums = out.groupBy("prev_type")
+      .agg(sum("prob_ppm").as("s"), count(lit(1)).as("k")).collect()
+    sums.foreach { r =>
+      val (s, k) = (r.getLong(1), r.getLong(2))
+      assert(s <= 1000000L && s > 1000000L - k,
+        s"floor-ppm mass for ${r.getString(0)}: $s")
+    }
+    // transition count conservation: sum n = total events - distinct users
+    val ev = Tables.events(spark, d)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    val got = rows.map(_.getLong(2)).sum
+    assert(got == expected, "every adjacent pair is exactly one transition")
+  }
+}
