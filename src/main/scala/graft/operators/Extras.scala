@@ -620,19 +620,35 @@ object Extras {
   /** q73 over any (user_id, event_type, ts, event_id) frame (the
     * spec-injectable face).
     */
-  def markovTransitionsOf(events: DataFrame): DataFrame = {
+  def markovTransitionsOf(events: DataFrame): DataFrame =
+    transitionReport(transitionRollup(transitionEvents(events)))
+
+  /** The q73 event projection — shared with the streaming face so the
+    * online log and the batch operator can never order differently.
+    */
+  private[graft] def transitionEvents(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"))
+
+  /** Per-(prev, next) transition count + exact gap mass over a projected
+    * event frame (one user-partitioned sequence window).
+    */
+  private[graft] def transitionRollup(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = events
-      .select(col("user_id"), col("event_type"),
-        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-    val trans = ev
-      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+    ev.withColumn("next_type", lead(col("event_type"), 1).over(w))
       .withColumn("gap_us", lead(col("us"), 1).over(w) - col("us"))
       .filter(col("next_type").isNotNull)
       .select(col("event_type").as("prev_type"), col("next_type"), col("gap_us"))
-    val counts = trans.groupBy(col("prev_type"), col("next_type"))
+      .groupBy(col("prev_type"), col("next_type"))
       .agg(count(lit(1)).as("n"), sum(col("gap_us")).as("gap_sum"))
+  }
+
+  /** Final q73 projection from a (prev_type, next_type, n, gap_sum)
+    * counts frame — the streaming read folds its log to exactly this
+    * shape and reuses the projection verbatim.
+    */
+  private[graft] def transitionReport(counts: DataFrame): DataFrame = {
     val fromTot = counts.groupBy(col("prev_type")).agg(sum(col("n")).as("from_n"))
     counts.join(broadcast(fromTot), "prev_type")
       .select(col("prev_type"), col("next_type"), col("n"),
