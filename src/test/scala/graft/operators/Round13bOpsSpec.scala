@@ -78,6 +78,28 @@ class Round13bOpsSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
   }
 
+  // ------------------------------------------------------------- s24
+  test("s24: store round-trip ≡ brute force; planted clusters stay exact") {
+    val real = Tables.embeddings(spark, d)
+    val dirR = java.nio.file.Files.createTempDirectory("pidx").toString
+    Similarity.writePrunedIndex(real, 5, dirR)
+    assert(Similarity.prunedExactFromDir(spark, real, 5, 10, dirR)
+      .collect().toSeq ==
+      Similarity.cosineTopKFrom(real, 5, 10).collect().toSeq,
+      "store-served pruned search ≡ brute force on the real corpus")
+    val planted = plantedClusters
+    val dirP = java.nio.file.Files.createTempDirectory("pidx").toString
+    Similarity.writePrunedIndex(planted, 5, dirP)
+    assert(Similarity.prunedExactFromDir(spark, planted, 5, 10, dirP)
+      .collect().toSeq ==
+      Similarity.cosineTopKFrom(planted, 5, 10).collect().toSeq,
+      "store-served pruned search ≡ brute force under heavy pruning")
+    // the layout is the partition-pruned shape: one cell dir per cell
+    val cellDirs = new java.io.File(s"$dirP/vectors").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length == Similarity.N_CELLS)
+  }
+
   test("s23 planted: tight clusters prune to ~1 cell, still exact") {
     val e = plantedClusters
     val exact = Similarity.cosineTopKFrom(e, 5, 10).collect().toSeq
