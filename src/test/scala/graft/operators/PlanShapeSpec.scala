@@ -367,6 +367,45 @@ class PlanShapeSpec extends SparkSpec {
       s"unpartitioned window in s21:\n${p.take(3000)}")
   }
 
+  test("q73: the sequence window partitions by user_id; the row-total joins broadcast") {
+    val p = plan("q73_markov_transitions")
+    assert("windowspecdefinition\\(user_id".r.findAllIn(p).nonEmpty,
+      s"q73 sequence window lost its user partitioning:\n${p.take(3000)}")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"a single-partition exchange crept under q73's window:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q73 from-total frame not broadcast:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"q73 join degenerated:\n${p.take(3000)}")
+  }
+
+  test("s23: both probe phases are cell-keyed broadcast joins, never all-pairs") {
+    val p = plan("s23_pruned_exact_knn")
+    // the only nested-loop members allowed are the broadcast 16-row
+    // centroid/metadata frames; candidate scoring must be the cell
+    // equi-join
+    assert(!p.contains("CartesianProduct"),
+      s"s23 degenerated to an all-pairs cross:\n${p.take(3000)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"s23 probe-list joins not broadcast:\n${p.take(3000)}")
+  }
+
+  test("s24: the store probe reads partition-pruned cell dirs") {
+    val p = plan("s24_pruned_exact_store")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findAllIn(p).nonEmpty,
+      s"s24 vectors scan is not partition-pruned on cell:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"s24 degenerated to an all-pairs cross:\n${p.take(3000)}")
+  }
+
+  test("g10: the census reads checkpointed peel output, no join re-derivation") {
+    val p = plan("g10_kcore")
+    assert(p.contains("Scan ExistingRDD"),
+      s"g10 census re-derives the peeled edges:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"g10 final census picked a heavy join:\n${p.take(3000)}")
+  }
+
   test("p24: the rank decomposition never runs a corpus-size single-task window") {
     val p = plan("p24_shard_manifest")
     // the only unpartitioned window is the running sum over the per-count
