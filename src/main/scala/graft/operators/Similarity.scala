@@ -406,6 +406,22 @@ object Similarity {
     * build runs once into a deterministic store (p23 discipline: the
     * untimed bench warmup absorbs it, timed reps price the probe).
     */
+  /** A store subtable is complete iff its parquet COMMIT MARKER exists:
+    * `Files.exists(dir)` alone would accept a crash-interrupted build as
+    * done and serve a truncated index forever (the vacuum-ordering
+    * lesson applied to build-on-first-use). mode("overwrite") makes the
+    * re-build after a partial crash safe and idempotent.
+    */
+  private[graft] def committed(paths: String*): Boolean =
+    paths.forall(p =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS")))
+
+  /** Build the pruned index iff its tables aren't fully committed. */
+  private[graft] def ensurePrunedIndex(e: DataFrame, nQueries: Int,
+      dir: String): Unit =
+    if (!committed(s"$dir/vectors", s"$dir/cells"))
+      writePrunedIndex(e, nQueries, dir)
+
   def prunedExactTopKFromStore(s: SparkSession, d: String,
       nQueries: Int = 5, k: Int = 10): DataFrame = {
     val dir = java.nio.file.Paths.get(
@@ -413,8 +429,7 @@ object Similarity {
       "graft_pruneidx_" + java.lang.Long.toHexString(
         graft.expressions.Md5Hash.hash60(
           d.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
-    if (!java.nio.file.Files.exists(dir))
-      writePrunedIndex(Tables.embeddings(s, d), nQueries, dir.toString)
+    ensurePrunedIndex(Tables.embeddings(s, d), nQueries, dir.toString)
     prunedExactFromDir(s, Tables.embeddings(s, d), nQueries, k, dir.toString)
   }
 
@@ -2655,7 +2670,9 @@ object Similarity {
       "graft_cellassign_" + java.lang.Long.toHexString(
         graft.expressions.Md5Hash.hash60(
           d.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
-    if (!java.nio.file.Files.exists(dir)) writeCellAssignments(s, d, dir.toString)
+    // commit-marker check, not bare existence: a crash-interrupted build
+    // must rebuild, never serve a truncated assignment table
+    if (!committed(dir.toString)) writeCellAssignments(s, d, dir.toString)
     healthLong(indexHealthReportFromStore(s, dir.toString))
   }
 

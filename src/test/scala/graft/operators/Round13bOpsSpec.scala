@@ -100,6 +100,22 @@ class Round13bOpsSpec extends SparkSpec {
     assert(cellDirs.length == Similarity.N_CELLS)
   }
 
+  test("s24: a crash-partial store is rebuilt, not served truncated") {
+    val e = plantedClusters
+    val dir = java.nio.file.Files.createTempDirectory("pidx").toString
+    // simulate a crash between the two table writes: vectors committed,
+    // cells never written — bare Files.exists(dir) would accept this
+    Similarity.writePrunedIndex(e, 5, dir)
+    val cellsSuccess = java.nio.file.Paths.get(s"$dir/cells", "_SUCCESS")
+    java.nio.file.Files.delete(cellsSuccess)
+    assert(!Similarity.committed(s"$dir/vectors", s"$dir/cells"))
+    Similarity.ensurePrunedIndex(e, 5, dir)
+    assert(Similarity.committed(s"$dir/vectors", s"$dir/cells"),
+      "rebuild restores both commit markers")
+    assert(Similarity.prunedExactFromDir(spark, e, 5, 10, dir)
+      .collect().toSeq == Similarity.cosineTopKFrom(e, 5, 10).collect().toSeq)
+  }
+
   test("s23 planted: tight clusters prune to ~1 cell, still exact") {
     val e = plantedClusters
     val exact = Similarity.cosineTopKFrom(e, 5, 10).collect().toSeq
