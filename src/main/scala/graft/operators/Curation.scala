@@ -297,6 +297,142 @@ object Curation {
       |FROM gt JOIN gb ON gt.sh = gb.sh
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------- p25 contamination dashboard
+  /** The benchmark suites of the p25 dashboard: three deterministic
+    * doc_id-mod slices standing in for three eval sets (a doc can sit in
+    * more than one suite, as real eval items do across leaderboards).
+    * Each suite plants its own leaked train docs at a DISTINCT id offset
+    * (suite i → (i+1)·PLANT_OFFSET), so the planted population is known
+    * per suite and can never collide.
+    */
+  val CONTAM_SUITES: Seq[Long] = Seq(97L, 89L, 83L)
+
+  /** p25: the multi-benchmark contamination DASHBOARD — p02's check as a
+    * fleet report: per (suite, source), how many train documents share an
+    * 8-gram with that suite, how many distinct leaking 8-grams, and the
+    * contaminated fraction of the source's token mass in exact ppm. This
+    * is the report a data lead reads across MANY eval suites before a
+    * training run, and the amortization is the point: the TRAIN side
+    * (the 100 TB side) is shingled ONCE and joined against the union of
+    * all suites' tagged shingles — per-suite p02 runs would re-explode
+    * the corpus |suites| times.
+    *
+    * Scale shape: train shingles are 60-bit hashes (8-byte exchange
+    * keys, the d03 discipline); bench suites are tiny and arrive
+    * pre-distincted at suite grain; per-doc hits aggregate before the
+    * meta join; the (suite, source) grid and per-source token totals are
+    * ≤ |suites|·|sources| and |sources| rows. Zero-contamination cells
+    * are emitted explicitly (a dashboard that omits clean suites reads
+    * as "not checked", not "clean").
+    */
+  def contaminationReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val tk = TextFunctions.tokens(col("text"))
+    val inAny = CONTAM_SUITES.map(m => col("doc_id") % m === 0).reduce(_ || _)
+    val clean = docs.filter(!inAny).select(col("doc_id"), col("text"), col("source"))
+    val planted = CONTAM_SUITES.zipWithIndex.map { case (m, i) =>
+      docs.filter(col("doc_id") % m === 0).select(
+        (col("doc_id") + lit(PLANT_OFFSET * (i + 1))).as("doc_id"),
+        array_join(slice(tk, lit(2), greatest(size(tk) - 1, lit(0))), " ")
+          .as("text"),
+        col("source"))
+    }.reduce(_ unionByName _)
+    val train = clean.unionByName(planted)
+    val meta = train.select(col("doc_id"), col("source"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+    val trainSh = Dedup.shingleTable(train.select("doc_id", "text"),
+      n = CONTAM_NGRAM, hashed = true)
+    val benchSh = CONTAM_SUITES.map { m =>
+      Dedup.shingleTable(
+          docs.filter(col("doc_id") % m === 0).select("doc_id", "text"),
+          n = CONTAM_NGRAM, hashed = true)
+        .select(lit(m).as("suite"), col("sh")).distinct()
+    }.reduce(_ unionByName _)
+    val perDoc = trainSh.join(benchSh, "sh")
+      .groupBy(col("suite"), col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_hits"))
+    val stats = perDoc.join(meta, "doc_id")
+      .groupBy(col("suite"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_hits")).as("n_hits"),
+        sum(col("ntok")).as("contam_toks"))
+    val totals = meta.groupBy(col("source")).agg(sum(col("ntok")).as("toks"))
+    val grid = CONTAM_SUITES.toDF("suite")
+      .crossJoin(docs.select(col("source")).distinct())
+    grid.join(stats, Seq("suite", "source"), "left")
+      .join(broadcast(totals), "source")
+      .select(col("suite"), col("source"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(expr("1000000 * contam_toks div toks"), lit(0L))
+          .as("contam_ppm"))
+      .orderBy("suite", "source")
+  }
+
+  /** p25 oracle: the suite union generated from the same constants; the
+    * 60-bit shingle hash is the established md5-prefix SQL mirror.
+    */
+  lazy val contaminationReportSql: String = {
+    val mods = CONTAM_SUITES
+    val notAny = mods.map(m => s"doc_id % $m <> 0").mkString(" AND ")
+    val plantedCtes = mods.zipWithIndex.map { case (m, i) =>
+      s"""SELECT doc_id + ${PLANT_OFFSET * (i + 1)} AS doc_id,
+         |  trim(array_to_string(
+         |    regexp_split_to_array(text, '\\s+')[2:len(regexp_split_to_array(text, '\\s+'))],
+         |    ' ')) AS text, source
+         |FROM t WHERE doc_id % $m = 0""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val benchCtes = mods.map { m =>
+      s"""SELECT CAST($m AS BIGINT) AS suite, sh FROM (
+         |  SELECT DISTINCT CAST(concat('0x', substr(md5(sh0), 1, 15)) AS BIGINT) AS sh
+         |  FROM (SELECT unnest(list_distinct(
+         |      CASE WHEN len(toks) < $CONTAM_NGRAM THEN [array_to_string(toks, ' ')]
+         |           ELSE [array_to_string(toks[i:i+${CONTAM_NGRAM - 1}], ' ')
+         |                 FOR i IN range(1, len(toks)-${CONTAM_NGRAM - 2})] END)) AS sh0
+         |        FROM (SELECT regexp_split_to_array(text, '\\s+') AS toks
+         |              FROM t WHERE doc_id % $m = 0)))""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val suiteValues = mods.map(m => s"(CAST($m AS BIGINT))").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, trim(text) AS text, source FROM documents),
+       |train AS MATERIALIZED (
+       |  SELECT doc_id, text, source FROM t WHERE $notAny
+       |  UNION ALL
+       |  $plantedCtes),
+       |meta AS MATERIALIZED (SELECT doc_id, source,
+       |    CASE WHEN len(text) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(text, '\\s+')) END AS ntok
+       |  FROM train),
+       |gt AS (SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(sh0), 1, 15)) AS BIGINT) AS sh
+       |  FROM (SELECT doc_id, unnest(list_distinct(
+       |      CASE WHEN len(toks) < $CONTAM_NGRAM THEN [array_to_string(toks, ' ')]
+       |           ELSE [array_to_string(toks[i:i+${CONTAM_NGRAM - 1}], ' ')
+       |                 FOR i IN range(1, len(toks)-${CONTAM_NGRAM - 2})] END)) AS sh0
+       |    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+       |          FROM train))),
+       |gb AS MATERIALIZED ($benchCtes),
+       |perdoc AS (SELECT gb.suite, gt.doc_id, count(DISTINCT gt.sh) AS n_hits
+       |  FROM gt JOIN gb ON gt.sh = gb.sh GROUP BY 1, 2),
+       |stats AS (SELECT suite, source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_hits) AS BIGINT) AS n_hits,
+       |    CAST(sum(ntok) AS BIGINT) AS contam_toks
+       |  FROM perdoc JOIN meta USING (doc_id) GROUP BY 1, 2),
+       |totals AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS toks
+       |  FROM meta GROUP BY 1),
+       |grid AS (SELECT suite, source
+       |  FROM (VALUES $suiteValues) s(suite)
+       |  CROSS JOIN (SELECT DISTINCT source FROM documents))
+       |SELECT grid.suite, grid.source,
+       |  coalesce(n_docs, 0) AS n_docs,
+       |  coalesce(n_hits, 0) AS n_hits,
+       |  CAST(coalesce(1000000 * contam_toks // toks, 0) AS BIGINT) AS contam_ppm
+       |FROM grid
+       |LEFT JOIN stats ON grid.suite = stats.suite AND grid.source = stats.source
+       |JOIN totals ON grid.source = totals.source
+       |ORDER BY grid.suite, grid.source""".stripMargin
+  }
+
   // ------------------------------------------------------ train/val split
   /** p03: deterministic stratified train/val split. A training pipeline
     * needs a holdout that is reproducible (no RNG), order-independent,
@@ -1424,6 +1560,7 @@ object Curation {
     "p06_sequence_packing" -> (sequencePacking _),
     "p01_curation_pipeline" -> (curate _),
     "p02_decontamination" -> (decontamination _),
+    "p25_contamination_report" -> (contaminationReport _),
     "p03_train_val_split" -> (trainValSplit _),
     "p04_source_downsample" -> (sourceDownsample _),
     "p05_curation_funnel" -> (curationFunnel _),
@@ -1446,6 +1583,7 @@ object Curation {
     "p06_sequence_packing" -> sequencePackingSql,
     "p01_curation_pipeline" -> curateSql,
     "p02_decontamination" -> decontaminationSql,
+    "p25_contamination_report" -> contaminationReportSql,
     "p03_train_val_split" -> trainValSplitSql,
     "p04_source_downsample" -> sourceDownsampleSql,
     "p05_curation_funnel" -> curationFunnelSql,

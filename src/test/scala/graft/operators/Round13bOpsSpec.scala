@@ -152,6 +152,28 @@ class Round13bOpsSpec extends SparkSpec {
       b._2 <= a._2 && b._3 <= a._3 })
   }
 
+  // ------------------------------------------------------------- p25
+  test("p25: full suite x source grid; planted leaks are found per suite") {
+    val out = Curation.contaminationReport(spark, d)
+    val rows = out.collect()
+    val nSources = Tables.documents(spark, d)
+      .select("source").distinct().count()
+    assert(rows.length == Curation.CONTAM_SUITES.length * nSources,
+      "one dashboard cell per (suite, source), zeros included")
+    // every suite finds at least its own planted leaks: one planted
+    // train doc per bench doc, each sharing all its 8-grams
+    val perSuite = rows.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val nDocs = Tables.documents(spark, d).count()
+    Curation.CONTAM_SUITES.foreach { m =>
+      val benchCount = (0L until nDocs).count(_ % m == 0)
+      assert(perSuite(m) >= benchCount,
+        s"suite $m: ${perSuite(m)} contaminated < $benchCount planted")
+    }
+    // ppm is a proper fraction in exact ppm
+    assert(rows.forall(r => r.getLong(4) >= 0 && r.getLong(4) <= 1000000L))
+  }
+
   test("q73 corpus: rows bounded by |types|^2, ppm rows sum to ~1 per prev") {
     val out = Extras.markovTransitions(spark, d)
     val rows = out.collect()
