@@ -678,6 +678,79 @@ object Extras {
       |FROM c JOIN f USING (prev_type)
       |ORDER BY prev_type, next_type""".stripMargin
 
+  // --------------------------------------- q74 trend regression (OLS)
+  /** q74: per-event-type revenue TREND — the regression-aggregate slot of
+    * §2.6's statistics family (q55 gives moments; this gives regr_slope/
+    * regr_intercept semantics): ordinary least squares of daily revenue
+    * against the day index. Floating regr_* aggregates are
+    * summation-order dependent and can't hash across engines, so the
+    * slope is emitted as an EXACT RATIONAL from integer sufficient
+    * statistics — num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)² over
+    * (x = day − min_day, y = exact day cents) — plus the one-IEEE-division
+    * `slope_milli_cpd` (milli-cents/day, floored) both engines compute
+    * identically. Magnitudes: x ≤ 366, y ≤ corpus cents/day; at 10⁶× this
+    * corpus the products sit near 10^17, still inside int64.
+    *
+    * Scale shape: one partial-aggregated (type, day) rollup (events
+    * reduce to ≤ |types|·365 rows before any window); min_day is a 1-row
+    * broadcast (the q70 maxd pattern); the sufficient statistics are one
+    * ≤365-row aggregate per type.
+    */
+  def trendRegression(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        datediff(to_date(TimeWindows.eventTime),
+          lit("1992-01-01").cast("date")).cast("long").as("day"),
+        centsOf(col("value")).as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("y"))
+    val mind = daily.agg(min(col("day")).as("min_day"))
+    daily.crossJoin(broadcast(mind))
+      .withColumn("x", col("day") - col("min_day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("n_days"),
+        (col("n_days") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+        // sign-explicit milli slope: `div` vs `//` agree only on
+        // non-negative operands, and a downward trend makes num negative —
+        // so divide magnitudes and re-apply the sign on both engines
+        expr("""case when n_days * sxy - sx * sy >= 0
+                then (1000 * (n_days * sxy - sx * sy)) div (n_days * sxx - sx * sx)
+                else -((1000 * (sx * sy - n_days * sxy)) div (n_days * sxx - sx * sx))
+                end""").as("slope_milli_cpd"),
+        expr("sy div n_days").as("mean_day_cents"))
+      .orderBy("event_type")
+  }
+
+  /** q74 oracle: identical integer sufficient statistics; HUGEINT sums
+    * cast back so the comparator sees BIGINT.
+    */
+  val trendRegressionSql: String =
+    """WITH daily AS (SELECT event_type,
+      |    date_diff('day', DATE '1992-01-01', CAST(ts AS DATE)) AS day,
+      |    CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT min(day) AS min_day FROM daily),
+      |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(day - min_day) AS BIGINT) AS sx,
+      |    CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum((day - min_day) * (day - min_day)) AS BIGINT) AS sxx,
+      |    CAST(sum((day - min_day) * y) AS BIGINT) AS sxy
+      |  FROM daily CROSS JOIN m GROUP BY 1)
+      |SELECT event_type, n_days,
+      |  n_days * sxy - sx * sy AS slope_num,
+      |  n_days * sxx - sx * sx AS slope_den,
+      |  CAST(CASE WHEN n_days * sxy - sx * sy >= 0
+      |       THEN (1000 * (n_days * sxy - sx * sy)) // (n_days * sxx - sx * sx)
+      |       ELSE -((1000 * (sx * sy - n_days * sxy)) // (n_days * sxx - sx * sx))
+      |       END AS BIGINT) AS slope_milli_cpd,
+      |  sy // n_days AS mean_day_cents
+      |FROM s ORDER BY event_type""".stripMargin
+
   // ------------------------------------------- q72 KLL quantile rollup
   /** q72: mergeable KLL quantile sketches (Karnin–Lang–Liberty) — the
     * quantile slot in the sketch family next to q63's HLL (distinct),
@@ -756,6 +829,7 @@ object Extras {
       |ORDER BY level, key""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_trend_regression" -> (trendRegression _),
     "q73_markov_transitions" -> (markovTransitions _),
     "q72_kll_quantiles" -> (kllQuantileRollup _),
     "q70_decay_score" -> (decayScore _),
@@ -772,6 +846,7 @@ object Extras {
     "t06_top_tokens" -> (topTokens _))
 
   val oracles: Map[String, String] = Map(
+    "q74_trend_regression" -> trendRegressionSql,
     "q73_markov_transitions" -> markovTransitionsSql,
     "q72_kll_quantiles" -> kllQuantileRollupSql,
     "q70_decay_score" -> decayScoreSql,

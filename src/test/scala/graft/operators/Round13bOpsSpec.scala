@@ -152,6 +152,24 @@ class Round13bOpsSpec extends SparkSpec {
       b._2 <= a._2 && b._3 <= a._3 })
   }
 
+  // ------------------------------------------------------------- q74
+  test("q74: rational slope carries the OLS identity and sign discipline") {
+    val out = Extras.trendRegression(spark, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, num, den, milli) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(den > 0 || (den == 0 && n == 1),
+        "nΣx² − (Σx)² is positive whenever two distinct days exist")
+      if (den > 0) {
+        // milli slope = trunc-toward-zero of 1000·num/den on BOTH engines
+        val expect = if (num >= 0) 1000 * num / den
+                     else -((1000 * -num) / den)
+        assert(milli == expect, s"sign-explicit division: $milli vs $expect")
+      }
+    }
+  }
+
   // ------------------------------------------------------------- p25
   test("p25: full suite x source grid; planted leaks are found per suite") {
     val out = Curation.contaminationReport(spark, d)
