@@ -2074,7 +2074,113 @@ object TextOps {
       |  CAST(count(*) FILTER (n_votes >= 2 AND abs(score) = n_votes) AS BIGINT) AS n_unanimous
       |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // ------------------------------------------ t30 TextRank keywords
+  /** t30: TextRank keyword extraction (Mihalcea & Tarau 2004) — the g01
+    * integer fixed-point PageRank run over the WORD co-occurrence graph:
+    * nodes are corpus words (60-bit md5-hashed to long exchange keys),
+    * edges are distinct unordered adjacent-token pairs, four synchronous
+    * damped rounds, top [[TR_K]] words by rank. The composition is the
+    * point: the same iteration discipline (checkpointed adjacency,
+    * explicit broadcast of the rank frame, one O(|nodes|) exchange per
+    * round) serves a text-mining face — keyword salience for labeling /
+    * data-card generation — without any new machinery.
+    *
+    * Integer discipline ≡ g01: start mass 10⁹, contribution
+    * `rank div degree`, damping as `(85·Σ) div 100`; the overflow
+    * ceiling (~10^17 node-mass) is g01's, now against vocabulary size —
+    * far beyond any real vocabulary. No stopword list: the synthetic
+    * corpus is all content words (a production run would filter the
+    * t01 stopword set first, one more pushed-down predicate).
+    *
+    * Scale shape: pairs come from one per-doc lead() window (partitioned
+    * by doc, never corpus-wide); the graph shuffles 8-byte hashes; each
+    * round is one broadcast join + partial-agg exchange; the vocab map
+    * joins back only for the final ≤ TR_K rows... (TakeOrdered cut).
+    */
+  private val TR_ITERS = 4
+  private val TR_K = 20
+  private val TR_START = 1000000000L
+  private val TR_BASE = TR_START * 15L / 100L
+
+  def textrankKeywords(s: SparkSession, d: String): DataFrame =
+    textrankKeywordsOf(Tables.documents(s, d))
+
+  /** t30 over any (doc_id, text) frame (spec-injectable face). */
+  def textrankKeywordsOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toked = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val pairs = toked
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("tok") =!= col("nxt"))
+      .select(Dedup.baseHash(col("tok")).as("a"), Dedup.baseHash(col("nxt")).as("b"))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    val adj = edges.join(broadcast(deg), edges("src") === deg("node"))
+      .select(edges("src"), edges("dst"), deg("outdeg"))
+      .localCheckpoint(true)
+    var ranks = adj.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(TR_START))
+    for (_ <- 1 to TR_ITERS) {
+      ranks = adj.join(broadcast(ranks), adj("src") === ranks("node"))
+        .select(adj("dst"), expr("r div outdeg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("csum"))
+        .select(col("dst").as("node"),
+          (lit(TR_BASE) + expr("(85 * csum) div 100")).as("r"))
+    }
+    val vocab = toked.select(Dedup.baseHash(col("tok")).as("node"), col("tok"))
+      .groupBy(col("node")).agg(min(col("tok")).as("word"))
+    ranks.join(vocab, "node")
+      .select(col("word"), col("r").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("word"))
+      .limit(TR_K)
+  }
+
+  /** t30 oracle: the same rounds unrolled (the pagerankSql shape) over
+    * the SQL-mirrored co-occurrence graph and md5-prefix word hashes.
+    */
+  val textrankKeywordsSql: String = {
+    val round = (prev: String, cur: String) =>
+      s"""$cur AS (SELECT a.dst AS node,
+         |  CAST($TR_BASE AS BIGINT) +
+         |    (85 * CAST(sum(r.r // a.outdeg) AS BIGINT)) // 100 AS r
+         |FROM adj a JOIN $prev r ON r.node = a.src GROUP BY a.dst)""".stripMargin
+    val rounds = (1 to TR_ITERS).map(k =>
+      round(if (k == 1) "r0" else s"r${k - 1}", s"r$k")).mkString(",\n")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |p AS (SELECT unnest([{'a': toks[i], 'b': toks[i+1]}
+       |                    FOR i IN range(1, len(toks))]) AS pr
+       |      FROM t),
+       |ph AS (SELECT CAST(concat('0x', substr(md5(pr.a), 1, 15)) AS BIGINT) AS a,
+       |              CAST(concat('0x', substr(md5(pr.b), 1, 15)) AS BIGINT) AS b
+       |       FROM p WHERE pr.a <> pr.b),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT a AS src, b AS dst FROM ph
+       |    UNION ALL SELECT b AS src, a AS dst FROM ph)),
+       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+       |        FROM edges GROUP BY src),
+       |adj AS MATERIALIZED (
+       |  SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON d.node = e.src),
+       |r0 AS (SELECT node, CAST($TR_START AS BIGINT) AS r FROM deg),
+       |$rounds,
+       |vocab AS (SELECT CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS node,
+       |    min(tok) AS word
+       |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1)
+       |SELECT word, r AS rank_fp
+       |FROM r$TR_ITERS JOIN vocab USING (node)
+       |ORDER BY rank_fp DESC, word LIMIT $TR_K""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t30_textrank_keywords" -> (textrankKeywords _),
     "t29_nb_quality" -> (nbQuality _),
     "t28_weak_labels" -> (weakLabels _),
     "t27_rag_chunking" -> (ragChunks _),
@@ -2105,6 +2211,7 @@ object TextOps {
     "t05_cleantext" -> (cleanedDocs _))
 
   val oracles: Map[String, String] = Map(
+    "t30_textrank_keywords" -> textrankKeywordsSql,
     "t29_nb_quality" -> nbQualitySql,
     "t28_weak_labels" -> weakLabelsSql,
     "t27_rag_chunking" -> ragChunksSql,

@@ -152,6 +152,29 @@ class Round13bOpsSpec extends SparkSpec {
       b._2 <= a._2 && b._3 <= a._3 })
   }
 
+  // ------------------------------------------------------------- t30
+  test("t30 planted: the co-occurrence hub outranks every spoke") {
+    import spark.implicits._
+    // 'hub' is adjacent to eight distinct spokes; spokes only ever touch
+    // the hub — a star graph, where PageRank must put the hub first
+    val docs = (1 to 8).map(i => (i.toLong, s"s$i hub")).toDF("doc_id", "text")
+    val out = TextOps.textrankKeywordsOf(docs).collect()
+    assert(out.head.getString(0) == "hub", out.map(_.getString(0)).mkString(","))
+    assert(out.head.getLong(1) > out(1).getLong(1),
+      "hub rank strictly above the spokes")
+    // spokes tie exactly (symmetric star) and break by word
+    val spokes = out.tail.map(_.getString(0))
+    assert(spokes.toSeq == spokes.sorted.toSeq)
+  }
+
+  test("t30 corpus: exactly TR_K rows, ranks positive and non-increasing") {
+    val out = TextOps.textrankKeywords(spark, d).collect()
+    assert(out.length == 20)
+    val ranks = out.map(_.getLong(1))
+    assert(ranks.forall(_ > 0))
+    assert(ranks.sliding(2).forall { case Array(x, y) => x >= y })
+  }
+
   // ------------------------------------------------------------- q74
   test("q74: rational slope carries the OLS identity and sign discipline") {
     val out = Extras.trendRegression(spark, d).collect()
