@@ -176,6 +176,112 @@ object Graph {
        |FROM r4 ORDER BY rank_fp DESC, node""".stripMargin
   }
 
+  // ------------------------------------ g11 personalized PageRank (PPR)
+  /** Seed nations for g11: suppliers of nations < this are the trusted
+    * set — the g03 seed convention, which is non-empty at every corpus
+    * scale (a single-nation rule already came up empty at sf0.001's
+    * 10-supplier table).
+    */
+  private val PPR_SEED_NATIONS = 5L
+  private val PPR_TOPK = 30
+
+  /** g11: personalized PageRank from a trusted seed set — the
+    * seed-expansion operator quality curation actually runs ("rank the
+    * corpus by proximity to a trusted slice", the Wikipedia-seeded
+    * quality-filter shape): teleport mass returns to the SEEDS each
+    * round instead of spreading uniformly, so rank measures random-walk
+    * proximity to the trusted set, not global centrality. Same integer
+    * fixed point as g01 (contributions `rank div degree`, damping
+    * `(85·Σ) div 100`), with the 15% teleport mass credited only to
+    * seed nodes; output is the top [[PPR_TOPK]] non-seed labeled nodes —
+    * the expansion CANDIDATES, which is what a curation pass consumes
+    * (the seeds themselves are already trusted).
+    *
+    * Scale shape ≡ g01: checkpointed adjacency, rank frame broadcast
+    * per round (co-partitioned SMJ beyond ~100M nodes), one O(|nodes|)
+    * exchange per round; the seed set is a broadcast semi/anti-join
+    * side. Mass only ever leaves through the damping floor, so the
+    * magnitudes sit strictly below g01's proven int64 envelope.
+    */
+  def pprTrust(s: SparkSession, d: String): DataFrame = {
+    val seeds = Tables.supplier(s, d)
+      .filter(col("s_nationkey") < PPR_SEED_NATIONS)
+      .select((col("s_suppkey") * 2 + 1).as("seed"))
+    pprTrustOn(tradeEdges(s, d), seeds)
+  }
+
+  /** g11 over any symmetric edge frame + seed list (spec-injectable). */
+  private[graft] def pprTrustOn(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val adj = edges.join(broadcast(deg), edges("src") === deg("node"))
+      .select(edges("src"), edges("dst"), deg("outdeg"))
+      .localCheckpoint(true)
+    // all walk mass starts ON the seeds; BASE_FP returns to them each round
+    var ranks = seeds.select(col("seed").as("node"))
+      .withColumn("r", lit(START_FP))
+    for (_ <- 1 to ITERS) {
+      val spread = adj.join(broadcast(ranks), adj("src") === ranks("node"))
+        .select(adj("dst"), expr("r div outdeg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("csum"))
+        .select(col("dst").as("node"), expr(s"($DAMP_NUM * csum) div 100").as("r"))
+      // teleport: seeds regain the floor mass; non-seeds keep only the
+      // damped spread (an outer union-free form: seeds missing from the
+      // spread still re-enter with BASE_FP)
+      ranks = spread
+        .join(broadcast(seeds), spread("node") === seeds("seed"), "left")
+        .select(col("node"),
+          (col("r") + when(col("seed").isNotNull, lit(BASE_FP)).otherwise(lit(0L)))
+            .as("r"))
+        .unionByName(
+          seeds.join(spread.select(col("node")), seeds("seed") === col("node"),
+              "left_anti")
+            .select(col("seed").as("node"), lit(BASE_FP).as("r")))
+    }
+    val labeled = ranks
+      .join(broadcast(seeds), ranks("node") === seeds("seed"), "left_anti")
+      .select(
+        expr("CASE WHEN node % 2 = 0 THEN concat('c:', CAST(node div 2 AS STRING)) " +
+          "ELSE concat('s:', CAST((node - 1) div 2 AS STRING)) END").as("node"),
+        col("r").as("ppr_fp"))
+    labeled.orderBy(col("ppr_fp").desc, col("node")).limit(PPR_TOPK)
+  }
+
+  /** g11 oracle: the seeded rounds unrolled; teleport via a FULL OUTER
+    * join against the seed list so absent-from-spread seeds re-enter.
+    */
+  val pprTrustSql: String = {
+    val round = (prev: String, cur: String) =>
+      s"""s$cur AS (SELECT a.dst AS node,
+         |    ($DAMP_NUM * CAST(sum(r.r // a.outdeg) AS BIGINT)) // 100 AS r
+         |  FROM adj a JOIN $prev r ON r.node = a.src GROUP BY a.dst),
+         |$cur AS (SELECT coalesce(sp.node, sd.seed) AS node,
+         |    coalesce(sp.r, 0) +
+         |      CASE WHEN sd.seed IS NOT NULL THEN CAST($BASE_FP AS BIGINT)
+         |           ELSE 0 END AS r
+         |  FROM s$cur sp FULL OUTER JOIN seeds sd ON sd.seed = sp.node)"""
+        .stripMargin
+    val rounds = (1 to ITERS).map(k =>
+      round(if (k == 1) "r0" else s"r${k - 1}", s"r$k")).mkString(",\n")
+    s"""WITH $tradeEdgesCte,
+       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+       |        FROM edges GROUP BY src),
+       |adj AS MATERIALIZED (
+       |  SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON d.node = e.src),
+       |seeds AS MATERIALIZED (
+       |  SELECT 2 * s_suppkey + 1 AS seed FROM supplier
+       |  WHERE s_nationkey < $PPR_SEED_NATIONS),
+       |r0 AS (SELECT seed AS node, CAST($START_FP AS BIGINT) AS r FROM seeds),
+       |$rounds
+       |SELECT CASE WHEN node % 2 = 0 THEN concat('c:', CAST(node // 2 AS VARCHAR))
+       |    ELSE concat('s:', CAST((node - 1) // 2 AS VARCHAR)) END AS node,
+       |  r AS ppr_fp
+       |FROM r$ITERS
+       |WHERE node NOT IN (SELECT seed FROM seeds)
+       |ORDER BY ppr_fp DESC, node LIMIT $PPR_TOPK""".stripMargin
+  }
+
   /** Market-basket support threshold for a supplier pair to become an
     * edge, as parts-per-million of the order count (floor, min 4): support
     * in the frequent-itemset literature is RELATIVE — with a fixed entity
@@ -895,6 +1001,7 @@ object Graph {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g11_ppr_trust" -> (pprTrust _),
     "g10_kcore" -> (kcoreCensus _),
     "g08_modularity" -> (modularity _),
     "g07_sssp" -> (sssp _),
@@ -906,6 +1013,7 @@ object Graph {
     "g03_label_propagation" -> (labelPropagation _))
 
   def oracles: Map[String, String] = Map(
+    "g11_ppr_trust" -> pprTrustSql,
     "g10_kcore" -> kcoreCensusSql,
     "g08_modularity" -> modularitySql,
     "g07_sssp" -> ssspSql,

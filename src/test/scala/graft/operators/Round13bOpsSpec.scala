@@ -152,6 +152,38 @@ class Round13bOpsSpec extends SparkSpec {
       b._2 <= a._2 && b._3 <= a._3 })
   }
 
+  // ------------------------------------------------------------- g11
+  test("g11 planted: trust decays with hop distance from the seed") {
+    import spark.implicits._
+    // chain seed(1)—2—4—6: packed labels s:0, c:1, s:... use raw even/odd
+    // packing directly (1 odd = supplier seed; 2,4 even; 6 even)
+    val raw = Seq((1L, 2L), (2L, 4L), (4L, 6L))
+    val edges = (raw ++ raw.map(e => (e._2, e._1))).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("seed")
+    val out = Graph.pprTrustOn(edges, seeds).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // with FIXED bounded rounds on a path, mass oscillates between the
+    // chain's two parities (converged PPR is hop-monotone; 4-round PPR is
+    // only parity-monotone) — so compare SAME-parity hops: hop-1 ≫ hop-3
+    assert(out("c:1") > out("c:3"),
+      s"trust must decay along same-parity hops: $out")
+    assert(!out.contains("s:0"), "the seed itself is excluded")
+  }
+
+  test("g11 corpus: TOPK non-seed rows, positive non-increasing trust") {
+    val out = Graph.pprTrust(spark, d).collect()
+    assert(out.length == 30)
+    val ranks = out.map(_.getLong(1))
+    assert(ranks.forall(_ > 0))
+    assert(ranks.sliding(2).forall { case Array(x, y) => x >= y })
+    // seeds (nation < 5 suppliers) never appear in the expansion list
+    val seedLabels = Tables.supplier(spark, d)
+      .filter(col("s_nationkey") < 5)
+      .select(concat(lit("s:"), col("s_suppkey").cast("string")))
+      .collect().map(_.getString(0)).toSet
+    assert(out.forall(r => !seedLabels.contains(r.getString(0))))
+  }
+
   // ------------------------------------------------------------- t30
   test("t30 planted: the co-occurrence hub outranks every spoke") {
     import spark.implicits._
