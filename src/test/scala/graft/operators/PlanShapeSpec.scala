@@ -406,6 +406,36 @@ class PlanShapeSpec extends SparkSpec {
       s"g10 final census picked a heavy join:\n${p.take(3000)}")
   }
 
+  test("p25: contamination join is shingle-equi; no cartesian; grid stays tiny") {
+    val p = plan("p25_contamination_report")
+    assert(!p.contains("CartesianProduct"),
+      s"p25 degenerated to all-pairs:\n${p.take(3000)}")
+    // the only nested-loop member allowed is the tiny suite×source grid
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"an unexpected nested-loop join in p25:\n${p.take(3000)}")
+    assert(!p.contains("SortAggregate"),
+      "shingle aggregation fell out of hash aggregation")
+  }
+
+  test("q74: events reduce to the daily rollup before regression; min-day broadcasts") {
+    val p = plan("q74_trend_regression")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"q74 joined heavy:\n${p.take(3000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"q74 min-day frame not broadcast:\n${p.take(3000)}")
+  }
+
+  test("t30/g11: iteration frames are checkpointed; rank joins broadcast") {
+    for (q <- Seq("t30_textrank_keywords", "g11_ppr_trust")) {
+      val p = plan(q)
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q re-derives its adjacency:\n${p.take(3000)}")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q rank/vocab join not broadcast:\n${p.take(3000)}")
+      assert(!p.contains("CartesianProduct"), s"$q went all-pairs")
+    }
+  }
+
   test("p24: the rank decomposition never runs a corpus-size single-task window") {
     val p = plan("p24_shard_manifest")
     // the only unpartitioned window is the running sum over the per-count
