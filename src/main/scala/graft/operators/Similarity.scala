@@ -466,6 +466,112 @@ object Similarity {
   /** s24 oracle: brute force, same as s23. */
   val prunedExactStoreSql: String = cosineTopKSql
 
+  // ------------------------------------ s25 recall-vs-nprobe sweep
+  /** Sweep ceiling: one probe pass covers every nprobe ≤ this. */
+  val NPROBE_MAX = 4
+
+  /** s25: the recall-vs-nprobe tuning curve — THE question an IVF
+    * deployment answers before fixing its probe width ("which nprobe
+    * hits the recall target, and what does each step cost in
+    * candidates"), as one amortized pass: cells are ranked once per
+    * query, candidates for the WIDEST setting are scored once, and each
+    * narrower setting is a filter over the same scored frame (the
+    * d20/d22 band-sweep discipline applied to the ANN index — per-
+    * setting reruns would rescan the corpus [[NPROBE_MAX]] times).
+    * Ground truth is the s01 exact top-k; recall is exact-integer ppm.
+    *
+    * Scale shape: one corpus scan for assignment (write-time at
+    * deployment, the s24 store), one for the exact truth (the recall
+    * EVALUATION cost, run over a sample in production — the s20
+    * discipline); candidates stream against a broadcast
+    * ≤ |queries|·NPROBE_MAX probe list; the sweep itself is a 4-row
+    * aggregate.
+    */
+  def nprobeSweep(s: SparkSession, d: String,
+      nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val (assignment, cellsMeta) = prunedAssignment(e, nQueries)
+    val qcell = queryCellFrame(e, nQueries, cellsMeta)
+    val cand = scoreCells(assignment,
+      qcell.filter(col("probe_rank") <= NPROBE_MAX)
+        .select("query_id", "qv", "qnorm", "cell", "probe_rank"))
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("probe_rank"))
+      .localCheckpoint(true) // scored ONCE; every sweep setting filters it
+    val exact = cosineTopKFrom(e, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    // a candidate scored at probe_rank r serves every nprobe ≥ r
+    val swept = cand
+      .withColumn("nprobe", explode(sequence(col("probe_rank"), lit(NPROBE_MAX))))
+    val w = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val hits = swept
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
+    val cost = swept.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_candidates"))
+    cost.join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe").cast("long").as("nprobe"),
+        expr(s"n_candidates div $nQueries").as("mean_candidates"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr(s"coalesce(1000000 * hits div (${k.toLong} * $nQueries), 0)")
+          .as("recall_ppm"))
+      .orderBy("nprobe")
+  }
+
+  /** s25 oracle: the s03 assignment chain + the s01 exact chain, with
+    * the sweep as a probe_rank-threshold unnest — all integer counts.
+    */
+  lazy val nprobeSweepSql: String =
+    s"""WITH v AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qv FROM embeddings),
+      |corpus AS (SELECT vec_id, qv AS cv FROM v WHERE vec_id >= 5),
+      |cents AS (SELECT cell, cv AS centroid FROM (
+      |  SELECT vec_id, cv, row_number() OVER (ORDER BY vec_id) AS cell
+      |  FROM corpus WHERE vec_id % 31 = 6) WHERE cell <= $N_CELLS),
+      |cassign AS MATERIALIZED (SELECT vec_id, cv, cell FROM (
+      |  SELECT c.vec_id, c.cv, cents.cell,
+      |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |      CAST(list_sum([c.cv[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
+      |        sqrt(CAST(list_sum([cents.centroid[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) DESC, cents.cell) AS r
+      |  FROM corpus c CROSS JOIN cents) WHERE r = 1),
+      |qassign AS (SELECT query_id, qv, cell, r AS probe_rank FROM (
+      |  SELECT q.vec_id AS query_id, q.qv, cents.cell,
+      |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      CAST(list_sum([q.qv[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
+      |        sqrt(CAST(list_sum([cents.centroid[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) DESC, cents.cell) AS r
+      |  FROM v q CROSS JOIN cents WHERE q.vec_id < 5) WHERE r <= $NPROBE_MAX),
+      |cand AS MATERIALIZED (SELECT qa.query_id, ca.vec_id, qa.probe_rank,
+      |    CAST(list_sum([qa.qv[i]*ca.cv[i] FOR i IN range(1,65)]) AS DOUBLE) /
+      |      (sqrt(CAST(list_sum([qa.qv[i]*qa.qv[i] FOR i IN range(1,65)]) AS DOUBLE)) *
+      |       sqrt(CAST(list_sum([ca.cv[i]*ca.cv[i] FOR i IN range(1,65)]) AS DOUBLE))) AS cosine
+      |  FROM qassign qa JOIN cassign ca ON ca.cell = qa.cell),
+      |exact AS MATERIALIZED (SELECT query_id, vec_id FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id,
+      |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      CAST(list_sum([q.qv[i]*c.qv[i] FOR i IN range(1,65)]) AS DOUBLE) /
+      |        (sqrt(CAST(list_sum([q.qv[i]*q.qv[i] FOR i IN range(1,65)]) AS DOUBLE)) *
+      |         sqrt(CAST(list_sum([c.qv[i]*c.qv[i] FOR i IN range(1,65)]) AS DOUBLE))) DESC, c.vec_id) AS rank
+      |  FROM v q CROSS JOIN v c WHERE q.vec_id < 5 AND c.vec_id >= 5) WHERE rank <= 10),
+      |swept AS (SELECT cand.*, p.nprobe
+      |  FROM cand JOIN (SELECT unnest(range(1, ${NPROBE_MAX + 1})) AS nprobe) p
+      |    ON cand.probe_rank <= p.nprobe),
+      |ranked AS (SELECT nprobe, query_id, vec_id,
+      |    row_number() OVER (PARTITION BY nprobe, query_id
+      |                       ORDER BY cosine DESC, vec_id) AS rk
+      |  FROM swept),
+      |hits AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS hits
+      |  FROM ranked JOIN exact USING (query_id, vec_id)
+      |  WHERE rk <= 10 GROUP BY 1),
+      |cost AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_candidates
+      |  FROM swept GROUP BY 1)
+      |SELECT CAST(cost.nprobe AS BIGINT) AS nprobe,
+      |  n_candidates // 5 AS mean_candidates,
+      |  coalesce(hits, 0) AS hits,
+      |  coalesce((1000000 * hits) // 50, 0) AS recall_ppm
+      |FROM cost LEFT JOIN hits ON cost.nprobe = hits.nprobe
+      |ORDER BY nprobe""".stripMargin
+
   /** Pruning-effectiveness face for the spec (not registered): per query,
     * cells probed in phase 1, cells surviving the bound test, and the
     * total — the spec asserts survivors < total so the exactness proof
@@ -3069,6 +3175,7 @@ object Similarity {
     "s03_ann_ivf" -> ((s: SparkSession, d: String) => annIvfTopK(s, d)),
     "s23_pruned_exact_knn" -> ((s: SparkSession, d: String) => prunedExactTopK(s, d)),
     "s24_pruned_exact_store" -> ((s: SparkSession, d: String) => prunedExactTopKFromStore(s, d)),
+    "s25_nprobe_sweep" -> ((s: SparkSession, d: String) => nprobeSweep(s, d)),
     "d06_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDupPairsSeeded(s, d)))
 
   val oracles: Map[String, String] = Map(
@@ -3101,5 +3208,6 @@ object Similarity {
     "s03_ann_ivf" -> annIvfTopKSql,
     "s23_pruned_exact_knn" -> prunedExactTopKSql,
     "s24_pruned_exact_store" -> prunedExactStoreSql,
+    "s25_nprobe_sweep" -> nprobeSweepSql,
     "d06_embedding_neardup" -> embeddingNearDupPairsSql)
 }

@@ -152,6 +152,18 @@ class Round13bOpsSpec extends SparkSpec {
       b._2 <= a._2 && b._3 <= a._3 })
   }
 
+  // ------------------------------------------------------------- s25
+  test("s25: recall and candidate volume are monotone in nprobe") {
+    val out = Similarity.nprobeSweep(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == (1L to Similarity.NPROBE_MAX).toSeq)
+    // widening the probe can only add candidates and can only help recall
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      b._2 >= a._2 && b._4 >= a._4 })
+    assert(out.forall { case (_, cands, hits, ppm) =>
+      hits <= 50 && ppm <= 1000000L && cands >= hits })
+  }
+
   // ------------------------------------------------------------- g11
   test("g11 planted: trust decays with hop distance from the seed") {
     import spark.implicits._
