@@ -1302,6 +1302,74 @@ object Curation {
       |  ($TEMP_TARGET_DOCS * w) // w_sum AS planned_docs
       |FROM w CROSS JOIN t ORDER BY lang""".stripMargin
 
+  // --------------------------------------- p27 temperature sweep
+  /** The α grid of the p27 sweep, in milli (α = alpha_milli/1000):
+    * natural sampling (1.0), the mT5/XLM-R default (0.5), heavier
+    * flattening (0.25), and uniform (0).
+    */
+  val TEMP_ALPHAS_MILLI: Seq[Long] = Seq(1000L, 500L, 250L, 0L)
+
+  /** p27: the temperature TUNING SWEEP — p18 answers "what does α = ½ do
+    * to the mixture"; p27 answers the question that comes first: "how
+    * flat should we go", by pricing the whole α grid off ONE corpus
+    * scan (the s25/d20 sweep discipline applied to mixtures). Per
+    * (α, lang): the budget share in exact ppm and the planned document
+    * count under [[TEMP_TARGET_DOCS]].
+    *
+    * Exponents stay libm-free: mass^1 is exact, mass^½ is p18's one
+    * IEEE sqrt + floor, mass^¼ is two CHAINED correctly-rounded IEEE
+    * sqrts (composition is deterministic on both engines — no pow, no
+    * log/exp), and mass^0 is the uniform constant. The per-lang mass
+    * table is a ≤|langs|-row aggregate checkpointed once, so the four
+    * α projections never re-scan the corpus; per-α totals are a 4-row
+    * broadcast.
+    */
+  def temperatureSweep(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(n_chars) div 1024").as("mass_kb"))
+      .localCheckpoint(true) // ≤|langs| rows; four α faces read it
+    val withW = TEMP_ALPHAS_MILLI.map { a =>
+      val w = a match {
+        case 1000L => col("mass_kb") * lit(1000L)
+        case 500L => floor(lit(1000.0) *
+          sqrt(col("mass_kb").cast("double"))).cast("long")
+        case 250L => floor(lit(1000.0) *
+          sqrt(sqrt(col("mass_kb").cast("double")))).cast("long")
+        case _ => lit(1000L)
+      }
+      m.select(lit(a).as("alpha_milli"), col("lang"), col("n_docs"),
+        col("mass_kb"), w.as("w"))
+    }.reduce(_ unionByName _)
+    val tot = withW.groupBy(col("alpha_milli")).agg(sum(col("w")).as("w_sum"))
+    withW.join(broadcast(tot), "alpha_milli")
+      .select(col("alpha_milli"), col("lang"), col("n_docs"), col("mass_kb"),
+        expr("(1000000 * w) div w_sum").as("target_ppm"),
+        expr(s"($TEMP_TARGET_DOCS * w) div w_sum").as("planned_docs"))
+      .orderBy("alpha_milli", "lang")
+  }
+
+  /** p27 oracle: the α grid as an unnest; identical exponent chain. */
+  val temperatureSweepSql: String =
+    s"""WITH m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) // 1024 AS mass_kb
+      |  FROM documents GROUP BY lang),
+      |w AS (SELECT m.*, a.alpha_milli,
+      |    CASE a.alpha_milli
+      |      WHEN 1000 THEN mass_kb * 1000
+      |      WHEN 500 THEN CAST(floor(1000.0 * sqrt(CAST(mass_kb AS DOUBLE))) AS BIGINT)
+      |      WHEN 250 THEN CAST(floor(1000.0 * sqrt(sqrt(CAST(mass_kb AS DOUBLE)))) AS BIGINT)
+      |      ELSE 1000 END AS w
+      |  FROM m CROSS JOIN (SELECT unnest([1000, 500, 250, 0]) AS alpha_milli) a),
+      |t AS (SELECT alpha_milli, CAST(sum(w) AS BIGINT) AS w_sum
+      |  FROM w GROUP BY 1)
+      |SELECT CAST(w.alpha_milli AS BIGINT) AS alpha_milli, lang, n_docs, mass_kb,
+      |  (1000000 * w) // w_sum AS target_ppm,
+      |  ($TEMP_TARGET_DOCS * w) // w_sum AS planned_docs
+      |FROM w JOIN t USING (alpha_milli)
+      |ORDER BY alpha_milli, lang""".stripMargin
+
   // --------------------------------------------- p20 contrastive pairs
   /** p20: contrastive training-pair export — turn the near-dup graph into
     * (anchor, positive, negative) triplets for embedding/retriever
@@ -1561,6 +1629,7 @@ object Curation {
     "p01_curation_pipeline" -> (curate _),
     "p02_decontamination" -> (decontamination _),
     "p25_contamination_report" -> (contaminationReport _),
+    "p27_temperature_sweep" -> (temperatureSweep _),
     "p03_train_val_split" -> (trainValSplit _),
     "p04_source_downsample" -> (sourceDownsample _),
     "p05_curation_funnel" -> (curationFunnel _),
@@ -1584,6 +1653,7 @@ object Curation {
     "p01_curation_pipeline" -> curateSql,
     "p02_decontamination" -> decontaminationSql,
     "p25_contamination_report" -> contaminationReportSql,
+    "p27_temperature_sweep" -> temperatureSweepSql,
     "p03_train_val_split" -> trainValSplitSql,
     "p04_source_downsample" -> sourceDownsampleSql,
     "p05_curation_funnel" -> curationFunnelSql,

@@ -152,6 +152,32 @@ class Round13bOpsSpec extends SparkSpec {
       b._2 <= a._2 && b._3 <= a._3 })
   }
 
+  // ------------------------------------------------------------- p27
+  test("p27: lower temperature flattens the mixture monotonically") {
+    val out = Curation.temperatureSweep(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(4)))
+    val byAlpha = out.groupBy(_._1).view
+      .mapValues(rs => (rs.map(_._3).max, rs.map(_._3).min)).toMap
+    val alphas = Curation.TEMP_ALPHAS_MILLI // descending: 1000..0
+    // as alpha decreases, the head share can only shrink and the tail
+    // share can only grow
+    alphas.sliding(2).foreach { case Seq(hi, lo) =>
+      assert(byAlpha(lo)._1 <= byAlpha(hi)._1,
+        s"head share must shrink: a=$lo ${byAlpha(lo)._1} vs a=$hi ${byAlpha(hi)._1}")
+      assert(byAlpha(lo)._2 >= byAlpha(hi)._2,
+        s"tail share must grow: a=$lo vs a=$hi")
+    }
+    // alpha = 0 is uniform to within integer-floor resolution
+    val (mx, mn) = byAlpha(0L)
+    assert(mx - mn <= 1L, s"uniform face not uniform: $mx vs $mn")
+    // every alpha's shares sum to ~1e6 (floor loss < |langs|)
+    out.groupBy(_._1).foreach { case (a, rs) =>
+      val sum = rs.map(_._3).sum
+      assert(sum <= 1000000L && sum > 1000000L - rs.length,
+        s"alpha $a ppm mass: $sum")
+    }
+  }
+
   // ------------------------------------------------------------- s25
   test("s25: recall and candidate volume are monotone in nprobe") {
     val out = Similarity.nprobeSweep(spark, d).collect()
