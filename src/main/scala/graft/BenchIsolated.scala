@@ -33,6 +33,7 @@ object BenchIsolated {
     "q52_recursive_cte", "q03_topk", // canaries: quiet-floor reference
     "g01_pagerank", "g02_triangle_census", "g04_bfs_reach",
     "g06_link_prediction", "g07_sssp", "g08_modularity", "g10_kcore",
+    "g11_ppr_trust",
     "s16_knn_hubness",
     "p01_curation_pipeline", "p11_curation_report",
     "d21_neardup_report", "d22_band_sweep_amortized")
