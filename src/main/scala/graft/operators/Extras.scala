@@ -678,6 +678,78 @@ object Extras {
       |FROM c JOIN f USING (prev_type)
       |ORDER BY prev_type, next_type""".stripMargin
 
+  // ------------------------------- q75 within-session transitions
+  /** q75's session gap — q29's 12-hour session_window gap in µs, so the
+    * two session definitions can never drift apart.
+    */
+  private val SESSION_GAP_US = 12L * 3600L * 1000000L
+
+  /** q75: the within-SESSION face of q73 — transitions only between
+    * events of the same user session (inactivity gap > 12 h, the q29
+    * boundary, breaks the chain). Cross-session pairs are journey
+    * noise ("logged out Tuesday, came back Friday" is not a funnel
+    * step); dropping them is what makes the dwell-gap column a real
+    * dwell time. Session ids come from the gaps-and-islands running
+    * sum (the q56 trick): new_session = gap > threshold, session =
+    * running count — both windows partition by user, never the corpus.
+    *
+    * Output schema ≡ q73 (prev/next, n, conditional ppm, mean gap), so
+    * the two matrices diff directly: q73 minus q75 IS the cross-session
+    * transition mass.
+    */
+  def sessionTransitions(s: SparkSession, d: String): DataFrame =
+    sessionTransitionsOf(Tables.events(s, d))
+
+  /** q75 over any (user_id, event_type, ts, event_id) frame. */
+  def sessionTransitionsOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = transitionEvents(events)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val sess = ev
+      .withColumn("new_sess",
+        when(col("us") - lag(col("us"), 1).over(w) > SESSION_GAP_US, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("new_sess")).over(w))
+    val w2 = Window.partitionBy(col("user_id"), col("sess"))
+      .orderBy(col("us"), col("event_id"))
+    val counts = sess
+      .withColumn("next_type", lead(col("event_type"), 1).over(w2))
+      .withColumn("gap_us", lead(col("us"), 1).over(w2) - col("us"))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("prev_type"), col("next_type"), col("gap_us"))
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"), sum(col("gap_us")).as("gap_sum"))
+    transitionReport(counts)
+  }
+
+  /** q75 oracle: identical two-window chain (gaps-and-islands session
+    * ids, then the q73 report projection).
+    */
+  val sessionTransitionsSql: String =
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      |            FROM events),
+      |se AS (SELECT *, sum(new_sess) OVER w2 AS sess FROM (
+      |    SELECT *, CASE WHEN us - lag(us) OVER w > $SESSION_GAP_US
+      |                   THEN 1 ELSE 0 END AS new_sess
+      |    FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+      |  WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id
+      |                ROWS UNBOUNDED PRECEDING)),
+      |t AS (SELECT event_type AS prev_type,
+      |        lead(event_type) OVER w3 AS next_type,
+      |        lead(us) OVER w3 - us AS gap_us
+      |      FROM se WINDOW w3 AS (PARTITION BY user_id, sess
+      |                            ORDER BY us, event_id)),
+      |c AS (SELECT prev_type, next_type,
+      |        CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(gap_us) AS BIGINT) AS gap_sum
+      |      FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |f AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS from_n FROM c GROUP BY 1)
+      |SELECT c.prev_type, c.next_type, c.n,
+      |  CAST((1000000 * c.n) // f.from_n AS BIGINT) AS prob_ppm,
+      |  CAST(c.gap_sum // c.n AS BIGINT) AS mean_gap_us
+      |FROM c JOIN f USING (prev_type)
+      |ORDER BY prev_type, next_type""".stripMargin
+
   // --------------------------------------- q74 trend regression (OLS)
   /** q74: per-event-type revenue TREND — the regression-aggregate slot of
     * §2.6's statistics family (q55 gives moments; this gives regr_slope/
@@ -829,6 +901,7 @@ object Extras {
       |ORDER BY level, key""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_session_transitions" -> (sessionTransitions _),
     "q74_trend_regression" -> (trendRegression _),
     "q73_markov_transitions" -> (markovTransitions _),
     "q72_kll_quantiles" -> (kllQuantileRollup _),
@@ -846,6 +919,7 @@ object Extras {
     "t06_top_tokens" -> (topTokens _))
 
   val oracles: Map[String, String] = Map(
+    "q75_session_transitions" -> sessionTransitionsSql,
     "q74_trend_regression" -> trendRegressionSql,
     "q73_markov_transitions" -> markovTransitionsSql,
     "q72_kll_quantiles" -> kllQuantileRollupSql,

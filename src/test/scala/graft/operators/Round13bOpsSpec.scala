@@ -152,6 +152,33 @@ class Round13bOpsSpec extends SparkSpec {
       b._2 <= a._2 && b._3 <= a._3 })
   }
 
+  // ------------------------------------------------------------- q75
+  test("q75 planted: the session boundary drops exactly the cross-session pair") {
+    import spark.implicits._
+    // A->B within session 1; 13h gap; C->D within session 2. q73 sees
+    // B->C too; q75 must not.
+    val h = 3600L
+    val ev = Seq(
+      (1L, "A", 0L, 1L), (1L, "B", 60L, 2L),
+      (1L, "C", 60L + 13L * h, 3L), (1L, "D", 120L + 13L * h, 4L))
+      .toDF("user_id", "event_type", "sec", "event_id")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val q75 = Extras.sessionTransitionsOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(q75.toSeq == Seq(("A", "B", 1L), ("C", "D", 1L)))
+    val q73 = Extras.markovTransitionsOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(q73.contains(("B", "C")), "q73 keeps the cross-session pair")
+  }
+
+  test("q75 corpus: within-session mass never exceeds the global matrix") {
+    val tot73 = Extras.markovTransitions(spark, d)
+      .agg(sum("n")).collect().head.getLong(0)
+    val tot75 = Extras.sessionTransitions(spark, d)
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(tot75 <= tot73, s"$tot75 within-session vs $tot73 global")
+  }
+
   // ------------------------------------------------------------- p27
   test("p27: lower temperature flattens the mixture monotonically") {
     val out = Curation.temperatureSweep(spark, d).collect()
