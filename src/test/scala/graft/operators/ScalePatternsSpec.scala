@@ -221,12 +221,18 @@ class ScalePatternsSpec extends SparkSpec {
         Some(s.metrics("numOutputRows").value)
       case other => other.children.iterator.flatMap(findScan).nextOption()
     }
-    def run(path: String): (Long, Double, Long) = {
+    def run(path: String): (Long, Long, Long) = {
+      // exact-cents sum, NOT sum(value): a double sum's value depends on
+      // task-split addition order, and under a loaded full-suite run the
+      // two layouts split differently — the one flake this suite ever
+      // produced was a last-ulp mismatch here (the s01/q70 integer
+      // discipline applies to test comparisons too)
       val df = spark.read.parquet(path)
         .filter(col("ts").between("2024-01-10 00:00:00", "2024-01-12 00:00:00"))
-        .agg(count(lit(1)).cast("long"), sum("value"))
+        .agg(count(lit(1)).cast("long"),
+          sum(floor(col("value") * 100).cast("long")))
       val row = df.collect().head
-      (row.getLong(0), row.getDouble(1),
+      (row.getLong(0), row.getLong(1),
         findScan(df.queryExecution.executedPlan)
           .getOrElse(sys.error("no FileSourceScanExec in plan")))
     }
