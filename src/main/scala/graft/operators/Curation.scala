@@ -1337,7 +1337,12 @@ object Curation {
           sqrt(col("mass_kb").cast("double"))).cast("long")
         case 250L => floor(lit(1000.0) *
           sqrt(sqrt(col("mass_kb").cast("double")))).cast("long")
-        case _ => lit(1000L)
+        case 0L => lit(1000L) // uniform: every lang weight 1.000
+        // fail loud, not uniform-by-default: a new α added to the grid
+        // without a weight formula here (and in the SQL CASE) would
+        // otherwise silently sample uniformly
+        case other => throw new IllegalArgumentException(
+          s"temperatureSweep: no weight formula for alpha_milli=$other")
       }
       m.select(lit(a).as("alpha_milli"), col("lang"), col("n_docs"),
         col("mass_kb"), w.as("w"))
@@ -1360,7 +1365,7 @@ object Curation {
       |      WHEN 1000 THEN mass_kb * 1000
       |      WHEN 500 THEN CAST(floor(1000.0 * sqrt(CAST(mass_kb AS DOUBLE))) AS BIGINT)
       |      WHEN 250 THEN CAST(floor(1000.0 * sqrt(sqrt(CAST(mass_kb AS DOUBLE)))) AS BIGINT)
-      |      ELSE 1000 END AS w
+      |      WHEN 0 THEN 1000 END AS w
       |  FROM m CROSS JOIN (SELECT unnest([1000, 500, 250, 0]) AS alpha_milli) a),
       |t AS (SELECT alpha_milli, CAST(sum(w) AS BIGINT) AS w_sum
       |  FROM w GROUP BY 1)

@@ -685,8 +685,10 @@ object Extras {
   private val SESSION_GAP_US = 12L * 3600L * 1000000L
 
   /** q75: the within-SESSION face of q73 — transitions only between
-    * events of the same user session (inactivity gap > 12 h, the q29
-    * boundary, breaks the chain). Cross-session pairs are journey
+    * events of the same user session (inactivity gap ≥ 12 h breaks the
+    * chain — `≥`, not `>`, because q29's session_window is half-open
+    * [start, last+gap): an event at exactly last+gap falls OUTSIDE the
+    * window and opens a new session). Cross-session pairs are journey
     * noise ("logged out Tuesday, came back Friday" is not a funnel
     * step); dropping them is what makes the dwell-gap column a real
     * dwell time. Session ids come from the gaps-and-islands running
@@ -707,7 +709,7 @@ object Extras {
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     val sess = ev
       .withColumn("new_sess",
-        when(col("us") - lag(col("us"), 1).over(w) > SESSION_GAP_US, 1L)
+        when(col("us") - lag(col("us"), 1).over(w) >= SESSION_GAP_US, 1L)
           .otherwise(0L))
       .withColumn("sess", sum(col("new_sess")).over(w))
     val w2 = Window.partitionBy(col("user_id"), col("sess"))
@@ -729,7 +731,7 @@ object Extras {
     s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
       |            FROM events),
       |se AS (SELECT *, sum(new_sess) OVER w2 AS sess FROM (
-      |    SELECT *, CASE WHEN us - lag(us) OVER w > $SESSION_GAP_US
+      |    SELECT *, CASE WHEN us - lag(us) OVER w >= $SESSION_GAP_US
       |                   THEN 1 ELSE 0 END AS new_sess
       |    FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
       |  WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id
@@ -794,7 +796,11 @@ object Extras {
                 then (1000 * (n_days * sxy - sx * sy)) div (n_days * sxx - sx * sx)
                 else -((1000 * (sx * sy - n_days * sxy)) div (n_days * sxx - sx * sx))
                 end""").as("slope_milli_cpd"),
-        expr("sy div n_days").as("mean_day_cents"))
+        // same sign-explicit discipline as the slope: `div` truncates
+        // toward zero, `//` floors, so a negative Σcents (refund-heavy
+        // corpus) would diverge by one — divide magnitudes, re-sign
+        expr("""case when sy >= 0 then sy div n_days
+                else -((-sy) div n_days) end""").as("mean_day_cents"))
       .orderBy("event_type")
   }
 
@@ -820,7 +826,8 @@ object Extras {
       |       THEN (1000 * (n_days * sxy - sx * sy)) // (n_days * sxx - sx * sx)
       |       ELSE -((1000 * (sx * sy - n_days * sxy)) // (n_days * sxx - sx * sx))
       |       END AS BIGINT) AS slope_milli_cpd,
-      |  sy // n_days AS mean_day_cents
+      |  CASE WHEN sy >= 0 THEN sy // n_days
+      |       ELSE -((-sy) // n_days) END AS mean_day_cents
       |FROM s ORDER BY event_type""".stripMargin
 
   // ------------------------------------------- q72 KLL quantile rollup

@@ -424,11 +424,16 @@ object Similarity {
 
   def prunedExactTopKFromStore(s: SparkSession, d: String,
       nQueries: Int = 5, k: Int = 10): DataFrame = {
+    // nQueries is a BUILD parameter (it decides which vectors form the
+    // corpus), so it belongs in the index identity: keying on the data
+    // dir alone would let a build with one nQueries serve a read with
+    // another (query vectors silently treated as corpus members).
+    // k is probe-only and deliberately NOT in the key.
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
       "graft_pruneidx_" + java.lang.Long.toHexString(
         graft.expressions.Md5Hash.hash60(
-          d.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+          s"$d#nq=$nQueries".getBytes(java.nio.charset.StandardCharsets.UTF_8))))
     ensurePrunedIndex(Tables.embeddings(s, d), nQueries, dir.toString)
     prunedExactFromDir(s, Tables.embeddings(s, d), nQueries, k, dir.toString)
   }

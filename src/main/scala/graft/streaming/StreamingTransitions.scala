@@ -90,17 +90,29 @@ object StreamingTransitions {
       .withColumn("p_id", lag(col("last_id"), 1).over(w))
   }
 
+  /** An empty (prev_type, next_type, n, gap_sum) counts frame — what a
+    * read before any batch has landed folds from (both sub-logs absent).
+    */
+  private def emptyCounts(s: SparkSession): DataFrame =
+    s.range(0).select(col("id").cast("string").as("prev_type"),
+      col("id").cast("string").as("next_type"),
+      col("id").as("n"), col("id").as("gap_sum"))
+
   /** The folded transition matrix: within-batch sums + stitched
     * cross-boundary transitions, through the SAME final projection as
-    * batch q73 (spec-pinned ≡ on identical, ordered events).
+    * batch q73 (spec-pinned ≡ on identical, ordered events). A read
+    * before ANY batch has landed is an empty matrix, not a path error —
+    * the bounds read carries the same partitions-guard as trans.
     */
   def transitions(s: SparkSession, path: String): DataFrame = {
-    val cross = stitchFrame(s, path)
-      .filter(col("p_type").isNotNull)
-      .select(col("p_type").as("prev_type"), col("first_type").as("next_type"),
-        (col("first_us") - col("p_us")).as("gap_us"))
-      .groupBy(col("prev_type"), col("next_type"))
-      .agg(count(lit(1)).as("n"), sum(col("gap_us")).as("gap_sum"))
+    val cross =
+      if (SketchLog.partitions(boundsPath(path)).isEmpty) emptyCounts(s)
+      else stitchFrame(s, path)
+        .filter(col("p_type").isNotNull)
+        .select(col("p_type").as("prev_type"), col("first_type").as("next_type"),
+          (col("first_us") - col("p_us")).as("gap_us"))
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"), sum(col("gap_us")).as("gap_sum"))
     val unioned =
       if (SketchLog.partitions(transPath(path)).nonEmpty)
         s.read.parquet(transPath(path)).drop("batch_id").unionByName(cross)
@@ -116,7 +128,9 @@ object StreamingTransitions {
     * stitched matrix equals the batch operator on the merged events.
     */
   def orderViolations(s: SparkSession, path: String): DataFrame =
-    stitchFrame(s, path)
+    if (SketchLog.partitions(boundsPath(path)).isEmpty)
+      s.range(1).select(lit(0L).as("violations"))
+    else stitchFrame(s, path)
       .filter(col("p_type").isNotNull)
       .agg(count(when(struct(col("p_us"), col("p_id")) >
         struct(col("first_us"), col("first_id")), 1)).as("violations"))
