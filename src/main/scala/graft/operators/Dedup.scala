@@ -1740,6 +1740,56 @@ object Dedup {
       |  CAST(CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS INT) AS is_survivor
       |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------- d25 component-size census
+  /** d25: the near-dup CLUSTER-SIZE distribution — the dashboard number
+    * a dedup operator actually watches (FineWeb/CCNet report exactly
+    * this): how many duplicate clusters exist at each size, plus the
+    * singleton mass. A crawl config regression shows up here first — a
+    * fattening "9+" bucket means boilerplate or a mirror site slipped
+    * past the shingle caps; a collapsing singleton bucket means the
+    * threshold is over-firing. Buckets are size 1 (docs in NO pair), 2,
+    * 3-4, 5-8, 9+ — fixed 5-row output at any corpus size.
+    *
+    * Scale shape: d03's capped pair pipeline + the same CC labels d07
+    * uses (alternating-star rounds above 1M edges); the census is two
+    * aggregates over the O(|dup docs|) label frame plus one anti-join
+    * count for singletons. Nothing new reaches pair scale.
+    */
+  def componentCensus(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccardPairs(s, d).select("id_a", "id_b")
+    val labels = connectedComponentsAuto(pairs) // (id, lbl): only paired docs
+    val comp = labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+    val buckets = comp
+      .withColumn("bucket",
+        when(col("sz") === 2, "2").when(col("sz") <= 4, "3-4")
+          .when(col("sz") <= 8, "5-8").otherwise("9+"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_components"), sum(col("sz")).as("n_docs"))
+    val singles = Tables.documents(s, d).select(col("doc_id"))
+      .join(labels.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("1").as("bucket"), col("n").as("n_components"),
+        col("n").as("n_docs"))
+    buckets.unionByName(singles).orderBy("bucket")
+  }
+
+  /** d25 oracle: the shared cc labels, bucketed identically. */
+  lazy val componentCensusSql: String =
+    s"""$ccCtes,
+      |labels AS (SELECT id, min(lbl) AS lbl FROM cc GROUP BY id),
+      |comp AS (SELECT lbl, CAST(count(*) AS BIGINT) AS sz
+      |         FROM labels GROUP BY lbl),
+      |b AS (SELECT CASE WHEN sz = 2 THEN '2' WHEN sz <= 4 THEN '3-4'
+      |               WHEN sz <= 8 THEN '5-8' ELSE '9+' END AS bucket,
+      |        CAST(count(*) AS BIGINT) AS n_components,
+      |        CAST(sum(sz) AS BIGINT) AS n_docs
+      |      FROM comp GROUP BY 1),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+      |      WHERE doc_id NOT IN (SELECT id FROM labels))
+      |SELECT bucket, n_components, n_docs FROM b
+      |UNION ALL SELECT '1', n, n FROM s
+      |ORDER BY bucket""".stripMargin
+
   /** Keeper CTE chain (labels → quality → ranked members) appended to
     * [[ccCtes]] — shared by the d14 oracle and the d21 unified-report
     * oracle so the keeper semantics cannot drift between them.
@@ -2433,6 +2483,7 @@ object Dedup {
     * express them; minhash/simhash are verified by scalatest instead).
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d25_component_census" -> (componentCensus _),
     "d24_chunk_dedup" -> (chunkDedup _),
     "d22_band_sweep_amortized" -> (lshBandSweepAmortized _),
     "d21_neardup_report" -> (neardupReportUnified _),
@@ -2458,6 +2509,7 @@ object Dedup {
     "d18_exact_then_near" -> (exactThenNear _))
 
   val oracles: Map[String, String] = Map(
+    "d25_component_census" -> componentCensusSql,
     "d24_chunk_dedup" -> chunkDedupSql,
     "d22_band_sweep_amortized" -> lshBandSweepSql,
     "d21_neardup_report" -> neardupReportUnifiedSql,

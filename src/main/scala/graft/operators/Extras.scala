@@ -633,12 +633,22 @@ object Extras {
   /** Per-(prev, next) transition count + exact gap mass over a projected
     * event frame (one user-partitioned sequence window).
     */
-  private[graft] def transitionRollup(ev: DataFrame): DataFrame = {
+  /** `maxGapUs`: when set, keep only consecutive pairs with gap STRICTLY
+    * under it — the q75 within-session predicate (a session breaks at
+    * gap ≥ the threshold, so a consecutive pair is same-session iff its
+    * own gap is under it; see [[sessionTransitionsOf]]).
+    */
+  private[graft] def transitionRollup(ev: DataFrame,
+      maxGapUs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-    ev.withColumn("next_type", lead(col("event_type"), 1).over(w))
+    val pairs = ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
       .withColumn("gap_us", lead(col("us"), 1).over(w) - col("us"))
       .filter(col("next_type").isNotNull)
+    val kept = maxGapUs.map(g => pairs.filter(col("gap_us") < g))
+      .getOrElse(pairs)
+    kept
       .select(col("event_type").as("prev_type"), col("next_type"), col("gap_us"))
       .groupBy(col("prev_type"), col("next_type"))
       .agg(count(lit(1)).as("n"), sum(col("gap_us")).as("gap_sum"))
@@ -682,7 +692,7 @@ object Extras {
   /** q75's session gap — q29's 12-hour session_window gap in µs, so the
     * two session definitions can never drift apart.
     */
-  private val SESSION_GAP_US = 12L * 3600L * 1000000L
+  private[graft] val SESSION_GAP_US = 12L * 3600L * 1000000L
 
   /** q75: the within-SESSION face of q73 — transitions only between
     * events of the same user session (inactivity gap ≥ 12 h breaks the

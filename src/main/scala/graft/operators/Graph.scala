@@ -99,7 +99,9 @@ object Graph {
       // checkpoint HERE, not only downstream: deg's broadcast build side
       // and the probe side are separate executions of this subtree (no
       // exchange to reuse under a broadcast join), so an uncheckpointed
-      // edge list runs the join+distinct twice per consumer
+      // edge list runs the join+distinct twice per consumer. (The src
+      // hash layout is NOT visible past this adaptive checkpoint — the
+      // co-partitioned regime re-lays it via relayoutPartitioned.)
       .localCheckpoint(true)
   }
 
@@ -112,29 +114,129 @@ object Graph {
       |  SELECT src, dst FROM eraw
       |  UNION ALL SELECT dst AS src, src AS dst FROM eraw)""".stripMargin
 
-  def pagerank(s: SparkSession, d: String): DataFrame = {
-    val edges = tradeEdges(s, d)
+  /** Node-count ceiling for broadcasting a per-round rank/label/survivor
+    * frame in the iterative family (g01/g03/g09/g10/g11/t30): ~100M
+    * nodes × 16 B ≈ 1.6 GB of build-side hash table per executor, the
+    * practical broadcast limit. At or below it, [[iterJoin]] broadcasts
+    * (zero edge movement AND zero rank shuffle per round); above it, it
+    * switches to the CO-PARTITIONED shuffle form: the adjacency is
+    * hash-partitioned by src before its checkpoint (tradeEdges), and
+    * localCheckpoint preserves outputPartitioning through LogicalRDD, so
+    * the planner exchanges ONLY the O(|nodes|) rank side each round —
+    * the edges never move. The hint is shuffle_hash, not merge: SMJ
+    * would re-SORT the full edge side every round, and the hash build
+    * side is the per-partition rank slice — the thing that fits.
+    *
+    * `GRAFT_RANK_BCAST_MAX` overrides the ceiling for profiling (0 runs
+    * every iterative key through the co-partitioned arm — how the
+    * crossover ledger in PLANS.md is measured); production leaves it
+    * unset.
+    */
+  val RANK_BCAST_MAX_NODES: Long =
+    sys.env.get("GRAFT_RANK_BCAST_MAX").map(_.toLong).getOrElse(100000000L)
+
+  /** The per-round iteration join of the fixed-point family: an
+    * edges-shaped frame joined to a per-node frame, physical strategy
+    * dispatched on the node count — a bounded driver scalar each
+    * operator computes ONCE (the slicedRanks/unionFindLocal dispatch
+    * precedent), never per round.
+    */
+  private[graft] def iterJoin(edgesSide: DataFrame, nodeSide: DataFrame,
+      cond: org.apache.spark.sql.Column, nNodes: Long,
+      bcastMax: Long, joinType: String = "inner"): DataFrame =
+    if (nNodes <= bcastMax) edgesSide.join(broadcast(nodeSide), cond, joinType)
+    else edgesSide.join(nodeSide.hint("shuffle_hash"), cond, joinType)
+
+  /** Run `f` under the static (non-adaptive) planner. Measured fact
+    * (PartitioningProbeSpec-era probe, Spark 4.1): under AQE an eager
+    * localCheckpoint captures UnknownPartitioning — AdaptiveSparkPlanExec
+    * cannot expose its final partitioning at capture time — so every
+    * downstream join re-exchanges the checkpointed frame and the
+    * co-partitioned arm of [[iterJoin]] silently degrades to a
+    * two-sided shuffle. Static planning captures the real
+    * HashPartitioning into LogicalRDD. Sequential-execution scope: the
+    * toggle is session-global, safe here because operators plan one
+    * query at a time (the Verify/Bench/test harnesses are serial).
+    */
+  private def withStaticPlan[T](s: SparkSession)(f: => T): T = {
+    val k = "spark.sql.adaptive.enabled"
+    val prev = s.conf.get(k)
+    s.conf.set(k, "false")
+    try f finally s.conf.set(k, prev)
+  }
+
+  /** Re-lay an ALREADY-CHEAP (cached/checkpointed) frame by `key` and
+    * checkpoint with the HashPartitioning captured (see
+    * [[withStaticPlan]]): one thin exchange, statically planned. This —
+    * and [[checkpointPreserving]] — run ONLY in the co-partitioned
+    * regime: the broadcast regime never reads a checkpoint's
+    * partitioning metadata, and statically planning the bench-scale
+    * checkpoints was measured at +1-6 s per graph key at sf0.1 (the
+    * bisect that shaped this split), so below the ceiling every
+    * checkpoint stays on the adaptive planner, byte-identical to the
+    * pre-dispatch plans.
+    */
+  private[graft] def relayoutPartitioned(df: DataFrame,
+      key: org.apache.spark.sql.Column): DataFrame =
+    withStaticPlan(df.sparkSession) {
+      df.repartition(key).localCheckpoint(true)
+    }
+
+  /** Statically planned eager checkpoint that keeps the frame's
+    * EXISTING partitioning visible. For frames that inherit it through
+    * cheap, already-cached inputs (adj: a broadcast/hinted join from a
+    * re-laid edge frame) — co-partitioned regime only, see
+    * [[relayoutPartitioned]].
+    */
+  private[graft] def checkpointPreserving(df: DataFrame): DataFrame =
+    withStaticPlan(df.sparkSession) { df.localCheckpoint(true) }
+
+  def pagerank(s: SparkSession, d: String): DataFrame =
+    pagerankOn(tradeEdges(s, d))
+
+  /** g01 over any symmetric, src-partitioned, checkpointed edge frame.
+    * `bcastMax` is the [[iterJoin]] dispatch ceiling — production default
+    * [[RANK_BCAST_MAX_NODES]]; the spec forces 0 to pin the
+    * co-partitioned path equal to the broadcast one.
+    */
+  private[graft] def pagerankOn(edges: DataFrame,
+      bcastMax: Long = RANK_BCAST_MAX_NODES): DataFrame = {
+    // O(|nodes|) thin frame, checkpointed: serves the dispatch count AND
+    // the adj build (previously derived inline and broadcast uncounted)
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val nNodes = deg.count() // the dispatch scalar: exactly |nodes|
+    val co = nNodes > bcastMax
+    // co-partitioned regime only: re-lay the (cached) edges so the src
+    // hash layout is VISIBLE to the round joins — one thin exchange,
+    // amortized over every round. The broadcast regime keeps the edges
+    // and plans exactly as before the dispatch existed.
+    val e = if (co) relayoutPartitioned(edges, col("src")) else edges
     // (src, dst, outdeg(src)) — the only frame the iterations touch; eager
     // checkpoint so four rounds scan cached blocks instead of re-deriving
-    // the join+distinct four times.
-    val adj = edges.join(broadcast(deg), edges("src") === deg("node"))
-      .select(edges("src"), edges("dst"), deg("outdeg"))
-      .localCheckpoint(true)
+    // the join+distinct four times. In the co regime, checkpointed with
+    // the inherited src partitioning captured for every round's probe.
+    val adjRaw = iterJoin(e, deg, e("src") === deg("node"), nNodes, bcastMax)
+      .select(e("src"), e("dst"), deg("outdeg"))
+    val adj = if (co) checkpointPreserving(adjRaw)
+      else adjRaw.localCheckpoint(true)
 
     // node set = adj's src side (every node has degree ≥ 1 by construction)
     var ranks = adj.select(col("src").as("node")).distinct()
       .withColumn("r", lit(START_FP))
     for (_ <- 1 to ITERS) {
-      // the rank side is broadcast EXPLICITLY: planned from an ExistingRDD,
-      // the join has no stats, plans as SMJ, and AQE's runtime demotion to
-      // broadcast leaves the probe-side exchange of adj in the plan — one
-      // wasted full-edge shuffle per iteration (profiled at sf0.1). With
-      // the hint each round is: scan cached adj → broadcast join → partial
-      // agg → one exchange of O(|nodes|) partial sums. Beyond ~100M nodes
-      // swap the hint for src/node co-hash-partitioning and SMJ.
-      ranks = adj.join(broadcast(ranks), adj("src") === ranks("node"))
+      // below the ceiling the rank side is broadcast EXPLICITLY: planned
+      // from an ExistingRDD, the join has no stats, plans as SMJ, and
+      // AQE's runtime demotion to broadcast leaves the probe-side
+      // exchange of adj in the plan — one wasted full-edge shuffle per
+      // iteration (profiled at sf0.1). With the hint each round is: scan
+      // cached adj → broadcast join → partial agg → one exchange of
+      // O(|nodes|) partial sums. Above the ceiling: scan cached adj
+      // (already src-partitioned, no exchange) → shuffle-hash join
+      // against the exchanged rank frame → same partial-agg exchange.
+      ranks = iterJoin(adj, ranks, adj("src") === ranks("node"),
+          nNodes, bcastMax)
         .select(adj("dst"), expr("r div outdeg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("csum"))
@@ -210,18 +312,29 @@ object Graph {
     pprTrustOn(tradeEdges(s, d), seeds)
   }
 
-  /** g11 over any symmetric edge frame + seed list (spec-injectable). */
-  private[graft] def pprTrustOn(edges: DataFrame, seeds: DataFrame): DataFrame = {
+  /** g11 over any symmetric edge frame + seed list (spec-injectable).
+    * The rank joins dispatch through [[iterJoin]] on the graph's node
+    * count; the SEED joins stay broadcast unconditionally — a trusted
+    * seed set is small by operator contract (it is curated by hand).
+    */
+  private[graft] def pprTrustOn(edges: DataFrame, seeds: DataFrame,
+      bcastMax: Long = RANK_BCAST_MAX_NODES): DataFrame = {
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
-    val adj = edges.join(broadcast(deg), edges("src") === deg("node"))
-      .select(edges("src"), edges("dst"), deg("outdeg"))
       .localCheckpoint(true)
+    val nNodes = deg.count() // dispatch scalar; ranks ≤ nodes every round
+    val co = nNodes > bcastMax
+    val e = if (co) relayoutPartitioned(edges, col("src")) else edges
+    val adjRaw = iterJoin(e, deg, e("src") === deg("node"), nNodes, bcastMax)
+      .select(e("src"), e("dst"), deg("outdeg"))
+    val adj = if (co) checkpointPreserving(adjRaw)
+      else adjRaw.localCheckpoint(true)
     // all walk mass starts ON the seeds; BASE_FP returns to them each round
     var ranks = seeds.select(col("seed").as("node"))
       .withColumn("r", lit(START_FP))
     for (_ <- 1 to ITERS) {
-      val spread = adj.join(broadcast(ranks), adj("src") === ranks("node"))
+      val spread = iterJoin(adj, ranks, adj("src") === ranks("node"),
+          nNodes, bcastMax)
         .select(adj("dst"), expr("r div outdeg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("csum"))
@@ -429,16 +542,41 @@ object Graph {
       .filter(col("s_nationkey") < LPA_SEED_NATIONS)
       .select((col("s_suppkey") * 2 + 1).as("node"),
         col("s_nationkey").cast("long").as("label"))
+    // dispatch bound from parquet FOOTER counts (no scan, no shuffle):
+    // trade-graph nodes ⊆ customers ∪ suppliers
+    val bound = Tables.customer(s, d).count() + Tables.supplier(s, d).count()
+    (lpaOn(edges, seeds, nNodesHint = Some(bound)), edges)
+  }
+
+  /** The g03 vote loop over any symmetric, src-partitioned, checkpointed
+    * edge frame + (node, label) seed frame — the kernel g09 shares. The
+    * per-round label join dispatches through [[iterJoin]] (labels ≤
+    * |nodes| by construction: every round's output is one row per voted
+    * node, anti-joined against the fixed seeds). `nNodesHint`: a cheap
+    * UPPER bound on the node count when the caller has one (a parquet
+    * metadata count beats an O(|edges|) distinct aggregate whose only
+    * purpose is the dispatch).
+    */
+  private[graft] def lpaOn(edges: DataFrame, seeds: DataFrame,
+      bcastMax: Long = RANK_BCAST_MAX_NODES,
+      rounds: Int = LPA_ROUNDS,
+      nNodesHint: Option[Long] = None): DataFrame = {
+    val nNodes = nNodesHint.getOrElse(
+      edges.select(col("src")).distinct().count()) // dispatch scalar
+    val e = if (nNodes > bcastMax) relayoutPartitioned(edges, col("src"))
+      else edges
     var labels = seeds
-    for (_ <- 1 to LPA_ROUNDS) {
+    for (_ <- 1 to rounds) {
       // same explicit broadcast rationale as the g01 iteration join (the
       // ExistingRDD side has no stats; AQE's runtime demotion would strand
-      // a full-edge exchange per round); same ≥100M-node co-partition note
+      // a full-edge exchange per round); above the ceiling iterJoin flips
+      // to the co-partitioned shuffle-hash form.
       // one exchange per round: hash-partitioning by dst alone satisfies
       // the clustering requirement of BOTH aggregations ((dst, label)
       // count and the per-dst argmax — subset rule), where letting each
       // groupBy plan its own exchange costs two
-      val voted = edges.join(broadcast(labels), labels("node") === edges("src"))
+      val voted = iterJoin(e, labels, labels("node") === e("src"),
+          nNodes, bcastMax)
         .select(col("dst"), col("label"))
         .repartition(col("dst"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
@@ -449,7 +587,7 @@ object Graph {
           voted("node") === col("snode"), "left_anti")
         .unionByName(seeds)
     }
-    (labels, edges)
+    labels
   }
 
   /** g03 oracle: the same synchronous rounds unrolled. */
@@ -929,8 +1067,18 @@ object Graph {
   def kcoreCensus(s: SparkSession, d: String): DataFrame =
     kcoreCensusOf(tradeEdges(s, d))
 
-  /** g10 over any symmetric (src, dst) edge frame (spec-injectable face). */
-  def kcoreCensusOf(edgesIn: DataFrame): DataFrame = {
+  /** g10 over any symmetric (src, dst) edge frame (spec-injectable face).
+    * The survivor semi-joins dispatch through [[iterJoin]] on the edge
+    * count `n` the peel already tracks — a CONSERVATIVE node bound
+    * (every node has degree ≥ 1, so |survivors| ≤ |nodes| ≤ n) that
+    * costs zero extra jobs and shrinks with the core. Above the ceiling
+    * the src-side semi-join rides the preserved src partitioning; the
+    * dst-side one re-exchanges the edges on dst — one edge shuffle per
+    * round, the honest price of filtering both endpoints where a
+    * broadcast no longer fits.
+    */
+  def kcoreCensusOf(edgesIn: DataFrame,
+      bcastMax: Long = RANK_BCAST_MAX_NODES): DataFrame = {
     var edges = edgesIn // symmetric, checkpointed by the caller
     val census = KCORE_KS.map { k =>
       var cur = edges
@@ -939,16 +1087,22 @@ object Graph {
       var round = 0
       while (!fixed && round < KCORE_CAP) {
         round += 1
-        val keep = cur.groupBy(col("src").as("node"))
+        val co = n > bcastMax // n = edge rows ≥ |survivors|, conservative
+        val keep0 = cur.groupBy(col("src").as("node"))
           .agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k).select(col("node"))
-        val next = cur
-          .join(broadcast(keep.select(col("node").as("ks"))),
-            col("src") === col("ks"), "left_semi")
-          .join(broadcast(keep.select(col("node").as("kd"))),
-            col("dst") === col("kd"), "left_semi")
-          .repartition(col("src"))
-          .localCheckpoint(true)
+        // co regime: checkpoint so BOTH endpoint semi-joins read one
+        // materialization; broadcast regime keeps the original inline
+        // derivation (two cheap cached-scan aggregates, adaptive plans)
+        val keep = if (co) keep0.localCheckpoint(true) else keep0
+        val peeled = iterJoin(
+          iterJoin(cur, keep.select(col("node").as("ks")),
+            col("src") === col("ks"), n, bcastMax, "left_semi"),
+          keep.select(col("node").as("kd")),
+          col("dst") === col("kd"), n, bcastMax, "left_semi")
+        val next =
+          if (co) relayoutPartitioned(peeled.localCheckpoint(true), col("src"))
+          else peeled.repartition(col("src")).localCheckpoint(true)
         val m = next.count()
         fixed = m == n // a round that removed nothing is the fixpoint
         n = m

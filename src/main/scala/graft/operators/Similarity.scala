@@ -264,9 +264,16 @@ object Similarity {
     * max member residual — the radius column FAISS stores per list).
     */
   private def prunedAssignment(e: DataFrame, nQueries: Int)
+      : (DataFrame, DataFrame) =
+    prunedAssignmentQv(e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id"), quantize(col("embedding")).as("cv")))
+
+  /** The same build over a PRE-QUANTIZED (vec_id, cv) corpus — the face
+    * s26's generated clustered corpus enters through (its vectors are
+    * integer by construction; quantizing floats would be a detour).
+    */
+  private def prunedAssignmentQv(corpusRaw: DataFrame)
       : (DataFrame, DataFrame) = {
-    val corpusRaw = e.filter(col("vec_id") >= nQueries)
-      .select(col("vec_id"), quantize(col("embedding")).as("cv"))
     val centroids = broadcast(
       corpusRaw.filter(col("vec_id") % 31 === 6)
         .withColumn("cell", row_number().over(Window.orderBy(col("vec_id"))))
@@ -292,8 +299,14 @@ object Similarity {
     */
   private def queryCellFrame(e: DataFrame, nQueries: Int,
       cellsMeta: DataFrame): DataFrame =
-    e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
+    queryCellFrameQv(e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        quantize(col("embedding")).as("qv")), cellsMeta)
+
+  /** The probe frame over PRE-QUANTIZED (query_id, qv) queries. */
+  private def queryCellFrameQv(queriesQv: DataFrame,
+      cellsMeta: DataFrame): DataFrame =
+    queriesQv
       .withColumn("qnorm", sqrt(qdot(col("qv"), col("qv")).cast("double")))
       .crossJoin(broadcast(cellsMeta))
       .withColumn("cos_qc", qcosine(col("qv"), col("centroid")))
@@ -610,6 +623,143 @@ object Similarity {
     * search is the contract the driver hash-checks.
     */
   val prunedExactTopKSql: String = cosineTopKSql
+
+  // ------------------- s26 clustered-corpus prune proof (bound FIRES)
+  /** The deterministic clustered corpus for s26, generated from the
+    * embeddings table's vec_id universe (same ids, same row count — the
+    * operator scales with the table): 16 orthogonal tight clusters,
+    * vector i lives in 4-dim block (i mod 16) at magnitude 10^7 with an
+    * integer jitter 10^4·(i mod 7 + 1) on dim 4·(i mod 16) + (i mod 4).
+    * Integer arithmetic end to end, so DuckDB regenerates it bit-exactly.
+    */
+  private val clusteredQvExpr =
+    expr("""transform(sequence(0, 63), d -> CAST(
+        CASE WHEN d div 4 = vec_id % 16
+             THEN 10000000 + CASE WHEN d = 4 * (vec_id % 16) + vec_id % 4
+                                  THEN 10000 * (vec_id % 7 + 1) ELSE 0 END
+             ELSE 0 END AS BIGINT))""")
+
+  /** s26: the s23 pruned-exact search ON THE REGIME IT EXISTS FOR — a
+    * clustered corpus — with the survivor-cell census in the checked
+    * output. Round 13 pinned the honest negative (on near-isotropic
+    * embeddings the triangle bound cannot fire: member residuals ≈ √2)
+    * only in a planted spec; this registers the positive as a driver
+    * fact: on 16 orthogonal tight clusters the bound must prune to
+    * survivors ≤ 2 of 16 cells per query, and the top-k it returns is
+    * exact (the oracle replays the WHOLE pruning chain — build,
+    * τ-threshold, bound test, survivor rescan — so rows+hash pin both
+    * the answer and the measured pruning effectiveness).
+    *
+    * Scale shape ≡ s23: one corpus pass to build the (checkpointed,
+    * cell-partitioned) assignment, broadcast cell metadata and probe
+    * lists, phases streaming only listed cells. The generated corpus is
+    * one projection over embeddings' vec_ids — no extra input.
+    */
+  def clusteredPruneProof(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.embeddings(s, d).select(col("vec_id"),
+      clusteredQvExpr.as("v"))
+    val corpus = v.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), col("v").as("cv"))
+    val queries = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val (assignment, cellsMeta) = prunedAssignmentQv(corpus)
+    val qcell = queryCellFrameQv(queries, cellsMeta)
+      .localCheckpoint(true) // ≤ |queries|·N_CELLS rows; read three times
+    val phase1 = scoreCells(assignment,
+      qcell.filter(col("probe_rank") <= N_PROBE)
+        .select("query_id", "qv", "qnorm", "cell"))
+    val tau = tauFrame(phase1, 10)
+    val withTau = qcell.join(broadcast(tau), "query_id")
+    val census = withTau.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("bound") >= col("tau") - lit(PRUNE_EPS), 1L)
+          .otherwise(0L)).as("survivors"))
+    val survivors = withTau
+      .filter(col("bound") >= col("tau") - lit(PRUNE_EPS))
+      .select("query_id", "qv", "qnorm", "cell")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scoreCells(assignment, survivors)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .join(broadcast(census), "query_id")
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"),
+        col("n_cells"), col("survivors"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** s26 oracle: the full pruning chain replayed — clustered corpus
+    * regenerated from vec_ids, same centroid rule, argmax assignment,
+    * per-cell radius, triangle bound, τ from the 3 probed cells,
+    * survivor census and rescan. Double arithmetic mirrors the engine
+    * op-for-op (one dot / (norm·norm) division shape; bound via
+    * power(·,2)); the comparisons it feeds carry huge margins on this
+    * corpus (own-cluster bound ≈ 1, cross-cluster ≈ 0), so a last-ulp
+    * pow divergence cannot flip a survivor.
+    */
+  val clusteredPruneProofSql: String =
+    """WITH v AS (SELECT vec_id,
+      |    [CAST(CASE WHEN (d-1)//4 = vec_id % 16
+      |          THEN 10000000 + CASE WHEN (d-1) = 4*(vec_id % 16) + vec_id % 4
+      |                               THEN 10000 * (vec_id % 7 + 1) ELSE 0 END
+      |          ELSE 0 END AS BIGINT) FOR d IN range(1, 65)] AS qv
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, qv,
+      |        sqrt(CAST(list_sum([qv[i]*qv[i] FOR i IN range(1,65)]) AS DOUBLE)) AS qnorm
+      |      FROM v WHERE vec_id < 5),
+      |c AS MATERIALIZED (SELECT vec_id, qv AS cv FROM v WHERE vec_id >= 5),
+      |cents AS (SELECT cell, centroid FROM (
+      |    SELECT cv AS centroid, row_number() OVER (ORDER BY vec_id) AS cell
+      |    FROM c WHERE vec_id % 31 = 6) WHERE cell <= 16),
+      |asg0 AS (SELECT c.vec_id, c.cv, cents.cell,
+      |    CAST(list_sum([c.cv[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
+      |      (sqrt(CAST(list_sum([c.cv[i]*c.cv[i] FOR i IN range(1,65)]) AS DOUBLE)) *
+      |       sqrt(CAST(list_sum([cents.centroid[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE))) AS cos_xc
+      |  FROM c CROSS JOIN cents),
+      |asg AS MATERIALIZED (SELECT vec_id, cv, cell,
+      |    sqrt(greatest(0.0, 2.0 - 2.0*cos_xc)) AS res
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                    ORDER BY cos_xc DESC, cell) AS r FROM asg0)
+      |  WHERE r = 1),
+      |meta AS (SELECT cents.cell, centroid, maxres
+      |  FROM cents JOIN (SELECT cell, max(res) AS maxres FROM asg GROUP BY cell) s
+      |    ON s.cell = cents.cell),
+      |qc0 AS (SELECT q.query_id, q.qv, q.qnorm, m.cell, m.maxres,
+      |    CAST(list_sum([q.qv[i]*m.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
+      |      (q.qnorm *
+      |       sqrt(CAST(list_sum([m.centroid[i]*m.centroid[i] FOR i IN range(1,65)]) AS DOUBLE))) AS cos_qc
+      |  FROM q CROSS JOIN meta m),
+      |qc AS MATERIALIZED (SELECT query_id, qv, qnorm, cell,
+      |    1.0 - power(greatest(0.0, sqrt(greatest(0.0, 2.0 - 2.0*cos_qc)) - maxres), 2) / 2.0 AS bound,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos_qc DESC, cell) AS probe_rank
+      |  FROM qc0),
+      |p1 AS (SELECT qc.query_id, a.vec_id,
+      |    CAST(list_sum([qc.qv[i]*a.cv[i] FOR i IN range(1,65)]) AS DOUBLE) /
+      |      (qc.qnorm * sqrt(CAST(list_sum([a.cv[i]*a.cv[i] FOR i IN range(1,65)]) AS DOUBLE))) AS cosine
+      |  FROM qc JOIN asg a ON a.cell = qc.cell WHERE qc.probe_rank <= 3),
+      |tau AS (SELECT query_id,
+      |    CASE WHEN count(*) >= 10 THEN max(CASE WHEN rk = 10 THEN cosine END)
+      |         ELSE -2.0 END AS tau
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                    ORDER BY cosine DESC, vec_id) AS rk FROM p1)
+      |  GROUP BY query_id),
+      |census AS (SELECT qc.query_id, CAST(count(*) AS BIGINT) AS n_cells,
+      |    CAST(sum(CASE WHEN qc.bound >= tau.tau - 1e-9 THEN 1 ELSE 0 END) AS BIGINT) AS survivors
+      |  FROM qc JOIN tau USING (query_id) GROUP BY qc.query_id),
+      |surv AS (SELECT qc.query_id, qc.qv, qc.qnorm, qc.cell
+      |  FROM qc JOIN tau USING (query_id)
+      |  WHERE qc.bound >= tau.tau - 1e-9),
+      |p2 AS (SELECT s.query_id, a.vec_id,
+      |    CAST(list_sum([s.qv[i]*a.cv[i] FOR i IN range(1,65)]) AS DOUBLE) /
+      |      (s.qnorm * sqrt(CAST(list_sum([a.cv[i]*a.cv[i] FOR i IN range(1,65)]) AS DOUBLE))) AS cosine
+      |  FROM surv s JOIN asg a ON a.cell = s.cell),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                      ORDER BY cosine DESC, vec_id) AS rank FROM p2)
+      |SELECT r.query_id, CAST(rank AS INT) AS rank, r.vec_id, cosine,
+      |  n_cells, survivors
+      |FROM ranked r JOIN census USING (query_id)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
 
   /** Quantized hyperplane literals as SQL VALUES rows (for the generated
     * s02/d06 oracles).
@@ -3074,22 +3224,18 @@ object Similarity {
     val resident = assignToCells(corpus, cents)
     val kedges = knnProbeEdges(assignToCells(corpus, cents, 2), resident,
       KNN_GRAPH_K).select(col("src"), col("dst"))
+    // lpaOn re-lays this by src itself if the graph crosses the
+    // broadcast ceiling; below it the plain checkpoint is the plan
     val edges = kedges.union(kedges.select(col("dst").as("src"),
       col("src").as("dst"))).distinct().localCheckpoint(true)
     val seeds = seedNodes(corpus)
-    var labels = seeds
-    for (_ <- 1 to KNN_COMM_ROUNDS) {
-      val voted = edges.join(broadcast(labels), labels("node") === edges("src"))
-        .select(col("dst"), col("label"))
-        .repartition(col("dst"))
-        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-        .groupBy(col("dst"))
-        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
-        .select(col("dst").as("node"), (-col("m.nl")).as("label"))
-      labels = voted.join(seeds.select(col("node").as("snode")),
-          voted("node") === col("snode"), "left_anti")
-        .unionByName(seeds)
-    }
+    // the g03 vote kernel itself (one implementation, Graph.lpaOn): per
+    // round one edges⋈labels iterJoin — broadcast below the ~100M-node
+    // ceiling, co-partitioned shuffle-hash above — + one dst-partitioned
+    // two-level vote aggregate
+    val labels = Graph.lpaOn(edges, seeds, rounds = KNN_COMM_ROUNDS,
+      // dispatch bound: kNN-graph nodes ⊆ the corpus (footer count)
+      nNodesHint = Some(Tables.embeddings(s, d).count()))
     resident.select(col("vec_id").as("node"), col("cell"))
       .join(labels, Seq("node"), "left")
       .select(col("node"), col("cell"), coalesce(col("label"), lit(-1L)).as("label"))
@@ -3181,6 +3327,7 @@ object Similarity {
     "s23_pruned_exact_knn" -> ((s: SparkSession, d: String) => prunedExactTopK(s, d)),
     "s24_pruned_exact_store" -> ((s: SparkSession, d: String) => prunedExactTopKFromStore(s, d)),
     "s25_nprobe_sweep" -> ((s: SparkSession, d: String) => nprobeSweep(s, d)),
+    "s26_clustered_prune_proof" -> ((s: SparkSession, d: String) => clusteredPruneProof(s, d)),
     "d06_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDupPairsSeeded(s, d)))
 
   val oracles: Map[String, String] = Map(
@@ -3214,5 +3361,6 @@ object Similarity {
     "s23_pruned_exact_knn" -> prunedExactTopKSql,
     "s24_pruned_exact_store" -> prunedExactStoreSql,
     "s25_nprobe_sweep" -> nprobeSweepSql,
+    "s26_clustered_prune_proof" -> clusteredPruneProofSql,
     "d06_embedding_neardup" -> embeddingNearDupPairsSql)
 }

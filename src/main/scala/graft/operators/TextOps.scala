@@ -1366,12 +1366,30 @@ object TextOps {
     * sub-key scatters order across groups and cannot reconstruct exact
     * ranks from offsets. Cold bins keep the original cheap single-window
     * path, so at healthy skew the plan is unchanged.
+    *
+    * DISPATCH, not insurance: whether any bin is hot is decided from the
+    * ≤240-row bin-count frame (a bounded driver scalar, the
+    * unionFindLocal precedent) and the all-cold case — every corpus at
+    * healthy skew — gets the ORIGINAL single-window plan verbatim: no
+    * hot-branch aggregates, no union in the plan at all. Round 13
+    * planned the hot branch unconditionally and paid 1.4× on t22 for
+    * skew insurance that never fired.
+    *
+    * The input is checkpointed as the thin (doc_id, lm_score, bin)
+    * projection — 3 longs/row, ~10^10 rows ≈ 240 GB across a 1000-node
+    * fleet at the 100 TB corpus, MEMORY_AND_DISK so overflow spills —
+    * because every face consumes it: the bin census, the dispatch
+    * scalar, and the rank join probe. Without it the plan derives the
+    * EXPENSIVE upstream scoring twice (census + probe; no shared
+    * exchange, so Catalyst cannot reuse it) — which is what t22 paid in
+    * every round up to 13.
     */
   private[graft] def slicedRanks(doc: DataFrame,
       hotThreshold: Long = HOT_BIN_THRESHOLD): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fineW = math.max(1L, PPL_BIN_W / FINE_SPLITS)
     val binned = doc.withColumn("_ppl_bin", expr(s"lm_score div $PPL_BIN_W"))
+      .localCheckpoint(true)
     val counts = binned.groupBy("_ppl_bin").agg(count(lit(1)).as("bn"))
     val wAbove = Window.orderBy(col("_ppl_bin").desc) // ≤240 rows, bounded
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1382,9 +1400,16 @@ object TextOps {
       .withColumn("tot", sum(col("bn")).over(wAll))
       .withColumn("hot", col("bn") > hotThreshold)
       .select(col("_ppl_bin"), col("base"), col("tot"), col("hot"))
+      .localCheckpoint(true) // ≤240 rows; read for the dispatch AND the join
+    // bounded driver scalar off the ≤240-row checkpointed bin frame
+    val anyHot = bases.filter(col("hot")).limit(1).count() > 0L
     val joined = binned.join(broadcast(bases), "_ppl_bin")
     val wLocal = Window.partitionBy(col("_ppl_bin"))
       .orderBy(col("lm_score").desc, col("doc_id"))
+    if (!anyHot)
+      return joined
+        .withColumn("rnk", col("base") + row_number().over(wLocal))
+        .select(col("doc_id"), col("lm_score"), col("rnk"), col("tot"))
     val cold = joined.filter(!col("hot"))
       .withColumn("rnk", col("base") + row_number().over(wLocal))
     val hot = joined.filter(col("hot"))
@@ -2105,8 +2130,15 @@ object TextOps {
   def textrankKeywords(s: SparkSession, d: String): DataFrame =
     textrankKeywordsOf(Tables.documents(s, d))
 
-  /** t30 over any (doc_id, text) frame (spec-injectable face). */
-  def textrankKeywordsOf(docs: DataFrame): DataFrame = {
+  /** t30 over any (doc_id, text) frame (spec-injectable face). The rank
+    * joins dispatch through [[Graph.iterJoin]] on the vocabulary-node
+    * count — same broadcast-vs-co-partitioned switch as g01, though a
+    * word-co-occurrence graph crossing 100M NODES means a 100M-word
+    * vocabulary (open-vocabulary hashes), so the broadcast arm is the
+    * expected one at any realistic corpus.
+    */
+  def textrankKeywordsOf(docs: DataFrame,
+      bcastMax: Long = Graph.RANK_BCAST_MAX_NODES): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toked = docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "tok")))
@@ -2121,13 +2153,20 @@ object TextOps {
       .repartition(col("src"))
       .localCheckpoint(true)
     val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
-    val adj = edges.join(broadcast(deg), edges("src") === deg("node"))
-      .select(edges("src"), edges("dst"), deg("outdeg"))
       .localCheckpoint(true)
+    val nNodes = deg.count() // dispatch scalar: exactly |vocab nodes|
+    val co = nNodes > bcastMax
+    val e = if (co) Graph.relayoutPartitioned(edges, col("src")) else edges
+    val adjRaw = Graph.iterJoin(e, deg, e("src") === deg("node"),
+        nNodes, bcastMax)
+      .select(e("src"), e("dst"), deg("outdeg"))
+    val adj = if (co) Graph.checkpointPreserving(adjRaw)
+      else adjRaw.localCheckpoint(true)
     var ranks = adj.select(col("src").as("node")).distinct()
       .withColumn("r", lit(TR_START))
     for (_ <- 1 to TR_ITERS) {
-      ranks = adj.join(broadcast(ranks), adj("src") === ranks("node"))
+      ranks = Graph.iterJoin(adj, ranks, adj("src") === ranks("node"),
+          nNodes, bcastMax)
         .select(adj("dst"), expr("r div outdeg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("csum"))

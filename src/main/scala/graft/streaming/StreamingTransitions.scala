@@ -45,11 +45,14 @@ object StreamingTransitions {
 
   /** One batch's delta: within-batch transition rollup + per-user
     * boundary rows, landed idempotently under the batch's partition.
+    * `maxGapUs` is the q75 within-session predicate (see
+    * [[StreamingSessionTransitions]]); None = q73, every pair counts.
     */
-  def absorb(batch: DataFrame, batchId: Long, path: String): Unit = {
+  def absorb(batch: DataFrame, batchId: Long, path: String,
+      maxGapUs: Option[Long] = None): Unit = {
     val ev = Extras.transitionEvents(batch)
     if (ev.isEmpty) return
-    val within = Extras.transitionRollup(ev)
+    val within = Extras.transitionRollup(ev, maxGapUs)
       .withColumn("batch_id", lit(batchId))
     // a batch of single-event users has bounds but no within-transitions;
     // an empty partitioned write would leave a schema-less dir behind
@@ -104,15 +107,25 @@ object StreamingTransitions {
     * before ANY batch has landed is an empty matrix, not a path error —
     * the bounds read carries the same partitions-guard as trans.
     */
-  def transitions(s: SparkSession, path: String): DataFrame = {
+  def transitions(s: SparkSession, path: String,
+      maxGapUs: Option[Long] = None): DataFrame = {
     val cross =
       if (SketchLog.partitions(boundsPath(path)).isEmpty) emptyCounts(s)
-      else stitchFrame(s, path)
-        .filter(col("p_type").isNotNull)
-        .select(col("p_type").as("prev_type"), col("first_type").as("next_type"),
-          (col("first_us") - col("p_us")).as("gap_us"))
-        .groupBy(col("prev_type"), col("next_type"))
-        .agg(count(lit(1)).as("n"), sum(col("gap_us")).as("gap_sum"))
+      else {
+        val stitched = stitchFrame(s, path)
+          .filter(col("p_type").isNotNull)
+          .select(col("p_type").as("prev_type"),
+            col("first_type").as("next_type"),
+            (col("first_us") - col("p_us")).as("gap_us"))
+        // q75 predicate on the stitched boundary pair itself: the pair
+        // is same-session iff ITS gap is under the threshold — session
+        // membership factorizes over consecutive pairs, so no per-user
+        // session state is needed (see StreamingSessionTransitions)
+        maxGapUs.map(g => stitched.filter(col("gap_us") < g))
+          .getOrElse(stitched)
+          .groupBy(col("prev_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"), sum(col("gap_us")).as("gap_sum"))
+      }
     val unioned =
       if (SketchLog.partitions(transPath(path)).nonEmpty)
         s.read.parquet(transPath(path)).drop("batch_id").unionByName(cross)
