@@ -840,6 +840,111 @@ object Extras {
       |       ELSE -((-sy) // n_days) END AS mean_day_cents
       |FROM s ORDER BY event_type""".stripMargin
 
+  // ------------------------------------- q76 revenue concentration (Gini)
+  /** Lorenz-rank bin width (cents) and clamp for q76's decomposed rank —
+    * the p24 `_shard_bin` value-range class: `cents div 1000` clamped to
+    * 16,383 has a ≤16,384-value domain at any corpus size, and the
+    * clamped integer div is monotone NONDECREASING in cents, which is
+    * all the rank decomposition needs (intra-bin order finishes the
+    * total order).
+    */
+  private val GINI_BIN_CENTS = 1000L
+  private val GINI_NBINS = 16384L
+
+  /** q76: revenue CONCENTRATION per event type — the Gini coefficient of
+    * per-user spend, the inequality/concentration slot in the statistics
+    * family (q55 moments, q74 trend, this distribution shape): "do 1% of
+    * users carry 90% of purchase mass?" is a question every usage
+    * dashboard answers. Gini needs the full Lorenz order (each user's
+    * rank by spend), which is exactly the quantity naive SQL computes
+    * with ONE UNPARTITIONED window over all users of a type — the
+    * scale-killer shape this repo's census bans. Here the rank is
+    * DECOMPOSED (the p17/p24/t22 prefix-sum discipline): a ≤16,384-row
+    * per-type bin-count frame gives each bin its rank base; a
+    * (type, bin)-partitioned row_number finishes it; the two never put
+    * a corpus-proportional partition through one task. (Residual
+    * concentration: one exact spend value held by a huge user mass
+    * lands in one (type, bin) partition — the t22 hazard; its
+    * chunk-decomposition upgrade applies verbatim if a corpus ever
+    * shows it.)
+    *
+    * The sufficient statistics are exact int64: cents = floor(100·value),
+    * rank mass R = Σ rank·cents, and the population Gini
+    * `G = (2R − (n+1)S) / (nS)`. The ppm projection goes through ONE
+    * fixed IEEE chain `floor(1e6 · num / den)` (the g05 assortativity
+    * precedent) because `1e6·num` is the term that overflows first —
+    * the first 100×-corpus run proved it, loudly, in BOTH engines
+    * (Spark ANSI long-overflow, DuckDB Out of Range) — while num and
+    * den themselves convert to double losslessly far past that point.
+    * Raw statistics ride along so partitions merge downstream without
+    * re-ranking. int64 envelope for R ~ n²·c̄/2: ~10^7 users per type
+    * at ~$100 mean spend; beyond, lift R to DECIMAL(38) (the q74
+    * note). Null values are excluded (a null price is an ingest
+    * defect, not zero spend).
+    */
+  def revenueGini(s: SparkSession, d: String): DataFrame =
+    revenueGiniOf(Tables.events(s, d))
+
+  /** q76 over any (user_id, event_type, value) frame (spec face). */
+  private[graft] def revenueGiniOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = events.filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(centsOf(col("value"))).as("cents"))
+      .withColumn("_gini_bin",
+        least(greatest(expr(s"cents div $GINI_BIN_CENTS"), lit(0L)),
+          lit(GINI_NBINS - 1)))
+    val counts = u.groupBy(col("event_type"), col("_gini_bin"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("prefix", coalesce(sum(col("bn")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("_gini_bin"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("event_type"), col("_gini_bin"), col("prefix"))
+    val ranked = u
+      .withColumn("intra", row_number().over(
+        Window.partitionBy(col("event_type"), col("_gini_bin"))
+          .orderBy(col("cents"), col("user_id"))).cast("long"))
+      .join(broadcast(counts), Seq("event_type", "_gini_bin"))
+      .withColumn("rnk", col("prefix") + col("intra"))
+    ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("cents")).as("sum_cents"),
+        sum(col("rnk") * col("cents")).as("rank_mass"))
+      .select(col("event_type"), col("n_users"), col("sum_cents"),
+        col("rank_mass"),
+        // population Gini in ppm; defined only for positive total mass.
+        // ONE fixed IEEE chain — see Scaladoc for why not integer div.
+        expr(s"""CASE WHEN sum_cents <= 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(1000000.0 *
+              CAST(2 * rank_mass - (n_users + 1) * sum_cents AS DOUBLE) /
+              CAST(n_users * sum_cents AS DOUBLE)) AS BIGINT)
+            END""").as("gini_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** q76 oracle: the ONE-WINDOW naive rank — the decomposed engine rank
+    * equals it by construction (same total order (cents, user_id)).
+    */
+  val revenueGiniSql: String =
+    """WITH u AS (SELECT event_type, user_id,
+      |    CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |r AS (SELECT event_type, cents,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY cents, user_id) AS BIGINT) AS rnk
+      |  FROM u),
+      |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |    CAST(sum(rnk * cents) AS BIGINT) AS rank_mass
+      |  FROM r GROUP BY 1)
+      |SELECT event_type, n_users, sum_cents, rank_mass,
+      |  CAST(CASE WHEN sum_cents <= 0 THEN 0
+      |    ELSE floor(1000000.0 *
+      |      CAST(2 * rank_mass - (n_users + 1) * sum_cents AS DOUBLE) /
+      |      CAST(n_users * sum_cents AS DOUBLE))
+      |    END AS BIGINT) AS gini_ppm
+      |FROM s ORDER BY event_type""".stripMargin
+
   // ------------------------------------------- q72 KLL quantile rollup
   /** q72: mergeable KLL quantile sketches (Karnin–Lang–Liberty) — the
     * quantile slot in the sketch family next to q63's HLL (distinct),
@@ -918,6 +1023,7 @@ object Extras {
       |ORDER BY level, key""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_revenue_gini" -> (revenueGini _),
     "q75_session_transitions" -> (sessionTransitions _),
     "q74_trend_regression" -> (trendRegression _),
     "q73_markov_transitions" -> (markovTransitions _),
@@ -936,6 +1042,7 @@ object Extras {
     "t06_top_tokens" -> (topTokens _))
 
   val oracles: Map[String, String] = Map(
+    "q76_revenue_gini" -> revenueGiniSql,
     "q75_session_transitions" -> sessionTransitionsSql,
     "q74_trend_regression" -> trendRegressionSql,
     "q73_markov_transitions" -> markovTransitionsSql,

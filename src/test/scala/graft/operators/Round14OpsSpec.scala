@@ -54,6 +54,50 @@ class Round14OpsSpec extends SparkSpec {
     assert(pruned == brute, "pruning must lose nothing")
   }
 
+  test("q76: decomposed Lorenz rank ≡ the naive one-window Gini") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // skewed planted spend: a whale, a mid tier, a long tail, exact ties,
+    // and one refund-heavy user (negative cents) — bins 0 and beyond
+    val ev = (1L to 40L).flatMap { u =>
+      val v = if (u == 1) 50000.0 else if (u <= 5) 700.0
+        else if (u == 40) -20.0 else (u % 7).toDouble + 0.25
+      Seq((u, "buy", v), (u, "buy", v))
+    }.toDF("user_id", "event_type", "value")
+    val got = Extras.revenueGiniOf(ev).collect()
+    // naive single-window form computed inline
+    val u = ev.groupBy($"event_type", $"user_id")
+      .agg(sum(floor($"value" * 100.0).cast("long")).as("cents"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"cents", $"user_id"))
+        .cast("long"))
+    val naive = u.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("s"),
+        sum($"rnk" * $"cents").as("r"))
+      .select($"event_type", $"n", $"s", $"r",
+        expr("""CASE WHEN s <= 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(1000000.0 * CAST(2*r - (n+1)*s AS DOUBLE) /
+              CAST(n*s AS DOUBLE)) AS BIGINT) END""").as("g"))
+      .collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq ==
+      naive.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq)
+    // structural sanity on the planted shape: heavy concentration
+    assert(got.head.getLong(4) > 500000L, "whale corpus must show Gini > 0.5")
+  }
+
+  test("q76 edge cases: all-equal spend → 0; degenerate total → 0") {
+    import spark.implicits._
+    val equal = (1L to 16L).map(u => (u, "x", 5.0)).toDF(
+      "user_id", "event_type", "value")
+    assert(Extras.revenueGiniOf(equal).collect().head.getLong(4) == 0L)
+    val refunds = (1L to 4L).map(u => (u, "x", -1.0)).toDF(
+      "user_id", "event_type", "value")
+    assert(Extras.revenueGiniOf(refunds).collect().head.getLong(4) == 0L,
+      "negative total mass is degenerate, reported as 0 not nonsense")
+  }
+
   test("s26 corpus: cross-cluster cosine is exactly zero (the regime claim)") {
     val v = graft.Tables.embeddings(spark, d).limit(40).select(col("vec_id"),
       expr("""transform(sequence(0, 63), d -> CAST(
