@@ -1365,7 +1365,11 @@ object Curation {
       |      WHEN 1000 THEN mass_kb * 1000
       |      WHEN 500 THEN CAST(floor(1000.0 * sqrt(CAST(mass_kb AS DOUBLE))) AS BIGINT)
       |      WHEN 250 THEN CAST(floor(1000.0 * sqrt(sqrt(CAST(mass_kb AS DOUBLE)))) AS BIGINT)
-      |      WHEN 0 THEN 1000 END AS w
+      |      WHEN 0 THEN 1000
+      |      -- fail-loud mirror of the Scala match's IllegalArgumentException:
+      |      -- without it, an alpha added only to this grid yields NULL w,
+      |      -- which sum() silently SKIPS — wrong weights, no error
+      |      ELSE error('temperatureSweep oracle: no weight formula for alpha_milli') END AS w
       |  FROM m CROSS JOIN (SELECT unnest([1000, 500, 250, 0]) AS alpha_milli) a),
       |t AS (SELECT alpha_milli, CAST(sum(w) AS BIGINT) AS w_sum
       |  FROM w GROUP BY 1)

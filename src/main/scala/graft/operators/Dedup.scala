@@ -1723,10 +1723,18 @@ object Dedup {
       |                       AND a.pband = b.pband AND a.doc_id < b.doc_id
       |      WHERE a.pband = greatest(a.band, b.band)
       |      GROUP BY 1, 2),
-      |pairs AS (SELECT id_a, id_b FROM p JOIN sz sa ON id_a = sa.doc_id
+      |-- pairs/edges MUST be MATERIALIZED: the recursive cc term below
+      |-- references edges each iteration, and inlined CTEs made DuckDB
+      |-- recompute the ENTIRE pair pipeline (the gf self-join) per
+      |-- closure round — measured 796 s at the 100x corpus vs 179 s
+      |-- materialized (the closure itself is cheap; the one-shot capped
+      |-- self-join, which both engines pay, is the remaining floor)
+      |pairs AS MATERIALIZED (
+      |          SELECT id_a, id_b FROM p JOIN sz sa ON id_a = sa.doc_id
       |                                   JOIN sz sb ON id_b = sb.doc_id
       |          WHERE common * 10 >= sa.n + sb.n - common),
-      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |edges AS MATERIALIZED (
+      |          SELECT id_a AS src, id_b AS dst FROM pairs
       |          UNION SELECT id_b, id_a FROM pairs),
       |cc AS (
       |  SELECT src AS id, src AS lbl FROM edges
@@ -1748,7 +1756,10 @@ object Dedup {
     * fattening "9+" bucket means boilerplate or a mirror site slipped
     * past the shingle caps; a collapsing singleton bucket means the
     * threshold is over-firing. Buckets are size 1 (docs in NO pair), 2,
-    * 3-4, 5-8, 9+ — fixed 5-row output at any corpus size.
+    * 3-4, 5-8, 9+ — fixed 5-row output at any corpus size: empty
+    * buckets are zero-filled via a left join from the literal 5-bucket
+    * frame (a groupBy alone would OMIT a size class with no clusters,
+    * and a dashboard row that disappears is not a zero — it's a gap).
     *
     * Scale shape: d03's capped pair pipeline + the same CC labels d07
     * uses (alternating-star rounds above 1M edges); the census is two
@@ -1770,10 +1781,19 @@ object Dedup {
       .agg(count(lit(1)).as("n"))
       .select(lit("1").as("bucket"), col("n").as("n_components"),
         col("n").as("n_docs"))
-    buckets.unionByName(singles).orderBy("bucket")
+    val allBuckets = s.range(1).select(
+      explode(array(Seq("1", "2", "3-4", "5-8", "9+").map(lit): _*))
+        .as("bucket"))
+    allBuckets.join(buckets.unionByName(singles), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_components"), lit(0L)).as("n_components"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("bucket")
   }
 
-  /** d25 oracle: the shared cc labels, bucketed identically. */
+  /** d25 oracle: the shared cc labels, bucketed identically, zero-filled
+    * from the same literal 5-bucket frame.
+    */
   lazy val componentCensusSql: String =
     s"""$ccCtes,
       |labels AS (SELECT id, min(lbl) AS lbl FROM cc GROUP BY id),
@@ -1785,10 +1805,14 @@ object Dedup {
       |        CAST(sum(sz) AS BIGINT) AS n_docs
       |      FROM comp GROUP BY 1),
       |s AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
-      |      WHERE doc_id NOT IN (SELECT id FROM labels))
-      |SELECT bucket, n_components, n_docs FROM b
-      |UNION ALL SELECT '1', n, n FROM s
-      |ORDER BY bucket""".stripMargin
+      |      WHERE doc_id NOT IN (SELECT id FROM labels)),
+      |u AS (SELECT bucket, n_components, n_docs FROM b
+      |      UNION ALL SELECT '1', n, n FROM s)
+      |SELECT ab.bucket, coalesce(u.n_components, 0) AS n_components,
+      |  coalesce(u.n_docs, 0) AS n_docs
+      |FROM (SELECT unnest(['1', '2', '3-4', '5-8', '9+']) AS bucket) ab
+      |LEFT JOIN u USING (bucket)
+      |ORDER BY ab.bucket""".stripMargin
 
   /** Keeper CTE chain (labels → quality → ranked members) appended to
     * [[ccCtes]] — shared by the d14 oracle and the d21 unified-report

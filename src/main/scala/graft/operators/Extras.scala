@@ -851,6 +851,18 @@ object Extras {
   private val GINI_BIN_CENTS = 1000L
   private val GINI_NBINS = 16384L
 
+  /** int64 safety bound for q76's rank-mass statistics. Every int64 the
+    * kernel forms is bounded by 3·n²·max|cents| per type (R = Σ rnk·cents
+    * ≤ n²·maxc; n·S ≤ n²·maxc; |2R − (n+1)S| ≤ 3·n²·maxc), so the arm is
+    * safe iff that bound clears Long.MaxValue ≈ 9.22e18 — compared with
+    * margin at 8e18 to absorb the double-arithmetic slack of the bound
+    * itself. Above it, the kernel lifts to DECIMAL(38,0): exact to 1e38,
+    * i.e. ~3·10^16 users/type at $100 mean spend — 10 decades past the
+    * int64 cliff. Specs force the arms via the parameter (the
+    * GRAFT_RANK_BCAST_MAX precedent).
+    */
+  private[graft] val GINI_INT64_SAFE: Double = 8.0e18
+
   /** q76: revenue CONCENTRATION per event type — the Gini coefficient of
     * per-user spend, the inequality/concentration slot in the statistics
     * family (q55 moments, q74 trend, this distribution shape): "do 1% of
@@ -863,10 +875,14 @@ object Extras {
     * per-type bin-count frame gives each bin its rank base; a
     * (type, bin)-partitioned row_number finishes it; the two never put
     * a corpus-proportional partition through one task. (Residual
-    * concentration: one exact spend value held by a huge user mass
-    * lands in one (type, bin) partition — the t22 hazard; its
-    * chunk-decomposition upgrade applies verbatim if a corpus ever
-    * shows it.)
+    * concentration — stated precisely: a (type, bin) partition holds
+    * EVERY user whose total spend falls in the same GINI_BIN_CENTS-wide
+    * bin, not just one exact value, so a low-ARPU corpus where most
+    * users spend under $10 concentrates nearly the whole type into bin
+    * 0 — the corpus-proportional single-task window the census bans.
+    * Mitigation when a bin count crosses a hot threshold: shrink
+    * GINI_BIN_CENTS, or fine-split the hot bin on a second-level key —
+    * the t22 hot-bin dispatch pattern applies verbatim.)
     *
     * The sufficient statistics are exact int64: cents = floor(100·value),
     * rank mass R = Σ rank·cents, and the population Gini
@@ -877,23 +893,61 @@ object Extras {
     * (Spark ANSI long-overflow, DuckDB Out of Range) — while num and
     * den themselves convert to double losslessly far past that point.
     * Raw statistics ride along so partitions merge downstream without
-    * re-ranking. int64 envelope for R ~ n²·c̄/2: ~10^7 users per type
-    * at ~$100 mean spend; beyond, lift R to DECIMAL(38) (the q74
-    * note). Null values are excluded (a null price is an ingest
-    * defect, not zero spend).
+    * re-ranking. The int64 envelope for R ~ n²·c̄/2 (~10^7 users per
+    * type at ~$100 mean spend) is EXECUTABLE, not prose: the kernel
+    * computes the per-type worst case 3·n²·max|cents| from a bounded
+    * (≤|event_type|-row) aggregate over the already-checkpointed user
+    * frame and dispatches past [[GINI_INT64_SAFE]] to a DECIMAL(38,0)
+    * lift of the same statistics (exact; sum_cents/rank_mass surface as
+    * DECIMAL(38,0) there — a spec-only face, since every registered
+    * corpus sits below the envelope; the driver-hashed schema is
+    * all-BIGINT either way it is exercised). Below the envelope the
+    * plan is the pre-dispatch one plus one tiny scalar job, and the
+    * gini_ppm doubles are bit-identical across arms because both
+    * convert the EXACT num/den once. Null values are excluded (a null
+    * price is an ingest defect, not zero spend).
     */
   def revenueGini(s: SparkSession, d: String): DataFrame =
     revenueGiniOf(Tables.events(s, d))
 
-  /** q76 over any (user_id, event_type, value) frame (spec face). */
-  private[graft] def revenueGiniOf(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** q76 over any (user_id, event_type, value) frame (spec face).
+    * `int64SafeMax` forces the arm in specs: Double.MaxValue pins
+    * int64, a negative value pins the DECIMAL(38,0) lift.
+    */
+  private[graft] def revenueGiniOf(events: DataFrame,
+      int64SafeMax: Double = GINI_INT64_SAFE): DataFrame = {
+    // thin (type, user, cents) frame, checkpointed ONCE: serves the
+    // envelope scalar plus the kernel's two reads (bin counts + rank)
     val u = events.filter(col("value").isNotNull)
       .groupBy(col("event_type"), col("user_id"))
       .agg(sum(centsOf(col("value"))).as("cents"))
-      .withColumn("_gini_bin",
-        least(greatest(expr(s"cents div $GINI_BIN_CENTS"), lit(0L)),
-          lit(GINI_NBINS - 1)))
+      .localCheckpoint(true)
+    giniOfUserCents(u, int64SafeMax)
+  }
+
+  /** The shared Lorenz kernel over a folded (event_type, user_id, cents)
+    * frame — batch q76 and the streaming read
+    * ([[graft.streaming.StreamingGini]]) both end here, so the bin
+    * decomposition, the envelope dispatch and the ppm chain live once.
+    */
+  private[graft] def giniOfUserCents(users: DataFrame,
+      int64SafeMax: Double = GINI_INT64_SAFE): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // envelope scalar: the worst int64 the kernel will form, from a
+    // ≤|event_type|-row aggregate (bounded domain — the q-family
+    // stance) over the cached user frame. max() is null on an empty
+    // frame; coalesce keeps the empty corpus on the int64 arm.
+    val worst = users
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        max(abs(col("cents"))).cast("double").as("mc"))
+      .agg(coalesce(max(lit(3.0) * col("n") * col("n") * col("mc")),
+        lit(0.0)))
+      .head().getDouble(0)
+    val lift = worst > int64SafeMax
+    val u = users.withColumn("_gini_bin",
+      least(greatest(expr(s"cents div $GINI_BIN_CENTS"), lit(0L)),
+        lit(GINI_NBINS - 1)))
     val counts = u.groupBy(col("event_type"), col("_gini_bin"))
       .agg(count(lit(1)).as("bn"))
       .withColumn("prefix", coalesce(sum(col("bn")).over(
@@ -906,14 +960,25 @@ object Extras {
           .orderBy(col("cents"), col("user_id"))).cast("long"))
       .join(broadcast(counts), Seq("event_type", "_gini_bin"))
       .withColumn("rnk", col("prefix") + col("intra"))
-    ranked.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_users"),
-        sum(col("cents")).as("sum_cents"),
-        sum(col("rnk") * col("cents")).as("rank_mass"))
+    val stats =
+      if (!lift) ranked.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("cents")).as("sum_cents"),
+          sum(col("rnk") * col("cents")).as("rank_mass"))
+      else ranked.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("cents").cast("decimal(38,0)")).as("sum_cents"),
+          sum(col("rnk").cast("decimal(38,0)") *
+            col("cents").cast("decimal(38,0)")).as("rank_mass"))
+    stats
       .select(col("event_type"), col("n_users"), col("sum_cents"),
         col("rank_mass"),
         // population Gini in ppm; defined only for positive total mass.
         // ONE fixed IEEE chain — see Scaladoc for why not integer div.
+        // Both arms form num and den EXACTLY (int64 below the envelope,
+        // DECIMAL(38,0) above) and convert each once, so the doubles —
+        // hence the ppm — are bit-identical wherever both arms are
+        // defined (spec-pinned).
         expr(s"""CASE WHEN sum_cents <= 0 THEN CAST(0 AS BIGINT)
             ELSE CAST(floor(1000000.0 *
               CAST(2 * rank_mass - (n_users + 1) * sum_cents AS DOUBLE) /

@@ -156,9 +156,22 @@ object Graph {
     * two-sided shuffle. Static planning captures the real
     * HashPartitioning into LogicalRDD. Sequential-execution scope: the
     * toggle is session-global, safe here because operators plan one
-    * query at a time (the Verify/Bench/test harnesses are serial).
+    * query at a time (the Verify/Bench/test harnesses are serial) —
+    * and that invariant is now ENFORCED, not just documented: an active
+    * streaming query on the same session could have a microbatch PLAN
+    * while the toggle is down and silently come out non-adaptive, so
+    * the guard fails loudly instead (run graph co-regime operators on
+    * a session with no live streams — `s.newSession()` if needed; a
+    * cloned session is no help INSIDE here because a DataFrame plans
+    * against the session it was created from).
     */
   private def withStaticPlan[T](s: SparkSession)(f: => T): T = {
+    require(s.streams.active.isEmpty,
+      "withStaticPlan toggles session-global spark.sql.adaptive.enabled; " +
+        s"${s.streams.active.length} streaming quer(ies) are active on this " +
+        "session and could plan a microbatch non-adaptively while the " +
+        "toggle is down. Run the co-partitioned graph regime on a " +
+        "stream-free session (spark.newSession()).")
     val k = "spark.sql.adaptive.enabled"
     val prev = s.conf.get(k)
     s.conf.set(k, "false")
@@ -1072,17 +1085,28 @@ object Graph {
     * count `n` the peel already tracks — a CONSERVATIVE node bound
     * (every node has degree ≥ 1, so |survivors| ≤ |nodes| ≤ n) that
     * costs zero extra jobs and shrinks with the core. Above the ceiling
-    * the src-side semi-join rides the preserved src partitioning; the
-    * dst-side one re-exchanges the edges on dst — one edge shuffle per
-    * round, the honest price of filtering both endpoints where a
-    * broadcast no longer fits.
+    * the src-side semi-join rides the src partitioning — which the
+    * CALLER's frame (an adaptive checkpoint, UnknownPartitioning) does
+    * not expose, so the co regime re-lays edgesIn by src ONCE up front
+    * (amortized over every round of every k; without it round 1 of the
+    * first k re-exchanges the edge side). The dst-side semi-join still
+    * re-exchanges the edges on dst each round — the honest price of
+    * filtering both endpoints where a broadcast no longer fits. The
+    * up-front count that decides the relayout is k=2's initial peel
+    * count, and each k inherits the previous core's final count, so the
+    * restructure costs zero extra jobs (it REMOVED the per-k recount).
     */
   def kcoreCensusOf(edgesIn: DataFrame,
       bcastMax: Long = RANK_BCAST_MAX_NODES): DataFrame = {
-    var edges = edgesIn // symmetric, checkpointed by the caller
+    val n0 = edgesIn.count()
+    // symmetric, checkpointed by the caller; co regime: src layout made
+    // visible once, before any peel round reads it
+    var edges = if (n0 > bcastMax) relayoutPartitioned(edgesIn, col("src"))
+      else edgesIn
+    var nCarry = n0 // each k peels the previous core: count carries over
     val census = KCORE_KS.map { k =>
       var cur = edges
-      var n = cur.count()
+      var n = nCarry
       var fixed = false
       var round = 0
       while (!fixed && round < KCORE_CAP) {
@@ -1109,6 +1133,7 @@ object Graph {
         cur = next
       }
       edges = cur // the (k+1)-core peels from here
+      nCarry = n // ... starting at this already-known count
       val conv = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .agg(coalesce(min(col("deg")) >= k, lit(true)).as("converged"))
       cur.agg(countDistinct(col("src")).as("n_nodes"),

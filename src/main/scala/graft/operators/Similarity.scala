@@ -3193,10 +3193,11 @@ object Similarity {
   /** Seed nodes for the community propagation: the SAME vectors the
     * centroid build picks, keeping vec_id (label = their cell id).
     */
-  private[graft] def seedNodes(corpus: DataFrame): DataFrame =
+  private[graft] def seedNodes(corpus: DataFrame,
+      nCells: Int = N_CELLS): DataFrame =
     corpus.filter(col("vec_id") % 31L === 6L &&
         col("vec_id") < PLANT_ID_OFFSET)
-      .orderBy("vec_id").limit(N_CELLS)
+      .orderBy("vec_id").limit(nCells)
       .withColumn("label",
         row_number().over(Window.orderBy(col("vec_id"))).cast("long"))
       .select(col("vec_id").as("node"), col("label"))
@@ -3218,9 +3219,48 @@ object Similarity {
     * co-partition escalation note); the rollup is ≤ cells+1 rows.
     */
   def knnCommunities(s: SparkSession, d: String): DataFrame = {
-    val corpus = Tables.embeddings(s, d)
-      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
-    val cents = seedCentroids(corpus)
+    val emb = Tables.embeddings(s, d)
+    knnCommunitiesBody(emb, N_CELLS, emb.count())
+  }
+
+  /** g12: g09's PRODUCTION geometry — the cell count retrained to
+    * k ~ √N. g09's fixed [[N_CELLS]] = 16 makes |cell| ~ N/16, so its
+    * within-cell |cell|² candidate term is corpus-quadratic — the
+    * documented reason its 100× bench run was cut after 45 min and its
+    * scaling ledger carried a dash. The standard clustered-kNN-graph
+    * answer (the s21 Scaladoc's own bound) is retraining the index at
+    * k ~ √N cells: |cell| ~ √N, so candidates total N^1.5/k and the
+    * 100× run becomes measurable — this key exists so that answer is a
+    * REGISTERED, hash-oracled, three-scale-ledgered fact instead of a
+    * prose note. Cell count = max([[N_CELLS]], ⌊√N⌋) from the parquet
+    * footer count (free): the max keeps tiny corpora on g09's exact
+    * geometry (at sf0.001 the mod-31 candidate pool itself caps the
+    * build at 16 cells, mirrored by the oracle's row_number ≤ k), and
+    * the floor(sqrt) is computed identically in the oracle's scalar
+    * subquery, so the two engines can never train different ks.
+    *
+    * Everything downstream is g09's audited machinery verbatim —
+    * seedCentroids/assignToCells (2-probe), the shared kNN edge
+    * builder, [[graft.operators.Graph.lpaOn]]'s vote kernel with the
+    * broadcast-ceiling dispatch, and the same ≤cells+1-row rollup.
+    */
+  def knnCommunitiesSqrt(s: SparkSession, d: String): DataFrame =
+    knnCommunitiesOn(Tables.embeddings(s, d))
+
+  /** g12 over any embeddings frame (spec-injectable face). */
+  private[graft] def knnCommunitiesOn(emb: DataFrame): DataFrame = {
+    val n = emb.count()
+    knnCommunitiesBody(emb,
+      math.max(N_CELLS, math.sqrt(n.toDouble).toInt), n)
+  }
+
+  /** Shared g09/g12 body: the geometry (cell count) is the ONLY thing
+    * the two keys decide differently.
+    */
+  private def knnCommunitiesBody(emb: DataFrame, nCells: Int,
+      nCorpus: Long): DataFrame = {
+    val corpus = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val cents = seedCentroids(corpus, nCells)
     val resident = assignToCells(corpus, cents)
     val kedges = knnProbeEdges(assignToCells(corpus, cents, 2), resident,
       KNN_GRAPH_K).select(col("src"), col("dst"))
@@ -3228,14 +3268,14 @@ object Similarity {
     // broadcast ceiling; below it the plain checkpoint is the plan
     val edges = kedges.union(kedges.select(col("dst").as("src"),
       col("src").as("dst"))).distinct().localCheckpoint(true)
-    val seeds = seedNodes(corpus)
+    val seeds = seedNodes(corpus, nCells)
     // the g03 vote kernel itself (one implementation, Graph.lpaOn): per
     // round one edges⋈labels iterJoin — broadcast below the ~100M-node
     // ceiling, co-partitioned shuffle-hash above — + one dst-partitioned
     // two-level vote aggregate
     val labels = Graph.lpaOn(edges, seeds, rounds = KNN_COMM_ROUNDS,
       // dispatch bound: kNN-graph nodes ⊆ the corpus (footer count)
-      nNodesHint = Some(Tables.embeddings(s, d).count()))
+      nNodesHint = Some(nCorpus))
     resident.select(col("vec_id").as("node"), col("cell"))
       .join(labels, Seq("node"), "left")
       .select(col("node"), col("cell"), coalesce(col("label"), lit(-1L)).as("label"))
@@ -3296,10 +3336,63 @@ object Similarity {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** g12 oracle: g09's CTE chain with the ONE geometry change — the cell
+    * cap is the scalar subquery max(16, ⌊√N⌋) instead of the literal 16,
+    * computed from the same corpus the engine footer-counts.
+    */
+  lazy val knnCommunitiesSqrtSql: String = {
+    val round = (prev: String, k: Int) =>
+      s"""n$k AS (SELECT e.dst AS node, l.label, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM edges e JOIN $prev l ON l.node = e.src GROUP BY e.dst, l.label),
+         |v$k AS (SELECT node, label FROM n$k
+         |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) = 1),
+         |l$k AS MATERIALIZED (
+         |  SELECT v.node, v.label FROM v$k v
+         |    LEFT JOIN seeds s ON s.node = v.node WHERE s.node IS NULL
+         |  UNION ALL SELECT node, label FROM seeds)""".stripMargin
+    val rounds = (1 to KNN_COMM_ROUNDS).map(k =>
+      round(if (k == 1) "l0" else s"l${k - 1}", k)).mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qv FROM embeddings),
+       |nc AS (SELECT greatest($N_CELLS, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS k FROM embeddings),
+       |cents AS MATERIALIZED (SELECT cell, qv AS centroid FROM (
+       |  SELECT vec_id, qv, row_number() OVER (ORDER BY vec_id) AS cell
+       |  FROM v WHERE vec_id % 31 = 6) WHERE cell <= (SELECT k FROM nc)),
+       |asg AS MATERIALIZED (SELECT vec_id, qv, cell, r FROM (
+       |  SELECT v.vec_id, v.qv, cents.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      CAST(list_sum([v.qv[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
+       |        sqrt(CAST(list_sum([cents.centroid[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) DESC, cents.cell) AS r
+       |  FROM v CROSS JOIN cents) WHERE r <= 2),
+       |resident AS (SELECT vec_id, qv, cell FROM asg WHERE r = 1),
+       |probe AS (SELECT vec_id, qv, cell FROM asg),
+       |ke AS (SELECT src, dst FROM (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      CAST(list_sum([a.qv[i]*b.qv[i] FOR i IN range(1,65)]) AS DOUBLE) /
+       |        (sqrt(CAST(list_sum([a.qv[i]*a.qv[i] FOR i IN range(1,65)]) AS DOUBLE)) *
+       |         sqrt(CAST(list_sum([b.qv[i]*b.qv[i] FOR i IN range(1,65)]) AS DOUBLE))) DESC, b.vec_id) AS rank
+       |  FROM probe a JOIN resident b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+       |  WHERE rank <= $KNN_GRAPH_K),
+       |edges AS MATERIALIZED (SELECT src, dst FROM ke
+       |  UNION SELECT dst AS src, src AS dst FROM ke),
+       |seeds AS MATERIALIZED (SELECT vec_id AS node, CAST(cell AS BIGINT) AS label
+       |  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS cell
+       |        FROM v WHERE vec_id % 31 = 6) WHERE cell <= (SELECT k FROM nc)),
+       |l0 AS (SELECT node, label FROM seeds),
+       |$rounds
+       |SELECT coalesce(l.label, -1) AS label,
+       |  count(*) AS n_members,
+       |  CAST(count(DISTINCT m.cell) AS BIGINT) AS n_cells,
+       |  CAST(sum(m.vec_id) AS BIGINT) AS id_checksum
+       |FROM resident m LEFT JOIN l$KNN_COMM_ROUNDS l ON l.node = m.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s21_knn_graph" -> (knnGraph _),
     "s22_incremental_knn" -> (incrementalKnn _),
     "g09_knn_communities" -> (knnCommunities _),
+    "g12_knn_communities_sqrt" -> (knnCommunitiesSqrt _),
     "p22_index_health" -> (indexHealth _),
     "p23_health_from_store" -> (indexHealthFromStore _),
     "s19_rrf_fusion" -> ((s: SparkSession, d: String) => rrfFusion(s, d)),
@@ -3334,6 +3427,7 @@ object Similarity {
     "s21_knn_graph" -> knnGraphSql,
     "s22_incremental_knn" -> incrementalKnnSql,
     "g09_knn_communities" -> knnCommunitiesSql,
+    "g12_knn_communities_sqrt" -> knnCommunitiesSqrtSql,
     "p22_index_health" -> indexHealthSql,
     "p23_health_from_store" -> indexHealthSql,
     "s19_rrf_fusion" -> rrfFusionSql,
