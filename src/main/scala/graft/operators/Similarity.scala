@@ -3339,8 +3339,40 @@ object Similarity {
   /** g12 oracle: g09's CTE chain with the ONE geometry change — the cell
     * cap is the scalar subquery max(16, ⌊√N⌋) instead of the literal 16,
     * computed from the same corpus the engine footer-counts.
+    *
+    * Three memory-shape changes vs the g09 text (values identical):
+    * (a) the assignment ranks a THIN (vec_id, cell, score) frame and
+    * re-joins qv afterwards — carrying the 64-long qv lists through the
+    * N·k-row assignment window is harmless at 16 cells but at √N cells
+    * × the 100× corpus it is ~100 GB of window input (the first 100×
+    * oracle run was OOM-killed on exactly that); (b) norms are folded
+    * into the probe/resident frames BEFORE the pair join — exactly
+    * knnProbeEdges' own shape — and pair cosines are projected into
+    * their own MATERIALIZED (src, dst, cosine) CTE. Both halves are
+    * load-bearing at the 100× corpus: per-pair norm joins let the
+    * optimizer put the 1.8×10⁸-row qv-laden pair intermediate on a
+    * hash-join BUILD side, and an inlined `pe AS (...)` substitutes
+    * the cosine expression into the ranking sort key, dragging both
+    * 64-long qv lists into the sort input — each variant filled 75 GB
+    * of spill before being isolated; (c) the per-src top-k additionally
+    * runs in [[KE_ORACLE_SLICES]] src-residue slices, UNION ALLed, so
+    * each window sorts a quarter of the materialized pair frame —
+    * slicing the window's OWN partition key leaves rank-within-src
+    * untouched, so the union is exactly the unsliced result. (Engine
+    * side needs none of this: Spark's per-src rank window
+    * hash-partitions and spills; knnProbeEdges projects cosine before
+    * ranking; measured in SCALING_r15.)
     */
+  /** Slice count for the g12 oracle's per-src top-k (see Scaladoc (c)). */
+  private val KE_ORACLE_SLICES = 4
+
   lazy val knnCommunitiesSqrtSql: String = {
+    val keSlices = (0 until KE_ORACLE_SLICES).map(i =>
+      s"""  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rank
+         |    FROM pe WHERE src % $KE_ORACLE_SLICES = $i) WHERE rank <= $KNN_GRAPH_K"""
+        .stripMargin).mkString("\n  UNION ALL\n")
     val round = (prev: String, k: Int) =>
       s"""n$k AS (SELECT e.dst AS node, l.label, CAST(count(*) AS BIGINT) AS cnt
          |  FROM edges e JOIN $prev l ON l.node = e.src GROUP BY e.dst, l.label),
@@ -3357,22 +3389,29 @@ object Similarity {
        |cents AS MATERIALIZED (SELECT cell, qv AS centroid FROM (
        |  SELECT vec_id, qv, row_number() OVER (ORDER BY vec_id) AS cell
        |  FROM v WHERE vec_id % 31 = 6) WHERE cell <= (SELECT k FROM nc)),
-       |asg AS MATERIALIZED (SELECT vec_id, qv, cell, r FROM (
-       |  SELECT v.vec_id, v.qv, cents.cell,
-       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-       |      CAST(list_sum([v.qv[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
-       |        sqrt(CAST(list_sum([cents.centroid[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) DESC, cents.cell) AS r
-       |  FROM v CROSS JOIN cents) WHERE r <= 2),
-       |resident AS (SELECT vec_id, qv, cell FROM asg WHERE r = 1),
-       |probe AS (SELECT vec_id, qv, cell FROM asg),
-       |ke AS (SELECT src, dst FROM (
-       |  SELECT a.vec_id AS src, b.vec_id AS dst,
-       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
-       |      CAST(list_sum([a.qv[i]*b.qv[i] FOR i IN range(1,65)]) AS DOUBLE) /
-       |        (sqrt(CAST(list_sum([a.qv[i]*a.qv[i] FOR i IN range(1,65)]) AS DOUBLE)) *
-       |         sqrt(CAST(list_sum([b.qv[i]*b.qv[i] FOR i IN range(1,65)]) AS DOUBLE))) DESC, b.vec_id) AS rank
-       |  FROM probe a JOIN resident b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
-       |  WHERE rank <= $KNN_GRAPH_K),
+       |sc AS (SELECT v.vec_id, cents.cell,
+       |    CAST(list_sum([v.qv[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
+       |      sqrt(CAST(list_sum([cents.centroid[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) AS score
+       |  FROM v CROSS JOIN cents),
+       |asg AS MATERIALIZED (SELECT a.vec_id, v.qv, a.cell, a.r
+       |  FROM (SELECT vec_id, cell,
+       |          row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY score DESC, cell) AS r
+       |        FROM sc) a JOIN v ON v.vec_id = a.vec_id
+       |  WHERE a.r <= 2),
+       |nrm AS (SELECT vec_id,
+       |    sqrt(CAST(list_sum([qv[i]*qv[i] FOR i IN range(1,65)]) AS DOUBLE)) AS nrm
+       |  FROM v),
+       |resident AS MATERIALIZED (SELECT a.vec_id, a.qv, a.cell, n.nrm
+       |  FROM asg a JOIN nrm n ON n.vec_id = a.vec_id WHERE a.r = 1),
+       |probe AS MATERIALIZED (SELECT a.vec_id, a.qv, a.cell, n.nrm
+       |  FROM asg a JOIN nrm n ON n.vec_id = a.vec_id),
+       |pe AS MATERIALIZED (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    CAST(list_sum([a.qv[i]*b.qv[i] FOR i IN range(1,65)]) AS DOUBLE) /
+       |      (a.nrm * b.nrm) AS cosine
+       |  FROM probe a JOIN resident b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |ke AS (
+       |$keSlices),
        |edges AS MATERIALIZED (SELECT src, dst FROM ke
        |  UNION SELECT dst AS src, src AS dst FROM ke),
        |seeds AS MATERIALIZED (SELECT vec_id AS node, CAST(cell AS BIGINT) AS label

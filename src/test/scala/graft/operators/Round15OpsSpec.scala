@@ -128,4 +128,26 @@ class Round15OpsSpec extends SparkSpec {
       s"expected the 55 pinned √N seed labels, got ${labels.size} labels")
     assert(out.map(_.getLong(1)).sum == 3100L, "every vector rolled up once")
   }
+
+  test("withStaticPlan refuses to toggle AQE under an active stream") {
+    // the round-14 advice hazard: the static-plan toggle is session-
+    // global, so a streaming microbatch planning concurrently would
+    // silently come out non-adaptive. The guard must fail loudly.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val q = mem.toDF().writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("wsp").toString)
+      .format("noop").start()
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Graph.relayoutPartitioned(
+          spark.range(10).select(col("id").as("src")), col("src"))
+      }
+      assert(e.getMessage.contains("spark.sql.adaptive.enabled"))
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+        "the guard must fire BEFORE the toggle, leaving AQE untouched")
+    } finally q.stop()
+  }
 }

@@ -56,6 +56,11 @@ def canon(v):
 
 def main(sfdir, outdir):
     con = duckdb.connect()
+    # bounded memory + disk spill: an oracle that outgrows RAM must slow
+    # down or fail with a DuckDB OOM error, never get SIGKILLed by the
+    # host (which also loses buffered OK lines for already-checked keys)
+    con.sql("SET memory_limit='96GB'")
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         # driver testdata ships single-file tables; Spark-written corpora
         # (e.g. graft.ScaleData output) are part-file DIRECTORIES
@@ -69,7 +74,7 @@ def main(sfdir, outdir):
         # output dir — don't burn oracle time on queries that were never
         # dumped (the full-dump path checks everything as before)
         if not os.path.isdir(f"{outdir}/{name}"):
-            print(f"SKIP  {name:24s} (not dumped)")
+            print(f"SKIP  {name:24s} (not dumped)", flush=True)
             continue
         try:
             exp = con.sql(sql)
@@ -112,7 +117,7 @@ def main(sfdir, outdir):
             results[name] = ("ERROR", 0, str(ex)[:300])
     ok = sum(1 for s, _, _ in results.values() if s == "OK")
     for name, (status, n, detail) in sorted(results.items()):
-        print(f"{status:5s} {name:24s} rows={n:<7d} {detail[:220]}")
+        print(f"{status:5s} {name:24s} rows={n:<7d} {detail[:220]}", flush=True)
     print(f"== {ok}/{len(results)} oracle-checked queries match ==")
     return 0 if ok == len(results) else 1
 

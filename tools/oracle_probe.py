@@ -28,6 +28,8 @@ def main():
     keys = args[2:]
     con = duckdb.connect()
     con.sql(f"SET threads TO {threads}")
+    con.sql("SET memory_limit='96GB'")
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         path = f"{sfdir}/{t}.parquet"
         src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
