@@ -858,10 +858,24 @@ object Extras {
     * margin at 8e18 to absorb the double-arithmetic slack of the bound
     * itself. Above it, the kernel lifts to DECIMAL(38,0): exact to 1e38,
     * i.e. ~3·10^16 users/type at $100 mean spend — 10 decades past the
-    * int64 cliff. Specs force the arms via the parameter (the
-    * GRAFT_RANK_BCAST_MAX precedent).
+    * int64 cliff. Specs force the arms via the parameter; the
+    * `GRAFT_GINI_INT64_MAX` env override (the GRAFT_RANK_BCAST_MAX
+    * precedent) exists so the bench can PRICE the lift arm on a real
+    * corpus without planting one past 8e18 — production leaves it unset.
     */
-  private[graft] val GINI_INT64_SAFE: Double = 8.0e18
+  private[graft] val GINI_INT64_SAFE: Double =
+    sys.env.get("GRAFT_GINI_INT64_MAX").map(_.toDouble).getOrElse(8.0e18)
+
+  /** Bin population above which q76's (type, bin) rank window abandons
+    * the single per-bin row_number for the decomposed hot path — sized
+    * like [[graft.operators.TextOps.HOT_BIN_THRESHOLD]] (a task sorting
+    * this many thin rows is fine; a corpus-proportional partition is
+    * not). No registered corpus comes near it; the threshold exists for
+    * the low-ARPU shape where nearly every user of a type lands in one
+    * GINI_BIN_CENTS-wide bin. Specs force the path via the parameter.
+    */
+  private[graft] val GINI_HOT_BIN_USERS = 2000000L
+  private val GINI_TIE_CHUNK = 65536L // user_id chunk width inside one exact-cents tie
 
   /** q76: revenue CONCENTRATION per event type — the Gini coefficient of
     * per-user spend, the inequality/concentration slot in the statistics
@@ -874,15 +888,27 @@ object Extras {
     * DECOMPOSED (the p17/p24/t22 prefix-sum discipline): a ≤16,384-row
     * per-type bin-count frame gives each bin its rank base; a
     * (type, bin)-partitioned row_number finishes it; the two never put
-    * a corpus-proportional partition through one task. (Residual
-    * concentration — stated precisely: a (type, bin) partition holds
-    * EVERY user whose total spend falls in the same GINI_BIN_CENTS-wide
-    * bin, not just one exact value, so a low-ARPU corpus where most
-    * users spend under $10 concentrates nearly the whole type into bin
-    * 0 — the corpus-proportional single-task window the census bans.
-    * Mitigation when a bin count crosses a hot threshold: shrink
-    * GINI_BIN_CENTS, or fine-split the hot bin on a second-level key —
-    * the t22 hot-bin dispatch pattern applies verbatim.)
+    * a corpus-proportional partition through one task. Residual
+    * concentration — a (type, bin) partition holds EVERY user whose
+    * total spend falls in the same GINI_BIN_CENTS-wide bin, so a
+    * low-ARPU corpus where most users spend under $10 concentrates
+    * nearly the whole type into bin 0 — is now a DISPATCH, not prose
+    * (the t22/slicedRanks pattern applied verbatim): bins past
+    * [[GINI_HOT_BIN_USERS]] rank by decomposition — per-cents counts
+    * give each exact spend its offset inside the bin (a window over
+    * AGGREGATED rows, ≤ GINI_BIN_CENTS distinct values per non-clamp
+    * bin), user_id chunks split one exact-cents tie (the window input
+    * is one aggregated row per GINI_TIE_CHUNK-wide chunk, ≥65536-fold
+    * smaller than the tie), and a row_number over (type, cents, chunk)
+    * partitions of ≤~GINI_TIE_CHUNK rows finishes. The all-cold case —
+    * every corpus at healthy spread — keeps the ORIGINAL single-window
+    * plan verbatim (no hot aggregates, no union in the plan), decided
+    * from the bounded bin-census frame the kernel aggregates anyway.
+    * The only residual is a CLAMP bin (0 with unbounded negatives,
+    * NBINS−1 with unbounded spend) whose per-cents census is itself
+    * wide — but that census is aggregated rows (one per distinct cents,
+    * not per user), already ≥tie-size-fold below the raw partition the
+    * naive window would funnel.
     *
     * The sufficient statistics are exact int64: cents = floor(100·value),
     * rank mass R = Σ rank·cents, and the population Gini
@@ -898,11 +924,15 @@ object Extras {
     * computes the per-type worst case 3·n²·max|cents| from a bounded
     * (≤|event_type|-row) aggregate over the already-checkpointed user
     * frame and dispatches past [[GINI_INT64_SAFE]] to a DECIMAL(38,0)
-    * lift of the same statistics (exact; sum_cents/rank_mass surface as
-    * DECIMAL(38,0) there — a spec-only face, since every registered
-    * corpus sits below the envelope; the driver-hashed schema is
-    * all-BIGINT either way it is exercised). Below the envelope the
-    * plan is the pre-dispatch one plus one tiny scalar job, and the
+    * lift of the same statistics (exact). The TERMINAL schema is
+    * ARM-INDEPENDENT: sum_cents/rank_mass surface as STRING on both
+    * arms (a BIGINT and a scale-0 DECIMAL of the same value render the
+    * same digits in Spark and DuckDB alike), so the driver-hashed
+    * schema cannot flip with the data and the repo's terminal-DECIMAL
+    * lint holds by construction — the round-15 latent wart, closed.
+    * The numeric statistics stay on [[giniStatsOfUserCents]] (the spec
+    * face that pins the arm types and exactness). Below the envelope
+    * the plan is the pre-dispatch one plus one tiny scalar job, and the
     * gini_ppm doubles are bit-identical across arms because both
     * convert the EXACT num/den once. Null values are excluded (a null
     * price is an ingest defect, not zero spend).
@@ -913,25 +943,67 @@ object Extras {
   /** q76 over any (user_id, event_type, value) frame (spec face).
     * `int64SafeMax` forces the arm in specs: Double.MaxValue pins
     * int64, a negative value pins the DECIMAL(38,0) lift.
+    * `hotThreshold` forces the hot-bin decomposition the same way.
+    *
+    * Retention note (a repeatable-dashboard cost, not a leak): the user
+    * frame is localCheckpointed and the kernel runs an eager envelope
+    * scalar at construction time; the checkpoint's RDD blocks stay in
+    * executor storage until the driver-side reference is GC'd
+    * (ContextCleaner then drops them). A long-lived session issuing
+    * many reads carries a few recently-read rollups' worth of thin
+    * (type, user, cents) blocks between GCs — bounded, but not zero.
     */
   private[graft] def revenueGiniOf(events: DataFrame,
-      int64SafeMax: Double = GINI_INT64_SAFE): DataFrame = {
-    // thin (type, user, cents) frame, checkpointed ONCE: serves the
-    // envelope scalar plus the kernel's two reads (bin counts + rank)
-    val u = events.filter(col("value").isNotNull)
+      int64SafeMax: Double = GINI_INT64_SAFE,
+      hotThreshold: Long = GINI_HOT_BIN_USERS): DataFrame =
+    giniOfUserCents(userCentsOf(events), int64SafeMax, hotThreshold)
+
+  /** Numeric-statistics face over raw events (spec convenience — the
+    * arm pins live on the stats schema, which the registered face
+    * stringifies away).
+    */
+  private[graft] def revenueGiniStatsOf(events: DataFrame,
+      int64SafeMax: Double = GINI_INT64_SAFE,
+      hotThreshold: Long = GINI_HOT_BIN_USERS): DataFrame =
+    giniStatsOfUserCents(userCentsOf(events), int64SafeMax, hotThreshold)
+
+  /** The thin (type, user, cents) frame, checkpointed ONCE: serves the
+    * envelope scalar plus the kernel's two reads (bin census + rank).
+    */
+  private def userCentsOf(events: DataFrame): DataFrame =
+    events.filter(col("value").isNotNull)
       .groupBy(col("event_type"), col("user_id"))
       .agg(sum(centsOf(col("value"))).as("cents"))
       .localCheckpoint(true)
-    giniOfUserCents(u, int64SafeMax)
-  }
 
   /** The shared Lorenz kernel over a folded (event_type, user_id, cents)
     * frame — batch q76 and the streaming read
     * ([[graft.streaming.StreamingGini]]) both end here, so the bin
-    * decomposition, the envelope dispatch and the ppm chain live once.
+    * decomposition, the hot-bin dispatch, the envelope dispatch and the
+    * ppm chain live once. Terminal (arm-independent) schema: see
+    * [[revenueGini]]'s Scaladoc; numeric statistics live on
+    * [[giniStatsOfUserCents]].
     */
   private[graft] def giniOfUserCents(users: DataFrame,
-      int64SafeMax: Double = GINI_INT64_SAFE): DataFrame = {
+      int64SafeMax: Double = GINI_INT64_SAFE,
+      hotThreshold: Long = GINI_HOT_BIN_USERS): DataFrame =
+    giniStatsOfUserCents(users, int64SafeMax, hotThreshold)
+      .select(col("event_type"), col("n_users"),
+        col("sum_cents").cast("string").as("sum_cents"),
+        col("rank_mass").cast("string").as("rank_mass"),
+        col("gini_ppm"))
+      .orderBy("event_type")
+
+  /** Numeric-statistics face of the Lorenz kernel: sum_cents/rank_mass
+    * keep their arm type here (BIGINT below the envelope, DECIMAL(38,0)
+    * above) so specs can pin the dispatch and downstream mergers can
+    * combine partitions without re-ranking; the REGISTERED face
+    * ([[giniOfUserCents]]) stringifies them so the driver-hashed schema
+    * is stable whatever the data.
+    */
+  private[graft] def giniStatsOfUserCents(users: DataFrame,
+      int64SafeMax: Double = GINI_INT64_SAFE,
+      hotThreshold: Long = GINI_HOT_BIN_USERS): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // envelope scalar: the worst int64 the kernel will form, from a
     // ≤|event_type|-row aggregate (bounded domain — the q-family
@@ -948,18 +1020,73 @@ object Extras {
     val u = users.withColumn("_gini_bin",
       least(greatest(expr(s"cents div $GINI_BIN_CENTS"), lit(0L)),
         lit(GINI_NBINS - 1)))
-    val counts = u.groupBy(col("event_type"), col("_gini_bin"))
+    // bin census: bounded (≤ NBINS·|types| aggregated rows), checkpointed
+    // once — read by the hot dispatch scalar AND the rank join's
+    // broadcast build (the slicedRanks bases discipline)
+    val bases = u.groupBy(col("event_type"), col("_gini_bin"))
       .agg(count(lit(1)).as("bn"))
       .withColumn("prefix", coalesce(sum(col("bn")).over(
         Window.partitionBy(col("event_type")).orderBy(col("_gini_bin"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("event_type"), col("_gini_bin"), col("prefix"))
-    val ranked = u
-      .withColumn("intra", row_number().over(
-        Window.partitionBy(col("event_type"), col("_gini_bin"))
-          .orderBy(col("cents"), col("user_id"))).cast("long"))
-      .join(broadcast(counts), Seq("event_type", "_gini_bin"))
-      .withColumn("rnk", col("prefix") + col("intra"))
+      .withColumn("hot", col("bn") > hotThreshold)
+      .select(col("event_type"), col("_gini_bin"), col("prefix"), col("hot"))
+      .localCheckpoint(true)
+    // bounded driver scalar off the checkpointed bin census — DISPATCH,
+    // not insurance: the all-cold plan is the pre-dispatch one verbatim
+    val anyHot = bases.filter(col("hot")).limit(1).count() > 0L
+    val joined = u.join(broadcast(bases), Seq("event_type", "_gini_bin"))
+    val wBin = Window.partitionBy(col("event_type"), col("_gini_bin"))
+      .orderBy(col("cents"), col("user_id"))
+    val ranked =
+      if (!anyHot)
+        joined.withColumn("rnk",
+          col("prefix") + row_number().over(wBin).cast("long"))
+      else {
+        val cold = joined.filter(!col("hot"))
+          .withColumn("rnk",
+            col("prefix") + row_number().over(wBin).cast("long"))
+        // hot decomposition (see revenueGini Scaladoc): within the bin,
+        //   rank = #users with smaller cents        (cbase — window over
+        //                                            per-cents AGGREGATED rows)
+        //        + #tied users in earlier id chunks (tbase — window over
+        //                                            per-chunk AGGREGATED rows;
+        //                                            cents determines its bin,
+        //                                            so keying by (type, cents)
+        //                                            cannot mix bins)
+        //        + row_number within (type, cents, chunk) — ≤~chunk rows
+        val hot = joined.filter(col("hot"))
+          .withColumn("_chunk", expr(s"user_id div $GINI_TIE_CHUNK"))
+        val centsBase = hot.groupBy(col("event_type"), col("_gini_bin"),
+            col("cents"))
+          .agg(count(lit(1)).as("cn"))
+          .withColumn("cbase", coalesce(sum(col("cn")).over(
+            Window.partitionBy(col("event_type"), col("_gini_bin"))
+              .orderBy(col("cents"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("event_type"), col("_gini_bin"), col("cents"),
+            col("cbase"))
+        val tieBase = hot.groupBy(col("event_type"), col("cents"),
+            col("_chunk"))
+          .agg(count(lit(1)).as("tn"))
+          .withColumn("tbase", coalesce(sum(col("tn")).over(
+            Window.partitionBy(col("event_type"), col("cents"))
+              .orderBy(col("_chunk"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("event_type"), col("cents"), col("_chunk"),
+            col("tbase"))
+        val hotRanked = hot
+          .join(centsBase, Seq("event_type", "_gini_bin", "cents"))
+          .join(tieBase, Seq("event_type", "cents", "_chunk"))
+          .withColumn("rnk",
+            col("prefix") + col("cbase") + col("tbase") +
+              row_number().over(
+                Window.partitionBy(col("event_type"), col("cents"),
+                  col("_chunk")).orderBy(col("user_id"))).cast("long"))
+        cold.select(col("event_type"), col("user_id"), col("cents"),
+            col("rnk"))
+          .unionByName(hotRanked.select(col("event_type"), col("user_id"),
+            col("cents"), col("rnk")))
+      }
     val stats =
       if (!lift) ranked.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_users"),
@@ -989,6 +1116,8 @@ object Extras {
 
   /** q76 oracle: the ONE-WINDOW naive rank — the decomposed engine rank
     * equals it by construction (same total order (cents, user_id)).
+    * sum_cents/rank_mass are stringified exactly as the engine's
+    * terminal does (arm-independent schema — see [[revenueGini]]).
     */
   val revenueGiniSql: String =
     """WITH u AS (SELECT event_type, user_id,
@@ -1002,7 +1131,9 @@ object Extras {
       |    CAST(sum(cents) AS BIGINT) AS sum_cents,
       |    CAST(sum(rnk * cents) AS BIGINT) AS rank_mass
       |  FROM r GROUP BY 1)
-      |SELECT event_type, n_users, sum_cents, rank_mass,
+      |SELECT event_type, n_users,
+      |  CAST(sum_cents AS VARCHAR) AS sum_cents,
+      |  CAST(rank_mass AS VARCHAR) AS rank_mass,
       |  CAST(CASE WHEN sum_cents <= 0 THEN 0
       |    ELSE floor(1000000.0 *
       |      CAST(2 * rank_mass - (n_users + 1) * sum_cents AS DOUBLE) /

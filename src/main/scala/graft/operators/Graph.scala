@@ -1095,6 +1095,13 @@ object Graph {
     * up-front count that decides the relayout is k=2's initial peel
     * count, and each k inherits the previous core's final count, so the
     * restructure costs zero extra jobs (it REMOVED the per-k recount).
+    * To be explicit about the units (RANK_BCAST_MAX_NODES is a NODE
+    * ceiling): n0 and every carried n are EDGE-row counts used as a
+    * node UPPER bound, so the relayout — and the co regime generally —
+    * can fire one regime early by design (a graph whose first peel
+    * would drop it under the ceiling still pays the one statically
+    * planned relayout); the conservative direction is the safe one, a
+    * node UNDERCOUNT would broadcast a frame that doesn't fit.
     */
   def kcoreCensusOf(edgesIn: DataFrame,
       bcastMax: Long = RANK_BCAST_MAX_NODES): DataFrame = {

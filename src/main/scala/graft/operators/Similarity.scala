@@ -3361,7 +3361,7 @@ object Similarity {
     * untouched, so the union is exactly the unsliced result. (Engine
     * side needs none of this: Spark's per-src rank window
     * hash-partitions and spills; knnProbeEdges projects cosine before
-    * ranking; measured in SCALING_r15.)
+    * ranking; measured in SCALING_r16.json.)
     */
   /** Slice count for the g12 oracle's per-src top-k (see Scaladoc (c)). */
   private val KE_ORACLE_SLICES = 4

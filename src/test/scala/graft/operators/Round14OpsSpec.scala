@@ -79,10 +79,10 @@ class Round14OpsSpec extends SparkSpec {
             ELSE CAST(floor(1000000.0 * CAST(2*r - (n+1)*s AS DOUBLE) /
               CAST(n*s AS DOUBLE)) AS BIGINT) END""").as("g"))
       .collect()
-    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-      r.getLong(3), r.getLong(4))).toSeq ==
-      naive.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4))).toSeq)
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getString(2),
+      r.getString(3), r.getLong(4))).toSeq ==
+      naive.map(r => (r.getString(0), r.getLong(1), r.getLong(2).toString,
+        r.getLong(3).toString, r.getLong(4))).toSeq)
     // structural sanity on the planted shape: heavy concentration
     assert(got.head.getLong(4) > 500000L, "whale corpus must show Gini > 0.5")
   }

@@ -51,13 +51,29 @@ class Round15OpsSpec extends SparkSpec {
     }
 
   test("q76 envelope: both arms bit-equal where both are defined") {
-    val int64 = Extras.revenueGiniOf(normal, Double.MaxValue)
-    val lifted = Extras.revenueGiniOf(normal, -1.0)
+    val int64 = Extras.revenueGiniStatsOf(normal, Double.MaxValue)
+    val lifted = Extras.revenueGiniStatsOf(normal, -1.0)
     assert(int64.schema("rank_mass").dataType == LongType)
     assert(lifted.schema("rank_mass").dataType == DecimalType(38, 0))
     assert(asTuples(int64) == asTuples(lifted),
       "the DECIMAL(38,0) lift must reproduce the int64 arm exactly, " +
         "gini_ppm included (both convert the exact num/den once)")
+  }
+
+  test("q76 REGISTERED face: one schema and one result on both arms") {
+    // the round-15 latent wart, closed: the terminal stringifies
+    // sum_cents/rank_mass, so the driver-hashed schema cannot flip with
+    // the data (terminal DECIMAL is banned by QueryInventorySpec)
+    val int64 = Extras.revenueGiniOf(normal, Double.MaxValue)
+    val lifted = Extras.revenueGiniOf(normal, -1.0)
+    assert(int64.schema == lifted.schema, "arm-independent schema")
+    assert(int64.schema("sum_cents").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(int64.schema("rank_mass").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(int64.collect().toSeq.map(_.toSeq) ==
+      lifted.collect().toSeq.map(_.toSeq),
+      "the registered face is arm-invariant in values too")
   }
 
   test("q76 envelope: the crossing corpus overflows int64 loudly, " +
@@ -76,7 +92,7 @@ class Round15OpsSpec extends SparkSpec {
       m.contains("ARITHMETIC")), s"expected long overflow, got: ${chain(e)}")
     // auto dispatch: the worst-case scalar (3·n²·maxc ≈ 1.2e20 > 8e18)
     // must pick the lift without being told
-    val auto = Extras.revenueGiniOf(crossing)
+    val auto = Extras.revenueGiniStatsOf(crossing)
     assert(auto.schema("rank_mass").dataType == DecimalType(38, 0),
       "dispatch must lift past the envelope")
     val row = auto.collect().head
@@ -92,10 +108,14 @@ class Round15OpsSpec extends SparkSpec {
     assert(BigInt(row.getDecimal(3).toBigInteger) == r,
       "rank mass past the int64 cliff must be EXACT, not approximated")
     assert(row.getLong(4) == ppm)
+    // the registered face surfaces the lifted statistics as the same
+    // digit strings an int64 arm would have produced
+    val pub = Extras.revenueGiniOf(crossing).collect().head
+    assert(pub.getString(2) == s.toString && pub.getString(3) == r.toString)
   }
 
   test("q76 envelope: a normal corpus stays on the int64 arm") {
-    assert(Extras.revenueGiniOf(normal).schema("rank_mass").dataType
+    assert(Extras.revenueGiniStatsOf(normal).schema("rank_mass").dataType
       == LongType, "below the envelope the plan must not change")
   }
 

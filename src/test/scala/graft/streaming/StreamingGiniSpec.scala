@@ -70,7 +70,15 @@ class StreamingGiniSpec extends SparkSpec {
     StreamingGini.absorb(df(big.take(90)), 0L, path)
     StreamingGini.absorb(df(big.drop(90)), 1L, path)
     val auto = StreamingGini.gini(spark, path)
-    assert(auto.schema("rank_mass").dataType == DecimalType(38, 0),
+    // the registered read keeps the arm-independent string schema; the
+    // lift itself is pinned on the numeric stats face over the SAME
+    // folded rollup the read consumes
+    assert(auto.schema("rank_mass").dataType ==
+      org.apache.spark.sql.types.StringType,
+      "the read's schema must not flip with the data")
+    assert(Extras.giniStatsOfUserCents(
+        StreamingGini.currentRollup(spark, path).localCheckpoint(true))
+      .schema("rank_mass").dataType == DecimalType(38, 0),
       "the folded rollup crosses the envelope → the read must lift")
     assert(collected(auto) ==
       collected(Extras.revenueGiniOf(df(big))),

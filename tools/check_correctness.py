@@ -23,6 +23,9 @@ import sys
 import duckdb
 import pyarrow.parquet as pq
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import duck_env
+
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
@@ -58,9 +61,10 @@ def main(sfdir, outdir):
     con = duckdb.connect()
     # bounded memory + disk spill: an oracle that outgrows RAM must slow
     # down or fail with a DuckDB OOM error, never get SIGKILLed by the
-    # host (which also loses buffered OK lines for already-checked keys)
-    con.sql("SET memory_limit='96GB'")
-    con.sql("SET temp_directory='/tmp/duckdb_spill'")
+    # host (which also loses buffered OK lines for already-checked keys).
+    # The limit tracks MemAvailable and the spill dir is per-process —
+    # see duck_env.py.
+    duck_env.configure(con)
     for t in TABLES:
         # driver testdata ships single-file tables; Spark-written corpora
         # (e.g. graft.ScaleData output) are part-file DIRECTORIES

@@ -14,6 +14,9 @@ import time
 
 import duckdb
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import duck_env
+
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
@@ -28,8 +31,8 @@ def main():
     keys = args[2:]
     con = duckdb.connect()
     con.sql(f"SET threads TO {threads}")
-    con.sql("SET memory_limit='96GB'")
-    con.sql("SET temp_directory='/tmp/duckdb_spill'")
+    # RAM-derived limit + per-process spill dir (round-15 advice)
+    duck_env.configure(con)
     for t in TABLES:
         path = f"{sfdir}/{t}.parquet"
         src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
