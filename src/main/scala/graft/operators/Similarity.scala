@@ -3427,7 +3427,204 @@ object Similarity {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------- s27 margin-based mining
+  /** Ratio-margin neighborhood size — the k of Artetxe & Schwenk 2019
+    * ("Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings", the LASER/CCMatrix miner).
+    */
+  val MARGIN_K = 4
+  /** Mining threshold: keep mutual-best pairs with margin ≥ 1.05 (in
+    * ppm) — the paper's typical operating point; at sf0.01 the mined
+    * margins span ~1.01–1.51, so the threshold does real selection.
+    */
+  val MARGIN_MIN_PPM = 1050000L
+
+  /** s27: margin-based cross-side alignment mining — the parallel-corpus
+    * miner behind CCMatrix/WikiMatrix: for every candidate pair (x, y)
+    * across two disjoint corpus sides, score
+    * margin(x,y) = cos(x,y) / ((avgNN_k(x) + avgNN_k(y)) / 2) — the
+    * RATIO margin, which normalizes away hubness (a vector whose whole
+    * neighborhood is close scores low even when its best cosine is
+    * high; the s16 diagnostic turned into a miner) — and keep the pairs
+    * that are MUTUAL best matches above [[MARGIN_MIN_PPM]]. The two
+    * sides here are the vec_id parity classes (the deterministic
+    * stand-in on the unlabeled test corpus — in a multilingual corpus
+    * the side key is the language column, and nothing below depends on
+    * how the side is derived).
+    *
+    * Candidates come from the g12 production geometry — √N-cell IVF,
+    * 2-probe, candidates only within shared cells (~N^1.5/k total,
+    * never all-pairs) — probed in BOTH directions (x's probe cells into
+    * y's residency and vice versa) so a cross-side pair straddling a
+    * cell boundary is still found, exactly the reason g09/g12 probe
+    * with nProbe = 2.
+    *
+    * Numeric contract: cosines quantize to ppm (one IEEE chain both
+    * engines share — see the header) BEFORE any aggregation, so the
+    * k-NN sums, the integer-average denominators and the margin are
+    * exact int64 arithmetic — summing raw doubles across k neighbors
+    * would be aggregation-order-dependent and break the hash oracle.
+    * |2·cos_ppm·10⁶| ≤ 2e12, far from overflow.
+    *
+    * Scale shape: one √N-cell equi-join per direction builds the thin
+    * (src, dst, cos_ppm) candidate frame — 3 longs per row — which then
+    * flows through ONE pipeline: a src-partitioned window stage (k-NN
+    * rank + conditional sum attach avgNN(src) to every pair), a
+    * dst-partitioned window stage (same for dst, then the margin and
+    * the backward-best flag ride the SAME exchange), and a final
+    * src-partitioned stage for the forward-best flag — three exchanges
+    * of the candidate frame total, ZERO joins, ZERO materialization.
+    * The first formulation (localCheckpoint the candidates, two
+    * grouped k-NN aggregates, join both back) was measurably worse in
+    * exactly the way the q76 retention note predicts: at the 100×
+    * corpus the ~tens-of-GB checkpoint accumulated across bench reps
+    * until the heap died — windows attach the neighborhood statistics
+    * without ever storing the frame. All windows partition by a vector
+    * id (per-node fan-out ≤ 2·|cell|, bounded by the geometry, never
+    * corpus-proportional).
+    */
+  def marginMining(s: SparkSession, d: String): DataFrame =
+    marginMiningOn(Tables.embeddings(s, d))
+
+  /** s27 over any (vec_id, embedding) frame (spec-injectable face). */
+  private[graft] def marginMiningOn(emb: DataFrame): DataFrame = {
+    val n = emb.count()
+    val nCells = math.max(N_CELLS, math.sqrt(n.toDouble).toInt)
+    val corpus = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val cents = seedCentroids(corpus, nCells)
+    val resident = assignToCells(corpus, cents)
+    val probes = assignToCells(corpus, cents, 2)
+    def side(df: DataFrame, par: Int): DataFrame =
+      df.filter(col("vec_id") % 2 === par)
+    // (even src, odd dst, cos_ppm) within a shared cell; `a` may carry
+    // ≤2 rows per vec_id (probe side) — the duplicate pair surfaces
+    // with an IDENTICAL cos_ppm, so the distinct dedups exactly
+    def cosPairs(a: DataFrame, b: DataFrame): DataFrame = {
+      val aa = a.withColumn("nrm",
+        sqrt(qdot(col("qv"), col("qv")).cast("double")))
+      val bb = b.withColumn("nrm",
+        sqrt(qdot(col("qv"), col("qv")).cast("double")))
+      aa.as("a").join(bb.as("b"), col("a.cell") === col("b.cell"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+          floor(lit(1000000.0) *
+            (qdot(col("a.qv"), col("b.qv")).cast("double") /
+              (col("a.nrm") * col("b.nrm")))).cast("long").as("cos_ppm"))
+    }
+    val pairs = cosPairs(side(probes, 0), side(resident, 1))
+      .unionByName(cosPairs(side(resident, 0), side(probes, 1)))
+      .distinct()
+    // stage 1 (src exchange): k-NN rank by cosine, then the
+    // conditional sum/count attach avgNN(src) to EVERY pair of that
+    // src — same exchange, second window function
+    val wSrcCos = Window.partitionBy(col("src"))
+      .orderBy(col("cos_ppm").desc, col("dst"))
+    val wSrcAll = Window.partitionBy(col("src"))
+    val withA = pairs
+      .withColumn("ra", row_number().over(wSrcCos))
+      .withColumn("sa", sum(when(col("ra") <= MARGIN_K,
+        col("cos_ppm"))).over(wSrcAll))
+      .withColumn("ca", sum(when(col("ra") <= MARGIN_K, 1L)).over(wSrcAll))
+    // stage 2 (dst exchange): same for dst; the margin — ratio margin
+    // in exact ppm: den = avgNN(src) + avgNN(dst), both integer
+    // averages (div), margin = 2·cos·10⁶ div den, a non-positive den
+    // (all-negative neighborhoods) excluded in both engines — and the
+    // backward-best flag ride the same exchange (the filter preserves
+    // the dst partitioning, so the second window adds a sort, not a
+    // shuffle)
+    val wDstCos = Window.partitionBy(col("dst"))
+      .orderBy(col("cos_ppm").desc, col("src"))
+    val wDstAll = Window.partitionBy(col("dst"))
+    val m = withA
+      .withColumn("rb", row_number().over(wDstCos))
+      .withColumn("sb", sum(when(col("rb") <= MARGIN_K,
+        col("cos_ppm"))).over(wDstAll))
+      .withColumn("cb", sum(when(col("rb") <= MARGIN_K, 1L)).over(wDstAll))
+      .withColumn("den", expr("(sa div ca) + (sb div cb)"))
+      .filter(col("den") > 0)
+      .withColumn("margin_ppm", expr("(2 * cos_ppm * 1000000) div den"))
+      .withColumn("bwd", row_number().over(
+        Window.partitionBy(col("dst"))
+          .orderBy(col("margin_ppm").desc, col("src"))))
+    // stage 3 (src exchange): forward-best flag, then the mutual +
+    // threshold filter — no join anywhere
+    m.withColumn("fwd", row_number().over(
+        Window.partitionBy(col("src"))
+          .orderBy(col("margin_ppm").desc, col("dst"))))
+      .filter(col("fwd") === 1 && col("bwd") === 1 &&
+        col("margin_ppm") >= MARGIN_MIN_PPM)
+      .select("src", "dst", "cos_ppm", "margin_ppm")
+      .orderBy("src")
+  }
+
+  /** s27 oracle: the g12 CTE prefix (√N scalar-subquery geometry,
+    * 2-probe assignment) restricted per side, both candidate
+    * directions, then the same ppm quantization, integer k-NN
+    * averages, margin, mutual-best filter and threshold.
+    */
+  lazy val marginMiningSql: String =
+    s"""WITH v AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) FOR x IN embedding] AS qv FROM embeddings),
+       |nc AS (SELECT greatest($N_CELLS, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS k FROM embeddings),
+       |cents AS MATERIALIZED (SELECT cell, qv AS centroid FROM (
+       |  SELECT vec_id, qv, row_number() OVER (ORDER BY vec_id) AS cell
+       |  FROM v WHERE vec_id % 31 = 6) WHERE cell <= (SELECT k FROM nc)),
+       |sc AS (SELECT v.vec_id, cents.cell,
+       |    CAST(list_sum([v.qv[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE) /
+       |      sqrt(CAST(list_sum([cents.centroid[i]*cents.centroid[i] FOR i IN range(1,65)]) AS DOUBLE)) AS score
+       |  FROM v CROSS JOIN cents),
+       |asg AS MATERIALIZED (SELECT a.vec_id, v.qv, a.cell, a.r
+       |  FROM (SELECT vec_id, cell,
+       |          row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY score DESC, cell) AS r
+       |        FROM sc) a JOIN v ON v.vec_id = a.vec_id
+       |  WHERE a.r <= 2),
+       |nrm AS (SELECT vec_id,
+       |    sqrt(CAST(list_sum([qv[i]*qv[i] FOR i IN range(1,65)]) AS DOUBLE)) AS nrm
+       |  FROM v),
+       |resident AS MATERIALIZED (SELECT a.vec_id, a.qv, a.cell, n.nrm
+       |  FROM asg a JOIN nrm n ON n.vec_id = a.vec_id WHERE a.r = 1),
+       |probe AS MATERIALIZED (SELECT a.vec_id, a.qv, a.cell, n.nrm
+       |  FROM asg a JOIN nrm n ON n.vec_id = a.vec_id),
+       |pab AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    CAST(floor(1000000.0 *
+       |      (CAST(list_sum([a.qv[i]*b.qv[i] FOR i IN range(1,65)]) AS DOUBLE) /
+       |        (a.nrm * b.nrm))) AS BIGINT) AS cos_ppm
+       |  FROM probe a JOIN resident b ON a.cell = b.cell
+       |   AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+       |pba AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    CAST(floor(1000000.0 *
+       |      (CAST(list_sum([a.qv[i]*b.qv[i] FOR i IN range(1,65)]) AS DOUBLE) /
+       |        (a.nrm * b.nrm))) AS BIGINT) AS cos_ppm
+       |  FROM resident a JOIN probe b ON a.cell = b.cell
+       |   AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+       |pairs AS MATERIALIZED (SELECT DISTINCT src, dst, cos_ppm FROM
+       |  (SELECT * FROM pab UNION ALL SELECT * FROM pba)),
+       |ka AS (SELECT src, CAST(sum(cos_ppm) AS BIGINT) AS sa, count(*) AS ca FROM (
+       |  SELECT src, cos_ppm, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos_ppm DESC, dst) AS r
+       |  FROM pairs) WHERE r <= $MARGIN_K GROUP BY src),
+       |kb AS (SELECT dst, CAST(sum(cos_ppm) AS BIGINT) AS sb, count(*) AS cb FROM (
+       |  SELECT dst, cos_ppm, src,
+       |    row_number() OVER (PARTITION BY dst ORDER BY cos_ppm DESC, src) AS r
+       |  FROM pairs) WHERE r <= $MARGIN_K GROUP BY dst),
+       |m AS MATERIALIZED (SELECT p.src, p.dst, p.cos_ppm,
+       |    (2 * p.cos_ppm * 1000000) // ((ka.sa // ka.ca) + (kb.sb // kb.cb)) AS margin_ppm
+       |  FROM pairs p JOIN ka ON ka.src = p.src JOIN kb ON kb.dst = p.dst
+       |  WHERE (ka.sa // ka.ca) + (kb.sb // kb.cb) > 0),
+       |fwd AS (SELECT src, dst, cos_ppm, margin_ppm FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY src
+       |                               ORDER BY margin_ppm DESC, dst) AS r
+       |  FROM m) WHERE r = 1),
+       |bwd AS (SELECT src, dst FROM (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY dst
+       |                                      ORDER BY margin_ppm DESC, src) AS r
+       |  FROM m) WHERE r = 1)
+       |SELECT src, dst, cos_ppm, margin_ppm
+       |FROM fwd JOIN bwd USING (src, dst)
+       |WHERE margin_ppm >= $MARGIN_MIN_PPM
+       |ORDER BY src""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s27_margin_mining" -> (marginMining _),
     "s21_knn_graph" -> (knnGraph _),
     "s22_incremental_knn" -> (incrementalKnn _),
     "g09_knn_communities" -> (knnCommunities _),
@@ -3463,6 +3660,7 @@ object Similarity {
     "d06_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDupPairsSeeded(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "s27_margin_mining" -> marginMiningSql,
     "s21_knn_graph" -> knnGraphSql,
     "s22_incremental_knn" -> incrementalKnnSql,
     "g09_knn_communities" -> knnCommunitiesSql,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types.StringType
 
 import graft.SparkSpec
@@ -63,5 +64,60 @@ class Round16OpsSpec extends SparkSpec {
     val df = Extras.revenueGiniOf(lowArpu)
     assert(df.schema("sum_cents").dataType == StringType)
     assert(df.schema("rank_mass").dataType == StringType)
+  }
+
+  // ----------------------------------------------- s27 margin mining
+  /** Planted corpus for the Artetxe–Schwenk miner, 60 vectors:
+    *   - ids 40–49: five true parallel pairs (2m, 2m+1) — same one-hot
+    *     base dim (id div 2), the odd side offset by 0.01 in dim 60 so
+    *     the pair members are distinct but near-identical;
+    *   - ids 50–58 even + 51: a HUB — five even-side near-copies of
+    *     the single odd vector 51 (shared dim 30, id-jittered dim 61);
+    *     every copy's forward best is 51, so mutual-best must keep
+    *     exactly ONE pair, and the hub's saturated own-neighborhood
+    *     (avgNN ≈ 1) must drag its margin BELOW a clean pair's even
+    *     though the cosines are equally ≈ 1 — the hubness
+    *     normalization that distinguishes the ratio margin from plain
+    *     cosine thresholding;
+    *   - everything else: one-hot background at dim 32 + id % 20;
+    *     even ids land on even residues and odd ids on odd, so every
+    *     cross-side background cosine is exactly 0 → k-NN sums are 0,
+    *     the denominator guard excludes them, and the background mines
+    *     NOTHING (the no-false-positives face).
+    */
+  private lazy val minable = spark.range(60).select(
+    col("id").as("vec_id"),
+    expr("""transform(sequence(0, 63), d -> CAST(CASE
+        WHEN id BETWEEN 40 AND 49 THEN
+          CASE WHEN d = CAST(id / 2 AS INT) THEN 1.0
+               WHEN d = 60 THEN 0.01 * (id % 2) ELSE 0.0 END
+        WHEN id = 51 OR (id BETWEEN 50 AND 58 AND id % 2 = 0) THEN
+          CASE WHEN d = 30 THEN 1.0
+               WHEN d = 61 THEN 0.001 * id ELSE 0.0 END
+        ELSE CASE WHEN d = 32 + id % 20 THEN 1.0 ELSE 0.0 END
+      END AS FLOAT))""").as("embedding"))
+
+  test("s27: planted parallel pairs are mined, the hub collapses to " +
+      "one mutual pair, background mines nothing") {
+    val out = Similarity.marginMiningOn(minable).collect()
+    val mined = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mined == Set((40L, 41L), (42L, 43L), (44L, 45L), (46L, 47L),
+      (48L, 49L), (50L, 51L)),
+      s"expected the five planted pairs + exactly one hub pair, got $mined")
+    // mutual-best is 1:1 by construction — no src or dst repeats
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    assert(out.map(_.getLong(1)).distinct.length == out.length)
+    val margin = out.map(r => (r.getLong(0), r.getLong(3))).toMap
+    // hubness normalization: the hub pair's cosine is as high as a
+    // clean pair's, but its margin must be LOWER (the hub's own
+    // neighborhood average ≈ 1 inflates the denominator)
+    assert(margin(50L) < margin(40L),
+      s"hub margin ${margin(50L)} must undercut clean-pair ${margin(40L)}")
+    assert(out.forall(_.getLong(3) >= Similarity.MARGIN_MIN_PPM))
+  }
+
+  test("s27: a single-side corpus mines nothing (and does not crash)") {
+    val oneSide = minable.filter(col("vec_id") % 2 === 0)
+    assert(Similarity.marginMiningOn(oneSide).collect().isEmpty)
   }
 }
