@@ -436,17 +436,36 @@ object Graph {
     // cutoff needs the corpus size before the plan is built
     val minSupport = math.max(MIN_SUPPORT_FLOOR,
       Tables.orders(s, d).count() * SUPPORT_PPM / 1000000L)
-    val so = Tables.lineitem(s, d)
+    // Support pairs as AGGREGATION, not a self-join (the g06/d03 posting
+    // shape): one exchange by orderkey carries the (ok, sk) distinct AND
+    // the per-order supplier-list collect (subset rule), and co-order
+    // pairs are the ordered combinations of each order's sorted list —
+    // the former so⋈so self-join broadcast the full distinct frame
+    // (34 MB at sf0.1; broadcast-infeasible at scale, where it would
+    // decay to an SMJ with two corpus sorts) to emit the same pair rows
+    // into the same (u, v) support aggregate. Per-order supplier count
+    // is a data property (≤ lines per order), so the list explode is
+    // C(order size, 2)-bounded exactly as the join output was.
+    // explicit partition count (session shuffle parallelism): the stage
+    // reading this exchange explodes per-order supplier lists into pair
+    // rows — AQE's bytes-based coalesce starves it (measured: 6-wide on
+    // 32 cores at sf0.1; the g06 note has the full rationale)
+    val sp = s.sessionState.conf.numShufflePartitions
+    val pairs = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .distinct()
-    val a = so.select(col("ok"), col("sk").as("u"))
-    val b = so.select(col("ok").as("ok2"), col("sk").as("v"))
-    val pairs = a.join(b, col("ok") === col("ok2") && col("u") < col("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+      .repartition(sp, col("ok"))
+      .distinct() // rides the hash(ok) layout — no second exchange
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_list(col("sk"))).as("sks"))
+      .select(explode(flatten(transform(col("sks"), (x, i) =>
+        transform(slice(col("sks"), i + 2, size(col("sks"))),
+          y => struct(x.as("u"), y.as("v")))))).as("pr"))
+      .groupBy(col("pr.u").as("u"), col("pr.v").as("v"))
+      .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
       .select(col("u"), col("v"))
       // the deg build side and the orientation probe are separate
-      // executions of the support join without this (the oracle's
+      // executions of the support pipeline without this (the oracle's
       // MATERIALIZED pairs CTE mirrors it)
       .localCheckpoint(true)
     // explode, not union(u-side, v-side): a union would execute the whole
@@ -461,6 +480,11 @@ object Graph {
     val oriented = pairs.join(du, "u").join(dv, "v")
       .select(when(lowFirst, col("u")).otherwise(col("v")).as("es"),
               when(lowFirst, col("v")).otherwise(col("u")).as("et"))
+      // repartition BEFORE the checkpoint (the tradeEdges discipline):
+      // without it the checkpoint freezes AQE's coalescing — measured
+      // ONE partition at sf0.1 — and the wedge join's O(m^1.5) explode
+      // stage, the key's dominant cost, runs single-task
+      .repartition(sp, col("es"))
       .localCheckpoint(true) // three self-join arms share one computation
     val e1 = oriented.select(col("es").as("a1"), col("et").as("b1"))
     val e2 = oriented.select(col("es").as("a2"), col("et").as("c2"))
@@ -816,28 +840,59 @@ object Graph {
     * [[LINK_TOPK]] rows).
     */
   def linkPrediction(s: SparkSession, d: String): DataFrame =
-    // checkpointed: the degree aggregate and both wedge arms are three
-    // consumers of the orders⋈lineitem distinct (the g05 rationale)
+    // no checkpoint, no pre-distinct: the kernel consumes the raw join
+    // output exactly once and dedups on the one exchange it pays
     linkPredictionOf(
       Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-        .distinct()
-        .localCheckpoint(),
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p")),
       WEDGE_CAP, LINK_TOPK)
 
-  /** g06 over any distinct (c, p) bipartite edge frame (spec face). */
+  /** g06 over any (c, p) bipartite edge frame — rows need not be
+    * pre-distincted; the kernel dedups on the one exchange it pays.
+    *
+    * Pair generation as AGGREGATION, not a self-join (the d03 posting
+    * shape): ONE exchange by part carries the whole candidate pipeline —
+    * the (c, p) distinct, the degree cap, and the posting-list collect
+    * all cluster on `p` (subset rule: hash(p) co-locates every (c, p)
+    * group), so they run in one post-shuffle stage, and pairs are the
+    * ordered combinations of each part's sorted, CAPPED customer list.
+    * The former self-join form re-read the part exchange twice, paid two
+    * corpus-scale sorts + an SMJ, and broadcast a per-part weight table,
+    * all to emit the same pair rows into the same (cust_a, cust_b)
+    * aggregate (profiled at sf0.1: the two 8-s sort pipelines were the
+    * dominant cost; at broadcast-infeasible scale the weight join would
+    * have been a third shuffle). The cap is applied by a whole-partition
+    * count window BEFORE collect_list materializes anything (the d03
+    * windowedPostings discipline), so a hub part never builds its list.
+    */
   private[graft] def linkPredictionOf(e: DataFrame, cap: Long,
       topk: Int): DataFrame = {
-    val ok = e.groupBy("p").agg(count(lit(1)).as("dg"))
-      .filter(col("dg") <= cap)
-      .select(col("p"), expr("1000000000 div dg").as("w"))
-    val ec = e.join(ok, "p") // cap before the wedge join
-    ec.select(col("p"), col("c").as("cust_a"), col("w"))
-      .join(ec.select(col("p"), col("c").as("cust_b")), "p")
-      .filter(col("cust_a") < col("cust_b"))
-      .groupBy("cust_a", "cust_b")
+    import org.apache.spark.sql.expressions.Window
+    // Explicit partition count = the session's configured shuffle
+    // parallelism, NOT the AQE-coalescible default: the stage reading
+    // this exchange fans each part's posting out into C(|posting|, 2)
+    // pair rows (up to ~cap²/2 per input group), and AQE's bytes-based
+    // coalesce sees only the thin (p, c) input — measured at sf0.1 it
+    // coalesced the read to 5 partitions and the explode+partial-agg
+    // stage (the key's dominant cost) ran 5-wide on 32 cores. Same
+    // hazard class as the tradeEdges pre-checkpoint repartition note.
+    val sp = e.sparkSession.sessionState.conf.numShufflePartitions
+    val capped = e.select(col("p"), col("c"))
+      .repartition(sp, col("p"))
+      .distinct() // (p, c) dedup rides the hash(p) layout — no 2nd exchange
+      .withColumn("dg", count(lit(1)).over(Window.partitionBy("p")))
+      .filter(col("dg") <= cap) // cap BEFORE the posting list materializes
+    capped.groupBy(col("p"))
+      .agg(sort_array(collect_list(col("c"))).as("cs"))
+      // dg survived the filter, so size(cs) = dg exactly; 1e9 div dg is
+      // the resource-allocation weight of every pair sharing this part
+      .select(explode(flatten(transform(col("cs"), (x, i) =>
+          transform(slice(col("cs"), i + 2, size(col("cs"))),
+            y => struct(x.as("cust_a"), y.as("cust_b")))))).as("pr"),
+        expr("CAST(1000000000 div size(cs) AS BIGINT)").as("w"))
+      .groupBy(col("pr.cust_a").as("cust_a"), col("pr.cust_b").as("cust_b"))
       .agg(count(lit(1)).as("common"), sum(col("w")).as("ra_score"))
       .orderBy(col("common").desc, col("ra_score").desc,
         col("cust_a"), col("cust_b"))

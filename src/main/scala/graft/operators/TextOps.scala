@@ -1786,10 +1786,25 @@ object TextOps {
   def nbQuality(s: SparkSession, d: String): DataFrame =
     nbQualityOf(Tables.documents(s, d))
 
-  /** t29 over any documents-shaped frame (spec-injectable face). */
+  /** t29 over any documents-shaped frame (spec-injectable face).
+    *
+    * The labeled frame is eagerly checkpointed: the t25 NB chain scans
+    * its input FOUR times (train counts, priors, test counts, grid) —
+    * cheap when the input is a parquet scan (t25 itself), but here the
+    * input is the weak-vote projection, whose per-row cost is two full-
+    * text regexes + tokenize + array_distinct + a stopword filter, and
+    * the four consumers share no exchange, so without materialization
+    * each one re-derives it end to end (profiled at sf0.1: two of the
+    * four duplicate subtrees carried 4.4 s and 6.4 s of aggregate-input
+    * time — the vote projection dominated the key). One derivation +
+    * four cached reads; at corpus scale the trade is one labeled-corpus
+    * materialization against three extra full-text scans with the
+    * heaviest per-row expressions in the text family.
+    */
   private[graft] def nbQualityOf(docs: DataFrame): DataFrame =
     nbLangidOf(weakLabelRows(docs).filter(col("label") =!= "abstain")
-        .select(col("doc_id"), col("label").as("lang"), col("text")))
+        .select(col("doc_id"), col("label").as("lang"), col("text"))
+        .localCheckpoint(true))
       .select(col("true_lang").as("true_label"),
         col("pred_lang").as("pred_label"), col("n_docs"))
       .orderBy("true_label", "pred_label")
