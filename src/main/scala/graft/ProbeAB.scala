@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Graph, TextOps}
+import graft.operators.{Curation, Dedup, Graph, TextOps}
 import graft.Tables
 
 /** Round-16 optimization A/B probes: each experiment prices the OLD
@@ -104,12 +104,145 @@ object ProbeAB {
         col("pred_lang").as("pred_label"), col("n_docs"))
       .orderBy("true_label", "pred_label")
 
+  /** g11 pre-optimization: per-round teleport as a broadcast left join
+    * plus an anti-join re-entry union — the spread subtree referenced
+    * twice per round (2^ITERS plan copies by the last round).
+    */
+  private def g11Old(s: SparkSession, d: String): DataFrame = {
+    val bcastMax = Graph.RANK_BCAST_MAX_NODES
+    val eraw = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+              (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = eraw.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("t")),
+        struct(col("dst").as("s"), col("src").as("t")))).as("e"))
+      .select(col("e.s").as("src"), col("e.t").as("dst"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val seeds = Tables.supplier(s, d)
+      .filter(col("s_nationkey") < 5L)
+      .select((col("s_suppkey") * 2 + 1).as("seed"))
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val nNodes = deg.count()
+    val co = nNodes > bcastMax
+    val e = if (co) Graph.relayoutPartitioned(edges, col("src")) else edges
+    val adjRaw = Graph.iterJoin(e, deg, e("src") === deg("node"), nNodes, bcastMax)
+      .select(e("src"), e("dst"), deg("outdeg"))
+    val adj = if (co) Graph.checkpointPreserving(adjRaw)
+      else adjRaw.localCheckpoint(true)
+    var ranks = seeds.select(col("seed").as("node"))
+      .withColumn("r", lit(1000000000L))
+    for (_ <- 1 to 4) {
+      val spread = Graph.iterJoin(adj, ranks, adj("src") === ranks("node"),
+          nNodes, bcastMax)
+        .select(adj("dst"), expr("r div outdeg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("csum"))
+        .select(col("dst").as("node"), expr("(85 * csum) div 100").as("r"))
+      ranks = spread
+        .join(broadcast(seeds), spread("node") === seeds("seed"), "left")
+        .select(col("node"),
+          (col("r") + when(col("seed").isNotNull, lit(150000000L)).otherwise(lit(0L)))
+            .as("r"))
+        .unionByName(
+          seeds.join(spread.select(col("node")), seeds("seed") === col("node"),
+              "left_anti")
+            .select(col("seed").as("node"), lit(150000000L).as("r")))
+    }
+    val labeled = ranks
+      .join(broadcast(seeds), ranks("node") === seeds("seed"), "left_anti")
+      .select(
+        expr("CASE WHEN node % 2 = 0 THEN concat('c:', CAST(node div 2 AS STRING)) " +
+          "ELSE concat('s:', CAST((node - 1) div 2 AS STRING)) END").as("node"),
+        col("r").as("ppr_fp"))
+    labeled.orderBy(col("ppr_fp").desc, col("node")).limit(30)
+  }
+
+  /** g03 pre-optimization: per-round seed fixing as a broadcast
+    * anti-join + union after the vote argmax.
+    */
+  private def g03Old(s: SparkSession, d: String): DataFrame = {
+    val bcastMax = Graph.RANK_BCAST_MAX_NODES
+    val eraw = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+              (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = eraw.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("t")),
+        struct(col("dst").as("s"), col("src").as("t")))).as("e"))
+      .select(col("e.s").as("src"), col("e.t").as("dst"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val seeds = Tables.supplier(s, d)
+      .filter(col("s_nationkey") < 5L)
+      .select((col("s_suppkey") * 2 + 1).as("node"),
+        col("s_nationkey").cast("long").as("label"))
+    val nNodes = Tables.customer(s, d).count() + Tables.supplier(s, d).count()
+    var labels = seeds
+    for (_ <- 1 to 3) {
+      val voted = Graph.iterJoin(edges, labels, labels("node") === edges("src"),
+          nNodes, bcastMax)
+        .select(col("dst"), col("label"))
+        .repartition(col("dst"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("label"))
+      labels = voted.join(seeds.select(col("node").as("snode")),
+          voted("node") === col("snode"), "left_anti")
+        .unionByName(seeds)
+    }
+    labels.groupBy(col("label"))
+      .agg(count(when(col("node") % 2 === 0, 1)).as("n_customers"),
+        count(when(col("node") % 2 === 1, 1)).as("n_suppliers"))
+      .orderBy(col("label"))
+  }
+
+  /** p20 pre-optimization: negative mining as a row_number window over
+    * the full anchor × same-source candidate join.
+    */
+  private def p20Old(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = Curation.leakageSafeSplitAssign(s, d)
+      .select(col("doc_id"), col("source"), col("component"))
+      .localCheckpoint(true)
+    val roots = a.groupBy("component")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("root"))
+      .filter(col("n") >= 2)
+    val pos = a.join(roots, "component")
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("doc_id").as("anchor_id"), col("root").as("pos_id"),
+        col("source"), col("component"))
+    val cand = a.select(col("doc_id").as("neg_id"), col("source"),
+      col("component").as("ccomp"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(Dedup.baseHash(concat_ws(":",
+        col("anchor_id").cast("string"), col("neg_id").cast("string"))),
+        col("neg_id"))
+    cand.join(broadcast(pos), Seq("source"))
+      .filter(col("ccomp") =!= col("component"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("anchor_id"), col("pos_id"), col("neg_id"), col("source"))
+      .orderBy("anchor_id")
+  }
+
   def experiments: Map[String, (
       (SparkSession, String) => DataFrame,
       (SparkSession, String) => DataFrame)] = Map(
+    "p20" -> ((p20Old _, SparkEntry.queries("p20_contrastive_pairs"))),
     "g06" -> ((g06Old _, SparkEntry.queries("g06_link_prediction"))),
     "g02" -> ((g02Old _, SparkEntry.queries("g02_triangle_census"))),
-    "t29" -> ((t29Old _, SparkEntry.queries("t29_nb_quality"))))
+    "t29" -> ((t29Old _, SparkEntry.queries("t29_nb_quality"))),
+    "g11" -> ((g11Old _, SparkEntry.queries("g11_ppr_trust"))),
+    "g03" -> ((g03Old _, SparkEntry.queries("g03_label_propagation"))))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -1414,15 +1414,24 @@ object Curation {
         col("source"), col("component"))
     val cand = a.select(col("doc_id").as("neg_id"), col("source"),
       col("component").as("ccomp"))
-    val w = Window.partitionBy(col("anchor_id"))
-      .orderBy(Dedup.baseHash(concat_ws(":",
-        col("anchor_id").cast("string"), col("neg_id").cast("string"))),
-        col("neg_id"))
+    // argmin as AGGREGATION, not a row_number window (round-16
+    // optimization, guide §2.3 "aggregate before you shuffle"): the
+    // former window exchanged the ENTIRE anchor × same-source candidate
+    // join by anchor_id and sorted it to keep one row; min(struct(hash,
+    // neg_id)) picks the identical row (same (hash, neg_id) ascending
+    // order) with map-side partials, so only |anchors| rows reach the
+    // exchange instead of the full cross-candidate frame — the win
+    // grows with source size. anchor_id determines (pos_id, source)
+    // (one root per component), so they ride as grouping keys.
     cand.join(broadcast(pos), Seq("source"))
       .filter(col("ccomp") =!= col("component"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("anchor_id"), col("pos_id"), col("neg_id"), col("source"))
+      .groupBy(col("anchor_id"), col("pos_id"), col("source"))
+      .agg(min(struct(Dedup.baseHash(concat_ws(":",
+          col("anchor_id").cast("string"), col("neg_id").cast("string")))
+          .as("h"),
+        col("neg_id"))).as("m"))
+      .select(col("anchor_id"), col("pos_id"), col("m.neg_id").as("neg_id"),
+        col("source"))
       .orderBy("anchor_id")
   }
 

@@ -105,6 +105,11 @@ object Dedup {
       .withColumn("pband", explode(array(col("band"), col("band") + 1)))
     val wsh = Window.partitionBy("lang", "pband", "sh")
     posting
+      // NOT pinned to explicit parallelism (unlike the g02/g06 pair
+      // exchanges): an equality-gated A/B at sf0.1 priced an explicit
+      // repartition(sp, lang, pband, sh) here at 0.97x — a wash — so
+      // AQE keeps the coalescing call (consistent with the Bench.scala
+      // advisory-size experiment). Recorded in OPTIMIZATION_r16.md.
       .withColumn("first", coalesce(
         lag(col("doc_id"), 1).over(wsh.orderBy(col("doc_id"))) =!= col("doc_id"),
         lit(true)))

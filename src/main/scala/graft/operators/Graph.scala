@@ -89,6 +89,16 @@ object Graph {
               (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
 
+  /** DELIBERATELY two exchanges, not one (round-16 optimization A/B):
+    * folding the (src, dst) distinct onto the src repartition via the
+    * subset rule — one pinned exchange, distinct + explode in the
+    * post-shuffle stage — measured 0.81× on g01 (and the same shape
+    * 0.70× on t30) in equality-gated interleaved probes: the saved
+    * 28 MB exchange feeds the checkpoint directly (no sort, near-free),
+    * while the folded form loses map-side partial dedup AND pins the
+    * derivation stage to full parallelism where AQE's coalescing of
+    * the small distinct stage was the faster call. Keep this shape.
+    */
   private def tradeEdges(s: SparkSession, d: String): DataFrame = {
     val eraw = tradeEdgesRaw(s, d)
     eraw.select(explode(array(
@@ -345,25 +355,31 @@ object Graph {
     // all walk mass starts ON the seeds; BASE_FP returns to them each round
     var ranks = seeds.select(col("seed").as("node"))
       .withColumn("r", lit(START_FP))
+    // Teleport folded INTO the round aggregate (round-16 optimization):
+    // zero-contribution seed marker rows ride the same union into the
+    // ONE per-round exchange, so a seed absent from the spread still
+    // re-enters (csum 0 → r = BASE_FP) and a present one gets the
+    // damped sum + BASE_FP — exactly the old left-join + anti-join +
+    // union semantics. The old form referenced the spread subtree TWICE
+    // per round (teleport join + re-entry anti-join), doubling the plan
+    // tree every round (2^ITERS spread copies by the last round — plan
+    // growth the optimizer pays even where runtime exchange reuse
+    // absorbs the execution), plus two broadcast joins and a two-branch
+    // union per round; this form is one union + one aggregate, linear
+    // plan growth, and A/B-priced 1.4x at sf0.1.
+    val seedRows = seeds.select(col("seed").as("dst"),
+      lit(0L).as("contrib"), lit(1).as("is_seed"))
     for (_ <- 1 to ITERS) {
-      val spread = iterJoin(adj, ranks, adj("src") === ranks("node"),
+      ranks = iterJoin(adj, ranks, adj("src") === ranks("node"),
           nNodes, bcastMax)
-        .select(adj("dst"), expr("r div outdeg").as("contrib"))
+        .select(adj("dst"), expr("r div outdeg").as("contrib"),
+          lit(0).as("is_seed"))
+        .unionByName(seedRows)
         .groupBy(col("dst"))
-        .agg(sum(col("contrib")).as("csum"))
-        .select(col("dst").as("node"), expr(s"($DAMP_NUM * csum) div 100").as("r"))
-      // teleport: seeds regain the floor mass; non-seeds keep only the
-      // damped spread (an outer union-free form: seeds missing from the
-      // spread still re-enter with BASE_FP)
-      ranks = spread
-        .join(broadcast(seeds), spread("node") === seeds("seed"), "left")
-        .select(col("node"),
-          (col("r") + when(col("seed").isNotNull, lit(BASE_FP)).otherwise(lit(0L)))
-            .as("r"))
-        .unionByName(
-          seeds.join(spread.select(col("node")), seeds("seed") === col("node"),
-              "left_anti")
-            .select(col("seed").as("node"), lit(BASE_FP).as("r")))
+        .agg(sum(col("contrib")).as("csum"), max(col("is_seed")).as("sd"))
+        .select(col("dst").as("node"),
+          (expr(s"($DAMP_NUM * csum) div 100") +
+            when(col("sd") === 1, lit(BASE_FP)).otherwise(lit(0L))).as("r"))
     }
     val labeled = ranks
       .join(broadcast(seeds), ranks("node") === seeds("seed"), "left_anti")
@@ -603,6 +619,18 @@ object Graph {
     val e = if (nNodes > bcastMax) relayoutPartitioned(edges, col("src"))
       else edges
     var labels = seeds
+    // Seed fixing folded INTO the round aggregate (round-16
+    // optimization, the g11 teleport-fold shape): seed marker rows
+    // (sd = 1) ride the vote union through the ONE per-round exchange,
+    // and the argmax keys on (sd, cnt, -label) — a seed's own group
+    // always wins, so seeds keep their label without the former
+    // per-round broadcast anti-join + union. The marker inflates its
+    // own (node, seed-label) group's cnt by one, which can never
+    // change an outcome: sd dominates the comparison and no node
+    // carries two marker rows. Non-seed groups are untouched, so the
+    // majority vote (ties → smallest label) is byte-identical.
+    val seedRows = seeds.select(col("node").as("dst"), col("label"),
+      lit(1).as("sd"))
     for (_ <- 1 to rounds) {
       // same explicit broadcast rationale as the g01 iteration join (the
       // ExistingRDD side has no stats; AQE's runtime demotion would strand
@@ -612,17 +640,16 @@ object Graph {
       // the clustering requirement of BOTH aggregations ((dst, label)
       // count and the per-dst argmax — subset rule), where letting each
       // groupBy plan its own exchange costs two
-      val voted = iterJoin(e, labels, labels("node") === e("src"),
+      labels = iterJoin(e, labels, labels("node") === e("src"),
           nNodes, bcastMax)
-        .select(col("dst"), col("label"))
+        .select(col("dst"), col("label"), lit(0).as("sd"))
+        .unionByName(seedRows)
         .repartition(col("dst"))
-        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"), max(col("sd")).as("sd"))
         .groupBy(col("dst"))
-        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .agg(max(struct(col("sd"), col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("dst").as("node"), (-col("m.nl")).as("label"))
-      labels = voted.join(seeds.select(col("node").as("snode")),
-          voted("node") === col("snode"), "left_anti")
-        .unionByName(seeds)
     }
     labels
   }
