@@ -165,6 +165,13 @@ object ProbeAB {
 
   /** g03 pre-optimization: per-round seed fixing as a broadcast
     * anti-join + union after the vote argmax.
+    *
+    * Simplification vs the true pre-round-16 tree: this inline copy
+    * joins `edges` directly and omits the `relayoutPartitioned`
+    * co-regime dispatch (nNodes > RANK_BCAST_MAX_NODES) that lpaOn
+    * carries. Harmless at probe scale (sf0.1 nNodes ≪ 1e8), but do
+    * NOT run this probe with GRAFT_RANK_BCAST_MAX forced low — the
+    * ratio would conflate the seed-fold change with the relayout path.
     */
   private def g03Old(s: SparkSession, d: String): DataFrame = {
     val bcastMax = Graph.RANK_BCAST_MAX_NODES

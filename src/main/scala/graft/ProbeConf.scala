@@ -21,7 +21,9 @@ object ProbeConf {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val confKey = sys.env("GRAFT_CONF_KEY")
+    val confKey = sys.env.getOrElse("GRAFT_CONF_KEY",
+      sys.error("GRAFT_CONF_KEY must name the spark conf to probe " +
+        "(e.g. spark.sql.adaptive.advisoryPartitionSizeInBytes)"))
     val vals = sys.env.getOrElse("GRAFT_CONF_VALS", "").split(",").toSeq
     require(vals.length == 2, "GRAFT_CONF_VALS must hold exactly two values")
     val keys = sys.env.getOrElse("GRAFT_CONF_KEYS",

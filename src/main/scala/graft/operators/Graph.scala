@@ -602,7 +602,13 @@ object Graph {
   }
 
   /** The g03 vote loop over any symmetric, src-partitioned, checkpointed
-    * edge frame + (node, label) seed frame — the kernel g09 shares. The
+    * edge frame + (node, label) seed frame — the kernel g09 shares.
+    * INPUT CONTRACT: `seeds` must carry at most ONE row per node. The
+    * seed-fold argmax collapses a node's rows to one label; a caller
+    * passing the same node with two labels would get ONE of them
+    * (max-cnt, then smallest label) where the pre-fold anti-join+union
+    * form preserved both rows. All current callers pass unique-node
+    * seed frames. The
     * per-round label join dispatches through [[iterJoin]] (labels ≤
     * |nodes| by construction: every round's output is one row per voted
     * node, anti-joined against the fixed seeds). `nNodesHint`: a cheap

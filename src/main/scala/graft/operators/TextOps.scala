@@ -1800,6 +1800,11 @@ object TextOps {
     * four cached reads; at corpus scale the trade is one labeled-corpus
     * materialization against three extra full-text scans with the
     * heaviest per-row expressions in the text family.
+    *
+    * Eager-checkpoint caveat: CONSTRUCTING this DataFrame (e.g. a plan
+    * dump / explain pass) already runs one Spark job materializing the
+    * weak-vote projection — accepted for the measured 1.28× win; plan
+    * tooling on t29 pays one materialization.
     */
   private[graft] def nbQualityOf(docs: DataFrame): DataFrame =
     nbLangidOf(weakLabelRows(docs).filter(col("label") =!= "abstain")
