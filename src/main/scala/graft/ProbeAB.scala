@@ -241,9 +241,142 @@ object ProbeAB {
       .orderBy("anchor_id")
   }
 
+  // ---- round-17 OLD formulations ----
+
+  /** Shared by the r17 graph probes: the tradeEdges derivation, verbatim
+    * (unchanged between rounds — both arms pay it identically; the probe
+    * ratio prices the LOOP structure that follows it).
+    */
+  private def tradeEdgesInline(s: SparkSession, d: String): DataFrame = {
+    val eraw = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+              (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    eraw.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("t")),
+        struct(col("dst").as("s"), col("src").as("t")))).as("e"))
+      .select(col("e.s").as("src"), col("e.t").as("dst"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+  }
+
+  /** g10 pre-round-17: per round, the survivor aggregate derived TWICE
+    * (once per broadcast build), a full-edge repartition(src) exchange
+    * before every checkpoint, edge-count fixpoint detection via a full
+    * no-op peel + count, and the conservative edge-row dispatch bound.
+    */
+  private def g10Old(s: SparkSession, d: String): DataFrame = {
+    val bcastMax = Graph.RANK_BCAST_MAX_NODES
+    val KCORE_CAP = 8
+    val edgesIn = tradeEdgesInline(s, d)
+    val n0 = edgesIn.count()
+    var edges = if (n0 > bcastMax) Graph.relayoutPartitioned(edgesIn, col("src"))
+      else edgesIn
+    var nCarry = n0
+    val census = Seq(2L, 3L, 4L).map { k =>
+      var cur = edges
+      var n = nCarry
+      var fixed = false
+      var round = 0
+      while (!fixed && round < KCORE_CAP) {
+        round += 1
+        val co = n > bcastMax
+        val keep0 = cur.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("node"))
+        val keep = if (co) keep0.localCheckpoint(true) else keep0
+        val peeled = Graph.iterJoin(
+          Graph.iterJoin(cur, keep.select(col("node").as("ks")),
+            col("src") === col("ks"), n, bcastMax, "left_semi"),
+          keep.select(col("node").as("kd")),
+          col("dst") === col("kd"), n, bcastMax, "left_semi")
+        val next =
+          if (co) Graph.relayoutPartitioned(peeled.localCheckpoint(true), col("src"))
+          else peeled.repartition(col("src")).localCheckpoint(true)
+        val m = next.count()
+        fixed = m == n
+        n = m
+        cur = next
+      }
+      edges = cur
+      nCarry = n
+      val conv = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .agg(coalesce(min(col("deg")) >= k, lit(true)).as("converged"))
+      cur.agg(countDistinct(col("src")).as("n_nodes"),
+          count(lit(1)).as("c2"))
+        .crossJoin(conv)
+        .select(lit(k).as("k"), col("n_nodes"),
+          expr("c2 div 2").as("n_edges"), col("converged"))
+    }
+    census.reduce(_ unionByName _).orderBy("k")
+  }
+
+  /** g04 pre-round-17: newly-discovered detection as distinct + anti-join
+    * against the accumulated dist frame, two eager checkpoints per round.
+    */
+  private def g04Old(s: SparkSession, d: String): DataFrame = {
+    val adj = tradeEdgesInline(s, d)
+    var dist = adj.sparkSession.range(1)
+      .select(lit(0L).as("node"), lit(0).cast("int").as("hop"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var hop = 0
+    while (hop < 6 && !frontier.isEmpty) {
+      hop += 1
+      val next = adj.join(broadcast(frontier), adj("src") === frontier("node"))
+        .select(adj("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hop", lit(hop).cast("int"))
+        .localCheckpoint(true)
+      dist = dist.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    val profile = dist.groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
+    val unreached = adj.select(col("src").as("node")).distinct()
+      .join(dist, Seq("node"), "left_anti")
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(lit(-1).cast("int").as("hop"), col("n_nodes"))
+    profile.unionByName(unreached).filter(col("n_nodes") > 0)
+      .orderBy("hop")
+  }
+
+  /** g08 pre-round-17: perLabel NOT checkpointed — the m_dir grand total
+    * re-derives the whole e2 pipeline (column pruning narrows its partial
+    * exchange, defeating exchange reuse).
+    */
+  private def g08Old(s: SparkSession, d: String): DataFrame = {
+    val (labels, edges) = Graph.lpaLabelsAndEdges(s, d)
+    val lab = edges.select(col("src").as("node")).distinct()
+      .join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), lit(-1L)).as("label"))
+      .localCheckpoint(true)
+    val e2 = edges
+      .join(broadcast(lab.select(col("node").as("src"), col("label").as("lsrc"))),
+        "src")
+      .join(broadcast(lab.select(col("node").as("dst"), col("label").as("ldst"))),
+        "dst")
+    val perLabel = e2.groupBy(col("lsrc").as("label"))
+      .agg(count(lit(1)).as("deg_sum"),
+        count(when(col("lsrc") === col("ldst"), 1)).as("intra_deg"))
+    perLabel
+      .join(lab.groupBy("label").agg(count(lit(1)).as("n_nodes")), "label")
+      .crossJoin(broadcast(perLabel.agg(sum(col("deg_sum")).as("m_dir"))))
+      .select(col("label"), col("n_nodes"),
+        expr("intra_deg div 2").as("intra_edges"),
+        col("deg_sum"),
+        (col("m_dir") * col("intra_deg") - col("deg_sum") * col("deg_sum"))
+          .as("q_contrib_num"))
+      .orderBy("label")
+  }
+
   def experiments: Map[String, (
       (SparkSession, String) => DataFrame,
       (SparkSession, String) => DataFrame)] = Map(
+    "g10" -> ((g10Old _, SparkEntry.queries("g10_kcore"))),
+    "g04" -> ((g04Old _, SparkEntry.queries("g04_bfs_reach"))),
+    "g08" -> ((g08Old _, SparkEntry.queries("g08_modularity"))),
     "p20" -> ((p20Old _, SparkEntry.queries("p20_contrastive_pairs"))),
     "g06" -> ((g06Old _, SparkEntry.queries("g06_link_prediction"))),
     "g02" -> ((g02Old _, SparkEntry.queries("g02_triangle_census"))),

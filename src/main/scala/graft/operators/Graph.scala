@@ -711,6 +711,22 @@ object Graph {
     * each round so lineage stays O(1); the per-round empty-frontier check
     * is one bounded driver scalar (the CC fingerprint style). Early exit on
     * an empty frontier — the cap is a bound, not a fixed cost.
+    *
+    * Newly-discovered detection is MIN-HOP AGGREGATION, not an
+    * anti-join (round-17 optimization — the g07 relaxation shape,
+    * guide §2.3 aggregate-before-shuffle / §2.4 remove shuffles): per
+    * round the relaxed frontier rides ONE union + min(hop) aggregate
+    * into the accumulated distance frame — a node re-reached at hop r
+    * keeps its earlier hop (min), a new node enters at r, and the next
+    * frontier is exactly the rows at hop == r off the cached result.
+    * The old form paid, per round, a distinct exchange over the relaxed
+    * frame PLUS an anti-join against the |visited|-frame (statically an
+    * SMJ — at scale that is a full re-exchange of both sides) PLUS two
+    * eager checkpoints (next, dist∪next) and a third action for the
+    * isEmpty probe; this form pays one exchange, one checkpoint, and
+    * reads the frontier count off the cached frame. Equivalence: BFS
+    * min-hop — distinct+anti-join(visited)+hop=r emits a node iff its
+    * minimum discovery hop is exactly r, which is what min(hop) keeps.
     */
   def bfsReach(s: SparkSession, d: String): DataFrame = {
     val adj = tradeEdges(s, d)
@@ -721,13 +737,12 @@ object Graph {
     var hop = 0
     while (hop < BFS_MAX_HOPS && !frontier.isEmpty) {
       hop += 1
-      val next = adj.join(broadcast(frontier), adj("src") === frontier("node"))
-        .select(adj("dst").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
-        .withColumn("hop", lit(hop).cast("int"))
+      val relaxed = adj.join(broadcast(frontier), adj("src") === frontier("node"))
+        .select(adj("dst").as("node"), lit(hop).cast("int").as("hop"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("hop")).as("hop"))
         .localCheckpoint(true)
-      dist = dist.unionByName(next).localCheckpoint(true)
-      frontier = next
+      frontier = dist.filter(col("hop") === hop)
     }
     // reachability profile + the out-of-component remainder (hop −1): the
     // node universe is adj's src side (degree ≥ 1 by construction)
@@ -1079,9 +1094,18 @@ object Graph {
         "src")
       .join(broadcast(lab.select(col("node").as("dst"), col("label").as("ldst"))),
         "dst")
+    // eager checkpoint (round-17, guide §2.4/§5): perLabel has TWO
+    // consumers — the report rows and the m_dir grand total — and
+    // column pruning gives the m_dir arm a NARROWER partial-aggregate
+    // exchange (deg_sum only), so exchange reuse cannot unify them and
+    // the whole e2 pipeline (a full edge pass + two broadcast joins +
+    // aggregate) executed TWICE (profiled at sf0.1: duplicate 1.17M-row
+    // BHJ+HashAggregate subtrees, aggTime 2.3 s + 1.8 s). The frame is
+    // O(|labels|) rows — the materialization is free by comparison.
     val perLabel = e2.groupBy(col("lsrc").as("label"))
       .agg(count(lit(1)).as("deg_sum"),
         count(when(col("lsrc") === col("ldst"), 1)).as("intra_deg"))
+      .localCheckpoint(true)
     perLabel
       .join(lab.groupBy("label").agg(count(lit(1)).as("n_nodes")), "label")
       .crossJoin(broadcast(perLabel.agg(sum(col("deg_sum")).as("m_dir"))))
@@ -1160,36 +1184,45 @@ object Graph {
     *
     * Scale shape: the survivor list is broadcast into both semi-joins
     * (the g03 note: beyond ~100M surviving nodes switch to co-partitioned
-    * SMJ on src/dst); the census is a 1-row aggregate per k; lineage is
-    * cut per round by repartition-before-localCheckpoint (the g01
-    * discipline). Edge frames only ever SHRINK, so the deepest core costs
+    * shuffle-hash on src/dst); the census is a 1-row aggregate per k;
+    * lineage is cut per round by an eager localCheckpoint that INHERITS
+    * the caller's partition count (the semi-joins are narrow, so no
+    * per-round exchange). Edge frames only ever SHRINK, so the deepest core costs
     * the least.
     */
   def kcoreCensus(s: SparkSession, d: String): DataFrame =
     kcoreCensusOf(tradeEdges(s, d))
 
   /** g10 over any symmetric (src, dst) edge frame (spec-injectable face).
-    * The survivor semi-joins dispatch through [[iterJoin]] on the edge
-    * count `n` the peel already tracks — a CONSERVATIVE node bound
-    * (every node has degree ≥ 1, so |survivors| ≤ |nodes| ≤ n) that
-    * costs zero extra jobs and shrinks with the core. Above the ceiling
-    * the src-side semi-join rides the src partitioning — which the
-    * CALLER's frame (an adaptive checkpoint, UnknownPartitioning) does
-    * not expose, so the co regime re-lays edgesIn by src ONCE up front
-    * (amortized over every round of every k; without it round 1 of the
-    * first k re-exchanges the edge side). The dst-side semi-join still
-    * re-exchanges the edges on dst each round — the honest price of
-    * filtering both endpoints where a broadcast no longer fits. The
-    * up-front count that decides the relayout is k=2's initial peel
-    * count, and each k inherits the previous core's final count, so the
-    * restructure costs zero extra jobs (it REMOVED the per-k recount).
-    * To be explicit about the units (RANK_BCAST_MAX_NODES is a NODE
-    * ceiling): n0 and every carried n are EDGE-row counts used as a
-    * node UPPER bound, so the relayout — and the co regime generally —
-    * can fire one regime early by design (a graph whose first peel
-    * would drop it under the ceiling still pays the one statically
-    * planned relayout); the conservative direction is the safe one, a
-    * node UNDERCOUNT would broadcast a frame that doesn't fit.
+    *
+    * Round structure (round-17 optimization — guide §2.4 remove
+    * shuffles, §1.2 don't compute what you throw away): ONE per-round
+    * degree materialization (an O(|nodes|)-row eager checkpoint) serves
+    * (a) the fixpoint test, (b) BOTH endpoint semi-join build sides,
+    * and (c) the [[iterJoin]] dispatch scalar — the TRUE survivor node
+    * count, not the former edge-row upper bound. The old form computed
+    * the survivor aggregate TWICE per round (once per broadcast build;
+    * the two subtrees' aliases defeated exchange reuse), and detected
+    * the fixpoint by running a FULL no-op peel — checkpointing and
+    * counting an edge frame identical to its input — once per k.
+    * The fixpoint test is now node-monotone: no node under degree k ⇒
+    * no edge removed ⇒ fixpoint (a removed node has ≥ 1 incident edge
+    * on a degree-≥1 frame, so node-set equality ⇔ edge-set equality).
+    *
+    * Per-round exchange discipline: the broadcast regime checkpoints
+    * `peeled` DIRECTLY — the semi-joins are narrow over the previous
+    * checkpoint's partitions, so the partition count (established once
+    * by the caller's pre-checkpoint repartition) carries through every
+    * round and the former per-round `repartition(src)` full-edge
+    * exchange is dropped. The co regime keeps [[relayoutPartitioned]]:
+    * there the src layout must stay VISIBLE (statically captured) so
+    * the next round's degree aggregate and src-side semi-join ride it;
+    * its dst-side semi-join still re-exchanges the edges on dst each
+    * round — the honest price of filtering both endpoints where a
+    * broadcast no longer fits. The up-front relayout decision uses the
+    * edge count n0 (conservative node bound — the safe direction; a
+    * node UNDERCOUNT would broadcast a frame that doesn't fit); every
+    * in-loop dispatch uses the exact survivor count.
     */
   def kcoreCensusOf(edgesIn: DataFrame,
       bcastMax: Long = RANK_BCAST_MAX_NODES): DataFrame = {
@@ -1198,37 +1231,34 @@ object Graph {
     // visible once, before any peel round reads it
     var edges = if (n0 > bcastMax) relayoutPartitioned(edgesIn, col("src"))
       else edgesIn
-    var nCarry = n0 // each k peels the previous core: count carries over
     val census = KCORE_KS.map { k =>
       var cur = edges
-      var n = nCarry
       var fixed = false
       var round = 0
       while (!fixed && round < KCORE_CAP) {
         round += 1
-        val co = n > bcastMax // n = edge rows ≥ |survivors|, conservative
-        val keep0 = cur.groupBy(col("src").as("node"))
+        // one O(|nodes|) materialization: fixpoint test + both builds
+        val degCk = cur.groupBy(col("src").as("node"))
           .agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= k).select(col("node"))
-        // co regime: checkpoint so BOTH endpoint semi-joins read one
-        // materialization; broadcast regime keeps the original inline
-        // derivation (two cheap cached-scan aggregates, adaptive plans)
-        val keep = if (co) keep0.localCheckpoint(true) else keep0
-        val peeled = iterJoin(
-          iterJoin(cur, keep.select(col("node").as("ks")),
-            col("src") === col("ks"), n, bcastMax, "left_semi"),
-          keep.select(col("node").as("kd")),
-          col("dst") === col("kd"), n, bcastMax, "left_semi")
-        val next =
-          if (co) relayoutPartitioned(peeled.localCheckpoint(true), col("src"))
-          else peeled.repartition(col("src")).localCheckpoint(true)
-        val m = next.count()
-        fixed = m == n // a round that removed nothing is the fixpoint
-        n = m
-        cur = next
+          .localCheckpoint(true)
+        val nNow = degCk.count()
+        val keep = degCk.filter(col("deg") >= k)
+        val nSurv = keep.count() // exact |survivors|: dispatch scalar
+        if (nSurv == nNow) {
+          fixed = true // no node under k ⇒ no edge removed (monotone)
+        } else {
+          val peeled = iterJoin(
+            iterJoin(cur, keep.select(col("node").as("ks")),
+              col("src") === col("ks"), nSurv, bcastMax, "left_semi"),
+            keep.select(col("node").as("kd")),
+            col("dst") === col("kd"), nSurv, bcastMax, "left_semi")
+          cur =
+            if (nSurv > bcastMax)
+              relayoutPartitioned(peeled.localCheckpoint(true), col("src"))
+            else peeled.localCheckpoint(true) // narrow: partitions carry
+        }
       }
       edges = cur // the (k+1)-core peels from here
-      nCarry = n // ... starting at this already-known count
       val conv = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .agg(coalesce(min(col("deg")) >= k, lit(true)).as("converged"))
       cur.agg(countDistinct(col("src")).as("n_nodes"),
