@@ -21,7 +21,10 @@ import graft.Tables
   * Usage: SPARK_GRAFT_AB=g06,g02 runMain graft.ProbeAB [sfDir]
   */
 object ProbeAB {
-  val REPS = 5
+  /** Interleaved reps per arm; GRAFT_AB_REPS trims it for corpus-scale
+    * probes where one rep runs minutes (the 100x trend arms).
+    */
+  val REPS = sys.env.get("GRAFT_AB_REPS").map(_.toInt).getOrElse(5)
 
   // ---- OLD formulations, verbatim from the pre-round-16 tree ----
 
@@ -340,6 +343,43 @@ object ProbeAB {
       .select(lit(-1).cast("int").as("hop"), col("n_nodes"))
     profile.unionByName(unreached).filter(col("n_nodes") > 0)
       .orderBy("hop")
+  }
+
+  /** g07 relax-from-all arm, kept for the REJECTED-experiment record:
+    * the frontier/changed-flag refinement measured 0.97x (sf0.1) and
+    * 0.92x (10x) against this and was reverted — see the ssspFrom doc
+    * comment. Not registered as an experiment (old == registered now).
+    */
+  private def g07Old(s: SparkSession, d: String): DataFrame = {
+    val ew = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(count(lit(1)).as("mult"))
+      .select(col("src"), col("dst"),
+        expr("greatest(1L, 1000L div mult)").as("w"))
+    val adj = ew.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("t"), col("w")),
+        struct(col("dst").as("s"), col("src").as("t"), col("w")))).as("e"))
+      .select(col("e.s").as("src"), col("e.t").as("dst"), col("e.w").as("w"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var dist = adj.sparkSession.range(1)
+      .select(lit(0L).as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 6) {
+      val relaxed = adj.join(broadcast(dist), adj("src") === dist("node"))
+        .select(adj("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist.select(col("node"),
+        when(col("node") % 2 === 0, lit("cust")).otherwise(lit("supp"))
+          .as("side"),
+        col("dist"))
+      .orderBy("node")
   }
 
   /** g08 pre-round-17: perLabel NOT checkpointed — the m_dir grand total

@@ -1487,22 +1487,31 @@ object Dedup {
     * the minimum of u's closed neighborhood. Two shuffles (min-aggregate +
     * join back), edge count never grows beyond the bidirectional input.
     */
-  private def largeStar(e: DataFrame): DataFrame = {
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
     val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
     val mins = bidir.groupBy("u").agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("u"), col("mv")).as("m"))
-    bidir.join(mins, "u").filter(col("v") > col("u"))
+    // shuffle_hash, not SMJ (round-17, guide §3.1): the join-back runs
+    // EVERY star round, and SMJ re-sorts the full bidirectional edge
+    // frame each time; the hash build side is the per-partition slice
+    // of the O(|nodes|) mins frame — the thing that fits (the iterJoin
+    // co-regime precedent). The join (not a window) stays the skew
+    // boundary so AQE's skew-join splitting can cut a giant star's
+    // partition (guide §2.5: skew handling applies to joins only).
+    bidir.join(mins.hint("shuffle_hash"), "u").filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v")).distinct()
   }
 
   /** One small-star round: u and all of u's SMALLER neighbors are rewired
     * to the minimum of that set (edges arrive large→small oriented).
     */
-  private def smallStar(e: DataFrame): DataFrame = {
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
     val oriented = e.select(greatest(col("u"), col("v")).as("u"),
       least(col("u"), col("v")).as("v"))
     val mins = oriented.groupBy("u").agg(min(col("v")).as("m"))
-    val fromNbrs = oriented.join(mins, "u").select(col("v").as("n"), col("m"))
+    // shuffle_hash: same rationale as largeStar's join-back
+    val fromNbrs = oriented.join(mins.hint("shuffle_hash"), "u")
+      .select(col("v").as("n"), col("m"))
     val fromSelf = mins.select(col("u").as("n"), col("m"))
     fromNbrs.union(fromSelf).filter(col("n") =!= col("m"))
       .select(col("n").as("u"), col("m").as("v")).distinct()

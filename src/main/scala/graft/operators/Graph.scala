@@ -1007,6 +1007,20 @@ object Graph {
 
   /** g07 over any weighted (src, dst, w) half-edge frame (spec face);
     * edges are symmetrized here.
+    *
+    * DELIBERATELY relax-from-all, not frontier Bellman-Ford (round-17
+    * optimization A/B): the changed-flag frontier refinement — relax
+    * only from nodes whose distance improved, flag riding the same
+    * min(struct(dist, ch)) exchange, early exit on an empty frontier —
+    * was implemented, equality-gated (byte-identical rounds: an
+    * unchanged node's proposals are already folded into an earlier
+    * min), and measured 0.97× at sf0.1 and 0.92× at 10× — REJECTED.
+    * On this graph the refinement cannot pay: WEIGHTED relaxation
+    * keeps improving distances through all [[SSSP_ROUNDS]] rounds
+    * (cheap strong-tie chains keep undercutting), so the frontier
+    * never decays, no early exit fires, and the flag column + the
+    * per-round frontier probe are pure overhead. g04 (unweighted
+    * min-HOP) is where the frontier form wins and uses it.
     */
   private[graft] def ssspFrom(ew: DataFrame, seed: Long): DataFrame = {
     val adj = ew.select(explode(array(
