@@ -411,9 +411,39 @@ object ProbeAB {
       .orderBy("label")
   }
 
+  /** g09 pre-round-17: THREE assignToCells executions — the 2-probe
+    * frame, a separate residency derivation for the edge builder, and
+    * the rollup's own re-derivation in its own action.
+    */
+  private def g09Old(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Graph => G, Similarity => Sim}
+    val emb = Tables.embeddings(s, d)
+    val nCorpus = emb.count()
+    val nCells = Sim.N_CELLS
+    val corpus = emb.select(col("vec_id"), Sim.quantize(col("embedding")).as("qv"))
+    val cents = Sim.seedCentroids(corpus, nCells)
+    val resident = Sim.assignToCells(corpus, cents)
+    val kedges = Sim.knnProbeEdges(Sim.assignToCells(corpus, cents, 2), resident,
+      Sim.KNN_GRAPH_K).select(col("src"), col("dst"))
+    val edges = kedges.union(kedges.select(col("dst").as("src"),
+      col("src").as("dst"))).distinct().localCheckpoint(true)
+    val seeds = Sim.seedNodes(corpus, nCells)
+    val labels = G.lpaOn(edges, seeds, rounds = Sim.KNN_COMM_ROUNDS,
+      nNodesHint = Some(nCorpus))
+    resident.select(col("vec_id").as("node"), col("cell"))
+      .join(labels, Seq("node"), "left")
+      .select(col("node"), col("cell"), coalesce(col("label"), lit(-1L)).as("label"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("cell")).as("n_cells"),
+        sum(col("node")).as("id_checksum"))
+      .orderBy("label")
+  }
+
   def experiments: Map[String, (
       (SparkSession, String) => DataFrame,
       (SparkSession, String) => DataFrame)] = Map(
+    "g09" -> ((g09Old _, SparkEntry.queries("g09_knn_communities"))),
     "g10" -> ((g10Old _, SparkEntry.queries("g10_kcore"))),
     "g04" -> ((g04Old _, SparkEntry.queries("g04_bfs_reach"))),
     "g08" -> ((g08Old _, SparkEntry.queries("g08_modularity"))),

@@ -97,6 +97,16 @@ object ProbeCC {
       .localCheckpoint(true)
     println(s"== ${edges.count()} edges ==")
 
+    if (sys.env.contains("GRAFT_CC_PLAN_ONLY")) {
+      val e = edges.select(col("id_a").as("u"), col("id_b").as("v"))
+        .localCheckpoint(true)
+      println("== OLD one-round plan (plain join-backs) ==")
+      smallStarOld(largeStarOld(e)).explain("formatted")
+      println("== NEW one-round plan (shuffle_hash join-backs) ==")
+      Dedup.smallStar(Dedup.largeStar(e)).explain("formatted")
+      spark.stop(); return
+    }
+
     def run(f: DataFrame => DataFrame): (Seq[(Long, Long)], Double) = {
       val t0 = System.nanoTime()
       val labels = f(edges)

@@ -988,15 +988,21 @@ object Similarity {
     * window exchange; shared by s04/s05 (nBest=1: residency) and the s09
     * query probe (nBest=N_PROBE).
     */
-  def assignToCells(corpus: DataFrame, centsIn: DataFrame, nBest: Int = 1): DataFrame = {
+  def assignToCells(corpus: DataFrame, centsIn: DataFrame, nBest: Int = 1,
+      keepRank: Boolean = false): DataFrame = {
     val cents = broadcast(centsIn)
-    corpus.crossJoin(cents)
+    val ranked = corpus.crossJoin(cents)
       .withColumn("score", qdot(col("qv"), col("centroid")).cast("double") /
         sqrt(qdot(col("centroid"), col("centroid")).cast("double")))
       .withColumn("r", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
       .filter(col("r") <= nBest)
-      .select(col("vec_id"), col("qv"), col("cell"))
+    // keepRank: a caller that needs BOTH the n-probe frame and the
+    // residency frame (r = 1 is a prefix of r <= n) can derive them
+    // from one ranked execution instead of running the corpus x cells
+    // ranking twice (the g09/g12 consolidation, round 17)
+    if (keepRank) ranked.select(col("vec_id"), col("qv"), col("cell"), col("r"))
+    else ranked.select(col("vec_id"), col("qv"), col("cell"))
   }
 
   def semanticDedup(s: SparkSession, d: String): DataFrame = {
@@ -3261,8 +3267,17 @@ object Similarity {
       nCorpus: Long): DataFrame = {
     val corpus = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
     val cents = seedCentroids(corpus, nCells)
-    val resident = assignToCells(corpus, cents)
-    val kedges = knnProbeEdges(assignToCells(corpus, cents, 2), resident,
+    // ONE corpus x cells ranking, eagerly checkpointed, serves all three
+    // consumers (round-17 optimization — guide §5 caching judgment, the
+    // t29 shape): the 2-probe frame, its r = 1 residency prefix feeding
+    // the edge builder, and the final rollup's residency — previously
+    // THREE full assignToCells executions (the rollup's ran in its own
+    // action, where no exchange reuse can reach). Materialization is
+    // O(2N) thin rows against two saved corpus x cells rank passes.
+    val asg2 = assignToCells(corpus, cents, 2, keepRank = true)
+      .localCheckpoint(true)
+    val resident = asg2.filter(col("r") === 1).drop("r")
+    val kedges = knnProbeEdges(asg2.drop("r"), resident,
       KNN_GRAPH_K).select(col("src"), col("dst"))
     // lpaOn re-lays this by src itself if the graph crosses the
     // broadcast ceiling; below it the plain checkpoint is the plan
